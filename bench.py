@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "catalog_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a ``noop`` sink write — the full
+plan executes (scan → shuffle → sink) without driver-side collection,
+which is the honest analogue of a cluster job writing parquet.
+
+A single warm-up action runs first so JVM/codegen startup cost isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+    from module8_movies_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Warm up JVM / codegen / parquet footer caches on a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in bq.QUERIES.items():
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 - record, don't die mid-bench
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr, flush=True)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

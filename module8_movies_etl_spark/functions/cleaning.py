@@ -1,0 +1,68 @@
+"""Record-cleaning expressions (SURVEY.md §2.6 F2, §2.7 C9).
+
+The reference's ``clean_movie`` (reference ``challenge.py:61-101``) is a
+per-record dict rewriter: consolidate ~20 language-title keys into a
+nested ``alt_titles`` dict and collapse 19 raw column-name variants
+onto canonical columns. Its list-cell normalizer joins list values
+with spaces (``challenge.py:117,165,180,193``). Both are column-level
+expressions here — schema work happens at plan time, not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def text_or_joined_array(df: DataFrame, name: str) -> Column:
+    """F2: normalize a string-or-array column to one string.
+
+    Mirrors ``' '.join(x) if type(x) == list else x``
+    (reference ``challenge.py:117``). With a typed schema the branch is
+    static per column: ArrayType → ``concat_ws(' ', col)``, else passthrough.
+    """
+    field = dict(zip(df.schema.names, df.schema.fields))[name]
+    if field.dataType.typeName() == "array":
+        return F.when(
+            F.col(name).isNotNull(), F.concat_ws(" ", F.col(name))
+        ).otherwise(F.lit(None).cast("string"))
+    return F.col(name).cast("string")
+
+
+def coalesce_first(df: DataFrame, *names: str) -> Column:
+    """C9 rename-consolidation: first non-null among column-name
+    variants, in the reference's apply order (e.g. ``Directed by`` →
+    ``Director``, four writer variants → ``Writer(s)``; reference
+    ``challenge.py:78-96``). Missing variants are skipped so one
+    expression serves ragged inputs.
+    """
+    present = [F.col(f"`{n}`") for n in names if n in df.columns]
+    if not present:
+        return F.lit(None).cast("string")
+    return F.coalesce(*present) if len(present) > 1 else present[0]
+
+
+def consolidate_alt_titles(df: DataFrame, keys: list[str]) -> Column:
+    """C9 alt-title consolidation: fold the sparse language-title
+    columns into one ``map<string,string>`` (reference
+    ``challenge.py:63-73`` builds a dict the same way). NULL entries
+    are filtered out of the map.
+    """
+    present = [k for k in keys if k in df.columns]
+    if not present:
+        return F.lit(None).cast("map<string,string>")
+    pairs = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in present]),
+        F.array(*[F.col(f"`{k}`").cast("string") for k in present]),
+    )
+    return F.map_filter(pairs, lambda _, v: v.isNotNull())
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for fingerprinting/dedup: lowercase, strip
+    punctuation, collapse whitespace. (Engine extension; the reference's
+    nearest analog is its regex pre-cleaning pipeline.)
+    """
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

@@ -1,0 +1,14 @@
+"""Relational + LLM-pipeline operators (SURVEY.md §2.2-2.5, §2.13)."""
+
+from .aggregates import (  # noqa: F401
+    distinct_counts,
+    group_count,
+    histogram,
+    null_profile,
+    summary_stats,
+    value_counts,
+)
+from .filters import dedup_by_key, null_prune, prune_mostly_null_columns  # noqa: F401
+from .joins import join_with_suffixes, left_join_small  # noqa: F401
+from .pivot import pivot_count  # noqa: F401
+from .projections import rename_columns, select_columns  # noqa: F401

@@ -1,0 +1,341 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §2.13).
+
+Exact → fuzzy, in increasing recall / cost:
+
+- exact:        md5-of-normalized-text group (seed: reference P9
+                ``drop_duplicates``, ``Data Cleaning.ipynb:3696``)
+- n-gram Jaccard: blocked self-join + set overlap
+- MinHash+LSH:  deterministic md5-based signatures, banded bucket join
+                (candidate pairs only — the 100 TB path)
+- SimHash:      64-bit sign-aggregated word hashes, hamming buckets
+- embedding:    cosine near-dup over the embeddings table (see
+                ``similarity.py``)
+
+Scale notes. Exact dedup is one hash shuffle on a 16-byte key. The
+Jaccard join MUST be blocked (here: by a cheap key like language or a
+length bucket) — an unblocked self-join is O(n²) and does not survive
+any scale. MinHash-LSH replaces the quadratic join with
+``n_bands`` shuffles on small band keys; that is the designed path for
+100 TB. All hashing is md5-based and deterministic — no engine-private
+hash functions — so results are reproducible and oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct (normalized) text: the min-id member.
+    Deterministic, unlike ``dropDuplicates``; one shuffle on the md5 key.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-dup profile: one row per fingerprint with group size and
+    canonical (min) id — the QA view of ``exact_dedup``.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _distinct_words(text_col: str) -> F.Column:
+    return F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def _word_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) postings — one row per distinct word per doc.
+
+    The explode+aggregate formulation is deliberate: per-word hashing
+    over a *flat* column runs inside whole-stage codegen, while the
+    equivalent higher-order-function expressions (``transform`` /
+    ``aggregate`` over the word array) are interpreted per row with
+    heavy object churn (measured: >200 s of pure GC at sf0.1 for the
+    simhash fold).
+    """
+    return df.select(
+        F.col(id_col), F.explode(_distinct_words(text_col)).alias("w")
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word-set Jaccard near-dup pairs within blocks, via an inverted
+    index (the scalable set-similarity join):
+
+    1. explode each doc into distinct (block, word) postings;
+    2. equi-join postings on (block, word) → one row per shared word
+       per pair, shuffle-parallel by word (NOT by block — a popular
+       block no longer serializes onto one task);
+    3. count rows per (id_a, id_b) → |A∩B|;
+    4. join per-doc set sizes, Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+
+    The naive alternative — self-join on the block key with the
+    Jaccard threshold as a predicate — lets Catalyst fold
+    ``array_intersect`` into the join *condition*, which is evaluated
+    per candidate pair outside whole-stage codegen: measured >20×
+    slower at sf0.1 and quadratic per block. Returns
+    (id_a, id_b, jaccard) with id_a < id_b; pairs with an empty
+    intersection (jaccard 0) are never materialized.
+    """
+    bc = [F.col(c) for c in block_cols]
+    postings = df.select(
+        F.col(id_col).alias("_id"),
+        *bc,
+        F.explode(_distinct_words(text_col)).alias("w"),
+    )
+    sizes = df.select(
+        F.col(id_col).alias("_id"), F.size(_distinct_words(text_col)).alias("sz")
+    )
+    a = postings.select(
+        F.col("_id").alias("id_a"), *[F.col(c) for c in block_cols], "w"
+    )
+    b = postings.select(
+        F.col("_id").alias("id_b"), *[F.col(c) for c in block_cols], "w"
+    )
+    inter = (
+        a.join(b, on=[*block_cols, "w"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _salted_bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    payload: tuple[str, ...] = (),
+    salt: int = 16,
+) -> DataFrame:
+    """Ordered pairs (id_a < id_b) of rows sharing ``bucket_col``, with
+    the self-join salted ``salt`` ways.
+
+    An un-salted bucket self-join hash-partitions on the bucket key, so
+    one hot bucket (the norm for LSH bands over near-duplicate corpora)
+    generates its entire n² pair set in a single task. Salting: the
+    right side gets ``_s = id mod salt``; the left side is replicated
+    once per salt value; the join key becomes (bucket, _s). Every pair
+    still meets exactly once, but a hot bucket's work spreads over
+    ``salt`` tasks — replication cost is salt× the (small) bucket
+    table, not salt× the pairs.
+    """
+    lhs = buckets.select(
+        F.col(id_col).alias("id_a"),
+        F.col(bucket_col).alias("_bk"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+        F.explode(F.array(*[F.lit(s) for s in range(salt)])).alias("_s"),
+    )
+    rhs = buckets.select(
+        F.col(id_col).alias("id_b"),
+        F.col(bucket_col).alias("_bk"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+        F.pmod(F.col(id_col), F.lit(salt)).cast("int").alias("_s"),
+    )
+    return lhs.join(rhs, ["_bk", "_s"]).filter(F.col("id_a") < F.col("id_b"))
+
+
+def _dedup_pairs(pairs: DataFrame) -> DataFrame:
+    """Distinct over candidate pairs, repartitioned by the pair key
+    FIRST. A bare ``.distinct()`` on a multi-band candidate union runs
+    a partial aggregation inside the pair-generating tasks; with
+    near-zero duplicate reduction per task the partial hash maps fill
+    and spill on every mapper (measured 45× slower at sf0.1 than
+    shuffling raw pairs and aggregating once post-shuffle).
+    """
+    keys = [F.col(c) for c in pairs.columns if c.startswith("id_")]
+    return pairs.repartition(*keys).distinct()
+
+
+def minhash_signature(text_col: str, n_hashes: int = 8) -> list[F.Column]:
+    """Deterministic MinHash: hash_i(doc) = min over distinct words of
+    md5(word ⊕ ':i'). md5 is uniform enough for Jaccard estimation and
+    identical across engines/runs (no seed state).
+    """
+    words = _distinct_words(text_col)
+
+    def _mh(i: int) -> F.Column:
+        # NB: the lambda must take exactly ONE parameter — a two-param
+        # lambda (e.g. `lambda w, i=i`) makes pyspark pass the array
+        # index as the second argument, silently clobbering the closure.
+        suffix = F.lit(f":{i}")
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(w, suffix)))
+        ).alias(f"mh{i}")
+
+    return [_mh(i) for i in range(n_hashes)]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing ≥1 band of the
+    signature. The scale path for fuzzy dedup — candidate generation is
+    ``n_bands`` cheap shuffles on band-hash keys; no quadratic join.
+
+    Returns distinct (id_a, id_b), id_a < id_b. Callers verify
+    candidates with ``jaccard_similar_pairs``-style exact overlap if
+    precision matters (standard LSH two-phase).
+    """
+    sig = _word_postings(df, id_col, text_col).groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("w"), F.lit(f":{i}")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // band_size
+    # persist: each band branch reuses the signatures instead of
+    # re-hashing every document n_bands times
+    bands = sig.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    ).persist()
+    pair_frames = [
+        _salted_bucket_pairs(bands, id_col, f"band{b}").select("id_a", "id_b")
+        for b in range(n_bands)
+    ]
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return _dedup_pairs(out)
+
+
+def simhash64(text_col: str) -> F.Column:
+    """60-bit SimHash of the distinct word set (15 md5 hex chars per
+    word — 60 bits keeps every intermediate inside a signed long).
+
+    Per word: hash = first 15 hex chars of md5. Per bit: +1 if set
+    else −1, summed over words; sign → output bit. Expressed as a fold
+    over the word array (no explode, no shuffle): the per-doc state is
+    the 60-vector of counters, carried as an array column.
+    """
+    words = _distinct_words(text_col)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    # votes[i] = sum over words of (bit_i ? 1 : -1). The shift amounts
+    # are Python ints unrolled at plan-build time (F.shiftright does not
+    # accept a Column), so the inner array literalizes all 60 bit tests.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(60)]
+            ),
+            lambda a, b: a + F.when(b == 1, 1).otherwise(-1),
+        ),
+    )
+    # sign → bit, weighted by 2^i; powers are distinct so sum == OR
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
+    bits = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) — 60-bit SimHash per document, computed the
+    codegen-friendly way: explode words, hash each word once
+    (``conv(md5[:15])``), project its 60 bit tests as flat int
+    columns, and hash-aggregate ``S_i = Σ bit_i`` + ``N = count``
+    per doc. votes_i = 2·S_i − N, output bit i set iff votes_i > 0 —
+    bit-identical to the ``simhash64`` expression form, minus the
+    interpreted 60-wide array fold per word.
+    """
+    postings = _word_postings(df, id_col, text_col)
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    bits = postings.select(
+        id_col,
+        *[
+            F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int").alias(f"b{i}")
+            for i in range(60)
+        ],
+    )
+    agg = bits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(60)],
+    )
+    sh = None
+    for i in range(60):
+        term = F.when(
+            F.col(f"s{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return agg.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the four 15-bit chunks of the
+    60-bit simhash (pigeonhole: any pair with hamming distance ≤ 3
+    shares an identical chunk — larger distances are found with
+    LSH-style partial recall), then verify with exact popcount.
+    Returns (id_a, id_b, hamming).
+    """
+    # persist: the simhash aggregation is one shuffle per corpus —
+    # compute it once, not once per chunk branch
+    chunks = simhash_signatures(df, id_col, text_col).select(
+        id_col,
+        "sh",
+        *[
+            F.shiftright(F.col("sh"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    ).persist()
+    frames = []
+    for c in range(4):
+        # hamming + threshold INSIDE each chunk branch, before the
+        # cross-chunk distinct: popcount is cheap codegen'd bit math,
+        # and filtering early keeps the distinct from shuffling every
+        # candidate pair with two 64-bit signatures attached.
+        frames.append(
+            _salted_bucket_pairs(chunks, id_col, f"c{c}", payload=("sh",))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    cand = frames[0]
+    for f in frames[1:]:
+        cand = cand.unionByName(f)
+    return _dedup_pairs(cand)

@@ -1,0 +1,44 @@
+"""Pivot / reshape (SURVEY.md §2.5 V1-V2).
+
+The reference pivots the (movieId, rating, count) long table into a
+45,115 × 10 wide histogram and prefixes the columns ``rating_0.5`` …
+``rating_5.0`` (reference ``challenge.py:293-296``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_count(
+    df: DataFrame,
+    index: str,
+    pivot_col: str,
+    values: list | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """V1+V2 fused: groupBy(index).pivot(col).count() with renamed
+    output columns.
+
+    ``values`` should be passed whenever the caller knows the domain
+    (the reference's 10 rating buckets): it skips the extra
+    distinct-value job AND fixes the output schema at plan time —
+    mandatory for deterministic schemas at scale. Pivot output columns
+    may contain dots (``rating_0.5``) → downstream access must
+    backtick-quote (``select_columns`` does).
+    """
+    grouped = df.groupBy(index)
+    pivoted = (
+        grouped.pivot(pivot_col, values) if values is not None else grouped.pivot(pivot_col)
+    ).agg(F.count(F.lit(1)))
+    if prefix:
+        pivoted = pivoted.select(
+            F.col(index),
+            *[
+                F.col(f"`{c}`").alias(f"{prefix}{c}")
+                for c in pivoted.columns
+                if c != index
+            ],
+        )
+    return pivoted

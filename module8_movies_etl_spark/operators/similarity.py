@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+- ``cosine_topk``      brute-force exact top-k (the correctness baseline)
+- ``cosine_topk_lsh``  random-hyperplane-LSH bucketed ANN (the scale path)
+- ``embedding_near_dups`` cosine near-duplicate pairs
+
+Vectors are ``array<float>`` columns; all math happens JVM-side via
+higher-order functions (``zip_with`` + ``aggregate``) in double
+precision — no UDFs, no collect. Brute force is a broadcast
+nested-loop join: queries are broadcast (they are few), the corpus
+streams — at 100 TB of vectors the corpus side never shuffles; the
+LSH variant prunes the candidate set by ~bucket-count×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right fold (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (l2_norm(da) * l2_norm(db))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    ``queries`` (small) is broadcast against the streaming corpus;
+    ranking is a window over (query, similarity desc) with the corpus
+    id as a deterministic tiebreak. Output: (query_id, neighbor_id,
+    cosine_sim), k rows per query.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: parity of the first md5
+    nibble of ``"{p}:{d}"``. Computed driver-side (hashlib) — they are
+    plan-time constants, so shipping them as literals costs nothing,
+    while building them as per-row md5 expressions costs
+    n_planes×dim hash evaluations per row (measured: dominates the
+    whole LSH query)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (deterministic planes).
+
+    Plane p's weight for dimension d is derived from md5(p:d) — a
+    reproducible pseudo-random ±1 hyperplane, no RNG state. Bucket =
+    concat of sign bits → one long.
+    """
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for ws in plane_weights(n_planes, dim):
+        weights = F.array(*[F.lit(w) for w in ws])
+        proj = dot(v, weights)
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: compare only within the query's hyperplane bucket.
+
+    Recall < 1 by design (single-probe LSH); raise recall with fewer
+    planes (bigger buckets) or by multi-probing. The join is an
+    equi-join on bucket — at scale this is the difference between a
+    full cross product and a hash-partitioned lookup.
+    """
+    bq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        bc.join(F.broadcast(bq), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking:
+    pairs in the same hyperplane bucket with cosine ≥ threshold.
+    Returns (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text analysis for large-scale training-data pipelines (SURVEY.md §2.13).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting — every operator a pure Catalyst column
+expression (JVM-side, codegen'd), so a 100 TB documents table streams
+through a single narrow stage with zero Python.
+
+Each builder is written with engine-portable primitives (replace /
+regexp_replace / md5 / length) so the DuckDB oracle can express the
+exact same arithmetic — that is what makes these operators
+hash-verifiable by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import normalize_text
+
+# Space-delimited stopword markers per language. Matching counts
+# occurrences of " word " in " text " — cheap, deterministic, portable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words; see
+    ``approx_bpe_token_count`` for the subword estimate)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def approx_bpe_token_count(col: Column) -> Column:
+    """Rough BPE token estimate: one token per word piece after
+    splitting words longer than 6 chars (≈ chars/4 heuristic used in
+    LLM data work). Deterministic: words + extra pieces for long words.
+    """
+    words = token_count(col)
+    # ceil(len/4) - word_count extra pieces ≈ long-word subword splits
+    extra = F.ceil(F.length(F.trim(col)) / F.lit(4)) - words
+    return words + F.greatest(extra, F.lit(0).cast("bigint"))
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via
+    length-difference — portable to any SQL engine (no regex dialect).
+    """
+    n = len(needle)
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / F.lit(n)
+
+
+def _lang_score(col: Column, lang: str) -> Column:
+    """Stopword hits for one language over ' text ' (padded so edge
+    words match)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    score = F.lit(0.0)
+    for marker in LANG_MARKERS[lang]:
+        score = score + occurrences(padded, f" {marker} ")
+    return score
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """N-gram/stopword language ID: argmax of per-language marker hits,
+    first-listed language wins ties, zero hits → ``default``.
+    """
+    langs = list(LANG_MARKERS)
+    scores = {lang: _lang_score(col, lang) for lang in langs}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
+    expr = F.lit(default)
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(langs):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not letter/digit/space."""
+    stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Stopword hits per token — classic quality signal."""
+    return _lang_score(col, lang) / F.greatest(
+        token_count(col).cast("double"), F.lit(1.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+
+    - length factor: saturating chars/500
+    - mean word length in the "natural" 3-10 band
+    - low punctuation density
+
+    The formula is arbitrary-but-deterministic (the point is the
+    *operator*: a fused narrow projection usable as a 100 TB filter).
+    """
+    n_chars = F.length(col).cast("double")
+    n_tokens = token_count(col).cast("double")
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    length_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_factor = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    punct_factor = F.lit(1.0) - F.least(
+        punct_ratio(col) * F.lit(4.0), F.lit(1.0)
+    )
+    return length_factor * F.lit(0.4) + word_factor * F.lit(0.3) + punct_factor * F.lit(0.3)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    punctuation stripped, whitespace collapsed). The exact-dedup key.
+    """
+    return F.md5(normalize_text(col))

@@ -1,0 +1,967 @@
+"""Driver query catalog: every SURVEY.md §2 operator as a named query
+over the synthetic tables, with a DuckDB oracle for hash verification.
+
+Conventions (driver contract, see ``/root/repo/__spark_entry__.py``):
+
+- each query is ``fn(spark, sf_dir) -> DataFrame``;
+- every computed column is aliased IDENTICALLY in the Spark plan and
+  the oracle SQL (the driver sorts columns by name before hashing);
+- aliases are lowercase (DuckDB folds unquoted identifiers);
+- double-typed outputs are ``round``-ed on BOTH sides so partial-
+  aggregation summation order can't flip the hash;
+- timestamps are never emitted raw — epoch seconds / dates only
+  (Spark is tz-aware UTC, DuckDB naive; integers compare cleanly);
+- DuckDB ``sum(bigint)`` returns HUGEINT → oracle casts to BIGINT;
+  DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark.
+
+Operator → query coverage is written next to each entry as
+``[§2 ids]``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import casts, currency, dates, durations
+from ..operators import aggregates, dedup, filters, joins, pivot, similarity, text
+from ..sources import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and its DuckDB oracle) in the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Flagship: the reference's signature shape A1+V1+V2+J2+C8
+# (ratings → per-movie rating histogram → left-join to movies → fill 0;
+# reference challenge.py:293-302) mapped onto lineitem/orders.
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       round(o.o_totalprice, 2) AS total_price,
+       CAST(coalesce(h.flag_a, 0) AS BIGINT) AS flag_a,
+       CAST(coalesce(h.flag_n, 0) AS BIGINT) AS flag_n,
+       CAST(coalesce(h.flag_r, 0) AS BIGINT) AS flag_r
+FROM orders o
+LEFT JOIN (
+    SELECT l_orderkey,
+           count(*) FILTER (WHERE l_returnflag = 'A') AS flag_a,
+           count(*) FILTER (WHERE l_returnflag = 'N') AS flag_n,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS flag_r
+    FROM lineitem GROUP BY l_orderkey
+) h ON o.o_orderkey = h.l_orderkey
+"""
+
+
+@query("flagship_order_histogram", _FLAGSHIP_ORACLE)
+def flagship_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1 V1 V2 J2 C8] Pivot lineitem return-flags into a per-order
+    histogram, broadcast-left-join onto orders, zero-fill.
+
+    Scale shape: one hash-partial count shuffle on l_orderkey (the
+    pivot aggregates map-side per flag), then a broadcast join — the
+    orders fact never shuffles. This is the reference's
+    movies_ratings pipeline in miniature (challenge.py:293-302).
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    hist = pivot.pivot_count(
+        lineitem, "l_orderkey", "l_returnflag", values=["A", "N", "R"], prefix="flag_"
+    )
+    hist = hist.select(
+        "l_orderkey",
+        F.col("`flag_A`").alias("flag_a"),
+        F.col("`flag_N`").alias("flag_n"),
+        F.col("`flag_R`").alias("flag_r"),
+    )
+    out = joins.left_join_small(
+        orders.select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total_price")
+        ),
+        hist.withColumnRenamed("l_orderkey", "o_orderkey"),
+        on="o_orderkey",
+        fill_zero=["flag_a", "flag_n", "flag_r"],
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Relational core
+# --------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", _PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1 P5 P6 + arithmetic] TPC-H Q1-shaped grouped aggregate.
+
+    Partial+final hash agg: 6k→100TB the shuffle carries 6 rows per
+    mapper per (flag,status) group. Filter pushes to the parquet scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_FILTER_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       round(o_totalprice, 2) AS total_price,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_totalprice IS NOT NULL
+  AND NOT (o_orderdate > TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+"""
+
+
+@query("filter_project_dates", _FILTER_ORACLE)
+def filter_project_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P2 P5 P6 P7] Equality + null + negated conjunctive date-range
+    predicates, then projection/reorder — the reference's outlier-drop
+    shape (challenge.py:259-262, notebook order per SURVEY Q3).
+    All three predicates push down to the parquet scan.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_totalprice").isNotNull())
+        .filter(
+            ~(
+                (F.col("o_orderdate") > F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+            # string, not DATE: date-typed output hashes differently
+            # across engines (pandas date vs datetime64)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+_NOT_IN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+"""
+
+
+@query("filter_not_in", _NOT_IN_ORACLE)
+def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P10 P11] Negated set-membership filter
+    (notebook Data Cleaning.ipynb:5300)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.filter(~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_id, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+@query("dedup_first_per_user", _DEDUP_ORACLE)
+def dedup_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P9] Deterministic keep-first dedup — pandas
+    drop_duplicates(keep='first') parity (Data Cleaning.ipynb:3696):
+    first event per user in (ts, event_id) order.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return filters.dedup_by_key(e, ["user_id"], order_by=["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+_VALUE_COUNTS_ORACLE = """
+SELECT event_type, count(*) AS count
+FROM events GROUP BY event_type
+"""
+
+
+@query("value_counts_event_type", _VALUE_COUNTS_ORACLE)
+def value_counts_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Frequency table (pandas value_counts,
+    Data Cleaning.ipynb:5123)."""
+    e = read_table(spark, sf_dir, "events")
+    return aggregates.value_counts(e, "event_type")
+
+
+_NULL_PROFILE_ORACLE = """
+SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+FROM orders
+"""
+
+
+@query("null_profile_orders", _NULL_PROFILE_ORACLE)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2 → P8] Per-column null counts in one pass — the statistic
+    behind the reference's 90%-null column pruning
+    (challenge.py:110-111)."""
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.null_profile(o)
+
+
+_DISTINCT_ORACLE = """
+SELECT count(DISTINCT o_custkey) AS o_custkey,
+       count(DISTINCT o_orderstatus) AS o_orderstatus,
+       count(DISTINCT o_orderpriority) AS o_orderpriority
+FROM orders
+"""
+
+
+@query("distinct_counts_orders", _DISTINCT_ORACLE)
+def distinct_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A6] Per-column distinct cardinality (the notebook's
+    degenerate-column scan, Data Cleaning.ipynb:7675-7685)."""
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.distinct_counts(
+        o, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+_SUMMARY_ORACLE = """
+SELECT CAST(count(l_quantity) AS BIGINT) AS count,
+       round(avg(l_quantity), 4) AS mean,
+       round(stddev_samp(l_quantity), 4) AS std,
+       round(min(l_quantity), 4) AS min,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(max(l_quantity), 4) AS max
+FROM lineitem
+"""
+
+
+@query("summary_stats_quantity", _SUMMARY_ORACLE)
+def summary_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] describe(): count/mean/std/min/quartiles/max
+    (Data Cleaning.ipynb:5613). Exact interpolated percentiles at this
+    scale; percentile_approx is the documented 100 TB swap.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    s = aggregates.summary_stats(li, "l_quantity")
+    return s.select(
+        "count",
+        *[F.round(F.col(c), 4).alias(c) for c in ("mean", "std", "min", "p25", "p50", "p75", "max")],
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT floor(value / 50.0) * 50.0 AS bin, count(*) AS count
+FROM events GROUP BY 1
+"""
+
+
+@query("histogram_event_value", _HISTOGRAM_ORACLE)
+def histogram_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A5] Fixed-width histogram (notebook rating hist,
+    Data Cleaning.ipynb:5612): single hash aggregate on the bin."""
+    e = read_table(spark, sf_dir, "events")
+    return aggregates.histogram(e, "value", 50.0)
+
+
+_JOIN_SUFFIX_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_custkey AS key,
+       round(o.o_totalprice, 2) AS bal_order,
+       round(c.c_acctbal, 2) AS bal_cust,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("join_suffix_orders_customer", _JOIN_SUFFIX_ORACLE)
+def join_suffix_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1] Inner equi-join with pandas suffix semantics
+    (challenge.py:225): both sides carry a colliding column name
+    ('bal'), which the engine suffixes '_order'/'_cust'.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("key"),
+        F.round("o_totalprice", 2).alias("bal"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("bal"),
+        "c_mktsegment",
+    )
+    return joins.join_with_suffixes(o, c, on="key", suffixes=("_order", "_cust"))
+
+
+_STAR_ORACLE = """
+SELECT r.r_name AS region,
+       n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("star_join_revenue", _STAR_ORACLE)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1 J2 A1] Star join: fact orders against three broadcast dims.
+
+    customer/nation/region are bounded dimensions → explicit
+    broadcast; at 100 TB the orders fact is joined map-side with zero
+    shuffle before the final small aggregation.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+@query("topk_orders_per_customer", _TOPK_ORACLE)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[window, beyond-ref §2.10] Top-k per group via ranking window —
+    the canonical Spark top-k (no global sort; one hash shuffle on the
+    partition key)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rank",
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_status_by_priority", _PIVOT_ORACLE)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[V1 V2] Long→wide pivot with explicit value domain and renamed
+    columns (challenge.py:293-296). Explicit values pin the output
+    schema at plan time — required for stable schemas at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    p = pivot.pivot_count(
+        o, "o_orderpriority", "o_orderstatus", values=["O", "F", "P"], prefix="status_"
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("`status_O`").alias("status_o"),
+        F.col("`status_F`").alias("status_f"),
+        F.col("`status_P`").alias("status_p"),
+    ).na.fill(0, ["status_o", "status_f", "status_p"])
+
+
+# --------------------------------------------------------------------------
+# Scalar function suite (§2.6-2.7): the reference's regex/cast library,
+# exercised over strings CONSTRUCTED from numeric columns so the oracle
+# can compute the expected value arithmetically (no regex dialect in
+# the oracle — it checks the parse round-trips to the known truth).
+# --------------------------------------------------------------------------
+
+_CURRENCY_ORACLE = """
+SELECT p_partkey,
+       CASE p_partkey % 5
+           WHEN 0 THEN floor(p_retailprice) * 1e6
+           WHEN 1 THEN (floor(p_retailprice) / 10) * 1e9
+           WHEN 2 THEN floor(p_retailprice * 12345)
+           WHEN 3 THEN NULL
+           ELSE floor(p_retailprice * 321)
+       END AS parsed_usd
+FROM part
+"""
+
+
+@query("parse_currency", _CURRENCY_ORACLE)
+def parse_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F3 F4 F6 F7] The money-parsing pipeline (challenge.py:119-176):
+    citation strip -> range collapse -> two-form extract -> 3-way parse,
+    as one fused narrow projection. Strings are built from
+    p_retailprice so the oracle knows the truth arithmetically.
+    """
+    p = read_table(spark, sf_dir, "part")
+    v_mill = F.floor("p_retailprice").cast("long").cast("string")
+    v_bill = (F.floor("p_retailprice") / 10).cast("string")
+    v_comma = F.format_number(F.floor(F.col("p_retailprice") * 12345), 0)
+    v_plain = F.format_number(F.floor(F.col("p_retailprice") * 321), 0)
+    raw = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("$"), v_mill, F.lit("[3] million")))
+        .when(F.col("p_partkey") % 5 == 1, F.concat(F.lit("$2-"), v_bill, F.lit(" billion")))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("$"), v_comma))
+        .when(F.col("p_partkey") % 5 == 3, F.lit("not available"))
+        .otherwise(F.concat(F.lit("$"), v_plain))
+    )
+    cleaned = currency.collapse_money_range(currency.strip_citations(raw))
+    extracted = currency.extract_currency(cleaned)
+    return p.select(
+        "p_partkey", currency.parse_dollars(extracted).alias("parsed_usd")
+    )
+
+
+_DATES_ORACLE = """
+SELECT o_orderkey,
+       strftime(CASE o_orderkey % 4
+           WHEN 0 THEN CAST(o_orderdate AS DATE)
+           WHEN 1 THEN CAST(o_orderdate AS DATE)
+           WHEN 2 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
+           ELSE CAST(date_trunc('year', o_orderdate) AS DATE)
+       END, '%Y-%m-%d') AS release_date
+FROM orders
+"""
+
+
+@query("parse_multiformat_dates", _DATES_ORACLE)
+def parse_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F8 F9] The four wiki date forms (challenge.py:182-189) embedded
+    in prose, extracted, then parsed through the explicit-format
+    coalesce ladder (Spark has no per-row format inference — SURVEY
+    §4.2). Oracle computes the truth by date arithmetic instead.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    datestr = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "MMMM d, yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "MMMM yyyy"))
+        .otherwise(F.date_format(d, "yyyy"))
+    )
+    # lowercase prefix: a leading capitalized word ("Released 1997…")
+    # would itself match the month-year form at an earlier offset —
+    # leftmost-match semantics, identical in Java regex and Python re
+    prose = F.concat(F.lit("released "), datestr, F.lit(" worldwide"))
+    extracted = dates.extract_date_text(prose)
+    return o.select(
+        "o_orderkey",
+        F.date_format(dates.parse_multiformat_date(extracted), "yyyy-MM-dd").alias(
+            "release_date"
+        ),
+    )
+
+
+_RUNTIME_ORACLE = """
+SELECT p_partkey,
+       CASE p_partkey % 3
+           WHEN 0 THEN CAST(p_size AS DOUBLE)
+           WHEN 1 THEN CAST(p_size * 60 + 30 AS DOUBLE)
+           ELSE 0.0
+       END AS runtime_minutes
+FROM part
+"""
+
+
+@query("parse_running_time", _RUNTIME_ORACLE)
+def parse_running_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F10 F11 C1] Duration parsing: "N minutes" / "N h 30 min" /
+    unparseable->0 (challenge.py:193-199), vectorized when/otherwise
+    instead of the reference's apply(axis=1).
+    """
+    p = read_table(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.col("p_size").cast("string"), F.lit(" minutes")))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.col("p_size").cast("string"), F.lit(" h 30 min")))
+        .otherwise(F.lit("varies"))
+    )
+    return p.select(
+        "p_partkey", durations.parse_running_time(raw).alias("runtime_minutes")
+    )
+
+
+_FILL_ZERO_ORACLE = """
+WITH src AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 0.0
+                WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE round(o_totalprice, 2) END AS price,
+           CAST(floor(o_totalprice / 2) AS DOUBLE) AS fallback_price
+    FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN price = 0 THEN fallback_price ELSE price END AS price
+FROM src
+"""
+
+
+@query("fill_zero_conflict", _FILL_ZERO_ORACLE)
+def fill_zero_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C7 SURVEY-Q2] The reference's conflict-resolution quirk: fill
+    triggers on == 0, NOT on NULL (challenge.py:244-256) — NULLs
+    survive. The oracle's CASE has identical NULL semantics.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0.0))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+        # floor, not round: a half-cent tie rounds differently in Spark
+        # (BigDecimal HALF_UP) vs DuckDB (float-native) — floor is exact.
+        F.floor(F.col("o_totalprice") / 2).cast("double").alias("fallback_price"),
+    )
+    return casts.fill_zero_with(src, "price", "fallback_price")
+
+
+_LENIENT_ORACLE = """
+SELECT p_partkey,
+       CASE p_partkey % 4
+           WHEN 0 THEN CAST(p_size AS DOUBLE)
+           WHEN 1 THEN 0.0
+           WHEN 2 THEN p_size + 0.5
+           ELSE 0.0
+       END AS size_lenient,
+       coalesce(try_cast(CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'maybe' END AS BOOLEAN), false) AS flag
+FROM part
+"""
+
+
+@query("lenient_casts", _LENIENT_ORACLE)
+def lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C1 C2 C4] pd.to_numeric(errors='coerce').fillna(0) parity
+    (challenge.py:197) + strict-bool coercion (challenge.py:210):
+    invalid strings -> 0 / false instead of errors.
+    """
+    p = read_table(spark, sf_dir, "part")
+    messy = (
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_size").cast("string"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("n/a"))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.col("p_size").cast("string"), F.lit(".5")))
+        .otherwise(F.lit(""))
+    )
+    boolish = F.when(F.col("p_partkey") % 2 == 0, F.lit("true")).otherwise(F.lit("maybe"))
+    return p.select(
+        "p_partkey",
+        casts.lenient_double(messy).alias("size_lenient"),
+        casts.coerce_bool(boolish).alias("flag"),
+    )
+
+
+_UNIX_TS_ORACLE = """
+SELECT event_id,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+       CAST(year(ts) AS INT) AS y
+FROM events
+"""
+
+
+@query("unix_timestamp_roundtrip", _UNIX_TS_ORACLE)
+def unix_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C6 SURVEY-Q1] timestamp <-> unix-seconds conversion (the
+    reference computes-and-discards this; the engine exposes it).
+    Output stays integer-typed so tz conventions can't skew the hash.
+    """
+    e = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.year(dates.unix_seconds_to_timestamp(epoch)).alias("y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions (§2.13): text analysis, dedup family,
+# similarity search, windows/sessionization, multimodal plumbing.
+# --------------------------------------------------------------------------
+
+
+def _norm_sql(x: str) -> str:
+    """DuckDB SQL mirroring functions.cleaning.normalize_text."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + x
+        + r"), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         + (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST({_TOKENS_SQL} AS DOUBLE), 1.0)
+                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (1.0 - least((CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1)) * 4.0, 1.0)) * 0.3,
+         4) AS quality
+FROM documents
+"""
+
+
+@query("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis] Token count, punctuation ratio, composite
+    quality score — one fused narrow projection over documents; the
+    100 TB quality-filter stage.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_tokens"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(text.quality_score(t), 4).alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    """Generate the DuckDB argmax-of-stopword-hits SQL from the same
+    marker table the Spark expression uses (single source of truth)."""
+    padded = "(' ' || lower(text) || ' ')"
+
+    def score(lang: str) -> str:
+        terms = [
+            f"(length({padded}) - length(replace({padded}, ' {m} ', ''))) / {len(m) + 2}.0"
+            for m in text.LANG_MARKERS[lang]
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    langs = list(text.LANG_MARKERS)
+    scores = {lang: score(lang) for lang in langs}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+SELECT doc_id, lang,
+       CASE {whens} ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+@query("lang_id_predict", _lang_id_oracle())
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis] Stopword-hit language ID (argmax over marker
+    counts, first-listed language wins ties)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT md5({_norm_sql('text')}) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("fingerprint_dedup_groups", _FINGERPRINT_ORACLE)
+def fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-exact P9-seed] Exact dedup groups on the md5 fingerprint
+    of normalized text: one shuffle on a 16-byte key regardless of
+    document size — the canonical first pass of any 100 TB dedup.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(d, "text", "doc_id")
+
+
+_JACCARD_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, lang,
+           list_distinct(regexp_split_to_array(trim(text), '\s+')) AS words
+    FROM documents
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+             4) AS jaccard
+FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
+"""
+
+
+@query("jaccard_near_dup_pairs", _JACCARD_ORACLE)
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy] Word-set Jaccard near-dup pairs, BLOCKED by
+    language (an unblocked self-join is O(n^2) and is not a 100 TB
+    plan; the block key bounds each join cell).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(
+        d, "doc_id", "text", block_cols=["lang"], threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_MINHASH_ORACLE = r"""
+WITH wx AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           min(md5(w || ':0')) AS mh0, min(md5(w || ':1')) AS mh1,
+           min(md5(w || ':2')) AS mh2, min(md5(w || ':3')) AS mh3,
+           min(md5(w || ':4')) AS mh4, min(md5(w || ':5')) AS mh5,
+           min(md5(w || ':6')) AS mh6, min(md5(w || ':7')) AS mh7
+    FROM wx GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+           md5(mh4 || '|' || mh5) AS b2, md5(mh6 || '|' || mh7) AS b3
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+"""
+
+
+@query("minhash_lsh_candidates", _MINHASH_ORACLE)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy-scale] MinHash(8)+LSH(4 bands x 2) candidate pairs
+    with deterministic md5 hashing — the shuffle-on-band-key plan that
+    replaces the quadratic similarity join at scale.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, band_size=2)
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+    FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("cosine_topk_bruteforce", _COSINE_ORACLE)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search] Exact brute-force cosine top-5 for 8 query
+    vectors: broadcast queries x streaming corpus, JVM-side zip_with/
+    aggregate math, windowed rank. The correctness baseline for the
+    LSH ANN path (`cosine_topk_lsh`, rows-only checked).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), id_col="vec_id", vec_col="embedding", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@query("cosine_topk_lsh")  # no oracle: ANN recall is probabilistic by design
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search-scale] Hyperplane-LSH bucketed ANN top-5 —
+    same output shape as the brute-force baseline; driver records a
+    rows-only check (recall < 1 by construction)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=6
+    )
+
+
+@query("simhash_near_dups")  # no oracle: 60-bit fold not SQL-portable
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy] SimHash near-dup pairs (hamming <= 12 of 60 bits),
+    chunk-blocked. Verified by pytest golden tests against a Python
+    reference implementation; driver records rows-only."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST((epoch_us(ts) // 1000000) // 300 * 300 AS BIGINT) AS window_start_s,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("tumbling_window_counts", _TUMBLING_ORACLE)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming-shape] 5-minute tumbling-window counts per event
+    type via F.window — the same aggregation the Structured Streaming
+    slice runs incrementally (module8_movies_etl_spark.streaming);
+    here in batch so the oracle can verify it.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH t AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) // 1000000
+                     - lag(epoch_us(ts) // 1000000)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events
+FROM (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM t
+)
+GROUP BY user_id, session_idx
+"""
+
+
+@query("sessionize_events", _SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sessionization, beyond-ref] Gap-based sessions (30 min) via
+    lag + running sum — the classic two-window sessionizer; one
+    shuffle on user_id serves both windows.
+    """
+    e = read_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("session_idx", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_idx").cast("long").alias("session_idx"), "n_events")
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+@query("multimodal_binary_meta", _MULTIMODAL_ORACLE)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Opaque-binary column plumbing: payload byte length
+    + content hash over an encoded binary column — the schema/scan
+    pattern for image/audio blobs (decode itself is the stubbed
+    Pandas-UDF stage in operators.multimodal).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha"),
+    )

@@ -1,0 +1,55 @@
+"""Writers — the engine's sink operators (SURVEY.md §2.1, S4-S6).
+
+Reference surface being re-expressed:
+
+- S4  ``to_sql(if_exists='append')`` into Postgres
+  (``challenge.py:312-322``) → ``df.write.jdbc`` (executor-parallel
+  partition writes; no driver loop, no chunked re-read).
+- S5  manual ``DELETE FROM`` before re-run (``challenge.py:19-30``)
+  → ``mode('overwrite')``.
+- S6  per-chunk progress prints (``challenge.py:317-325``) → Spark task
+  metrics; not a data operator.
+
+The canonical sink is partitioned Parquet: at 100 TB the partition
+column choice (usually a date) is what makes downstream scans prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Canonical sink. ``partition_by`` drives downstream pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    num_partitions: int | None = None,
+    batch_size: int = 100_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S4: JDBC sink, executor-parallel.
+
+    Replaces the reference's single-threaded 1M-row chunk loop
+    (``challenge.py:317-325``, ~3,949 rows/s): each partition opens
+    its own connection and inserts in ``batch_size`` batches.
+    ``num_partitions`` caps concurrent connections against the target.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    props = {"batchsize": str(batch_size)}
+    props.update(properties or {})
+    df.write.jdbc(url=url, table=table, mode=mode, properties=props)

@@ -1,0 +1,41 @@
+"""Every catalog query vs its DuckDB oracle at sf0.001 — the local
+replica of the driver's correctness gate (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from .oracle_check import compare, duckdb_con
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_queries_have_docstrings_and_run(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        assert fn.__doc__, f"{name} missing docstring"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    con = duckdb_con(sf_dir)
+    df = QUERIES[name](spark, sf_dir)
+    errors = compare(df, con, ORACLES[name], name)
+    hard = [e for e in errors if "WARNING" not in e]
+    assert not hard, "\n".join(errors)
+    if errors:
+        pytest.skip("; ".join(errors))  # fp-drift warnings surface as skips
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
