@@ -58,11 +58,19 @@ def fill_zero_with(df: DataFrame, keep: str, fallback: str) -> DataFrame:
     the wiki value; then drop the wiki column. NOT a coalesce-on-null:
     ``NULL == 0`` is NULL → falls to otherwise → NULLs survive
     untouched (SURVEY Q2 — mirrored exactly, do not "fix").
+
+    For non-numeric ``keep`` columns (title, release_date, language)
+    the reference's ``row[k] == 0`` is never true — the fill is a no-op
+    that still drops the wiki column. Mirrored statically here (a
+    ``DATE = 0`` comparison is an ANSI type error in Spark anyway).
     """
-    return df.withColumn(
-        keep,
-        F.when(F.col(keep) == 0, F.col(fallback)).otherwise(F.col(keep)),
-    ).drop(fallback)
+    dtype = df.schema[keep].dataType.typeName()
+    if dtype in ("byte", "short", "integer", "long", "float", "double", "decimal", "boolean"):
+        df = df.withColumn(
+            keep,
+            F.when(F.col(keep) == 0, F.col(fallback)).otherwise(F.col(keep)),
+        )
+    return df.drop(fallback)
 
 
 def fill_nulls_zero(df: DataFrame, subset: list[str]) -> DataFrame:

@@ -58,6 +58,29 @@ def consolidate_alt_titles(df: DataFrame, keys: list[str]) -> Column:
     return F.map_filter(pairs, lambda _, v: v.isNotNull())
 
 
+def normalize_list_cell(df: DataFrame, name: str) -> Column:
+    """F2 for ragged-JSON ingest: Spark infers a *string* type for
+    columns whose JSON cells mix scalars and arrays, keeping the raw
+    ``["a","b"]`` token text. Static arrays join directly; stringly
+    cells that look like JSON arrays are parsed (``from_json`` →
+    ``array<string>``) then joined; plain scalars pass through —
+    mirroring ``' '.join(x) if type(x) == list else x``
+    (reference ``challenge.py:117``).
+    """
+    field = dict(zip(df.schema.names, df.schema.fields))[name]
+    c = F.col(f"`{name}`")
+    if field.dataType.typeName() == "array":
+        return F.when(c.isNotNull(), F.concat_ws(" ", c)).otherwise(
+            F.lit(None).cast("string")
+        )
+    if field.dataType.typeName() != "string":
+        return c.cast("string")
+    parsed = F.from_json(c, "array<string>")
+    return F.when(
+        c.rlike(r"^\s*\[") & parsed.isNotNull(), F.concat_ws(" ", parsed)
+    ).otherwise(c)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form for fingerprinting/dedup: lowercase, strip
     punctuation, collapse whitespace. (Engine extension; the reference's
