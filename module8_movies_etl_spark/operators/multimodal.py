@@ -1,0 +1,110 @@
+"""Multimodal (binary) column plumbing (SURVEY.md §2.13).
+
+Image/audio/video payloads are opaque ``binary`` columns traveling
+with typed metadata — the engine treats decode as a pluggable
+Arrow-batched stage (``mapInPandas``): the Spark-side contract
+(schema, batching, partition flow) is real and tested; the actual
+codec is injected, because media libraries are environment-specific.
+``fake_image_decoder`` is the deterministic stand-in used by tests;
+``decode_stub`` marks where a real libjpeg/ffmpeg call plugs in.
+
+Scale notes: binary payloads make wide rows — keep them OUT of
+shuffles (attach features first, shuffle features only), size
+``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits in
+executor memory, and never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def attach_payload_meta(
+    df: DataFrame, payload_col: str, mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Attach the typed metadata struct every downstream stage keys on
+    (size, content hash, mime) — computed JVM-side, payload untouched."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(p).cast("long").alias("n_bytes"),
+            F.sha2(p, 256).alias("content_sha"),
+        ),
+    )
+
+
+def decode_stub(payload: bytes) -> dict[str, Any]:
+    """Real-decoder slot. A production build binds PIL/libjpeg/ffmpeg
+    here; this container has no media libraries, so the stub is
+    explicit instead of silently wrong."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; inject a decoder via extract_media_features(decoder=...)"
+    )
+
+
+def fake_image_decoder(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in decoder: derives pseudo image properties
+    from the payload bytes (stable across runs/engines). Exercises the
+    FULL Spark path — Arrow batching, schema enforcement, partition
+    parallelism — with only the codec faked."""
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0],
+        "height": 64 + h[1],
+        "n_channels": 1 + (h[2] % 4),
+        "mean_luma": round(sum(h[3:11]) / (8 * 255.0), 6),
+    }
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict[str, Any]] = decode_stub,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched ``mapInPandas`` over
+    (id, payload) with a narrow typed output — the canonical shape for
+    per-blob Python work at scale (no shuffle; the payload column is
+    pruned immediately after this projection).
+    """
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(b)) for b in pdf["_p"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return src.mapInPandas(process, schema=FEATURE_SCHEMA)

@@ -26,7 +26,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import casts, currency, dates, durations
-from ..operators import aggregates, dedup, filters, joins, pivot, similarity, text
+from ..operators import (
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    multimodal,
+    pivot,
+    similarity,
+    text,
+)
 from ..sources import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -864,6 +873,124 @@ def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation; driver records rows-only."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+_EXTRACT_IDS_ORACLE = """
+SELECT p_partkey,
+       'tt' || lpad(CAST(p_partkey % 10000000 AS VARCHAR), 7, '0') AS imdb_id,
+       replace(p_name, ' ', '_') AS name_joined
+FROM part
+"""
+
+
+@query("regexp_extract_ids", _EXTRACT_IDS_ORACLE)
+def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F1 F2] regexp_extract of an id pattern from a URL (the
+    reference's imdb_id extraction, challenge.py:107) + array→string
+    join (challenge.py:117). The oracle computes both results
+    arithmetically — no regex dialect on the DuckDB side.
+    """
+    p = read_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://www.imdb.com/title/tt"),
+        F.lpad((F.col("p_partkey") % 10000000).cast("string"), 7, "0"),
+        F.lit("/"),
+    )
+    return p.select(
+        "p_partkey",
+        F.nullif(F.regexp_extract(url, r"(tt\d{7})", 1), F.lit("")).alias("imdb_id"),
+        F.array_join(F.split(F.col("p_name"), " "), "_").alias("name_joined"),
+    )
+
+
+_ORDER_LIMIT_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 5
+"""
+
+
+@query("order_limit_top5", _ORDER_LIMIT_ORACLE)
+def order_limit_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L1 + order] Global top-5 by price. Spark plans this as
+    TakeOrderedAndProject — per-partition top-5 then a driver merge of
+    k·partitions rows, never a full sort (the 100 TB-safe top-k).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(5)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+_SET_OPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@query("set_ops_custkeys", _SET_OPS_ORACLE)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.9, beyond-ref] INTERSECT / EXCEPT set algebra: customers
+    with both urgent and high orders but no low ones. Spark executes
+    these as left-semi/anti hash joins on the grouped keys.
+    """
+    o = read_table(spark, sf_dir, "orders")
+
+    def keys(priority: str) -> DataFrame:
+        return o.filter(F.col("o_orderpriority") == priority).select("o_custkey")
+
+    return keys("1-URGENT").intersect(keys("2-HIGH")).exceptAll(
+        keys("5-LOW").distinct()
+    )
+
+
+_NULL_PRUNE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice, 2) END AS half_null,
+       CASE WHEN o_orderkey % 10 < 9 THEN o_orderpriority END AS mostly_present
+FROM orders
+"""
+
+
+@query("null_prune_wide", _NULL_PRUNE_ORACLE)
+def null_prune_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P8 A2] The statistics-driven column pruner end-to-end: build a
+    wide frame with known null fractions (50%, 95%, 10%) and prune at
+    the reference's 0.9 threshold (challenge.py:110-111) — the 95%-null
+    column must vanish. Two-pass: one all-columns null-count aggregate,
+    then the projection. The oracle hardcodes the surviving schema.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    wide = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.round("o_totalprice", 2)).alias(
+            "half_null"
+        ),
+        F.when(F.col("o_orderkey") % 20 == 0, F.col("o_orderstatus")).alias("sparse_95"),
+        F.when(F.col("o_orderkey") % 10 < 9, F.col("o_orderpriority")).alias(
+            "mostly_present"
+        ),
+    )
+    return filters.prune_mostly_null_columns(wide, threshold=0.9)
+
+
+@query("multimodal_features")  # rows-only: decoder is the injected fake
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Arrow-batched mapInPandas feature extraction over
+    binary payloads — schema/batching/partition plumbing real, codec
+    faked deterministically (operators.multimodal; the production slot
+    is decode_stub). Driver records a rows-only check."""
+    d = read_table(spark, sf_dir, "documents")
+    payload = d.withColumn("payload", F.encode("text", "UTF-8"))
+    return multimodal.extract_media_features(
+        payload, decoder=multimodal.fake_image_decoder
+    )
 
 
 _TUMBLING_ORACLE = """

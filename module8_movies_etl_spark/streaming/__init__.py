@@ -1,0 +1,16 @@
+"""Structured Streaming slice (beyond-reference, SURVEY.md §2.11).
+
+The reference has no stream processing — its chunked ratings load
+(reference ``challenge.py:317-325``) is batch iteration. This module
+is the engine's forward-looking streaming surface over the same
+aggregations the batch catalog verifies: the batch/stream parity is
+the point (``tumbling_window_counts`` in the catalog is the
+oracle-checked twin of ``tumbling_event_counts`` here).
+"""
+
+from .windows import (  # noqa: F401
+    read_event_stream,
+    session_window_counts,
+    sliding_event_counts,
+    tumbling_event_counts,
+)

@@ -1,0 +1,124 @@
+"""Windowed streaming aggregations over the events stream.
+
+Design: every function takes/returns DataFrames so the SAME
+transformation runs in batch (catalog verification) and streaming
+(``readStream`` + trigger) — the Structured Streaming contract. State
+sizing at scale: the watermark bounds state to
+(watermark / window) × |keys| windows; without it a grouped streaming
+aggregation's state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the standard
+    bronze-layer pattern: writers append files, the stream discovers
+    them). Streaming sources require an explicit schema — pass one or
+    it is inferred from a one-off batch read of the same path."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window count + value sum per event type — the
+    streaming twin of the catalog's ``tumbling_window_counts``.
+
+    The watermark lets Spark finalize+evict window state once event
+    time passes window_end + watermark; late rows beyond it are
+    dropped (documented late-data semantics).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window variant: each event lands in window/slide
+    overlapping windows (state cost multiplies accordingly)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per user via ``session_window`` —
+    the built-in stateful operator replacing the batch twin's
+    lag+running-sum sessionizer (catalog ``sessionize_events``).
+    Sessions close when no event arrives within ``gap``.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming DataFrame to completion over the files
+    currently present (``availableNow`` trigger) into an in-memory
+    table named ``query_name`` — the batch-parity test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
