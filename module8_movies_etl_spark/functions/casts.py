@@ -31,15 +31,23 @@ def strict_cast_audit(df: DataFrame, name: str, dtype: str) -> tuple[DataFrame, 
     """C2: ``pd.to_numeric(errors='raise')`` equivalent
     (reference ``challenge.py:212-213``).
 
-    Returns (df-with-cast, audit-column). Spark's non-ANSI cast maps
-    invalid → NULL, so "raise" semantics = assert no *new* nulls: the
-    audit column is true where the cast destroyed a value; callers
-    gate on ``filter(audit).isEmpty()`` (cheap — Catalyst prunes to
-    the two columns).
+    Returns (df-with-cast, audit-column). ``try_cast`` maps invalid →
+    NULL, so "raise" semantics = assert no *new* nulls: the audit
+    column is true where the cast destroyed a value; callers gate on
+    ``filter(audit).isEmpty()`` (cheap — Catalyst prunes to the two
+    columns).
+
+    The audit must be materialized BEFORE the column is replaced —
+    an expression referencing ``name`` against the returned frame
+    would resolve to the already-cast value and never fire.
     """
-    casted = F.col(name).try_cast(dtype)
-    audit = F.col(name).isNotNull() & casted.isNull()
-    return df.withColumn(name, casted), audit
+    orig = F.col(name)
+    casted = orig.try_cast(dtype)
+    out = (
+        df.withColumn("__cast_audit", orig.isNotNull() & casted.isNull())
+        .withColumn(name, casted)
+    )
+    return out, F.col("__cast_audit")
 
 
 def coerce_bool(col: Column) -> Column:

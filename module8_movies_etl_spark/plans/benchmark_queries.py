@@ -822,6 +822,77 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, band_size=2)
 
 
+_EXACT_DEDUP_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id, md5({_norm_sql('text')}) AS f
+    FROM documents
+)
+SELECT doc_id FROM fp
+WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+"""
+
+
+@query("exact_dedup_survivors", _EXACT_DEDUP_ORACLE)
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-exact P9] Exact dedup: keep the min-id row per normalized
+    text fingerprint (deterministic, unlike dropDuplicates). One
+    shuffle on the 16-byte md5 key + a left-semi join back.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+def _embedding_near_dup_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB oracle for hyperplane-LSH near-dup pairs: the ±1 plane
+    weights are plan-time constants (python hashlib), so the SQL simply
+    embeds them as array literals — single source of truth with the
+    Spark expression (similarity.plane_weights)."""
+    from ..operators.similarity import plane_weights
+
+    ws = plane_weights(n_planes, dim)
+    planes = ",\n".join(
+        "list_dot_product(v, [" + ", ".join(str(w) for w in p) + "])" for p in ws
+    )
+    bits = " + ".join(
+        f"(CASE WHEN p{i} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+proj AS (
+    SELECT vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))}
+    FROM (SELECT vec_id, v, {planes.replace(chr(10), " ")} FROM v)
+         AS t(vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))})
+),
+b AS (
+    SELECT vec_id, v, {bits} AS bucket FROM proj
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+           AS cosine_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+"""
+
+
+@query("embedding_near_dups", _embedding_near_dup_oracle())
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-embedding] Cosine near-duplicate pairs with hyperplane-
+    LSH blocking: pairs sharing a 6-bit bucket with cosine ≥ 0.2. The
+    oracle embeds the identical literal plane weights, so this checks
+    the full bucket + cosine math end to end.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=6, dim=64
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -873,6 +944,40 @@ def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation; driver records rows-only."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+_COALESCE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+            WHEN o_orderkey % 3 = 1 THEN o_orderstatus
+            ELSE NULL END AS consolidated
+FROM orders
+"""
+
+
+@query("coalesce_variants", _COALESCE_ORACLE)
+def coalesce_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C9] Rename-consolidation: first non-null among column-name
+    variants in apply order (the reference's change_column_name chain,
+    challenge.py:78-96) — two sparse variant columns collapse onto one
+    canonical column via coalesce_first.
+    """
+    from ..functions import cleaning
+
+    o = read_table(spark, sf_dir, "orders")
+    sparse = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")).alias(
+            "variant_a"
+        ),
+        F.when(F.col("o_orderkey") % 3 == 1, F.col("o_orderstatus")).alias(
+            "variant_b"
+        ),
+    )
+    return sparse.select(
+        "o_orderkey",
+        cleaning.coalesce_first(sparse, "variant_a", "variant_b").alias("consolidated"),
+    )
 
 
 _EXTRACT_IDS_ORACLE = """
