@@ -122,18 +122,30 @@ def cosine_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: compare only within the query's hyperplane bucket.
+    """ANN top-k: compare only within the query's hyperplane bucket(s).
 
-    Recall < 1 by design (single-probe LSH); raise recall with fewer
-    planes (bigger buckets) or by multi-probing. The join is an
-    equi-join on bucket — at scale this is the difference between a
-    full cross product and a hash-partitioned lookup.
+    Recall < 1 by design; ``multi_probe`` additionally probes every
+    bucket at hamming distance 1 from the query's (flip each sign bit)
+    — the standard multi-probe LSH trade: probe factor (n_planes+1)
+    applies to the SMALL query side only, while the corpus still
+    contributes one bucket per vector. The join stays an equi-join on
+    bucket — at scale this is the difference between a full cross
+    product and a hash-partitioned lookup.
     """
+    probe = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    if multi_probe:
+        probes = F.array(
+            probe, *[probe.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        bucket_col = F.explode(probes).alias("bucket")
+    else:
+        bucket_col = probe.alias("bucket")
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        bucket_col,
     )
     bc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
