@@ -1,0 +1,74 @@
+"""Plan-quality regression tests (the 100 TB posture, pinned) and
+partitioned-write → partition-pruning round trip."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.plans import benchmark_queries as bq
+from module8_movies_etl_spark.sources import read_table, write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = bq.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert re.search(r"PushedFilters: \[IsNotNull\(l_shipdate\), LessThanOrEqual", plan)
+    plan = plan_of(spark, "filter_project_dates")
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # the star join must read only the join/agg columns, never the wide row
+    plan = plan_of(spark, "star_join_revenue")
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    orders_read = next(r for r in reads if "o_custkey" in r)
+    assert set(orders_read.split(",")) == {"o_custkey:bigint", "o_totalprice:double"}
+
+
+def test_dimensions_broadcast(spark):
+    plan = plan_of(spark, "star_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_histogram_broadcasts(spark):
+    plan = plan_of(spark, "flagship_order_histogram")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "order_limit_top5")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_topk_uses_group_limit(spark):
+    # rank-filter pushdown: WindowGroupLimit keeps per-group top-k
+    # instead of ranking every row then filtering
+    plan = plan_of(spark, "topk_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = read_table(spark, SF, "orders")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition filter, not a data filter: pruned at planning
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus.*\]", plan)
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
