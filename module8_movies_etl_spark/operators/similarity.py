@@ -54,11 +54,18 @@ def cosine_topk(
     id as a deterministic tiebreak. Output: (query_id, neighbor_id,
     cosine_sim), k rows per query.
     """
+    # norms are per-ROW projections (computed once per side); only the
+    # dot product runs per pair — the higher-order-function folds are
+    # interpreted, so per-pair work is the term to minimize
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +73,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -144,12 +154,14 @@ def cosine_topk_lsh(
         bucket_col = probe.alias("bucket")
     bq = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
         bucket_col,
     )
     bc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
@@ -158,7 +170,10 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -185,18 +200,22 @@ def embedding_near_dups(
     """
     b = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_n"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"), "bucket",
     )
     c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"), "bucket",
     )
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
