@@ -14,14 +14,37 @@ as the reference does.
 
 Scale posture: the engine never hints what Catalyst+AQE can decide,
 except the one case AQE can't know statically — a side the caller
-KNOWS stays small (an aggregate of bounded cardinality) is explicitly
-``broadcast()`` so the 100 TB fact side never shuffles.
+KNOWS stays small (an aggregate of bounded cardinality) may be
+explicitly ``broadcast()`` so the 100 TB fact side never shuffles.
+That assertion is the CALLER's to make (``bounded=True``); by default
+``left_join_small`` size-checks the optimizer's estimate instead of
+broadcasting blindly — a fact-keyed aggregate (row count ∝ data
+volume) must NOT be force-broadcast, or the plan OOMs at 100× scale.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Explicit-broadcast ceiling for the size-checked path. Deliberately
+# larger than spark.sql.autoBroadcastJoinThreshold's 10 MB default
+# (the caller chose this operator because the side is *expected* to be
+# small) but far below executor memory, so a mis-estimated side
+# degrades to a shuffle join instead of an OOM.
+BROADCAST_SIZE_CEILING = 64 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate (bytes) of a frame's optimized plan.
+
+    Drives the broadcast decision without executing the plan: for
+    scans this is file size scaled by column pruning; for aggregates
+    Spark propagates the child estimate — conservative in exactly the
+    right direction (a fact-keyed aggregate keeps its fact-sized
+    estimate and is therefore never force-broadcast).
+    """
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def join_with_suffixes(
@@ -51,17 +74,30 @@ def left_join_small(
     on: list[str] | str | None = None,
     condition=None,
     fill_zero: list[str] | None = None,
+    bounded: bool | None = None,
+    broadcast_threshold: int = BROADCAST_SIZE_CEILING,
 ) -> DataFrame:
-    """J2: left-join a bounded-cardinality side, broadcast, then
-    zero-fill the attached columns for non-matches (reference
-    ``challenge.py:299-302``).
+    """J2: left-join an expected-small side, then zero-fill the
+    attached columns for non-matches (reference ``challenge.py:299-302``).
 
-    ``small`` is broadcast explicitly: it is typically an aggregate
-    (e.g. per-key histogram) whose row count is bounded by key
-    cardinality, not data volume — at 100 TB the fact side streams
-    map-side with zero shuffle.
+    Broadcast policy (the 100 TB-safe contract):
+
+    - ``bounded=True``  — the caller ASSERTS the side's cardinality is
+      bounded by a dimension key (e.g. a per-movieId histogram, ≈45 k
+      rows regardless of ratings volume): broadcast unconditionally.
+    - ``bounded=False`` — never hint; Catalyst + AQE pick the strategy
+      from runtime sizes.
+    - ``bounded=None`` (default) — size-check the optimizer's estimate
+      and broadcast only under ``broadcast_threshold``. An aggregate
+      keyed on a fact column (row count ∝ data volume, e.g. per-
+      orderkey) inherits its child's fact-sized estimate and therefore
+      degrades to a shuffle join at scale instead of OOMing the
+      executors.
     """
-    joined = fact.join(F.broadcast(small), on=on if on is not None else condition, how="left")
+    if bounded is None:
+        bounded = plan_size_bytes(small) <= broadcast_threshold
+    right = F.broadcast(small) if bounded else small
+    joined = fact.join(right, on=on if on is not None else condition, how="left")
     if fill_zero:
         joined = joined.na.fill(0, subset=fill_zero)
     return joined

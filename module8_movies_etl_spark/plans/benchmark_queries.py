@@ -83,11 +83,16 @@ LEFT JOIN (
 @query("flagship_order_histogram", _FLAGSHIP_ORACLE)
 def flagship_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A1 V1 V2 J2 C8] Pivot lineitem return-flags into a per-order
-    histogram, broadcast-left-join onto orders, zero-fill.
+    histogram, left-join onto orders, zero-fill.
 
     Scale shape: one hash-partial count shuffle on l_orderkey (the
-    pivot aggregates map-side per flag), then a broadcast join — the
-    orders fact never shuffles. This is the reference's
+    pivot aggregates map-side per flag), then a SIZE-CHECKED join:
+    unlike the reference's movieId histogram (bounded ≈45 k rows),
+    this histogram is keyed on the fact key — its row count grows
+    with data volume, so ``left_join_small`` broadcasts it only while
+    the optimizer's estimate stays under the 64 MB ceiling (true at
+    bench scale factors) and falls back to a shuffle join at 100 TB,
+    where a forced broadcast would OOM. This is the reference's
     movies_ratings pipeline in miniature (challenge.py:293-302).
     """
     lineitem = read_table(spark, sf_dir, "lineitem")

@@ -42,9 +42,40 @@ def test_dimensions_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_flagship_histogram_broadcasts(spark):
+def test_flagship_histogram_broadcasts_at_small_sf(spark):
+    # the size-checked policy broadcasts while the estimate fits
     plan = plan_of(spark, "flagship_order_histogram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_left_join_small_policy_is_size_checked(spark):
+    """The 100 TB contract: a fact-keyed aggregate above the size
+    ceiling must NOT be force-broadcast (it would OOM at scale); a
+    caller-asserted bounded side must be broadcast regardless of the
+    session's autoBroadcastJoinThreshold."""
+    from module8_movies_etl_spark.operators import joins
+
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    hist = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # estimate exceeds a zero threshold -> no hint -> shuffle join
+        over = joins.left_join_small(o, hist, on="o_orderkey", broadcast_threshold=0)
+        assert "SortMergeJoin" in over._jdf.queryExecution().executedPlan().toString()
+        # caller-asserted bounded side -> explicit broadcast survives
+        # even with auto-broadcast disabled
+        bounded = joins.left_join_small(o, hist, on="o_orderkey", bounded=True)
+        assert "BroadcastHashJoin" in bounded._jdf.queryExecution().executedPlan().toString()
+        # default policy at bench scale: estimate fits the 64 MB
+        # ceiling -> broadcast
+        auto = joins.left_join_small(o, hist, on="o_orderkey")
+        assert "BroadcastHashJoin" in auto._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_global_topk_avoids_full_sort(spark):
