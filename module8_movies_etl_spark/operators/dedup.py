@@ -212,27 +212,37 @@ def minhash_lsh_pairs(
         ]
     )
     n_bands = n_hashes // band_size
-    # persist: each band branch reuses the signatures instead of
-    # re-hashing every document n_bands times
+    # One long-format frame (id, "b:bandhash") and ONE salted self-join
+    # on the composite key — semantically identical to joining each
+    # band separately and unioning, but it needs no persist: the join's
+    # two sides are the same subplan, so Spark reuses the signature
+    # aggregation's shuffle (ReusedExchange) instead of caching
+    # executor storage that outlives the query (the round-1 persist
+    # leaked across catalog invocations).
     bands = sig.select(
         F.col(id_col),
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                )
-            ).alias(f"band{b}")
-            for b in range(n_bands)
-        ],
-    ).persist()
-    pair_frames = [
-        _salted_bucket_pairs(bands, id_col, f"band{b}").select("id_a", "id_b")
-        for b in range(n_bands)
-    ]
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return _dedup_pairs(out)
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    pairs = _salted_bucket_pairs(bands, id_col, "bk").select("id_a", "id_b")
+    return _dedup_pairs(pairs)
 
 
 def simhash64(text_col: str) -> F.Column:
@@ -310,32 +320,38 @@ def simhash_near_pairs(
     LSH-style partial recall), then verify with exact popcount.
     Returns (id_a, id_b, hamming).
     """
-    # persist: the simhash aggregation is one shuffle per corpus —
-    # compute it once, not once per chunk branch
+    # Long format (id, sh, "c:chunkval") + ONE salted self-join on the
+    # composite chunk key — replaces four per-chunk joins + union, so
+    # the signature aggregation needs no persist (its shuffle is shared
+    # between the join's two identical sides via ReusedExchange; the
+    # round-1 persist leaked executor storage across invocations).
     chunks = simhash_signatures(df, id_col, text_col).select(
         id_col,
         "sh",
-        *[
-            F.shiftright(F.col("sh"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"c{c}")
-            for c in range(4)
-        ],
-    ).persist()
-    frames = []
-    for c in range(4):
-        # hamming + threshold INSIDE each chunk branch, before the
-        # cross-chunk distinct: popcount is cheap codegen'd bit math,
-        # and filtering early keeps the distinct from shuffling every
-        # candidate pair with two 64-bit signatures attached.
-        frames.append(
-            _salted_bucket_pairs(chunks, id_col, f"c{c}", payload=("sh",))
-            .select(
-                "id_a",
-                "id_b",
-                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{c}:"),
+                        F.shiftright(F.col("sh"), 15 * c)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .cast("string"),
+                    )
+                    for c in range(4)
+                ]
             )
-            .filter(F.col("hamming") <= max_hamming)
+        ).alias("ck"),
+    )
+    # hamming + threshold BEFORE the distinct: popcount is cheap
+    # codegen'd bit math, and filtering early keeps the distinct from
+    # shuffling every candidate pair with two signatures attached.
+    cand = (
+        _salted_bucket_pairs(chunks, id_col, "ck", payload=("sh",))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-    cand = frames[0]
-    for f in frames[1:]:
-        cand = cand.unionByName(f)
+        .filter(F.col("hamming") <= max_hamming)
+    )
     return _dedup_pairs(cand)

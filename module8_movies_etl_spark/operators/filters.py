@@ -20,20 +20,25 @@ def null_prune(df: DataFrame, threshold: float = 0.9) -> list[str]:
     The reference prunes 191 → 21 columns by comparing per-column null
     counts to ``0.9 * len(df)`` (reference ``challenge.py:110-111``).
     Data-dependent → cannot be a Catalyst rule (plan-time schema);
-    instead ONE aggregate computes every null count in a single pass
-    (partial aggregation map-side, one row shuffled), then the driver
-    builds the keep-list.
+    instead ONE aggregate computes the row count AND every null count
+    in a single pass over the input (partial aggregation map-side, one
+    row shuffled) — a separate ``df.count()`` would double the scan
+    cost, which is 2× the whole query at 100 TB.
     """
-    n = df.count()
-    if n == 0:
-        return list(df.columns)
-    counts = df.select(
+    total = "__row_count"
+    while total in df.columns:  # paranoia: never collide with user columns
+        total += "_"
+    row = df.select(
+        F.count(F.lit(1)).alias(total),
         *[
             F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(c)
             for c in df.columns
-        ]
+        ],
     ).first()
-    return [c for c in df.columns if counts[c] < threshold * n]
+    n = row[total]
+    if n == 0:
+        return list(df.columns)
+    return [c for c in df.columns if row[c] < threshold * n]
 
 
 def prune_mostly_null_columns(df: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -52,13 +57,20 @@ def dedup_by_key(
     ``dropDuplicates`` keeps an arbitrary row. For deterministic parity
     the engine ranks within each key by ``order_by`` (a stable tiebreak
     the caller supplies — e.g. a monotonically increasing load id) and
-    keeps rank 1. With no ``order_by`` it falls back to
-    ``dropDuplicates`` (cheaper: partial agg, no full sort per key).
+    keeps rank 1. With no ``order_by`` the DEFAULT tiebreak is the
+    remaining columns in schema order — the kept row is then the
+    lexicographically smallest per key, stable across runs and
+    partitionings (``dropDuplicates``' arbitrary pick is not). Callers
+    with non-orderable payload columns (maps) must supply ``order_by``.
 
     Scale: one hash shuffle on ``keys`` either way; the window variant
     sorts only within each key group.
     """
     if not order_by:
+        order_by = [c for c in df.columns if c not in set(keys)]
+    if not order_by:
+        # every column is a key: duplicates are identical rows, any
+        # survivor is the same row — dropDuplicates is deterministic here
         return df.dropDuplicates(keys)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
     return (

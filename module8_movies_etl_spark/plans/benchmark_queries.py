@@ -672,7 +672,12 @@ def _norm_sql(x: str) -> str:
     )
 
 
-_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+# empty/whitespace-only text has 0 tokens, not 1 — mirrors
+# text.token_count's guard (DuckDB's split of '' yields [''] → len 1)
+_TOKENS_SQL = (
+    r"(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
+)
 
 _TEXT_STATS_ORACLE = f"""
 SELECT doc_id,

@@ -53,10 +53,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` legacy read path plus an integer ns→µs conversion
     (the data is µs-aligned, so this is lossless). Integer division
     avoids the double-precision trap (ns epochs exceed 2^53).
+
+    The legacy conf is consulted at schema-resolution time (DataFrame
+    creation), so it is saved and RESTORED around the read — setting it
+    session-wide would silently change nanos decoding for every later
+    read in a caller-owned session.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

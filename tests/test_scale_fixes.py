@@ -1,0 +1,70 @@
+"""Regression tests for the round-2 scale fixes: persist-free dedup
+pipelines, deterministic dedup_by_key default, single-scan null_prune,
+and session-conf hygiene in read_table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.operators import dedup, filters
+from module8_movies_etl_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_pipelines_leave_no_cached_storage(spark):
+    """minhash/simhash pair generation must not accumulate executor
+    storage across invocations (the round-1 persist leak)."""
+    d = read_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    for _ in range(2):
+        dedup.minhash_lsh_pairs(d, "doc_id", "text").count()
+        dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_dedup_by_key_default_is_deterministic(spark):
+    """With no order_by, the survivor per key is the lexicographically
+    smallest remaining-columns row — identical across partitionings."""
+    rows = [(k, p, v) for k in range(20) for p, v in (("b", 2), ("a", 9), ("a", 1))]
+    df = spark.createDataFrame(rows, "k int, payload string, v int")
+    got1 = sorted(
+        filters.dedup_by_key(df.repartition(7), ["k"]).collect()
+    )
+    got2 = sorted(
+        filters.dedup_by_key(df.repartition(3, "v"), ["k"]).collect()
+    )
+    assert got1 == got2
+    assert all(r.payload == "a" and r.v == 1 for r in got1)
+
+
+def test_null_prune_is_single_job(spark):
+    """Row count is folded into the null-count aggregate: one scan of
+    the input, not two (2x scan cost at 100 TB)."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 == 0, F.col("id")).alias("sparse_95"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("half_null"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE submits one job per materialized stage; disable it so job
+    # count == query count for the assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = set(tracker.getJobIdsForGroup(None))
+        kept = filters.null_prune(df, threshold=0.9)
+        after = set(tracker.getJobIdsForGroup(None))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert kept == ["id", "half_null"]
+    assert len(after - before) == 1
+
+
+def test_read_table_restores_nanos_conf(spark):
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    df = read_table(spark, SF, "events")
+    assert df.count() > 0
+    assert spark.conf.get(key, None) == prev
+    # and the ns->us conversion still happened
+    assert dict(df.dtypes)["ts"] == "timestamp"

@@ -1,0 +1,81 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs catalog queries under a VANILLA SparkSession (Spark 4 defaults,
+ANSI on — the driver's environment, not our tuned one) and compares
+row count + sorted-column value multiset against the DuckDB oracle.
+
+Usage:
+    python tools/driver_sim.py                 # all oracle-backed queries
+    python tools/driver_sim.py flagship_order_histogram text_stats ...
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/driver_sim.py
+
+NB: DuckDB results are fetched via fetchall(), NOT fetchdf() — pandas
+coerces SQL NULL to NaN which falsely breaks string-compare parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    names = sys.argv[1:] or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        sdf = queries[name](spark, sf)
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
+        if name not in oracles:
+            print(f"{name:32s} rows-only  spark={len(srows)}  {time.time()-t0:.1f}s")
+            continue
+        cur = con.execute(oracles[name])
+        ocols_raw = [d[0] for d in cur.description]
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        orows = sorted(tuple(str(row[i]) for i in order) for row in cur.fetchall())
+        ok = (
+            len(srows) == len(orows)
+            and scols == sorted(ocols_raw)
+            and hashlib.md5(str(srows).encode()).hexdigest()
+            == hashlib.md5(str(orows).encode()).hexdigest()
+        )
+        status = "OK " if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+            diff = [
+                (a, b) for a, b in zip(srows[:2000], orows[:2000]) if a != b
+            ][:3]
+            print(f"{name:32s} {status} spark={len(srows)} oracle={len(orows)} "
+                  f"cols={scols == sorted(ocols_raw)} first_diffs={diff}")
+        else:
+            print(f"{name:32s} {status} rows={len(srows)}  {time.time()-t0:.1f}s")
+    spark.stop()
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
