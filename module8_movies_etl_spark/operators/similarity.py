@@ -191,31 +191,80 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 12,
     dim: int = 64,
+    n_bands: int = 3,
+    salt: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking:
-    pairs in the same hyperplane bucket with cosine ≥ threshold.
-    Returns (id_a, id_b, cosine_sim), id_a < id_b.
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane-LSH
+    blocking: candidates share at least one of ``n_bands`` bucket
+    bands (``n_planes / n_bands`` sign bits each); cosine is verified
+    exactly on the candidate set. Returns (id_a, id_b, cosine_sim),
+    id_a < id_b.
+
+    100 TB shape (round-1 fix): the single-bucket form had 2^6 = 64
+    buckets total — a hot bucket's full n²/64 pair set landed on one
+    task, and 64 partitions cannot spread any real corpus. Now:
+
+    - ``n_planes`` is higher (2^12 bucket space) and split into bands;
+      OR-ing bands recovers the recall a 12-bit exact match would
+      lose (same trade as MinHash banding).
+    - The self-join goes through ``_salted_bucket_pairs`` — a hot band
+      bucket spreads over ``salt`` tasks.
+    - Candidates are id-PAIRS ONLY (no vectors): distinct first, then
+      the 64-double vectors join back by id. Replicating vectors
+      through the band × salt explosion would multiply shuffle volume
+      by bands×salt; two id-keyed joins do not.
     """
-    b = df.select(
+    from .dedup import _dedup_pairs, _salted_bucket_pairs
+
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    buckets = df.select(
+        F.col(id_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    bands = buckets.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftright(F.col("_bucket"), (n_bands - 1 - i) * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    cand = _dedup_pairs(
+        _salted_bucket_pairs(bands, id_col, "bk", salt=salt).select("id_a", "id_b")
+    )
+    v = df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         l2_norm(_as_double(F.col(vec_col))).alias("_n"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
-        F.col("_n").alias("n_a"), "bucket",
-    )
-    c = b.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
-        F.col("_n").alias("n_b"), "bucket",
+    joined = cand.join(
+        v.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("v_a"),
+            F.col("_n").alias("n_a"),
+        ),
+        "id_a",
+    ).join(
+        v.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("v_b"),
+            F.col("_n").alias("n_b"),
+        ),
+        "id_b",
     )
     sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        joined.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

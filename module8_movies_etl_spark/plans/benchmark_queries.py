@@ -852,13 +852,17 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
-def _embedding_near_dup_oracle(n_planes: int = 6, dim: int = 64) -> str:
-    """DuckDB oracle for hyperplane-LSH near-dup pairs: the ±1 plane
-    weights are plan-time constants (python hashlib), so the SQL simply
+def _embedding_near_dup_oracle(
+    n_planes: int = 12, dim: int = 64, n_bands: int = 3
+) -> str:
+    """DuckDB oracle for BANDED hyperplane-LSH near-dup pairs: the ±1
+    plane weights are plan-time constants (python hashlib), so the SQL
     embeds them as array literals — single source of truth with the
-    Spark expression (similarity.plane_weights)."""
+    Spark expression (similarity.plane_weights); the band split and
+    OR-combination mirror similarity.embedding_near_dups exactly."""
     from ..operators.similarity import plane_weights
 
+    band_bits = n_planes // n_bands
     ws = plane_weights(n_planes, dim)
     planes = ",\n".join(
         "list_dot_product(v, [" + ", ".join(str(w) for w in p) + "])" for p in ws
@@ -867,6 +871,12 @@ def _embedding_near_dup_oracle(n_planes: int = 6, dim: int = 64) -> str:
         f"(CASE WHEN p{i} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
         for i in range(n_planes)
     )
+    band_cols = ", ".join(
+        f"(bucket // {1 << ((n_bands - 1 - i) * band_bits)}) % {1 << band_bits}"
+        f" AS band{i}"
+        for i in range(n_bands)
+    )
+    band_or = " OR ".join(f"a.band{i} = c.band{i}" for i in range(n_bands))
     return f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -877,28 +887,36 @@ proj AS (
          AS t(vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))})
 ),
 b AS (
-    SELECT vec_id, v, {bits} AS bucket FROM proj
+    SELECT vec_id, {band_cols}
+    FROM (SELECT vec_id, {bits} AS bucket FROM proj)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({band_or})
 )
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round(list_dot_product(a.v, c.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+SELECT cand.id_a, cand.id_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
            AS cosine_sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE list_dot_product(a.v, c.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+FROM cand
+JOIN v x ON x.vec_id = cand.id_a
+JOIN v y ON y.vec_id = cand.id_b
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.2
 """
 
 
 @query("embedding_near_dups", _embedding_near_dup_oracle())
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[dedup-embedding] Cosine near-duplicate pairs with hyperplane-
-    LSH blocking: pairs sharing a 6-bit bucket with cosine ≥ 0.2. The
-    oracle embeds the identical literal plane weights, so this checks
-    the full bucket + cosine math end to end.
+    """[dedup-embedding] Cosine near-duplicate pairs with banded
+    hyperplane-LSH blocking (12 planes, 3 bands × 4 bits, salted
+    self-join) and cosine ≥ 0.2 verification. The oracle embeds the
+    identical literal plane weights and band split, so this checks the
+    full bucket + band + cosine math end to end.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dups(
-        emb, threshold=0.2, n_planes=6, dim=64
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
     )
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 

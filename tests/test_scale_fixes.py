@@ -60,6 +60,23 @@ def test_null_prune_is_single_job(spark):
     assert len(after - before) == 1
 
 
+def test_embedding_near_dups_join_is_salted(spark):
+    """The band-bucket self-join must key on (bucket, salt) so a hot
+    bucket's pair set spreads over `salt` tasks instead of landing on
+    one; and the pair frame must carry ids only (vectors join back
+    later by id, outside the band x salt replication)."""
+    from module8_movies_etl_spark.operators import similarity
+
+    emb = read_table(spark, SF, "embeddings")
+    out = similarity.embedding_near_dups(emb, threshold=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"Join [^\n]*\[_bk#\d+, _s#\d+\]", plan)
+    assert m, f"salted join key not found in plan:\n{plan[:2000]}"
+    assert out.count() > 0
+
+
 def test_read_table_restores_nanos_conf(spark):
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
