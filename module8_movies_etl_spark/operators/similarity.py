@@ -89,34 +89,42 @@ def cosine_topk(
     )
 
 
-def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def plane_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights: parity of the first md5
-    nibble of ``"{p}:{d}"``. Computed driver-side (hashlib) — they are
-    plan-time constants, so shipping them as literals costs nothing,
-    while building them as per-row md5 expressions costs
-    n_planes×dim hash evaluations per row (measured: dominates the
-    whole LSH query)."""
+    nibble of ``"{p}:{d}"`` (table 0) or ``"t{table}:{p}:{d}"`` —
+    ``table`` selects an INDEPENDENT plane set for multi-table LSH.
+    Computed driver-side (hashlib) — they are plan-time constants, so
+    shipping them as literals costs nothing, while building them as
+    per-row md5 expressions costs n_planes×dim hash evaluations per
+    row (measured: dominates the whole LSH query)."""
     import hashlib
+
+    def key(p: int, d: int) -> str:
+        return f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
 
     return [
         [
-            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
+            1.0 if int(hashlib.md5(key(p, d).encode()).hexdigest()[0], 16) & 1 else -1.0
             for d in range(dim)
         ]
         for p in range(n_planes)
     ]
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 12, dim: int = 64) -> Column:
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 12, dim: int = 64, table: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id (deterministic planes).
 
-    Plane p's weight for dimension d is derived from md5(p:d) — a
-    reproducible pseudo-random ±1 hyperplane, no RNG state. Bucket =
-    concat of sign bits → one long.
+    Plane p's weight for dimension d is derived from md5 of the
+    (table, p, d) key — a reproducible pseudo-random ±1 hyperplane, no
+    RNG state. Bucket = concat of sign bits → one long. Distinct
+    ``table`` values give statistically independent bucketings (the
+    multi-table LSH recall lever).
     """
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
-    for ws in plane_weights(n_planes, dim):
+    for ws in plane_weights(n_planes, dim, table):
         weights = F.array(*[F.lit(w) for w in ws])
         proj = dot(v, weights)
         bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
@@ -133,40 +141,72 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     dim: int = 64,
     multi_probe: bool = True,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """ANN top-k: compare only within the query's hyperplane bucket(s).
+    """ANN top-k: multi-table hyperplane LSH (OR over ``n_tables``
+    independent plane sets), exact cosine on the candidate set.
 
-    Recall < 1 by design; ``multi_probe`` additionally probes every
-    bucket at hamming distance 1 from the query's (flip each sign bit)
-    — the standard multi-probe LSH trade: probe factor (n_planes+1)
-    applies to the SMALL query side only, while the corpus still
-    contributes one bucket per vector. The join stays an equi-join on
-    bucket — at scale this is the difference between a full cross
-    product and a hash-partitioned lookup.
+    Recall levers, compounding (round-2 fix — a single table with
+    hamming-1 probing plateaued at ≈0.35 recall@5):
+
+    - ``n_tables`` INDEPENDENT bucketings; a true neighbor is found if
+      it collides in ANY table — recall 1-(1-p)^L instead of p.
+    - ``multi_probe`` additionally probes every bucket at hamming
+      distance 1 (flip each sign bit) — probe factor (n_planes+1) on
+      the SMALL query side only.
+
+    Scale shape: the corpus index is (id, table:bucket) pairs — ids
+    only, one row per table per vector; the 64-double vectors never
+    enter the bucket join and join back by id AFTER the candidate
+    distinct. All joins are equi-joins (hash-partitioned lookups); the
+    probe explosion multiplies only the broadcast query side.
     """
-    probe = hyperplane_bucket(F.col(vec_col), n_planes, dim)
-    if multi_probe:
-        probes = F.array(
-            probe, *[probe.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    c_keys = [
+        F.concat(
+            F.lit(f"{t}:"),
+            hyperplane_bucket(F.col(vec_col), n_planes, dim, table=t).cast("string"),
         )
-        bucket_col = F.explode(probes).alias("bucket")
-    else:
-        bucket_col = probe.alias("bucket")
-    bq = queries.select(
+        for t in range(n_tables)
+    ]
+    c_idx = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*c_keys)).alias("tk"),
+    )
+    probe_keys = []
+    for t in range(n_tables):
+        b = hyperplane_bucket(F.col(vec_col), n_planes, dim, table=t)
+        probes = [b]
+        if multi_probe:
+            probes += [b.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        probe_keys += [
+            F.concat(F.lit(f"{t}:"), p.cast("string")) for p in probes
+        ]
+    q_idx = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*probe_keys)).alias("tk"),
+    )
+    cand = (
+        c_idx.join(F.broadcast(q_idx), "tk")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        # shuffle raw pairs before distinct: near-zero per-mapper
+        # reduction makes partial-agg hash maps spill (measured)
+        .repartition(F.col("query_id"), F.col("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
-        bucket_col,
     )
-    bc = corpus.select(
+    cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
-        bc.join(F.broadcast(bq), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
