@@ -24,7 +24,11 @@ def inputs(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def wiki_t(inputs):
-    return movies_etl.wiki_transform(inputs[0]).cache()
+    df = movies_etl.wiki_transform(inputs[0]).cache()
+    yield df
+    # Unpersist so the storage-leak regression test (test_scale_fixes.py)
+    # sees no foreign cached RDDs in full-suite order.
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -32,7 +36,8 @@ def outputs(inputs):
     wiki, kaggle, ratings = inputs
     out = movies_etl.run_pipeline(wiki, kaggle, ratings)
     out["movies_ratings"] = out["movies_ratings"].cache()
-    return out
+    yield out
+    out["movies_ratings"].unpersist()
 
 
 def _by_imdb(df, n):

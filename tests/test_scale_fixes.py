@@ -16,10 +16,14 @@ def test_dedup_pipelines_leave_no_cached_storage(spark):
     """minhash/simhash pair generation must not accumulate executor
     storage across invocations (the round-1 persist leak)."""
     d = read_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    # Delta assertion: other test modules may legitimately hold cached
+    # fixtures in the shared session; the dedup calls themselves must
+    # not add any persistent RDDs.
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for _ in range(2):
         dedup.minhash_lsh_pairs(d, "doc_id", "text").count()
         dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_dedup_by_key_default_is_deterministic(spark):
