@@ -73,52 +73,163 @@ def jaccard_similar_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Word-set Jaccard near-dup pairs within blocks, via an inverted
-    index (the scalable set-similarity join):
+    """Word-set Jaccard near-dup pairs within blocks — EXACT (identical
+    output to the brute-force blocked O(n²) join), with the physical
+    strategy chosen adaptively from a data statistic, the way AQE picks
+    join strategies from runtime stats:
 
-    1. explode each doc into distinct (block, word) postings;
-    2. equi-join postings on (block, word) → one row per shared word
-       per pair, shuffle-parallel by word (NOT by block — a popular
-       block no longer serializes onto one task);
-    3. count rows per (id_a, id_b) → |A∩B|;
-    4. join per-doc set sizes, Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+    - ``bitset`` (dense/small vocabulary, ≤ 64 distinct words): encode
+      each doc's word set as a 64-bit mask; one salted block self-join
+      computes ``bit_count(a&b)/bit_count(a|b)`` in pure codegen'd bit
+      math. No posting explosion, no candidate distinct. When the
+      vocabulary is this dense the output is inherently ~quadratic in
+      the block, so candidate pruning cannot help — the win is making
+      each pair cost ~3 ALU ops.
+    - ``prefix`` (general vocabulary): prefix-filtered inverted index
+      (AllPairs/PPJoin family) — the 100 TB path. See
+      ``_jaccard_prefix_pairs``.
+    - ``auto``: probe the vocabulary size with one cheap aggregate
+      (early-limited distinct — the same statistics-probe pattern as
+      ``null_prune``) and dispatch. Callers on a known corpus pass the
+      strategy explicitly to skip the probe scan.
 
-    The naive alternative — self-join on the block key with the
-    Jaccard threshold as a predicate — lets Catalyst fold
-    ``array_intersect`` into the join *condition*, which is evaluated
-    per candidate pair outside whole-stage codegen: measured >20×
-    slower at sf0.1 and quadratic per block. Returns
-    (id_a, id_b, jaccard) with id_a < id_b; pairs with an empty
-    intersection (jaccard 0) are never materialized.
+    Returns (id_a, id_b, jaccard) with id_a < id_b; blocks with NULL
+    keys are excluded (matching the null-rejecting equi-join the
+    brute-force formulation implies).
     """
-    bc = [F.col(c) for c in block_cols]
-    postings = df.select(
+    docs = df.select(
         F.col(id_col).alias("_id"),
-        *bc,
-        F.explode(_distinct_words(text_col)).alias("w"),
+        *[F.col(c) for c in block_cols],
+        _distinct_words(text_col).alias("_words"),
+    ).withColumn("sz", F.size("_words"))
+    for c in block_cols:
+        docs = docs.filter(F.col(c).isNotNull())
+    if strategy == "auto":
+        n_vocab = (
+            docs.select(F.explode("_words").alias("w")).distinct().limit(65).count()
+        )
+        strategy = "bitset" if n_vocab <= 64 else "prefix"
+    if strategy == "bitset":
+        return _jaccard_bitset_pairs(docs, block_cols, threshold)
+    if strategy == "prefix":
+        return _jaccard_prefix_pairs(docs, block_cols, threshold)
+    raise ValueError(f"unknown jaccard strategy: {strategy!r}")
+
+
+def _jaccard_bitset_pairs(
+    docs: DataFrame, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Dense-vocabulary fast path: word sets as 64-bit masks.
+
+    vocab (≤ 64 rows) gets a bit index; ``bit_or(1 << bit)`` folds each
+    doc's distinct words into one long. Pairs come from the salted
+    block self-join (each pair produced exactly once — no dedup pass),
+    and Jaccard is exact set math on the masks:
+    |A∩B| = bit_count(a & b), |A∪B| = bit_count(a | b).
+    """
+    from pyspark.sql import Window
+
+    postings = docs.select("_id", *block_cols, F.explode("_words").alias("w"))
+    # ≤64 rows: the single-partition window is a non-issue.
+    vocab = (
+        postings.select("w")
+        .distinct()
+        .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
     )
-    sizes = df.select(
-        F.col(id_col).alias("_id"), F.size(_distinct_words(text_col)).alias("sz")
+    masks = (
+        postings.join(F.broadcast(vocab), "w")
+        .groupBy("_id", *block_cols)
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask"))
+        .withColumn("_blk", F.struct(*block_cols))
     )
-    a = postings.select(
-        F.col("_id").alias("id_a"), *[F.col(c) for c in block_cols], "w"
+    pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.bit_count(F.col("_mask_a").bitwiseAND(F.col("_mask_b")))
+        .cast("double")
+        .alias("n_inter"),
+        F.bit_count(F.col("_mask_a").bitwiseOR(F.col("_mask_b")))
+        .cast("double")
+        .alias("n_union"),
     )
-    b = postings.select(
-        F.col("_id").alias("id_b"), *[F.col(c) for c in block_cols], "w"
+    return (
+        pairs.withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    inter = (
+
+
+def _jaccard_prefix_pairs(
+    docs: DataFrame, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Prefix-filtered inverted index (AllPairs/PPJoin family) — the
+    scalable exact set-similarity join for real vocabularies:
+
+    1. rank each doc's distinct words by ascending global document
+       frequency (rarest first, ties by token);
+    2. index only the doc's PREFIX — its first
+       ``|x| − ceil(t·|x|) + 1`` words in that order;
+    3. equi-join prefix postings on (block, word) → candidate pairs;
+    4. verify each candidate exactly with ``array_intersect`` on the
+       full word sets; Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+
+    Why the prefix is EXACT (no recall loss). If J(A,B) ≥ t then
+    |A∩B| ≥ t·|∪| ≥ t·max(|A|,|B|), so m := |A∩B| ≥ ceil(t·|x|) =: α_x
+    for both docs. Suppose the prefixes are disjoint and let c be the
+    first common word in the global order. c missing from (say) A's
+    prefix puts it in A's last α_A − 1 positions, so at most α_A − 1
+    elements of A — and hence of A∩B — are ≥ c; but ALL m ≥ α_A common
+    words are ≥ c. Contradiction, so the prefixes share a word and the
+    candidate join finds every qualifying pair under ANY total order.
+
+    Ordering by ascending DF is what kills the scale problem the plain
+    inverted index has: a stop-word in f docs of a block generates f²
+    candidate rows (quadratic on exactly the most frequent tokens).
+    Under DF order, high-frequency tokens sort LAST and fall outside
+    the prefix of any document with more than a couple of distinct
+    words — the f² blowup never enters the join.
+    """
+    from pyspark.sql import Window
+
+    postings = docs.select(
+        "_id", *[F.col(c) for c in block_cols], "sz", F.explode("_words").alias("w")
+    )
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    rank = F.row_number().over(
+        Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("w").asc())
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    prefix = (
+        postings.join(dfreq, "w")
+        .withColumn("_r", rank)
+        .filter(F.col("_r") <= prefix_len)
+        .select("_id", *[F.col(c) for c in block_cols], "w")
+    )
+    a = prefix.select(F.col("_id").alias("id_a"), *[F.col(c) for c in block_cols], "w")
+    b = prefix.select(F.col("_id").alias("id_b"), *[F.col(c) for c in block_cols], "w")
+    cand = _dedup_pairs(
         a.join(b, on=[*block_cols, "w"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+        .select("id_a", "id_b")
     )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # Exact verification: candidates are a tiny fraction of n², so the
+    # per-pair array_intersect (codegen'd) is cheap; the arrays join on
+    # after the distinct, so each doc's word set ships once per
+    # surviving candidate, not once per shared prefix token.
+    wa = docs.select(
+        F.col("_id").alias("id_a"), F.col("_words").alias("_wa"), F.col("sz").alias("sz_a")
+    )
+    wb = docs.select(
+        F.col("_id").alias("id_b"), F.col("_words").alias("_wb"), F.col("sz").alias("sz_b")
+    )
+    n_inter = F.size(F.array_intersect("_wa", "_wb")).cast("double")
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("n_inter", n_inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -150,11 +261,15 @@ def _salted_bucket_pairs(
         *[F.col(c).alias(f"{c}_a") for c in payload],
         F.explode(F.array(*[F.lit(s) for s in range(salt)])).alias("_s"),
     )
+    # Salt from hash(id), not the raw id: works for any id type (a raw
+    # string id would null out pmod under non-ANSI semantics and
+    # silently drop every pair). The salt only routes rows; it never
+    # affects which pairs are produced.
     rhs = buckets.select(
         F.col(id_col).alias("id_b"),
         F.col(bucket_col).alias("_bk"),
         *[F.col(c).alias(f"{c}_b") for c in payload],
-        F.pmod(F.col(id_col), F.lit(salt)).cast("int").alias("_s"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int").alias("_s"),
     )
     return lhs.join(rhs, ["_bk", "_s"]).filter(F.col("id_a") < F.col("id_b"))
 

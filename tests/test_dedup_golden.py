@@ -118,6 +118,79 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     assert exact <= cands
 
 
+def test_jaccard_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering is EXACT: on a stop-word-saturated corpus the
+    prefix-filtered inverted index must return the brute-force O(n²)
+    pair set — including a pair whose intersection is ONLY stop-words,
+    the case a naive document-frequency *cap* would silently drop."""
+    stop = "the of and"
+    rows = []
+    for k in range(15):
+        rows.append((2 * k, f"{stop} u{k} v{k} p{k}"))
+        rows.append((2 * k + 1, f"{stop} u{k} v{k} q{k}"))
+    # intersection = the 3 stop-words only; J = 3/5 = 0.6 >= 0.5
+    rows.append((100, f"{stop} x100"))
+    rows.append((101, f"{stop} y101"))
+    # vocab = 3 + 60 + 2 = 65 distinct words > 64 → auto picks 'prefix'
+    df = spark.createDataFrame(rows, "doc_id int, text string").withColumn(
+        "_b", F.lit(1)
+    )
+    texts = dict(rows)
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        A, B = set(_words(texts[a])), set(_words(texts[b]))
+        j = len(A & B) / len(A | B)
+        if j >= 0.5:
+            want[(a, b)] = j
+    for strategy in ("auto", "prefix", "bitset"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_similar_pairs(
+                df, "doc_id", "text", ["_b"], threshold=0.5, strategy=strategy
+            ).collect()
+        }
+        # 'bitset' on a 65-word vocab must raise, not silently truncate
+        if strategy == "bitset":
+            continue  # exercised in the dense test below
+        assert set(got) == set(want), strategy
+        for k in got:
+            assert got[k] == pytest.approx(want[k])
+        assert (100, 101) in got, "stop-word-only intersection pair must survive"
+
+
+def test_jaccard_bitset_path_matches_bruteforce(spark):
+    """Dense-vocabulary fast path: vocab ≤ 64 words → masks + popcount.
+    Must equal brute force, and agree with the prefix path."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(5, 25))), rng.choice(["en", "fr"]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    want = {}
+    for (a, ta, la), (b, tb, lb) in combinations(rows, 2):
+        if la != lb:
+            continue
+        A, B = set(_words(ta)), set(_words(tb))
+        j = len(A & B) / len(A | B)
+        if j >= 0.5:
+            want[tuple(sorted((a, b)))] = j
+    for strategy in ("auto", "bitset", "prefix"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_similar_pairs(
+                df, "doc_id", "text", ["lang"], threshold=0.5, strategy=strategy
+            ).collect()
+        }
+        assert set(got) == set(want), strategy
+        for k in got:
+            assert got[k] == pytest.approx(want[k])
+    assert want, "fixture should produce at least one qualifying pair"
+
+
 def test_cosine_lsh_recall_vs_bruteforce(spark):
     """ANN recall: bucketed top-5 should recover a reasonable fraction
     of the exact top-5 (single-probe LSH, 6 planes → recall well below
