@@ -192,9 +192,10 @@ def test_jaccard_bitset_path_matches_bruteforce(spark):
 
 
 def test_cosine_lsh_recall_vs_bruteforce(spark):
-    """ANN recall: bucketed top-5 should recover a reasonable fraction
-    of the exact top-5 (single-probe LSH, 6 planes → recall well below
-    1 but far above random)."""
+    """ANN recall: multi-table (6) multi-probe (hamming-2) LSH top-5
+    must recover ≥0.8 of the exact top-5 from the oracle-verified
+    brute force (measured 0.975 at sf0.001 with the default config —
+    the floor pins the round-3 recall fix against regression)."""
     emb = read_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     exact = {
@@ -206,4 +207,4 @@ def test_cosine_lsh_recall_vs_bruteforce(spark):
         for r in similarity.cosine_topk_lsh(emb, q, k=5, n_planes=6).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"LSH recall {recall} suspiciously low"
+    assert recall >= 0.8, f"LSH recall {recall} below the 0.8 target"
