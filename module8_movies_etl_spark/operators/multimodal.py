@@ -72,7 +72,12 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
     """Deterministic stand-in decoder: derives pseudo image properties
     from the payload bytes (stable across runs/engines). Exercises the
     FULL Spark path — Arrow batching, schema enforcement, partition
-    parallelism — with only the codec faked."""
+    parallelism — with only the codec faked.
+
+    ``mean_luma`` is deliberately NOT rounded: the raw IEEE division
+    is bit-identical to the DuckDB oracle's, while a Python ``round``
+    (half-even) vs SQL ``round`` (half-away) would diverge on ties.
+    """
     import hashlib
 
     h = hashlib.sha256(payload).digest()
@@ -80,8 +85,33 @@ def fake_image_decoder(payload: bytes) -> dict[str, Any]:
         "width": 64 + h[0],
         "height": 64 + h[1],
         "n_channels": 1 + (h[2] % 4),
-        "mean_luma": round(sum(h[3:11]) / (8 * 255.0), 6),
+        "mean_luma": sum(h[3:11]) / (8 * 255.0),
     }
+
+
+def fake_image_decoder_batch(payloads: "pd.Series") -> "pd.DataFrame":
+    """Vectorized form of ``fake_image_decoder`` for a whole Arrow
+    batch: per-row work is ONLY the sha256 call (not vectorizable);
+    feature assembly is numpy over the stacked digests. Identical
+    output to mapping the row decoder (pinned by test)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(bytes(p)).digest() for p in payloads),
+        dtype=np.uint8,
+    ).reshape(-1, 32)
+    return pd.DataFrame(
+        {
+            "width": (64 + digests[:, 0].astype(np.int32)),
+            "height": (64 + digests[:, 1].astype(np.int32)),
+            "n_channels": (1 + (digests[:, 2] % 4).astype(np.int32)),
+            "mean_luma": digests[:, 3:11].sum(axis=1, dtype=np.int64)
+            / (8 * 255.0),
+        }
+    )
 
 
 def extract_media_features(
@@ -89,12 +119,17 @@ def extract_media_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     decoder: Callable[[bytes], dict[str, Any]] = decode_stub,
+    batch_decoder: "Callable[[pd.Series], pd.DataFrame] | None" = None,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas`` over
     (id, payload) with a narrow typed output — the canonical shape for
     per-blob Python work at scale (no shuffle; the payload column is
     pruned immediately after this projection).
+
+    ``batch_decoder`` (Series of payloads → feature DataFrame) is the
+    fast path — one Python call per Arrow batch; ``decoder`` is the
+    per-row fallback for codecs without a batched API.
     """
     import pandas as pd
 
@@ -102,8 +137,10 @@ def extract_media_features(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decoder(bytes(b)) for b in pdf["_p"]]
-            out = pd.DataFrame(feats)
+            if batch_decoder is not None:
+                out = batch_decoder(pdf["_p"])
+            else:
+                out = pd.DataFrame([decoder(bytes(b)) for b in pdf["_p"]])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 

@@ -1113,16 +1113,34 @@ def null_prune_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filters.prune_mostly_null_columns(wide, threshold=0.9)
 
 
-@query("multimodal_features")  # rows-only: decoder is the injected fake
+def _mm_byte(i: int) -> str:
+    """Byte ``i`` of sha256(text) as an int, from the hex digest —
+    DuckDB-side mirror of ``hashlib.sha256(payload).digest()[i]``."""
+    return f"CAST(concat('0x', substr(sha256(text), {2 * i + 1}, 2)) AS INTEGER)"
+
+
+_MM_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       64 + {_mm_byte(0)} AS width,
+       64 + {_mm_byte(1)} AS height,
+       1 + ({_mm_byte(2)} % 4) AS n_channels,
+       ({" + ".join(_mm_byte(i) for i in range(3, 11))}) / (8 * 255.0) AS mean_luma
+FROM documents
+"""
+
+
+@query("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[multimodal] Arrow-batched mapInPandas feature extraction over
     binary payloads — schema/batching/partition plumbing real, codec
     faked deterministically (operators.multimodal; the production slot
-    is decode_stub). Driver records a rows-only check."""
+    is decode_stub). The fake decoder is pure sha256 byte arithmetic,
+    so the DuckDB oracle reproduces it exactly (full rows+schema+hash
+    check); mean_luma is an unrounded IEEE division on both sides."""
     d = read_table(spark, sf_dir, "documents")
     payload = d.withColumn("payload", F.encode("text", "UTF-8"))
     return multimodal.extract_media_features(
-        payload, decoder=multimodal.fake_image_decoder
+        payload, batch_decoder=multimodal.fake_image_decoder_batch
     )
 
 

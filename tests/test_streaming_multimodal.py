@@ -73,6 +73,11 @@ def test_multimodal_feature_extraction(spark):
         with_payload, decoder=multimodal.fake_image_decoder
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the vectorized batch decoder is bit-identical to the row decoder
+    batched = multimodal.extract_media_features(
+        with_payload, batch_decoder=multimodal.fake_image_decoder_batch
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batched))
 
 
 def test_decode_stub_raises(spark):
