@@ -12,3 +12,4 @@ from .filters import dedup_by_key, null_prune, prune_mostly_null_columns  # noqa
 from .joins import join_with_suffixes, left_join_small  # noqa: F401
 from .pivot import pivot_count  # noqa: F401
 from .projections import rename_columns, select_columns  # noqa: F401
+from .slices import sample_rows, slice_rows, tail_rows  # noqa: F401

@@ -34,6 +34,7 @@ from ..operators import (
     multimodal,
     pivot,
     similarity,
+    slices,
     text,
 )
 from ..sources import read_table
@@ -1056,6 +1057,77 @@ def order_limit_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
     )
+
+
+_SLICE_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, rn
+FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (ORDER BY o_orderkey) AS rn
+    FROM orders
+) WHERE rn BETWEEN 3601 AND 3605
+"""
+
+
+@query("slice_orders_rows", _SLICE_ORACLE)
+def slice_orders_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L1 slice] Arbitrary positional slice rows [3601, 3605] in
+    o_orderkey order (reference ``wiki_movies_raw[3600:3605]``,
+    ``Data Cleaning.ipynb:1410``). TakeOrderedAndProject bounds the
+    sort at ``end`` rows per partition; only those see the window.
+    (Empty below sf0.01 — orders has 15k rows at sf0.01.)
+    """
+    o = read_table(spark, sf_dir, "orders")
+    sl = slices.slice_rows(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ["o_orderkey"],
+        3601,
+        3605,
+    )
+    return sl.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "rn",
+    )
+
+
+_TAIL_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM (
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey DESC LIMIT 5
+) ORDER BY o_orderkey
+"""
+
+
+@query("tail_orders_last5", _TAIL_ORACLE)
+def tail_orders_last5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L1 tail] Last 5 rows in o_orderkey order (reference
+    ``df.tail()``, ``Data Cleaning.ipynb:1075``): top-5 of the
+    REVERSED order (TakeOrderedAndProject — no global sort), re-sorted
+    ascending."""
+    o = read_table(spark, sf_dir, "orders")
+    t = slices.tail_rows(
+        o.select("o_orderkey", "o_totalprice"), ["o_orderkey"], 5
+    )
+    return t.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+
+
+@query("random_sample_orders")  # no oracle: engine-specific RNG, rows-only
+def random_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L2 sample] Seeded pseudo-random 5-row sample (reference
+    ``df.sample(n=5)``, ``Data Cleaning.ipynb:1320,1590``). Bernoulli
+    sample predicate pushed to the scan, then limit(5); fraction 0.05
+    oversamples ≥5 w.h.p. at every test SF (orders ≥ 1.5k rows).
+    Spark's sample RNG is engine-specific, so the driver records a
+    rows-only check; determinism for a fixed seed+input is pinned by
+    pytest instead."""
+    o = read_table(spark, sf_dir, "orders")
+    s = slices.sample_rows(
+        o.select("o_orderkey", "o_custkey"), n=5, fraction=0.05, seed=42
+    )
+    return s
 
 
 _SET_OPS_ORACLE = """
