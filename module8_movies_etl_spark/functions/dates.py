@@ -14,12 +14,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The four wiki date forms — reference challenge.py:182-185.
+_MONTHS = (
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+)
+
+_MONTH_ALT = "(?:" + "|".join(_MONTHS) + ")"
+
+# The four wiki date forms — reference challenge.py:182-185. Forms 1
+# and 3 use the reference's explicit month-name alternation, so a
+# capitalized non-month word never matches: "Cannes 2000" falls through
+# to form 4 and extracts "2000" (year fallback), exactly as the
+# reference does. Two deliberate repairs vs the reference, recorded as
+# SURVEY §4.3 Q10:
+#   - form 1 day is \d{1,2} where the reference has [123]\d, which
+#     rejects single-digit days ("January 5, 2000" → year-only there);
+#   - form 2 separators are [-/] where the reference's `.` wildcard
+#     accepts any character between the number groups.
 DATE_FORMS = (
-    r"[A-Z][a-z]+\s\d{1,2},\s\d{4}",  # January 1, 2000
-    r"\d{4}[-/]\d{2}[-/]\d{2}",       # 2000-01-01
-    r"[A-Z][a-z]+\s\d{4}",            # January 2000
-    r"\d{4}",                          # 2000
+    _MONTH_ALT + r"\s\d{1,2},\s\d{4}",  # January 1, 2000
+    r"\d{4}[-/]\d{2}[-/]\d{2}",         # 2000-01-01
+    _MONTH_ALT + r"\s\d{4}",            # January 2000
+    r"\d{4}",                            # 2000
 )
 
 
@@ -28,11 +44,6 @@ def extract_date_text(col: Column) -> Column:
     pat = "(" + "|".join(DATE_FORMS) + ")"
     return F.nullif(F.regexp_extract(col, pat, 1), F.lit(""))
 
-
-_MONTHS = (
-    "January", "February", "March", "April", "May", "June",
-    "July", "August", "September", "October", "November", "December",
-)
 
 def _month_map() -> Column:
     """Name → 1-based month number as a literal map expression (built
@@ -67,10 +78,10 @@ def parse_multiformat_date(col: Column) -> Column:
         ).cast("date")
 
     named_full = F.when(
-        col.rlike(r"^[A-Z][a-z]+\s\d{1,2},\s\d{4}$"), _iso(year4, month, day)
+        col.rlike("^" + _MONTH_ALT + r"\s\d{1,2},\s\d{4}$"), _iso(year4, month, day)
     )
     named_month = F.when(
-        col.rlike(r"^[A-Z][a-z]+\s\d{4}$"), _iso(year4, month, F.lit(1))
+        col.rlike("^" + _MONTH_ALT + r"\s\d{4}$"), _iso(year4, month, F.lit(1))
     )
     bare_year = F.when(col.rlike(r"^\d{4}$"), _iso(year4, F.lit(1), F.lit(1)))
     return F.coalesce(

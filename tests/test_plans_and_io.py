@@ -103,3 +103,27 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*o_orderstatus.*\]", plan)
     n_f = o.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == n_f
+
+
+def test_jdbc_sink_roundtrip(spark, tmp_path):
+    """S4 executed for real: write_jdbc → embedded Derby (ships in
+    Spark's jars for the metastore; Spark has a built-in DerbyDialect)
+    → read back via spark.read.jdbc and compare values. Exercises the
+    executor-parallel path that replaces the reference's driver-side
+    1M-row chunk loop (challenge.py:317-325)."""
+    from module8_movies_etl_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/etl_db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    region = read_table(spark, SF, "region").select(
+        "r_regionkey", "r_name"
+    )
+    write_jdbc(
+        region, url, "region_sink", mode="overwrite",
+        num_partitions=2, batch_size=1000, properties=props,
+    )
+    back = spark.read.jdbc(url, "region_sink", properties=props)
+    # Derby folds unquoted identifiers to upper case → compare positionally
+    want = {(r[0], r[1]) for r in region.collect()}
+    got = {(r[0], r[1]) for r in back.collect()}
+    assert got == want

@@ -83,6 +83,29 @@ def test_date_extraction_from_prose(spark):
     assert got == ["2000-01-21", "1999-05-04"]
 
 
+def test_date_forms_month_name_parity(spark):
+    """Q10: forms 1 & 3 use the reference's explicit month alternation
+    (challenge.py:182-184), so a capitalized non-month word never
+    matches a named form — "Cannes 2000" extracts "2000" via form 4
+    and parses to the year fallback, exactly as the reference does.
+    The documented repair: form-1 day is \\d{1,2} (reference [123]\\d
+    rejects single-digit days), so "January 5, 2000" parses fully here
+    where the reference would year-fallback to 2000-01-01.
+    """
+    got = _eval(
+        spark,
+        lambda c: dates.parse_multiformat_date(dates.extract_date_text(c)).cast(
+            "string"
+        ),
+        [
+            "premiered at Cannes 2000 in May",   # year fallback, as reference
+            "released January 5, 2000 (US)",     # repair: full parse
+            "Berlinale 1998-02-11 screening",    # ISO wins over bare year
+        ],
+    )
+    assert got == ["2000-01-01", "2000-01-05", "1998-02-11"]
+
+
 DURATION_CASES = [
     ("100 minutes", 100.0),
     ("104 min", 104.0),
