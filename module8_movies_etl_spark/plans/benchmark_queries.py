@@ -955,14 +955,90 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cosine_topk_lsh")  # no oracle: ANN recall is probabilistic by design
+def _cosine_topk_lsh_oracle(
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 6,
+    probe_hamming: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for the FULL multi-table multi-probe LSH pipeline.
+
+    ANN *recall* is probabilistic, but the pipeline itself is
+    deterministic: the ±1 plane weights are md5-derived plan-time
+    constants (similarity.plane_weights), so the oracle embeds the
+    identical literals per table, rebuilds every bucket, expands the
+    same hamming-≤2 probe masks on the query side, and ranks exact
+    cosine over the identical candidate set — hash-verifying bucketing,
+    probing, candidate dedup, and scoring end to end (upgraded from
+    rows-only in round 3)."""
+    from itertools import combinations
+
+    from ..operators.similarity import plane_weights
+
+    def bucket_expr(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(str(w) for w in p)}]) > 0"
+            f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+            for i, p in enumerate(plane_weights(n_planes, dim, table=t))
+        )
+        return f"({bits})"
+
+    bucket_cols = ", ".join(f"{bucket_expr(t)} AS b{t}" for t in range(n_tables))
+    c_keys = ", ".join(f"'{t}:' || CAST(b{t} AS VARCHAR)" for t in range(n_tables))
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for h in range(1, probe_hamming + 1)
+        for bits in combinations(range(n_planes), h)
+    ]
+    probe_keys = ", ".join(
+        f"'{t}:' || CAST(xor(b{t}, {m}) AS VARCHAR)" if m
+        else f"'{t}:' || CAST(b{t} AS VARCHAR)"
+        for t in range(n_tables)
+        for m in masks
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket_cols} FROM v),
+c_idx AS (SELECT vec_id AS neighbor_id, unnest([{c_keys}]) AS tk FROM cb),
+q_idx AS (SELECT vec_id AS query_id, unnest([{probe_keys}]) AS tk
+          FROM cb WHERE vec_id < 8),
+cand AS (
+    SELECT DISTINCT query_id, neighbor_id
+    FROM c_idx JOIN q_idx USING (tk)
+    WHERE neighbor_id <> query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS sim
+    FROM cand
+    JOIN v q ON q.vec_id = cand.query_id
+    JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("cosine_topk_lsh", _cosine_topk_lsh_oracle())
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[similarity-search-scale] Hyperplane-LSH bucketed ANN top-5 —
-    same output shape as the brute-force baseline; driver records a
-    rows-only check (recall < 1 by construction)."""
+    same output shape as the brute-force baseline. The oracle replays
+    the deterministic plane/probe math in DuckDB (see
+    _cosine_topk_lsh_oracle), so this is fully hash-verified despite
+    recall being probabilistic relative to brute force."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_lsh(
+    out = similarity.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=6
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     )
 
 
