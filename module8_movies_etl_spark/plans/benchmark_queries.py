@@ -1042,11 +1042,49 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dups")  # no oracle: 60-bit fold not SQL-portable
+def _simhash_oracle(max_hamming: int = 12) -> str:
+    """DuckDB oracle replaying the full 60-bit SimHash pipeline: the
+    per-word hash is the first 15 md5 hex chars (portable — both
+    engines md5 identically), the bit votes are 60 SUM aggregates, the
+    signature folds sign(2·s_i − n)·2^i, blocking is the same four
+    15-bit chunks, and hamming is bit_count(xor). Upgraded from
+    rows-only in round 3 — the fold is bigint arithmetic, which IS
+    SQL-portable; only Spark-specific hashes (xxhash64) wouldn't be."""
+    bit_sums = ", ".join(f"SUM((h >> {i}) & 1) AS s{i}" for i in range(60))
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    chunk_cols = ", ".join(
+        f"((sh >> {15 * c}) & {(1 << 15) - 1}) AS c{c}" for c in range(4)
+    )
+    chunk_or = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return f"""
+WITH postings AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+    FROM postings
+),
+agg AS (SELECT doc_id, count(*) AS n, {bit_sums} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sh FROM agg),
+chunked AS (SELECT doc_id, sh, {chunk_cols} FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM chunked a
+JOIN chunked b ON a.doc_id < b.doc_id AND ({chunk_or})
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@query("simhash_near_dups", _simhash_oracle())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[dedup-fuzzy] SimHash near-dup pairs (hamming <= 12 of 60 bits),
-    chunk-blocked. Verified by pytest golden tests against a Python
-    reference implementation; driver records rows-only."""
+    chunk-blocked. The md5-based fold is plain bigint arithmetic, so
+    the oracle replays it exactly (see _simhash_oracle) — full
+    rows+schema+hash check, plus pytest goldens vs a Python reference."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
 
