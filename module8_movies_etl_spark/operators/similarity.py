@@ -23,7 +23,14 @@ def _as_double(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as a left-to-right fold (deterministic summation order)."""
+    """Σ aᵢ·bᵢ as a left-to-right fold (deterministic summation order).
+
+    The interpreted higher-order fold IS the fast JVM form here: a
+    plan-time unroll to a flat element_at chain was tried (round 3)
+    and measured 4-7× SLOWER — the 64-term-per-plane expressions blow
+    the 64 KB codegen method limit, and Spark's interpreted eval of a
+    flat Add tree is slower per row than the specialized fold loop.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -132,6 +139,61 @@ def hyperplane_bucket(
     return bucket
 
 
+def hyperplane_bucket_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    tables: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """(id, _b{t} per table) — all hyperplane buckets in ONE Arrow
+    batch matmul. The scale path for bucket computation.
+
+    Semantics are identical to ``hyperplane_bucket`` (same md5-derived
+    ±1 planes, same ``proj > 0`` sign rule, same MSB-first bit pack);
+    the arithmetic is a (batch × dim) · (dim × tables·planes) float64
+    matmul instead of tables×planes interpreted array folds per row.
+    Measured at sf0.1: the fold form spent ~90% of the LSH queries'
+    time computing buckets; the batch form makes it negligible (BLAS
+    does ~10⁸ mul-adds/core/ms; Arrow transfer is the only overhead).
+
+    Summation-order caveat, documented: BLAS accumulates in a
+    different order than the left-to-right fold, so a projection would
+    need |Σ ±vᵢ| ≲ 1e-13 for the SIGN (the only thing kept) to flip
+    vs the fold form — parity over every vector × table in the test
+    corpus is pinned by ``test_bucket_batch_matches_expression``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    weights = np.array(
+        [w for t in tables for w in plane_weights(n_planes, dim, t)],
+        dtype=np.float64,
+    )  # (len(tables)*n_planes, dim)
+    shifts = np.array(
+        [1 << (n_planes - 1 - p) for p in range(n_planes)], dtype=np.int64
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"_b{t} long" for t in tables]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (v @ weights.T) > 0  # (n, tables*planes)
+            out = {id_col: pdf[id_col]}
+            for i, t in enumerate(tables):
+                chunk = bits[:, i * n_planes : (i + 1) * n_planes]
+                out[f"_b{t}"] = (chunk * shifts).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -167,31 +229,41 @@ def cosine_topk_lsh(
     """
     from itertools import combinations
 
-    c_keys = [
-        F.concat(
-            F.lit(f"{t}:"),
-            hyperplane_bucket(F.col(vec_col), n_planes, dim, table=t).cast("string"),
-        )
-        for t in range(n_tables)
-    ]
-    c_idx = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(F.array(*c_keys)).alias("tk"),
+    def bucket_cols(df: DataFrame, out_id: str) -> DataFrame:
+        # one Arrow matmul for ALL tables' buckets; downstream key
+        # expressions reference the bucket columns as cheap attrs
+        return hyperplane_bucket_table(
+            df, id_col, vec_col, n_planes, dim, tables=tuple(range(n_tables))
+        ).withColumnRenamed(id_col, out_id)
+
+    c_idx = bucket_cols(corpus, "neighbor_id").select(
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{t}:"), F.col(f"_b{t}").cast("string"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tk"),
     )
     flip_masks = [0] + [
         sum(1 << i for i in bits)
         for h in range(1, probe_hamming + 1)
         for bits in combinations(range(n_planes), h)
     ]
-    probe_keys = []
-    for t in range(n_tables):
-        b = hyperplane_bucket(F.col(vec_col), n_planes, dim, table=t)
-        probes = [b.bitwiseXOR(F.lit(m)) if m else b for m in flip_masks]
-        probe_keys += [
-            F.concat(F.lit(f"{t}:"), p.cast("string")) for p in probes
-        ]
-    q_idx = queries.select(
-        F.col(id_col).alias("query_id"),
+    probe_keys = [
+        F.concat(
+            F.lit(f"{t}:"),
+            (F.col(f"_b{t}").bitwiseXOR(F.lit(m)) if m else F.col(f"_b{t}")).cast(
+                "string"
+            ),
+        )
+        for t in range(n_tables)
+        for m in flip_masks
+    ]
+    q_idx = bucket_cols(queries, "query_id").select(
+        "query_id",
         F.explode(F.array(*probe_keys)).alias("tk"),
     )
     cand = (
@@ -269,10 +341,9 @@ def embedding_near_dups(
 
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
-    buckets = df.select(
-        F.col(id_col),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
-    )
+    buckets = hyperplane_bucket_table(
+        df, id_col, vec_col, n_planes, dim, tables=(0,)
+    ).withColumnRenamed("_b0", "_bucket")
     bands = buckets.select(
         F.col(id_col),
         F.explode(

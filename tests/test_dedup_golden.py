@@ -208,3 +208,32 @@ def test_cosine_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall} below the 0.8 target"
+
+
+def test_bucket_batch_matches_expression(spark):
+    """The Arrow-matmul bucket table must agree with the expression
+    form for EVERY vector and every table config the catalog uses
+    (6 tables x 6 planes for ANN; 12 planes for near-dups). BLAS
+    sums in a different order than the fold, so this pins that no
+    projection in the test corpus sits close enough to zero for the
+    sign to flip."""
+    emb = read_table(spark, SF, "embeddings")
+    for n_planes, tables in ((6, (0, 1, 2, 3, 4, 5)), (12, (0,))):
+        batch = similarity.hyperplane_bucket_table(
+            emb, "vec_id", "embedding", n_planes, 64, tables=tables
+        )
+        expr = emb.select(
+            "vec_id",
+            *[
+                similarity.hyperplane_bucket(
+                    F.col("embedding"), n_planes, 64, table=t
+                ).alias(f"_e{t}")
+                for t in tables
+            ],
+        )
+        joined = batch.join(expr, "vec_id")
+        mismatches = joined.filter(
+            " OR ".join(f"_b{t} <> _e{t}" for t in tables)
+        ).count()
+        assert mismatches == 0
+        assert batch.count() == emb.count()
