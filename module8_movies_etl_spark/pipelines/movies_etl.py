@@ -141,13 +141,21 @@ def wiki_transform(wiki: DataFrame, null_prune_threshold: float = 0.9) -> DataFr
         movies = movies.withColumn(
             "budget_wiki", currency.parse_dollars(currency.extract_currency(bud))
         ).drop("Budget")
-    # Release date (F8-F9)
+    # Release date (F8-F9). Extraction materializes as its own column
+    # before the parse ladder: the ladder references its input across
+    # conditional branches, which defeats subexpression elimination —
+    # fused, the 4-form alternation regex re-runs per branch
+    # (measured 4.8× slower at sf0.1)
     if "Release date" in movies.columns:
         rel = cleaning.normalize_list_cell(movies, "Release date")
-        movies = movies.withColumn(
-            "release_date_wiki",
-            dates.parse_multiformat_date(dates.extract_date_text(rel)),
-        ).drop("Release date")
+        movies = (
+            movies.withColumn("_rel_text", dates.extract_date_text(rel))
+            .withColumn(
+                "release_date_wiki",
+                dates.parse_multiformat_date(F.col("_rel_text")),
+            )
+            .drop("Release date", "_rel_text")
+        )
     # Running time (F10-F11)
     if "Running time" in movies.columns:
         rt = cleaning.normalize_list_cell(movies, "Running time")

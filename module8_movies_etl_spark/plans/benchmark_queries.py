@@ -529,10 +529,16 @@ def parse_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would itself match the month-year form at an earlier offset —
     # leftmost-match semantics, identical in Java regex and Python re
     prose = F.concat(F.lit("released "), datestr, F.lit(" worldwide"))
-    extracted = dates.extract_date_text(prose)
-    return o.select(
+    # extraction materializes in its own projection: the parse ladder
+    # references its input ~10× across conditionally-evaluated
+    # branches, which Catalyst will NOT subexpression-eliminate — fused,
+    # the 4-form alternation regex re-runs per branch (measured 4.8×
+    # slower at sf0.1); as a multiply-referenced non-cheap alias,
+    # CollapseProject keeps the two projections apart
+    staged = o.select("o_orderkey", dates.extract_date_text(prose).alias("_x"))
+    return staged.select(
         "o_orderkey",
-        F.date_format(dates.parse_multiformat_date(extracted), "yyyy-MM-dd").alias(
+        F.date_format(dates.parse_multiformat_date(F.col("_x")), "yyyy-MM-dd").alias(
             "release_date"
         ),
     )
