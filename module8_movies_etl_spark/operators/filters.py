@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def null_prune(df: DataFrame, threshold: float = 0.9) -> list[str]:
@@ -68,6 +69,17 @@ def dedup_by_key(
     """
     if not order_by:
         order_by = [c for c in df.columns if c not in set(keys)]
+        unorderable = [
+            f.name
+            for f in df.schema.fields
+            if f.name in order_by and isinstance(f.dataType, MapType)
+        ]
+        if unorderable:
+            raise ValueError(
+                "dedup_by_key: default deterministic tiebreak orders by all "
+                f"non-key columns, but {unorderable} are maps (not orderable). "
+                "Pass order_by= with orderable columns."
+            )
     if not order_by:
         # every column is a key: duplicates are identical rows, any
         # survivor is the same row — dropDuplicates is deterministic here

@@ -24,8 +24,12 @@ volume) must NOT be force-broadcast, or the plan OOMs at 100× scale.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 # Explicit-broadcast ceiling for the size-checked path. Deliberately
 # larger than spark.sql.autoBroadcastJoinThreshold's 10 MB default
@@ -95,7 +99,20 @@ def left_join_small(
       executors.
     """
     if bounded is None:
-        bounded = plan_size_bytes(small) <= broadcast_threshold
+        est = plan_size_bytes(small)
+        bounded = est <= broadcast_threshold
+        # Surface the decision: without CBO an aggregate inherits its
+        # child's (possibly fact-sized) estimate, so a genuinely
+        # key-bounded side can silently lose the broadcast — the log
+        # line makes the downgrade observable; callers that KNOW the
+        # cardinality bound should pass bounded=True.
+        logger.info(
+            "left_join_small: size-checked policy %s the small side "
+            "(estimate %d bytes, ceiling %d)",
+            "broadcasts" if bounded else "does NOT broadcast",
+            est,
+            broadcast_threshold,
+        )
     right = F.broadcast(small) if bounded else small
     joined = fact.join(right, on=on if on is not None else condition, how="left")
     if fill_zero:

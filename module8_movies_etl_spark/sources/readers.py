@@ -57,7 +57,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The legacy conf is consulted at schema-resolution time (DataFrame
     creation), so it is saved and RESTORED around the read — setting it
     session-wide would silently change nanos decoding for every later
-    read in a caller-owned session.
+    read in a caller-owned session. NOT thread-safe: a concurrent read
+    in the same session during the set/restore window would see the
+    legacy decoding. Fine for this single-driver harness; if the
+    session is ever shared across threads, serialize calls or read
+    events under a dedicated session.
     """
     if name == "events":
         key = "spark.sql.legacy.parquet.nanosAsLong"
