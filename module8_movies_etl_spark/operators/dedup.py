@@ -274,6 +274,63 @@ def _salted_bucket_pairs(
     return lhs.join(rhs, ["_bk", "_s"]).filter(F.col("id_a") < F.col("id_b"))
 
 
+def _banded_first_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    payload: tuple[str, ...] = (),
+    salt: int = 16,
+) -> DataFrame:
+    """Pairs sharing ≥1 of ``band_cols``, each pair emitted EXACTLY
+    once — at the first band where it matches — with no distinct pass.
+
+    The union-then-distinct formulation shuffles every duplicate pair
+    (bands× the candidate volume; ~40 M rows for minhash at sf0.1)
+    through a repartition + hash aggregate. First-match emission
+    replaces that global shuffle with a cheap codegen filter inside
+    the pair-generating tasks: the single composite-key salted
+    self-join (one join — per-band joins were tried and defeat
+    exchange reuse) carries the EARLIER band values as payload, and a
+    matching row at band i survives only if bands 0..i-1 all differ.
+    Band columns must be non-null (a NULL would make the inequality
+    filter drop the pair).
+
+    Returns (id_a, id_b, payload_a..., payload_b...), id_a < id_b.
+    """
+    n = len(band_cols)
+    arr = F.array(*[F.col(c).cast("string") for c in band_cols])
+    long_df = df.select(
+        F.col(id_col),
+        # bands 0..n-2 ride along as first-match payload; band n-1 is
+        # never "earlier" than anything
+        *band_cols[: n - 1],
+        *payload,
+        F.posexplode(arr).alias("_bi", "_bv"),
+    ).select(
+        id_col,
+        *band_cols[: n - 1],
+        *payload,
+        "_bi",
+        F.concat_ws(":", F.col("_bi").cast("string"), F.col("_bv")).alias("_fmk"),
+    )
+    pairs = _salted_bucket_pairs(
+        long_df,
+        id_col,
+        "_fmk",
+        payload=("_bi",) + tuple(band_cols[: n - 1]) + tuple(payload),
+        salt=salt,
+    )
+    keep = None
+    for i in range(n):
+        cond = F.col("_bi_a") == i
+        for j in range(i):
+            cond = cond & (F.col(f"{band_cols[j]}_a") != F.col(f"{band_cols[j]}_b"))
+        keep = cond if keep is None else keep | cond
+    return pairs.filter(keep).select(
+        "id_a", "id_b", *[c for p in payload for c in (f"{p}_a", f"{p}_b")]
+    )
+
+
 def _dedup_pairs(pairs: DataFrame) -> DataFrame:
     """Distinct over candidate pairs, repartitioned by the pair key
     FIRST. A bare ``.distinct()`` on a multi-band candidate union runs
@@ -327,37 +384,26 @@ def minhash_lsh_pairs(
         ]
     )
     n_bands = n_hashes // band_size
-    # One long-format frame (id, "b:bandhash") and ONE salted self-join
-    # on the composite key — semantically identical to joining each
-    # band separately and unioning, but it needs no persist: the join's
-    # two sides are the same subplan, so Spark reuses the signature
-    # aggregation's shuffle (ReusedExchange) instead of caching
-    # executor storage that outlives the query (the round-1 persist
-    # leaked across catalog invocations).
+    # Wide band columns + first-match pair emission: each per-band
+    # self-join shares the signature aggregation's shuffle via
+    # ReusedExchange (no persist, no executor storage outliving the
+    # query), and no pair-level distinct shuffle exists at all — band
+    # b's join rejects pairs whose earlier bands already matched.
     bands = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{b * band_size + j}")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            ).alias(f"_band{b}")
+            for b in range(n_bands)
+        ],
     )
-    pairs = _salted_bucket_pairs(bands, id_col, "bk").select("id_a", "id_b")
-    return _dedup_pairs(pairs)
+    return _banded_first_match_pairs(
+        bands, id_col, [f"_band{b}" for b in range(n_bands)]
+    ).select("id_a", "id_b")
 
 
 def simhash64(text_col: str) -> F.Column:
@@ -435,33 +481,24 @@ def simhash_near_pairs(
     LSH-style partial recall), then verify with exact popcount.
     Returns (id_a, id_b, hamming).
     """
-    # Long format (id, sh, "c:chunkval") + ONE salted self-join on the
-    # composite chunk key — replaces four per-chunk joins + union, so
-    # the signature aggregation needs no persist (its shuffle is shared
-    # between the join's two identical sides via ReusedExchange; the
-    # round-1 persist leaked executor storage across invocations).
+    # Single composite-key salted self-join with FIRST-MATCH emission
+    # (_banded_first_match_pairs): each pair appears exactly once, so
+    # no pair-level distinct shuffle exists; the hamming filter runs
+    # inside the generating tasks (cheap codegen popcount).
     chunks = simhash_signatures(df, id_col, text_col).select(
         id_col,
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{c}:"),
-                        F.shiftright(F.col("sh"), 15 * c)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .cast("string"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
+        *[
+            F.shiftright(F.col("sh"), 15 * c)
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias(f"_c{c}")
+            for c in range(4)
+        ],
     )
-    # hamming + threshold BEFORE the distinct: popcount is cheap
-    # codegen'd bit math, and filtering early keeps the distinct from
-    # shuffling every candidate pair with two signatures attached.
-    cand = (
-        _salted_bucket_pairs(chunks, id_col, "ck", payload=("sh",))
+    return (
+        _banded_first_match_pairs(
+            chunks, id_col, [f"_c{c}" for c in range(4)], payload=("sh",)
+        )
         .select(
             "id_a",
             "id_b",
@@ -469,4 +506,3 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return _dedup_pairs(cand)

@@ -339,6 +339,11 @@ def embedding_near_dups(
     """
     from .dedup import _dedup_pairs, _salted_bucket_pairs
 
+    # One composite-key salted self-join over exploded band rows +
+    # distinct. First-match emission (_banded_first_match_pairs) was
+    # tried in round 3 and measured slower HERE (unlike minhash/
+    # simhash): the candidate set is small, so the distinct is cheap
+    # and the first-match payload/filter overhead dominates.
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
     buckets = hyperplane_bucket_table(

@@ -76,7 +76,7 @@ def test_embedding_near_dups_join_is_salted(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
-    m = re.search(r"Join [^\n]*\[_bk#\d+, _s#\d+\]", plan)
+    m = re.search(r"Join [^\n]*\[_bk#\d+L?, _s#\d+L?\]", plan)
     assert m, f"salted join key not found in plan:\n{plan[:2000]}"
     assert out.count() > 0
 
