@@ -52,18 +52,81 @@ def _distinct_words(text_col: str) -> F.Column:
     return F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
 
 
-def _word_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, word) postings — one row per distinct word per doc.
+def _distinct_tokens(text_col: str, ngram: int = 1) -> F.Column:
+    """Distinct token set: words (``ngram=1``) or word-level shingles
+    (``ngram=n`` → space-joined n-grams of consecutive words). Shingles
+    preserve local word order, so shingle-Jaccard/MinHash detects
+    reorder-heavy near-dups that bag-of-words misses.
+    """
+    if ngram == 1:
+        return _distinct_words(text_col)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
+    )
+    # guard: sequence(1, stop) runs DESCENDING when stop < 1 (short
+    # docs would yield phantom shingles instead of none)
+    return F.array_distinct(
+        F.when(F.size(words) >= ngram, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
 
-    The explode+aggregate formulation is deliberate: per-word hashing
+
+def _word_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, extra..., token) postings — one row per distinct token per
+    doc.
+
+    The explode+aggregate formulation is deliberate: per-token hashing
     over a *flat* column runs inside whole-stage codegen, while the
     equivalent higher-order-function expressions (``transform`` /
-    ``aggregate`` over the word array) are interpreted per row with
+    ``aggregate`` over the token array) are interpreted per row with
     heavy object churn (measured: >200 s of pure GC at sf0.1 for the
     simhash fold).
+
+    Shingle postings (``ngram>1``) come from posexplode + lead()
+    windows — flat codegen'd string concat — NOT from exploding the
+    ``_distinct_tokens`` array: Generate over a lambda-HOF child is
+    interpreted and measured 4× slower at sf0.1. Results are
+    identical (pinned by test_ngram_postings_match_token_array).
     """
-    return df.select(
-        F.col(id_col), F.explode(_distinct_words(text_col)).alias("w")
+    if ngram == 1:
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.explode(_distinct_tokens(text_col, 1)).alias("w"),
+        )
+    from pyspark.sql import Window
+
+    flat = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", k).over(w) for k in range(1, ngram)]
+    )
+    return (
+        flat.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            gram.alias("w"),
+            # concat_ws skips NULLs, so tail positions would emit
+            # SHORT grams instead of none — drop rows where the last
+            # member is past the end
+            F.lead("_w", ngram - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .dropDuplicates([id_col, "w"])
     )
 
 
@@ -74,6 +137,7 @@ def jaccard_similar_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     strategy: str = "auto",
+    ngram: int = 1,
 ) -> DataFrame:
     """Word-set Jaccard near-dup pairs within blocks — EXACT (identical
     output to the brute-force blocked O(n²) join), with the physical
@@ -99,27 +163,52 @@ def jaccard_similar_pairs(
     keys are excluded (matching the null-rejecting equi-join the
     brute-force formulation implies).
     """
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in block_cols],
-        _distinct_words(text_col).alias("_words"),
-    ).withColumn("sz", F.size("_words"))
+    from pyspark.sql import Window
+
+    base = df
     for c in block_cols:
-        docs = docs.filter(F.col(c).isNotNull())
-    if strategy == "auto":
-        n_vocab = (
-            docs.select(F.explode("_words").alias("w")).distinct().limit(65).count()
+        base = base.filter(F.col(c).isNotNull())
+    if ngram == 1:
+        # explode of the distinct-words array is codegen'd (split/
+        # array_distinct are ordinary expressions) and sz rides along
+        # free — measured faster than the flat-postings path here
+        docs = base.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in block_cols],
+            _distinct_tokens(text_col, 1).alias("_words"),
+        ).withColumn("sz", F.size("_words"))
+        postings = docs.select(
+            "_id", *block_cols, "sz", F.explode("_words").alias("w")
         )
+    else:
+        # shingles: flat lead-window postings, and the verification
+        # arrays AGGREGATED from them — never explode or re-evaluate
+        # the _distinct_tokens lambda-HOF array (interpreted; both
+        # directions measured ~4× slower at sf0.1)
+        postings = _word_postings(
+            base, id_col, text_col, ngram, extra_cols=tuple(block_cols)
+        ).withColumnRenamed(id_col, "_id")
+        postings = postings.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+        )
+        docs = postings.groupBy("_id", *block_cols, "sz").agg(
+            F.collect_list("w").alias("_words")
+        )
+    if strategy == "auto":
+        n_vocab = postings.select("w").distinct().limit(65).count()
         strategy = "bitset" if n_vocab <= 64 else "prefix"
     if strategy == "bitset":
-        return _jaccard_bitset_pairs(docs, block_cols, threshold)
+        return _jaccard_bitset_pairs(docs, postings, block_cols, threshold)
     if strategy == "prefix":
-        return _jaccard_prefix_pairs(docs, block_cols, threshold)
+        return _jaccard_prefix_pairs(docs, postings, block_cols, threshold)
     raise ValueError(f"unknown jaccard strategy: {strategy!r}")
 
 
 def _jaccard_bitset_pairs(
-    docs: DataFrame, block_cols: list[str], threshold: float
+    docs: DataFrame,
+    postings: DataFrame,
+    block_cols: list[str],
+    threshold: float,
 ) -> DataFrame:
     """Dense-vocabulary fast path: word sets as 64-bit masks.
 
@@ -131,7 +220,6 @@ def _jaccard_bitset_pairs(
     """
     from pyspark.sql import Window
 
-    postings = docs.select("_id", *block_cols, F.explode("_words").alias("w"))
     # ≤64 rows: the single-partition window is a non-issue.
     vocab = (
         postings.select("w")
@@ -162,7 +250,10 @@ def _jaccard_bitset_pairs(
 
 
 def _jaccard_prefix_pairs(
-    docs: DataFrame, block_cols: list[str], threshold: float
+    docs: DataFrame,
+    postings: DataFrame,
+    block_cols: list[str],
+    threshold: float,
 ) -> DataFrame:
     """Prefix-filtered inverted index (AllPairs/PPJoin family) — the
     scalable exact set-similarity join for real vocabularies:
@@ -193,9 +284,6 @@ def _jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
-    postings = docs.select(
-        "_id", *[F.col(c) for c in block_cols], "sz", F.explode("_words").alias("w")
-    )
     dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
     rank = F.row_number().over(
         Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("w").asc())
@@ -205,13 +293,40 @@ def _jaccard_prefix_pairs(
         postings.join(dfreq, "w")
         .withColumn("_r", rank)
         .filter(F.col("_r") <= prefix_len)
-        .select("_id", *[F.col(c) for c in block_cols], "w")
+        .select("_id", *[F.col(c) for c in block_cols], "w", "_r", "sz")
     )
-    a = prefix.select(F.col("_id").alias("id_a"), *[F.col(c) for c in block_cols], "w")
-    b = prefix.select(F.col("_id").alias("id_b"), *[F.col(c) for c in block_cols], "w")
+    a = prefix.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        "w",
+        F.col("_r").alias("_ra"),
+        F.col("sz").alias("_sza"),
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c) for c in block_cols],
+        "w",
+        F.col("_r").alias("_rb"),
+        F.col("sz").alias("_szb"),
+    )
+    # PPJoin positional filter (lossless): a shared token at ranks
+    # (r_a, r_b) bounds the overlap by 1 + min(sz_a−r_a, sz_b−r_b) —
+    # every common token ≥ it in the global order. J ≥ t needs overlap
+    # ≥ ceil(t/(1+t)·(sz_a+sz_b)), so rows that can't reach it drop
+    # BEFORE the distinct; a qualifying pair's first common prefix
+    # token always passes, so no pair is lost. (Prunes the candidates
+    # that shared only deep-prefix tokens — the bulk, on corpora whose
+    # docs share a long common template.)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_sza") + F.col("_szb"))
+    )
+    ubound = 1 + F.least(
+        F.col("_sza") - F.col("_ra"), F.col("_szb") - F.col("_rb")
+    )
     cand = _dedup_pairs(
         a.join(b, on=[*block_cols, "w"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ubound >= alpha)
         .select("id_a", "id_b")
     )
     # Exact verification: candidates are a tiny fraction of n², so the
@@ -368,6 +483,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n_hashes: int = 8,
     band_size: int = 2,
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 band of the
     signature. The scale path for fuzzy dedup — candidate generation is
@@ -377,7 +493,7 @@ def minhash_lsh_pairs(
     candidates with ``jaccard_similar_pairs``-style exact overlap if
     precision matters (standard LSH two-phase).
     """
-    sig = _word_postings(df, id_col, text_col).groupBy(id_col).agg(
+    sig = _word_postings(df, id_col, text_col, ngram).groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.col("w"), F.lit(f":{i}")))).alias(f"mh{i}")
             for i in range(n_hashes)

@@ -801,6 +801,86 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_NGRAM_SQL = (
+    r"list_distinct([array_to_string(ws[i:i+2], ' ') "
+    r"for i in range(1, greatest(len(ws)-1, 1))])"
+)
+
+_JACCARD_NGRAM_ORACLE = rf"""
+WITH w AS (
+    SELECT doc_id, lang, {_NGRAM_SQL} AS words
+    FROM (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents)
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+             4) AS jaccard
+FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(a.words) > 0 AND len(b.words) > 0
+  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.3
+"""
+
+
+@query("jaccard_ngram_pairs", _JACCARD_NGRAM_ORACLE)
+def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy] Shingle (3-gram) Jaccard near-dup pairs, blocked
+    by language. Shingles preserve local word order, catching
+    reorder-heavy near-dups that bag-of-words Jaccard misses — the
+    brief's 'n-gram Jaccard' dedup flavor as a first-class query.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(
+        d, "doc_id", "text", block_cols=["lang"], threshold=0.3, ngram=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_MINHASH_NGRAM_ORACLE = rf"""
+WITH wx AS (
+    SELECT doc_id, unnest({_NGRAM_SQL}) AS w
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents)
+),
+sig AS (
+    SELECT doc_id,
+           min(md5(w || ':0')) AS mh0, min(md5(w || ':1')) AS mh1,
+           min(md5(w || ':2')) AS mh2, min(md5(w || ':3')) AS mh3,
+           min(md5(w || ':4')) AS mh4, min(md5(w || ':5')) AS mh5,
+           min(md5(w || ':6')) AS mh6, min(md5(w || ':7')) AS mh7
+    FROM wx GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+           md5(mh4 || '|' || mh5) AS b2, md5(mh6 || '|' || mh7) AS b3
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+"""
+
+
+@query("minhash_ngram_candidates", _MINHASH_NGRAM_ORACLE)
+def minhash_ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy-scale] Shingle (3-gram) MinHash+LSH candidate
+    pairs — the brief's shingle→minhash→band→bucket-join pipeline.
+    Same banded plan as the word-level variant; only the token set
+    changes (docs with <3 words have no shingles and drop out of the
+    signature aggregate, exactly as in the oracle).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=2, ngram=3
+    )
+
+
 _MINHASH_ORACLE = r"""
 WITH wx AS (
     SELECT doc_id,

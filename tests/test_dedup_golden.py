@@ -237,3 +237,16 @@ def test_bucket_batch_matches_expression(spark):
         ).count()
         assert mismatches == 0
         assert batch.count() == emb.count()
+
+
+def test_ngram_postings_match_token_array(spark):
+    """The lead-window shingle postings (the codegen'd fast path) must
+    equal exploding the _distinct_tokens array for every doc."""
+    d = read_table(spark, SF, "documents")
+    for n in (2, 3):
+        fast = dedup._word_postings(d, "doc_id", "text", ngram=n)
+        slow = d.select(
+            "doc_id", F.explode(dedup._distinct_tokens("text", n)).alias("w")
+        )
+        assert fast.exceptAll(slow).count() == 0
+        assert slow.exceptAll(fast).count() == 0
