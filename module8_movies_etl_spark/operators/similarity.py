@@ -307,6 +307,171 @@ def cosine_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids for IVF, trained
+    driver-side on a bounded sample.
+
+    Scale posture: training collects at most ``sample_rows`` vectors
+    (ORDER BY id — deterministic, a few hundred KB regardless of
+    corpus size); Lloyd iterations are numpy float64 with
+    deterministic init (every ⌊n/k⌋-th sample vector) and NO RNG, so
+    the centroids are reproducible plan-time constants — which is
+    what lets the DuckDB oracle replay the whole IVF pipeline.
+    Empty clusters keep their previous centroid.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    return lloyd_spherical([list(r[1]) for r in rows], n_centroids, iters)
+
+
+def lloyd_spherical(
+    sample: list[list[float]], n_centroids: int, iters: int = 5
+) -> list[list[float]]:
+    """Shared deterministic Lloyd core (numpy float64, stable argmax
+    ties→lowest index, no RNG) — called by ``train_ivf_centroids`` AND
+    by the oracle generator on the same sample, so both sides embed
+    bit-identical centroids."""
+    import numpy as np
+
+    v = np.array(sample, dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    step = max(len(v) // n_centroids, 1)
+    c = v[::step][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ c.T, axis=1)
+        for j in range(len(c)):
+            members = v[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    c[j] = m / norm
+    return [[float(x) for x in row] for row in c]
+
+
+def ivf_assign_table(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, _cell, _cr) — each vector's ``n_probe`` nearest centroid
+    cells by cosine, rank 1 = nearest. One Arrow-batch float64 matmul
+    per partition (same scale shape as ``hyperplane_bucket_table``);
+    ties break toward the lower centroid index (numpy argsort is
+    stable), matching the oracle's ``ORDER BY sim DESC, cid ASC``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = np.array(centroids, dtype=np.float64)  # (k, dim), pre-normalized
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, _cell int, _cr int"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (v / norms) @ c.T  # (n, k)
+            # stable argsort on -sims → descending sim, ties by cid
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_probe),
+                    "_cell": order.reshape(-1).astype("int32"),
+                    "_cr": np.tile(
+                        np.arange(1, n_probe + 1, dtype="int32"), n
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization — the
+    partition-pruning counterpart to ``cosine_topk_lsh``.
+
+    Corpus vectors are assigned to their nearest spherical-k-means
+    cell (one int per vector — the inverted file); each query probes
+    its ``n_probe`` nearest cells and re-ranks candidates with exact
+    cosine. At scale the corpus side is one narrow (id, cell) table;
+    writing it partitioned by cell turns probes into partition-pruned
+    scans of ~n_probe/k of the data. Candidates are id-only; vectors
+    join back AFTER the cell join, as in the LSH path.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids
+        )
+    c_cells = ivf_assign_table(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), "_cell"
+    )
+    q_cells = ivf_assign_table(
+        queries, centroids, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), "_cell")
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

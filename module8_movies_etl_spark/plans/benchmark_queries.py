@@ -1165,6 +1165,93 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+def _cosine_topk_ivf_oracle(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5
+) -> str | None:
+    """DuckDB oracle replaying the FULL IVF pipeline: centroids come
+    from the same deterministic Lloyd routine (similarity.
+    lloyd_spherical) over the same sf0.01 sample the Spark query
+    trains on at correctness-gate scale (the driver compares at
+    sf0.01 — TESTDATA.md), so both sides embed bit-identical centroid
+    literals; cell assignment, probe ranking, and exact-cosine top-k
+    are then plain SQL. Returns None (→ rows-only) if the sf0.01
+    sample is unavailable at import time."""
+    import os
+
+    from ..operators.similarity import lloyd_spherical
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    sample = [
+        list(r[0])
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY vec_id LIMIT 512"
+        )
+        .fetchall()
+    ]
+    cents = lloyd_spherical(sample, n_centroids)
+    cell_structs = ", ".join(
+        f"struct_pack(cid := {i}, sim := list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) / sqrt(list_dot_product(v, v)))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (SELECT vec_id, unnest([{cell_structs}]) AS cs FROM v),
+ranked AS (
+    SELECT vec_id, cs.cid AS cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs.sim DESC, cs.cid ASC) AS cr
+    FROM cells
+),
+c_cell AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE cr = 1),
+q_cell AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE cr <= {n_probe} AND vec_id < 8),
+cand AS (
+    SELECT query_id, neighbor_id
+    FROM c_cell JOIN q_cell USING (cid)
+    WHERE neighbor_id <> query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS sim
+    FROM cand
+    JOIN v q ON q.vec_id = cand.query_id
+    JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("cosine_topk_ivf", _cosine_topk_ivf_oracle())
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search-scale] IVF (inverted-file) ANN top-5: the
+    partition-pruning counterpart to the LSH path — spherical-k-means
+    cells trained driver-side on a bounded deterministic sample, one
+    Arrow matmul to assign cells, n_probe=4 of 16 cells probed per
+    query, exact cosine re-rank. At sf0.01 the oracle replays the
+    identical pipeline (same centroids via lloyd_spherical)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
 @query("simhash_near_dups", _simhash_oracle())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[dedup-fuzzy] SimHash near-dup pairs (hamming <= 12 of 60 bits),

@@ -250,3 +250,25 @@ def test_ngram_postings_match_token_array(spark):
         )
         assert fast.exceptAll(slow).count() == 0
         assert slow.exceptAll(fast).count() == 0
+
+
+def test_cosine_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN recall floor. On isotropic synthetic vectors coarse
+    quantization is intrinsically weaker than multi-table LSH (cells
+    barely correlate with top neighbors in 64-dim; measured 0.6 at
+    nprobe=4/16, only 0.775 probing HALF the cells) - IVF earns its
+    keep on clustered real-world embeddings and via partition-pruned
+    scans. The floor pins the pipeline against breakage, not quality."""
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_ivf(
+            emb, q, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.5
