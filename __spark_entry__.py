@@ -8,8 +8,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual catalog lives in
 ``module8_movies_etl_spark.plans.benchmark_queries`` — one named query
 per implemented SURVEY.md §2 operator (plus the LLM-pipeline
-extensions), each with a DuckDB oracle unless the operator is
-inherently non-SQL-expressible (ANN recall, 60-bit simhash fold).
+extensions), each with a DuckDB oracle. As of round 3 every entry is
+fully hash-verified except ``random_sample_orders`` (Spark's sample
+RNG is engine-specific — rows-only by necessity); even the LSH / IVF
+ANN paths and the 60-bit simhash fold replay deterministically in
+SQL.
 """
 
 from __future__ import annotations

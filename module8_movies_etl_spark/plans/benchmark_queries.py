@@ -1166,21 +1166,26 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 
 
 def _cosine_topk_ivf_oracle(
-    n_centroids: int = 16, n_probe: int = 4, k: int = 5
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    sf_dir: str = "/root/testdata/sf0.01",
 ) -> str | None:
     """DuckDB oracle replaying the FULL IVF pipeline: centroids come
     from the same deterministic Lloyd routine (similarity.
-    lloyd_spherical) over the same sf0.01 sample the Spark query
-    trains on at correctness-gate scale (the driver compares at
-    sf0.01 — TESTDATA.md), so both sides embed bit-identical centroid
-    literals; cell assignment, probe ranking, and exact-cosine top-k
-    are then plain SQL. Returns None (→ rows-only) if the sf0.01
-    sample is unavailable at import time."""
+    lloyd_spherical) over the same ``sf_dir`` sample the Spark query
+    trains on at that scale. The registered catalog oracle uses
+    sf0.01 — the driver's correctness-gate scale (TESTDATA.md); the
+    pytest parity test regenerates it for sf0.001 (SF dirs are
+    generated independently, so centroids are SF-specific). Cell
+    assignment, probe ranking, and exact-cosine top-k are then plain
+    SQL. Returns None (→ rows-only) if the sample is unavailable at
+    import time."""
     import os
 
     from ..operators.similarity import lloyd_spherical
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
     import duckdb
