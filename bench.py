@@ -39,6 +39,15 @@ def main() -> None:
     # Warm up JVM / codegen / parquet footer caches on a trivial action.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Warm up the Python worker pool + Arrow serialization path: the
+    # first mapInPandas/pandas-UDF query otherwise pays the fork+import
+    # cost of every worker (measured ~10 s attributed to whichever
+    # similarity query happens to run first).
+    def _idpdf(it):
+        yield from it
+
+    spark.range(256).repartition(32).mapInPandas(_idpdf, "id long").count()
+
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         print(f"bench: {name} ...", file=sys.stderr, flush=True)

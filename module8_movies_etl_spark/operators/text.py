@@ -82,6 +82,39 @@ def lang_id(col: Column, default: str = "und") -> Column:
     return expr
 
 
+def lang_id_frame(
+    df,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+    out_col: str = "lang_pred",
+    default: str = "und",
+):
+    """Two-stage lang-ID plan: stage the per-language scores as named
+    columns, then argmax over them.
+
+    Inlining ``lang_id`` repeats every score expression (~20 full-text
+    ``replace`` scans) inside ``greatest`` AND the tie-break when-chain
+    — a 3× duplicated mega-expression that janino compiles for seconds
+    and codegen re-evaluates per reference (measured 12× slower cold,
+    5× warm, at sf0.1). Staging names each score once; Catalyst's
+    CollapseProject deliberately keeps the two projections apart when
+    re-inlining would duplicate non-cheap expressions, so the staged
+    shape survives optimization. Results are identical (pinned by
+    test_lang_id_frame_matches_inline).
+    """
+    langs = list(LANG_MARKERS)
+    scored = df.select(
+        *[F.col(c) for c in keep_cols],
+        *[_lang_score(F.col(text_col), lang).alias(f"_score_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
+    expr = F.lit(default)
+    for lang in reversed(langs):
+        s = F.col(f"_score_{lang}")
+        expr = F.when((s > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return scored.select(*[F.col(c) for c in keep_cols], expr.alias(out_col))
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not letter/digit/space."""
     stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")

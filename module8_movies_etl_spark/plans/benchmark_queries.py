@@ -747,9 +747,11 @@ FROM documents
 @query("lang_id_predict", _lang_id_oracle())
 def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[text-analysis] Stopword-hit language ID (argmax over marker
-    counts, first-listed language wins ties)."""
+    counts, first-listed language wins ties). Uses the staged
+    two-projection plan — see text.lang_id_frame for why inline
+    mega-expressions are a codegen trap."""
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+    return text.lang_id_frame(d, "text", keep_cols=("doc_id", "lang"))
 
 
 _FINGERPRINT_ORACLE = f"""
@@ -1583,6 +1585,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("session_idx").cast("long").alias("session_idx"), "n_events")
     )
+
+
+_SESSION_STATEFUL_ORACLE = """
+WITH t AS (
+    SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS es
+    FROM events
+),
+m AS (SELECT max(es) AS max_es FROM t),
+marked AS (
+    SELECT user_id, es, event_id,
+           CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+                  OR lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM t
+),
+s AS (
+    SELECT user_id, es,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM marked
+),
+g AS (
+    SELECT user_id,
+           min(es) AS session_start_s,
+           max(es) AS session_end_s,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       CAST(session_start_s AS BIGINT) AS session_start_s,
+       CAST(session_end_s AS BIGINT) AS session_end_s,
+       CAST(n_events AS BIGINT) AS n_events
+FROM g, m
+WHERE g.session_end_s + 1800 < m.max_es
+"""
+
+
+@query("sessionize_stateful", _SESSION_STATEFUL_ORACLE)
+def sessionize_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming-stateful, beyond-ref] Gap sessionization as a CUSTOM
+    stateful streaming operator (``applyInPandasWithState``) — real
+    Structured Streaming execution (state store, event-time watermark,
+    timeout-driven flush) replayed over the finite events table with
+    ``trigger(availableNow)``.
+
+    Emission contract (what the oracle pins): a session is emitted iff
+    its end + gap lies strictly before the final event-time watermark
+    (= global max ts under a 0-second delay) — closed-by-data sessions
+    emit when the next event arrives; quiet sessions emit when the
+    watermark passes their gap horizon in the terminal no-data
+    micro-batch; only sessions still inside the gap horizon stay open.
+    """
+    from ..streaming.stateful import run_sessionize_over_events
+
+    return run_sessionize_over_events(spark, sf_dir)
 
 
 _MULTIMODAL_ORACLE = """

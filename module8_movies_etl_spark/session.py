@@ -22,6 +22,27 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Whole-stage codegen emits one compiled class per generated stage; a
+# catalog-sized workload (40+ distinct query plans in one JVM) overflows
+# the JVM's default ~240 MB reserved code cache, after which the JIT
+# stops compiling and expression-heavy plans run interpreted (measured:
+# 2-5x end-to-end slowdown on the dedup family once the cache fills —
+# full-catalog bench 121 s -> 55 s with the larger cache). Must be set
+# before the gateway JVM launches, hence SPARK_SUBMIT_OPTS, not conf.
+_JVM_CODE_CACHE_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+
+
+def _ensure_jvm_opts() -> None:
+    """Append the code-cache JVM options to SPARK_SUBMIT_OPTS if the
+    gateway JVM has not launched yet (no-op afterwards)."""
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is not None:  # JVM already up; too late
+        return
+    cur = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in cur:
+        os.environ["SPARK_SUBMIT_OPTS"] = f"{cur} {_JVM_CODE_CACHE_OPTS}".strip()
+
 
 def cpu_count() -> int:
     """Worker-thread count: $SPARK_GRAFT_CPUS if set, else all cores."""
@@ -41,6 +62,7 @@ def get_spark(
     Local mode is a single JVM with N threads; on a cluster the same
     config holds — AQE and broadcast thresholds are the scale levers.
     """
+    _ensure_jvm_opts()
     cores = cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{cores}]")

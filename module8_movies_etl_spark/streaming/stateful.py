@@ -1,0 +1,201 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The windowed slices in ``streaming.windows`` cover what Spark's built-in
+streaming aggregates express (tumbling / sliding / session_window). This
+module is the engine's CUSTOM-STATE extension point — the pattern to
+follow when an operator needs per-key state Spark's aggregates can't
+hold (running ML features, CEP-style pattern matches, custom eviction):
+
+- state lives per group key in the state store (RocksDB/HDFS-backed on
+  a cluster), NOT on the driver — scales with executors;
+- each micro-batch hands the operator (key, new rows, state) and the
+  operator decides what to EMIT (append mode) and what to RETAIN;
+- event-time timeouts + watermark bound state size: a key quiet past
+  its timeout gets a final callback to flush and clear.
+
+Session semantics match the batch sessionizer exactly
+(``plans.benchmark_queries.sessionize_events``): events of a user
+sorted by time; a gap strictly greater than ``gap_s`` seconds starts a
+new session.
+
+Emission contract (deterministic, batch-verifiable): a session is
+emitted when it is CLOSED — i.e. a later event of the same user lies
+more than ``gap_s`` past its end (closed-by-data), or the event-time
+watermark passes its timeout (closed-by-timeout). Open sessions remain
+in state. Replaying a finite table through ``trigger(availableNow)``
+therefore emits exactly the batch sessions minus each user's final
+(still-open) session — the oracle `sessionize_stateful` pins this.
+
+Exactness caveat (documented, inherent to streaming): parity with the
+batch sessionizer assumes a user's events arrive in event-time order
+ACROSS micro-batches (within a batch, order is irrelevant — the
+operator sorts). Out-of-order arrivals beyond that are governed by the
+watermark, as in any Structured Streaming job.
+
+Reference seed: the reference has no streaming at all (SURVEY.md §2.11);
+this is a beyond-reference capability required by the north star.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_s bigint, session_end_s bigint, n_events bigint"
+)
+_STATE_SCHEMA = "start_s bigint, end_s bigint, n bigint"
+
+
+def _fold_epochs(
+    epochs: Iterable[int],
+    open_state: Tuple[int, int, int] | None,
+    gap_s: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Fold sorted epoch-seconds into (closed_sessions, open_session).
+
+    Pure function so the session math is unit-testable without a
+    streaming harness.
+    """
+    closed: list[tuple[int, int, int]] = []
+    cur = open_state
+    for t in epochs:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] > gap_s:
+            closed.append(cur)
+            cur = (t, t, 1)
+        else:
+            cur = (cur[0], t, cur[2] + 1)
+    return closed, cur
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-sessionizer over a streaming DataFrame.
+
+    Returns an append-mode streaming DataFrame with schema
+    ``SESSION_OUT_SCHEMA``. See module docstring for emission contract.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        if state.hasTimedOut:
+            s0, e0, n0 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(uid, s0, e0, n0)],
+                columns=["user_id", "session_start_s", "session_end_s", "n_events"],
+            )
+            return
+        epochs: list[int] = []
+        for pdf in pdfs:
+            epochs.extend(int(v) for v in pdf["_epoch_s"])
+        epochs.sort()
+        open_state = tuple(state.get) if state.exists else None
+        closed, cur = _fold_epochs(epochs, open_state, gap_s)
+        # cur is non-None here: hasTimedOut=False means new rows exist
+        # (or state existed), and _fold_epochs only returns None for
+        # empty input with no prior state.
+        state.update(cur)
+        # Event-time timeout: flush the open session once the watermark
+        # passes its gap horizon. setTimeoutTimestamp takes millis.
+        state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+        yield pd.DataFrame(
+            [(uid, s0, e0, n0) for (s0, e0, n0) in closed],
+            columns=["user_id", "session_start_s", "session_end_s", "n_events"],
+        )
+
+    prepared = events.withWatermark(ts_col, watermark).withColumn(
+        "_epoch_s", F.unix_timestamp(F.col(ts_col))
+    )
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_SINK_SEQ = __import__("itertools").count()
+
+
+def run_sessionize_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Replay the finite ``events`` table through the stateful
+    sessionizer with ``trigger(availableNow=True)`` into a memory sink;
+    return the materialized result as a batch DataFrame.
+
+    This is real Structured Streaming execution — state store,
+    watermark, micro-batches — driven to completion over fixed input,
+    which is what makes the operator oracle-checkable.
+
+    The raw file is TIMESTAMP(NANOS) parquet, which the batch reader
+    shims per-read (readers.read_table) — but a streaming source
+    re-resolves the file on every micro-batch, so the save/restore shim
+    would race the stream. Instead the events are rewritten once to a
+    µs-timestamp single-file copy in a scratch dir and streamed from
+    there. ``coalesce(1)`` keeps replay to ONE data micro-batch: with a
+    0-second watermark, a multi-batch replay would drop any event that
+    sorts behind an earlier batch's maximum as late data — single-batch
+    replay is what makes the finite-input result equal the batch
+    sessionizer's (the production posture for live data is a real
+    watermark delay, not 0 seconds).
+    """
+    import tempfile
+
+    from ..sources.readers import read_table
+
+    if query_name is None:
+        query_name = f"sessionize_stateful_sink_{next(_SINK_SEQ)}"
+    scratch = tempfile.mkdtemp(prefix="sessionize_stream_")
+    read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.mode("overwrite").parquet(scratch)
+    # Explicit schema: a vanilla session (inferTimestampNTZ on) would
+    # infer the rewritten column as TIMESTAMP_NTZ, which watermarks
+    # reject — the declared TIMESTAMP type decodes the same micros.
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(scratch)
+    sessions = sessionize_stateful(stream, gap_s=gap_s)
+    # A stateful stream materializes one state-store partition per
+    # shuffle partition PER micro-batch; under a default-conf session
+    # (200) that is 400 store commits for this two-batch replay —
+    # measured 6x slower than the data warrants. The conf is read at
+    # query start, so scope it to the stream and restore after.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(query_name)

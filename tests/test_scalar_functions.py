@@ -134,3 +134,23 @@ def test_strict_cast_audit(spark):
     casted, audit = casts.strict_cast_audit(df, "v", "double")
     bad = casted.filter(audit).count()
     assert bad == 1  # only 'bad' destroys a value; NULL input is not new
+
+
+def test_lang_id_frame_matches_inline(spark):
+    """The staged two-projection lang-ID plan (text.lang_id_frame) is
+    result-identical to the inline single-expression form."""
+    from module8_movies_etl_spark.operators import text
+    from module8_movies_etl_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    inline = {
+        (r.doc_id, r.p)
+        for r in d.select(
+            "doc_id", text.lang_id(F.col("text")).alias("p")
+        ).collect()
+    }
+    staged = {
+        (r.doc_id, r.lang_pred)
+        for r in text.lang_id_frame(d, "text", keep_cols=("doc_id",)).collect()
+    }
+    assert staged == inline and len(staged) > 0

@@ -55,6 +55,63 @@ def test_session_window_stream_runs(spark, events_dir):
     assert rows.filter(F.col("n_events") <= 0).count() == 0
 
 
+def test_fold_epochs_session_math():
+    from module8_movies_etl_spark.streaming.stateful import _fold_epochs
+
+    # gap boundary is STRICT (> gap starts a new session, == gap does not)
+    closed, cur = _fold_epochs([0, 1800, 3601], None, 1800)
+    assert closed == [(0, 1800, 2)] and cur == (3601, 3601, 1)
+    # resumes an open session from state
+    closed, cur = _fold_epochs([100, 5000], (0, 50, 3), 1800)
+    assert closed == [(0, 100, 4)] and cur == (5000, 5000, 1)
+    # empty batch with state keeps the state
+    closed, cur = _fold_epochs([], (0, 50, 3), 1800)
+    assert closed == [] and cur == (0, 50, 3)
+    # no input, no state
+    assert _fold_epochs([], None, 1800) == ([], None)
+
+
+def test_sessionize_stateful_matches_batch_contract(spark):
+    """The streaming replay emits exactly the batch sessions whose
+    end + gap precedes the final watermark (= global max event time)."""
+    from module8_movies_etl_spark.streaming.stateful import run_sessionize_over_events
+
+    got = {
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in run_sessionize_over_events(spark, SF).collect()
+    }
+
+    events = read_table(spark, SF, "events")
+    max_es = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    es = events.select("user_id", "event_id", F.unix_timestamp("ts").alias("es"))
+    marked = es.withColumn(
+        "is_new",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800)
+            | F.lag("es").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    expected = {
+        (r.user_id, r.s0, r.s1, r.n)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("es").alias("s0"),
+            F.max("es").alias("s1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("s1") + 1800 < F.lit(max_es))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_multimodal_feature_extraction(spark):
     docs = read_table(spark, SF, "documents").limit(50)
     with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
