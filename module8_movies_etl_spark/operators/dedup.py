@@ -622,3 +622,94 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a ``window``-wide window over the hash sequence, keep each window's
+    MINIMUM hash; the distinct mins are the doc's fingerprint set.
+
+    Guarantee: any shared run of ``window + k - 1`` consecutive words
+    yields at least one shared fingerprint, while only ~2/(window+1) of
+    all k-gram hashes are kept — position-aware near-dup detection
+    (MinHash is order-blind; winnowing localizes WHERE docs overlap)
+    at a fraction of the posting volume.
+
+    Plan shape (100 TB): one narrow posexplode over docs → lead-window
+    k-gram assembly → running-min window, both over the same
+    ``partitionBy(id)`` exchange (single shuffle of the token stream),
+    then a distinct per (id, fingerprint). Hashes are md5 hex strings —
+    the window min is a LEXICOGRAPHIC min on hex, which any SQL engine
+    reproduces exactly (no engine-private hash).
+
+    Returns (id, fp) — one row per distinct fingerprint per doc.
+    Docs with fewer than ``window`` k-grams contribute their single
+    truncated-window min (both sides clamp slices identically), and
+    docs with no k-grams (< k words) contribute nothing.
+    """
+    from pyspark.sql import Window
+
+    flat = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    )
+    w_id = Window.partitionBy(id_col).orderBy("_p")
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", j).over(w_id) for j in range(1, k)]
+    )
+    grams = (
+        flat.select(
+            F.col(id_col),
+            F.col("_p"),
+            F.md5(gram).alias("_h"),
+            F.lead("_w", k - 1).over(w_id).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    w_min = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, window - 1)
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return (
+        grams.select(
+            F.col(id_col),
+            F.col("_p"),
+            F.min("_h").over(w_min).alias("fp"),
+            n_grams.alias("_n"),
+        )
+        .filter(F.col("_p") <= F.greatest(F.col("_n") - window, F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: pairs of docs
+    with ≥ ``min_shared`` common fingerprints, with the count.
+
+    The fingerprint self-join goes through the salted bucket join
+    (hot fingerprints — boilerplate shared by many docs — would
+    otherwise put an entire n² bucket in one task); each shared
+    fingerprint yields exactly one pair row, so a count-aggregate on
+    (id_a, id_b) is the shared-fingerprint count with no distinct pass.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    pairs = _salted_bucket_pairs(fps, id_col, "fp")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -841,6 +841,48 @@ def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_WINNOW_ORACLE = r"""
+WITH g AS (
+    SELECT doc_id,
+           [md5(array_to_string(ws[i:i+2], ' '))
+            for i in range(1, greatest(len(ws)-1, 1))] AS hs
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents)
+),
+fp AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (
+        SELECT doc_id,
+               unnest([list_min(hs[i:i+3])
+                       for i in range(1, greatest(len(hs)-4, 0) + 2)]) AS fp
+        FROM g
+    )
+    WHERE fp IS NOT NULL
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@query("winnow_fingerprint_pairs", _WINNOW_ORACLE)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy] Winnowing (MOSS) fingerprint near-dup pairs: hash
+    word 3-grams, keep each 4-window's minimum hash, pair docs sharing
+    ≥2 fingerprints. Position-aware (localizes shared runs) where
+    MinHash is order-blind; ~2/(w+1) of the posting volume survives to
+    the join. md5-hex window minima are lexicographic, so the oracle
+    replays the exact fingerprint set in SQL.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.winnow_similar_pairs(
+        d, "doc_id", "text", k=3, window=4, min_shared=2
+    )
+
+
 _MINHASH_NGRAM_ORACLE = rf"""
 WITH wx AS (
     SELECT doc_id, unnest({_NGRAM_SQL}) AS w

@@ -272,3 +272,45 @@ def test_cosine_ivf_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert len(exact & ivf) / len(exact) >= 0.5
+
+
+def py_winnow(text: str, k: int = 3, window: int = 4) -> set[str]:
+    toks = text.strip().split()
+    hs = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    if not hs:
+        return set()
+    return {
+        min(hs[p : p + window]) for p in range(max(len(hs) - window, 0) + 1)
+    }
+
+
+def test_winnow_fingerprints_match_python_reference(spark, docs):
+    d = read_table(spark, SF, "documents").filter(F.col("doc_id") < 80)
+    got: dict[int, set[str]] = {}
+    for r in dedup.winnow_fingerprints(d, "doc_id", "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    want = {i: py_winnow(t) for i, t in docs.items() if py_winnow(t)}
+    assert got == want and len(want) > 0
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    window + k - 1 = 6 consecutive words share >= 1 fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"one two {shared} three four"),
+        (1, f"{shared} five six seven"),
+        (2, "unrelated words only here nothing common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_similar_pairs(
+            df, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
