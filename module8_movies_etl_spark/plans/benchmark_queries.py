@@ -697,7 +697,17 @@ SELECT doc_id,
                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
          + (1.0 - least((CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
                          / greatest(length(text), 1)) * 4.0, 1.0)) * 0.3,
-         4) AS quality
+         4) AS quality,
+       CAST({_TOKENS_SQL}
+            + greatest(CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)
+                       - {_TOKENS_SQL}, 0) AS BIGINT) AS n_bpe_tokens,
+       round(
+         (  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
+          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4.0
+          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4.0
+         ) / greatest(CAST({_TOKENS_SQL} AS DOUBLE), 1.0), 4) AS stopword_ratio_en
 FROM documents
 """
 
@@ -705,8 +715,9 @@ FROM documents
 @query("text_stats", _TEXT_STATS_ORACLE)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[text-analysis] Token count, punctuation ratio, composite
-    quality score — one fused narrow projection over documents; the
-    100 TB quality-filter stage.
+    quality score, BPE-ish subword estimate, and English stopword
+    ratio — one fused narrow projection over documents; the 100 TB
+    quality-filter stage.
     """
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -715,6 +726,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(t).cast("long").alias("n_tokens"),
         F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
         F.round(text.quality_score(t), 4).alias("quality"),
+        text.approx_bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(text.stopword_ratio(t, "en"), 4).alias("stopword_ratio_en"),
     )
 
 

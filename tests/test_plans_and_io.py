@@ -127,3 +127,40 @@ def test_jdbc_sink_roundtrip(spark, tmp_path):
     want = {(r[0], r[1]) for r in region.collect()}
     got = {(r[0], r[1]) for r in back.collect()}
     assert got == want
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key → the
+    SortMergeJoin plans with ZERO Exchange operators (the 100 TB
+    shuffle-elimination contract of sources.bucketing), and bucket
+    sorting also removes the per-task Sort."""
+    from module8_movies_etl_spark.sources import bucketing
+
+    o = read_table(spark, SF, "orders")
+    c = read_table(spark, SF, "customer")
+    bucketing.write_bucketed(
+        o, "orders_b", ["o_custkey"], 8, path=str(tmp_path / "ob")
+    )
+    bucketing.write_bucketed(
+        c, "customer_b", ["c_custkey"], 8, path=str(tmp_path / "cb")
+    )
+    try:
+        # the merge hint (on an input side, pre-join) rules out the
+        # broadcast plan so the exchange question is meaningful
+        no_bcast = (
+            spark.table("orders_b")
+            .hint("merge")
+            .join(
+                spark.table("customer_b"),
+                on=F.col("o_custkey") == F.col("c_custkey"),
+            )
+        )
+        plan = no_bcast._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # row parity with the plain (shuffled) join
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert no_bcast.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
