@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions import casts, currency, dates, durations
 from ..operators import (
     aggregates,
+    asof,
     dedup,
     filters,
     joins,
@@ -1639,6 +1640,45 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_idx")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("session_idx").cast("long").alias("session_idx"), "n_events")
+    )
+
+
+_ASOF_ORACLE = """
+SELECT a.event_id,
+       a.user_id,
+       CAST(epoch_us(a.ts) // 1000000 AS BIGINT) AS purchase_ts_s,
+       CAST(epoch_us(b.ts) // 1000000 AS BIGINT) AS click_ts_s,
+       CAST(epoch_us(a.ts) // 1000000 - epoch_us(b.ts) // 1000000 AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+@query("asof_purchase_attribution", _ASOF_ORACLE)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[as-of join, beyond-ref] Attribute each purchase to the user's
+    most recent prior (inclusive) click — the canonical as-of join,
+    checked against DuckDB's native ASOF JOIN.
+
+    Implemented as the merge-sorted union (operators.asof), NOT an
+    equi-join + max-filter: one shuffle on user_id, zero candidate
+    blowup on hot users.
+    """
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    res = asof.asof_join_backward(
+        purchases, clicks, ["user_id"], "ts", "ts", payload_cols=[]
+    )
+    p_s = F.unix_timestamp("ts")
+    c_s = F.unix_timestamp("asof_ts")
+    return res.select(
+        "event_id",
+        "user_id",
+        p_s.alias("purchase_ts_s"),
+        c_s.alias("click_ts_s"),
+        (p_s - c_s).alias("gap_s"),
     )
 
 
