@@ -34,6 +34,7 @@ from ..operators import (
     joins,
     multimodal,
     pivot,
+    rangejoin,
     similarity,
     slices,
     text,
@@ -1640,6 +1641,106 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_idx")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("session_idx").cast("long").alias("session_idx"), "n_events")
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH err AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es
+    FROM events WHERE event_type = 'error'
+),
+clk AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS es
+    FROM events WHERE event_type = 'click'
+)
+SELECT a.event_id,
+       a.user_id,
+       CAST(count(b.es) AS BIGINT) AS n_prior_clicks
+FROM err a
+LEFT JOIN clk b
+  ON a.user_id = b.user_id
+ AND b.es >= a.es - 600 AND b.es < a.es
+GROUP BY a.event_id, a.user_id
+"""
+
+
+@query("range_join_error_clicks", _RANGE_JOIN_ORACLE)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[range join, beyond-ref] For every error event, count the same
+    user's clicks in the preceding 10 minutes — a big×big interval
+    join executed as bin-explode + equi-join + exact verify
+    (operators.rangejoin), never as a per-key cross product.
+    Zero-click errors survive via the left join back to the fact side.
+    """
+    e = read_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("c_es")
+    )
+    matched = rangejoin.range_join_binned(
+        errors, clicks, ["user_id"], "es", "c_es", lower=-600, upper=0
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior_clicks")
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_prior_clicks", F.lit(0)).cast("long").alias(
+            "n_prior_clicks"
+        ),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       CAST(grouping(n_name) * 2 + grouping(year(o_orderdate)) AS BIGINT)
+           AS grouping_lvl,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
+@query("rollup_revenue", _ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[OLAP rollup, beyond-ref] Revenue by (nation, order year) with
+    ROLLUP subtotals and a grand total — the hierarchical-aggregate
+    shape every OLAP surface needs. One pass over the fact table:
+    Spark expands the grouping sets inside a single hash-aggregate
+    pair (partial + final), dims broadcast as in the star join.
+    grouping_lvl disambiguates real NULL keys from subtotal rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("_yr", F.year("o_orderdate"))
+        .rollup("n_name", "_yr")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.grouping("n_name") * 2 + F.grouping("_yr")).cast("long").alias(
+                "grouping_lvl"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("_yr").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "grouping_lvl",
+            "revenue",
+            "n_orders",
+        )
     )
 
 

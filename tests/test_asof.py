@@ -71,3 +71,45 @@ def test_asof_plan_is_single_exchange(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_binned_matches_bruteforce(spark):
+    """Bin-and-verify range join equals the naive non-equi join, for a
+    window that spans bins and one fully inside a bin."""
+    from module8_movies_etl_spark.operators import rangejoin
+
+    e = read_table(spark, SF, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("c_es")
+    )
+    for lower, upper, width in ((-600, 0, None), (-3600, 1800, 1000)):
+        got = {
+            (r.event_id, r.c_es)
+            for r in rangejoin.range_join_binned(
+                errors, clicks, ["user_id"], "es", "c_es",
+                lower=lower, upper=upper, bin_width=width,
+            ).collect()
+        }
+        want = {
+            (r.event_id, r.c_es)
+            for r in errors.join(
+                clicks,
+                (errors.user_id == clicks.user_id)
+                & (clicks.c_es >= errors.es + lower)
+                & (clicks.c_es < errors.es + upper),
+            ).collect()
+        }
+        assert got == want and len(want) > 0, (lower, upper, width)
+
+
+def test_range_join_rejects_empty_window(spark):
+    import pytest as _pytest
+
+    from module8_movies_etl_spark.operators import rangejoin
+
+    df = spark.range(1).withColumnRenamed("id", "v")
+    with _pytest.raises(ValueError, match="empty window"):
+        rangejoin.range_join_binned(df, df, [], "v", "v", lower=5, upper=5)
