@@ -94,3 +94,64 @@ def distinct_counts(
         return f(F.col(f"`{c}`")).alias(c)
 
     return df.select(*[agg(c) for c in cols])
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    classic mergeable cardinality sketch (Bar-Yossef et al. 2002),
+    built from public md5 arithmetic so the estimate is bit-for-bit
+    reproducible by any SQL engine (unlike HLL registers, whose
+    hashing is engine-private).
+
+    Hash each value to U(0,1) via the top 60 bits of md5; keep each
+    group's k smallest hashes; with m_k = the k-th smallest,
+    estimate distinct = (k-1)/m_k. Groups with fewer than k distinct
+    hashes are exact (the sketch saw everything). Relative error
+    ~ 1/sqrt(k-2).
+
+    Scale shape: the k-smallest selection is a partial_agg-friendly
+    ``min_by``-style pattern — here expressed as collect of the
+    per-group TOP-K via window rank over hashes, which shuffles only
+    (group, hash) pairs. At 100 TB, k bounded (64) keeps state tiny
+    and the sketch MERGEABLE across partitions/days: union two
+    sketches = union hash sets, re-take k smallest.
+
+    Returns (keys..., n_exactish, kmv_estimate): n_exactish is the
+    number of sketch entries (== distinct count when < k).
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    ).alias("_h")
+    hashed = df.select(*[F.col(c) for c in keys], h).dropDuplicates(
+        [*keys, "_h"]
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    topk = hashed.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    return (
+        topk.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_mk"),
+        )
+        .select(
+            *keys,
+            F.col("n_entries").cast("long").alias("n_exactish"),
+            F.round(
+                F.when(
+                    F.col("_mk").isNotNull(), F.lit(float(k - 1)) / F.col("_mk")
+                ).otherwise(F.col("n_entries").cast("double")),
+                2,
+            ).alias("kmv_estimate"),
+        )
+    )

@@ -1644,6 +1644,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 AS hv
+    FROM events
+),
+rk AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+    FROM h
+),
+topk AS (SELECT * FROM rk WHERE r <= 64)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_exactish,
+       round(CASE WHEN max(CASE WHEN r = 64 THEN hv END) IS NOT NULL
+                  THEN 63.0 / max(CASE WHEN r = 64 THEN hv END)
+                  ELSE CAST(count(*) AS DOUBLE) END, 2) AS kmv_estimate
+FROM topk
+GROUP BY event_type
+"""
+
+
+@query("kmv_distinct_users", _KMV_ORACLE)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch, beyond-ref] KMV (k-minimum-values) distinct-user
+    sketch per event type, k=64 — a mergeable cardinality sketch in
+    pure md5 arithmetic, so unlike HLL the estimate itself is
+    hash-verified against the oracle (both engines compute the
+    identical 60-bit hashes and k-th minimum).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return aggregates.kmv_distinct_sketch(e, ["event_type"], "user_id", k=64)
+
+
 _RANGE_JOIN_ORACLE = """
 WITH err AS (
     SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es
