@@ -114,6 +114,128 @@ def fake_image_decoder_batch(payloads: "pd.Series") -> "pd.DataFrame":
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample_stub(payload: bytes) -> "list[bytes]":
+    """Real frame-sampler slot (ffmpeg keyframe extraction in a
+    production build)."""
+    raise NotImplementedError(
+        "frame sampling requires a video library not present in this "
+        "environment; inject via sample_frames(sampler=...)"
+    )
+
+
+def fake_frame_sampler(payload: bytes) -> "list[bytes]":
+    """Deterministic stand-in: 1–4 'frames', each the ASCII hex of a
+    sha256 over the payload salted with the frame index — reproducible
+    by any engine with sha256 (hex, not raw digest bytes, because SQL
+    sha256 implementations typically take VARCHAR), which is what
+    makes the frame-sample stage oracle-checkable end to end."""
+    import hashlib
+
+    n = 1 + hashlib.sha256(payload).digest()[0] % 4
+    return [
+        hashlib.sha256(payload + b":" + str(i).encode()).hexdigest().encode()
+        for i in range(n)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sampler: Callable[[bytes], "list[bytes]"] = frame_sample_stub,
+) -> DataFrame:
+    """Frame-sampling stage: one row in, N rows out (doc_id,
+    frame_idx, frame_sha) — the one-to-many ``mapInPandas`` shape for
+    video → frames. Emitting the frame HASH (not the frame bytes)
+    keeps the wide binary out of every downstream shuffle; a pipeline
+    that needs pixels joins the frames back by (doc_id, frame_idx) at
+    the last narrow stage.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                for i, frame in enumerate(sampler(bytes(payload))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return src.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: a sha256-keyed byte stream of
+    exactly width*height bytes (a real build calls PIL/libvips here)."""
+    import hashlib
+
+    out = bytearray()
+    counter = 0
+    while len(out) < width * height:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[: width * height])
+
+
+def resize_payloads(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: "Callable[[bytes, int, int], bytes]" = fake_resizer,
+) -> DataFrame:
+    """Resize stage: binary in, binary out with recorded target dims —
+    the payload-transforming ``mapInPandas`` shape (decode and
+    frame-sample REDUCE the payload; this one rewrites it, so the
+    output row stays wide and the same keep-out-of-shuffles rule
+    applies)."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        resizer(bytes(p), width, height) for p in pdf["_p"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return src.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame,
     id_col: str = "doc_id",

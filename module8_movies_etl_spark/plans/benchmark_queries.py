@@ -1873,6 +1873,30 @@ def sessionize_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_over_events(spark, sf_dir)
 
 
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       sha256(sha256(text || ':' || CAST(i AS VARCHAR))) AS frame_sha
+FROM documents, range(0, 4) t(i)
+WHERE i < 1 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 4
+"""
+
+
+@query("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Frame sampling: one payload row fans out to 1-4
+    frame rows (doc_id, frame_idx, frame_sha) through the one-to-many
+    mapInPandas stage (operators.multimodal.sample_frames). The fake
+    sampler is pure sha256 arithmetic, so the fan-out cardinality AND
+    every frame hash are replayed exactly by the oracle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    payload = d.withColumn("payload", F.encode("text", "UTF-8"))
+    return multimodal.sample_frames(
+        payload, sampler=multimodal.fake_frame_sampler
+    )
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

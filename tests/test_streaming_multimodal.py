@@ -137,6 +137,44 @@ def test_multimodal_feature_extraction(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batched))
 
 
+def test_frame_sampling_fanout_and_determinism(spark):
+    docs = read_table(spark, SF, "documents").limit(40)
+    with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    frames = multimodal.sample_frames(
+        with_payload, sampler=multimodal.fake_frame_sampler
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_sha))
+    assert len(by_doc) == 40
+    for doc_id, fs in by_doc.items():
+        idxs = sorted(i for i, _ in fs)
+        assert idxs == list(range(len(fs))) and 1 <= len(fs) <= 4
+        assert all(len(sha) == 64 for _, sha in fs)
+    again = multimodal.sample_frames(
+        with_payload, sampler=multimodal.fake_frame_sampler
+    ).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_resize_stage_shapes(spark):
+    docs = read_table(spark, SF, "documents").limit(10)
+    with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    rows = multimodal.resize_payloads(with_payload, 16, 9).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.width, r.height) == (16, 9)
+        assert len(bytes(r.payload)) == 16 * 9
+
+
+def test_frame_sample_stub_raises(spark):
+    docs = read_table(spark, SF, "documents").limit(1)
+    with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    frames = multimodal.sample_frames(with_payload)  # default stub
+    with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        frames.collect()
+
+
 def test_decode_stub_raises(spark):
     docs = read_table(spark, SF, "documents").limit(1)
     with_payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
