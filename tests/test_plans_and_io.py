@@ -164,3 +164,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim must inject a
+    runtime partition-pruning subquery into the fact scan — at 100 TB
+    this is the difference between scanning one region's partitions
+    and scanning everything."""
+    out = str(tmp_path / "orders_by_cust_bucket")
+    o = read_table(spark, SF, "orders").withColumn(
+        "cust_bucket", F.pmod("o_custkey", F.lit(10))
+    )
+    write_parquet(o, out, partition_by=["cust_bucket"])
+
+    dim = (
+        spark.range(10)
+        .withColumnRenamed("id", "cust_bucket")
+        .filter(F.col("cust_bucket") < 2)
+    )
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim.hint("broadcast"), "cust_bucket")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    expected = o.filter(F.col("cust_bucket") < 2).count()
+    assert joined.count() == expected
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE skew handling: a join where one key holds ~90% of the rows
+    must still complete with the skew-join optimizer enabled and the
+    session must have it on (the salting fallbacks in the dedup family
+    cover the cases AQE cannot see)."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    left = spark.range(200_000).withColumn(
+        "k", F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id"))
+    )
+    right = spark.range(50_000).withColumnRenamed("id", "k")
+    joined = left.join(right, "k")
+    assert joined.count() > 0
