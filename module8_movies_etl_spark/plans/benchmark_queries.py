@@ -856,6 +856,53 @@ def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_CLUSTER_ORACLE = r"""
+WITH RECURSIVE
+w AS (
+    SELECT doc_id, lang,
+           list_distinct(regexp_split_to_array(trim(text), '\s+')) AS words
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS m FROM documents
+    UNION
+    SELECT e.src AS node, r.m
+    FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
+@query("fuzzy_dedup_clusters", _CLUSTER_ORACLE)
+def fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-decision] The step that FINISHES fuzzy dedup: connected
+    components over the verified Jaccard near-dup graph give every doc
+    its cluster's min id; keeping rows where doc_id == cluster_id
+    deduplicates the corpus. Iterative min-label propagation
+    (operators.dedup.connected_components) — one join + one aggregate
+    per round, rounds = component diameter; the oracle replays the
+    transitive closure with a recursive CTE.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(
+        d, "doc_id", "text", block_cols=["lang"], threshold=0.5
+    )
+    return dedup.connected_components(pairs, d, id_col="doc_id")
+
+
 _WINNOW_ORACLE = r"""
 WITH g AS (
     SELECT doc_id,

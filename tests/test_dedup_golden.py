@@ -314,3 +314,48 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+def test_connected_components_match_union_find(spark):
+    """Min-label propagation equals a pure-Python union-find over the
+    same pair graph, including isolated nodes and a multi-hop chain."""
+    d = read_table(spark, SF, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.jaccard_similar_pairs(
+        d, "doc_id", "text", block_cols=["lang"], threshold=0.5
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, d, id_col="doc_id").collect()
+    }
+
+    parent: dict[int, int] = {r.doc_id: r.doc_id for r in d.select("doc_id").collect()}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want and len(got) == 200
+    # sanity: at least one non-trivial cluster and one isolated node
+    assert any(v != k for k, v in want.items())
+    assert any(v == k for k, v in want.items())
+
+
+def test_connected_components_chain(spark):
+    """A 5-node path (diameter 4) needs multiple propagation rounds —
+    pins the fixpoint loop, not just one-hop merging."""
+    nodes = spark.createDataFrame([(i,) for i in range(10, 15)] + [(99,)], "id int")
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14)], "id_a int, id_b int"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes, id_col="id").collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 99: 99}
