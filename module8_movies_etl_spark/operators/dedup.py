@@ -732,12 +732,16 @@ def connected_components(
     measured ≤4 rounds on the benchmark corpus). Each round is one
     join + one aggregate, both on the node key — the same shuffle
     partitioning every round, so AQE reuses the exchange layout. The
-    loop is driver-side but the DATA never is: per-round state is a
+    loop is driver-side but the DATA never is: state is a
     (node, label) table written to scratch parquet, which also
     truncates lineage (a growing iterative plan otherwise re-executes
     from round 0 and the optimizer chokes by round ~8). Convergence is
-    checked with a count of changed labels — a data-dependent driver
-    action, like the null-prune statistics probe.
+    checked with a count of changed labels per round — a
+    data-dependent driver action, like the null-prune statistics
+    probe. (Chaining several lazy rounds between snapshots was tried
+    and measured 2x SLOWER: the tripled join plan defeats AQE
+    exchange reuse and optimizer time grows faster than the saved
+    driver round-trips.)
 
     ``pairs`` needs columns (id_a, id_b); ``nodes`` supplies every id
     (isolated docs keep themselves as cluster_id). Returns
@@ -747,13 +751,20 @@ def connected_components(
 
     spark = pairs.sparkSession
     scratch = tempfile.mkdtemp(prefix="cc_labels_")
-    edges = (
+    # Materialize the edge list ONCE: ``pairs`` is usually the tail of
+    # an expensive similarity pipeline, and without a snapshot every
+    # propagation round would re-execute it from the scan (measured 6x
+    # the whole query's cost at sf0.1).
+    (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/edges")
     )
+    edges = spark.read.parquet(f"{scratch}/edges")
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
