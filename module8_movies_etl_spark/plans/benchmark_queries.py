@@ -688,18 +688,20 @@ _TOKENS_SQL = (
     r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
 )
 
+_QUALITY_SQL = f"""(
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         + (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST({_TOKENS_SQL} AS DOUBLE), 1.0)
+                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (1.0 - least((CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1)) * 4.0, 1.0)) * 0.3
+)"""
+
 _TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
        CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
        round(CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1), 4) AS punct_ratio,
-       round(
-         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-         + (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST({_TOKENS_SQL} AS DOUBLE), 1.0)
-                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
-         + (1.0 - least((CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1)) * 4.0, 1.0)) * 0.3,
-         4) AS quality,
+       round({_QUALITY_SQL}, 4) AS quality,
        CAST({_TOKENS_SQL}
             + greatest(CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)
                        - {_TOKENS_SQL}, 0) AS BIGINT) AS n_bpe_tokens,
@@ -854,6 +856,88 @@ def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", block_cols=["lang"], threshold=0.3, ngram=3
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_PIPELINE_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+           round({_QUALITY_SQL}, 4) AS quality
+    FROM documents
+),
+kept AS (
+    SELECT * FROM scored WHERE quality >= 0.4 AND n_tokens >= 30
+),
+fp AS (
+    SELECT doc_id, text, n_tokens, quality, md5({_norm_sql('text')}) AS f
+    FROM kept
+),
+surv AS (
+    SELECT * FROM fp
+    WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+),
+g AS (
+    SELECT doc_id,
+           [md5(array_to_string(ws[i:i+2], ' '))
+            for i in range(1, greatest(len(ws)-1, 1))] AS hs
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM surv)
+),
+wfp AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (
+        SELECT doc_id,
+               unnest([list_min(hs[i:i+3])
+                       for i in range(1, greatest(len(hs)-4, 0) + 2)]) AS fp
+        FROM g
+    )
+    WHERE fp IS NOT NULL
+),
+dropped AS (
+    SELECT DISTINCT b.doc_id AS id_b
+    FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+)
+SELECT doc_id, n_tokens, quality
+FROM surv
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+@query("training_data_pipeline", _PIPELINE_ORACLE)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone composition] The end-to-end training-data curation
+    pipeline every piece of §2.13 exists for, as ONE lazy DAG:
+
+    1. quality gate — fused narrow projection (token count + composite
+       quality score), rows below threshold never reach a shuffle;
+    2. exact dedup — min-id survivor per normalized-text fingerprint;
+    3. near-dup pruning — winnowing fingerprint pairs on the
+       survivors; any doc sharing ≥2 fingerprints with a lower-id doc
+       is dropped (deterministic greedy rule, one anti-join — the
+       full clustering decision lives in fuzzy_dedup_clusters).
+
+    Composing the stages lazily means Catalyst sees ONE plan: the
+    quality filter pushes into the scan that feeds both dedup stages.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.token_count(t).cast("long").alias("n_tokens"),
+        F.round(text.quality_score(t), 4).alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 30))
+    survivors = dedup.exact_dedup(kept, "text", "doc_id")
+    pairs = dedup.winnow_similar_pairs(
+        survivors, "doc_id", "text", k=3, window=4, min_shared=2
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
+    )
 
 
 _CLUSTER_ORACLE = r"""
