@@ -131,8 +131,13 @@ def kmv_distinct_sketch(
         .cast("double")
         / F.lit(float(1 << 60))
     ).alias("_h")
-    hashed = df.select(*[F.col(c) for c in keys], h).dropDuplicates(
-        [*keys, "_h"]
+    # NULLs contribute nothing (COUNT DISTINCT semantics); unfiltered,
+    # a NULL hash would rank FIRST under Spark's nulls-first asc and
+    # shift the k-th minimum, inflating the estimate.
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*[F.col(c) for c in keys], h)
+        .dropDuplicates([*keys, "_h"])
     )
     w = Window.partitionBy(*keys).orderBy("_h")
     topk = hashed.withColumn("_r", F.row_number().over(w)).filter(

@@ -46,7 +46,14 @@ def asof_join_backward(
     (NULL where the key has no right row at or before the left ts).
     """
     carried = [right_ts, *payload_cols]
-    rt = right.select(
+    # NULL-timestamp or NULL-key right rows can never be an as-of
+    # match (SQL ASOF/equi semantics) — and unfiltered they would sort
+    # first under asc() and leak their payload into left rows that
+    # have no real match.
+    usable = right.filter(F.col(right_ts).isNotNull())
+    for k in key_cols:
+        usable = usable.filter(F.col(k).isNotNull())
+    rt = usable.select(
         *[F.col(k) for k in key_cols],
         F.col(right_ts).alias("_ats"),
         F.lit(1).alias("_is_r"),

@@ -798,4 +798,13 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )
+    # Scratch hygiene: the edge list and all superseded label
+    # snapshots are dead; only the FINAL snapshot must survive — it
+    # backs the (lazy) returned DataFrame.
+    import shutil
+
+    final = i
+    shutil.rmtree(f"{scratch}/edges", ignore_errors=True)
+    for j in range(final):
+        shutil.rmtree(f"{scratch}/iter{j}", ignore_errors=True)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -66,12 +66,13 @@ def _lang_score(col: Column, lang: str) -> Column:
     return score
 
 
-def lang_id(col: Column, default: str = "und") -> Column:
-    """N-gram/stopword language ID: argmax of per-language marker hits,
-    first-listed language wins ties, zero hits → ``default``.
+def _argmax_lang(scores: dict[str, Column], default: str) -> Column:
+    """Argmax over per-language score columns: first key in ``scores``
+    wins ties, all-zero → ``default``. The SINGLE source of the
+    tie-break rule — both the inline and staged lang-ID plans build on
+    it, so they cannot drift apart.
     """
-    langs = list(LANG_MARKERS)
-    scores = {lang: _lang_score(col, lang) for lang in langs}
+    langs = list(scores)
     best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
     expr = F.lit(default)
     # build the when-chain in reverse so earlier languages win ties
@@ -80,6 +81,15 @@ def lang_id(col: Column, default: str = "und") -> Column:
             expr
         )
     return expr
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """N-gram/stopword language ID: argmax of per-language marker hits,
+    first-listed language wins ties, zero hits → ``default``.
+    """
+    return _argmax_lang(
+        {lang: _lang_score(col, lang) for lang in LANG_MARKERS}, default
+    )
 
 
 def lang_id_frame(
@@ -107,11 +117,7 @@ def lang_id_frame(
         *[F.col(c) for c in keep_cols],
         *[_lang_score(F.col(text_col), lang).alias(f"_score_{lang}") for lang in langs],
     )
-    best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
-    expr = F.lit(default)
-    for lang in reversed(langs):
-        s = F.col(f"_score_{lang}")
-        expr = F.when((s > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    expr = _argmax_lang({lang: F.col(f"_score_{lang}") for lang in langs}, default)
     return scored.select(*[F.col(c) for c in keep_cols], expr.alias(out_col))
 
 

@@ -1954,7 +1954,7 @@ WITH t AS (
     SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS es
     FROM events
 ),
-m AS (SELECT max(es) AS max_es FROM t),
+m AS (SELECT max(epoch_us(ts) // 1000) AS max_ms FROM events),
 marked AS (
     SELECT user_id, es, event_id,
            CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
@@ -1980,7 +1980,7 @@ SELECT user_id,
        CAST(session_end_s AS BIGINT) AS session_end_s,
        CAST(n_events AS BIGINT) AS n_events
 FROM g, m
-WHERE g.session_end_s + 1800 < m.max_es
+WHERE (g.session_end_s + 1800) * 1000 < m.max_ms
 """
 
 
@@ -1993,11 +1993,13 @@ def sessionize_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``trigger(availableNow)``.
 
     Emission contract (what the oracle pins): a session is emitted iff
-    its end + gap lies strictly before the final event-time watermark
-    (= global max ts under a 0-second delay) — closed-by-data sessions
-    emit when the next event arrives; quiet sessions emit when the
-    watermark passes their gap horizon in the terminal no-data
-    micro-batch; only sessions still inside the gap horizon stay open.
+    its gap horizon (end + gap, in MILLISECONDS — Spark watermarks are
+    ms-precision, so a whole-second comparison would miss sessions
+    whose horizon equals the floored max ts) lies strictly before the
+    final watermark (= global max ts under a 0-second delay) —
+    closed-by-data sessions emit when the next event arrives; quiet
+    sessions emit when the watermark passes their horizon in the
+    terminal no-data micro-batch; the rest stay open.
     """
     from ..streaming.stateful import run_sessionize_over_events
 

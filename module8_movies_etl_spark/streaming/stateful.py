@@ -22,10 +22,12 @@ new session.
 Emission contract (deterministic, batch-verifiable): a session is
 emitted when it is CLOSED — i.e. a later event of the same user lies
 more than ``gap_s`` past its end (closed-by-data), or the event-time
-watermark passes its timeout (closed-by-timeout). Open sessions remain
-in state. Replaying a finite table through ``trigger(availableNow)``
-therefore emits exactly the batch sessions minus each user's final
-(still-open) session — the oracle `sessionize_stateful` pins this.
+watermark passes its timeout (closed-by-timeout; watermarks are
+MILLISECOND-precision). Open sessions remain in state. Replaying a
+finite table through ``trigger(availableNow)`` therefore emits exactly
+the batch sessions whose gap horizon ``(end + gap) * 1000 ms`` lies
+strictly before the final watermark — the `sessionize_stateful`
+oracle pins this.
 
 Exactness caveat (documented, inherent to streaming): parity with the
 batch sessionizer assumes a user's events arrive in event-time order
@@ -198,4 +200,9 @@ def run_sessionize_over_events(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+        # The memory sink holds the result rows; the events copy is
+        # dead the moment the stream terminates.
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(query_name)

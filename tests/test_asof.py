@@ -21,7 +21,15 @@ def test_asof_backward_matches_bruteforce(spark):
     got = {
         r.event_id: (r.asof_ts, r.asof_value)
         for r in asof.asof_join_backward(
-            purchases, clicks, ["user_id"], "ts", "ts", payload_cols=["value"]
+            purchases,
+            clicks,
+            ["user_id"],
+            "ts",
+            "ts",
+            payload_cols=["value"],
+            # make equal-ts winners deterministic, matching the tuple
+            # max below (fixture ts are µs-distinct, but don't rely on it)
+            tiebreak_cols=["value"],
         ).collect()
     }
 

@@ -191,14 +191,38 @@ def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path):
 
 
 def test_aqe_skew_join_splits_hot_key(spark):
-    """AQE skew handling: a join where one key holds ~90% of the rows
-    must still complete with the skew-join optimizer enabled and the
-    session must have it on (the salting fallbacks in the dedup family
-    cover the cases AQE cannot see)."""
+    """AQE skew handling: a sort-merge join where one key holds ~90%
+    of the left rows must be re-planned with the skewed partition
+    SPLIT (the executed plan marks the join ``skew=true``). Thresholds
+    are scoped down so test-sized data crosses them; the salting
+    fallbacks in the dedup family cover cases AQE cannot see."""
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
-    left = spark.range(200_000).withColumn(
-        "k", F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id"))
-    )
-    right = spark.range(50_000).withColumnRenamed("id", "k")
-    joined = left.join(right, "k")
-    assert joined.count() > 0
+    # thresholds scoped far down: the hot partition is a run of one
+    # constant key, which the shuffle codec compresses to ~a few KB
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).withColumn(
+            "k", F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id"))
+        )
+        right = spark.range(50_000).withColumnRenamed("id", "k")
+        # no aggregation downstream: AQE only splits a skewed join
+        # partition when nothing later requires the join's hash
+        # distribution. collect() drives THIS DataFrame's own
+        # QueryExecution (df.count() would plan a separate one whose
+        # adaptive plan never finalizes on the inspected object).
+        joined = left.join(right, "k").select("k")
+        rows = joined.collect()
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -82,7 +82,10 @@ def test_sessionize_stateful_matches_batch_contract(spark):
     }
 
     events = read_table(spark, SF, "events")
-    max_es = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    # the watermark is millisecond-precision: a session whose horizon
+    # equals the FLOORED max second still times out if max ts has a
+    # sub-second part
+    max_ms = events.agg(F.max(F.unix_millis("ts"))).first()[0]
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
@@ -106,7 +109,7 @@ def test_sessionize_stateful_matches_batch_contract(spark):
             F.max("es").alias("s1"),
             F.count(F.lit(1)).alias("n"),
         )
-        .filter(F.col("s1") + 1800 < F.lit(max_es))
+        .filter((F.col("s1") + 1800) * 1000 < F.lit(max_ms))
         .collect()
     }
     assert got == expected and len(got) > 0
