@@ -122,3 +122,36 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair left and right
+    events of the same key with ``right_ts`` in
+    ``[left_ts + lower_s, left_ts + upper_s)``.
+
+    State sizing is the whole game for stream-stream joins: BOTH
+    sides buffer rows in the state store, and without the time-range
+    condition + watermarks that buffer is unbounded. With them, Spark
+    derives an eviction horizon per side (a left row can stop waiting
+    once the watermark passes ``left_ts + upper_s``; a right row once
+    it passes ``right_ts - lower_s``), so state is bounded by the
+    interval width × arrival rate regardless of stream length.
+    """
+    l_wm = left.withWatermark(left_ts, watermark).alias("l")
+    r_wm = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rts >= lts + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rts < lts + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return l_wm.join(r_wm, cond)

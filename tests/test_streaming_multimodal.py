@@ -55,6 +55,41 @@ def test_session_window_stream_runs(spark, events_dir):
     assert rows.filter(F.col("n_events") <= 0).count() == 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (clicks within 10 min
+    before each error) equals the batch non-equi join over the same
+    finite input."""
+    batch = spark.read.parquet(events_dir)
+    be = batch.filter(F.col("event_type") == "error").alias("l")
+    bc = batch.filter(F.col("event_type") == "click").alias("r")
+    expected = {
+        (r[0], r[1])
+        for r in be.join(
+            bc,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 600 SECONDS"))
+            & (F.col("r.ts") < F.col("l.ts")),
+        )
+        .select(F.col("l.event_id"), F.col("r.event_id"))
+        .collect()
+    }
+
+    se = streaming.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "error"
+    )
+    sc = streaming.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = streaming.windows.interval_join_streams(
+        se, sc, "user_id", "ts", "ts", lower_s=-600, upper_s=0
+    ).select(F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id"))
+    run_to_memory(joined, "interval_join_test", "append")
+    got = {
+        (r.l_id, r.r_id) for r in spark.table("interval_join_test").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_fold_epochs_session_math():
     from module8_movies_etl_spark.streaming.stateful import _fold_epochs
 
