@@ -770,41 +770,46 @@ def connected_components(
     )
     labels.write.mode("overwrite").parquet(f"{scratch}/iter0")
     labels = spark.read.parquet(f"{scratch}/iter0")
-    for i in range(1, max_iters + 1):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
-            )
-        )
-        updated.write.mode("overwrite").parquet(f"{scratch}/iter{i}")
-        updated = spark.read.parquet(f"{scratch}/iter{i}")
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
-    # Scratch hygiene: the edge list and all superseded label
-    # snapshots are dead; only the FINAL snapshot must survive — it
-    # backs the (lazy) returned DataFrame.
     import shutil
 
-    final = i
-    shutil.rmtree(f"{scratch}/edges", ignore_errors=True)
-    for j in range(final):
-        shutil.rmtree(f"{scratch}/iter{j}", ignore_errors=True)
+    converged_at = None
+    try:
+        for i in range(1, max_iters + 1):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (
+                        F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                    ).alias("_changed"),
+                )
+            )
+            updated.write.mode("overwrite").parquet(f"{scratch}/iter{i}")
+            updated = spark.read.parquet(f"{scratch}/iter{i}")
+            n_changed = updated.filter(F.col("_changed")).count()
+            labels = updated.drop("_changed")
+            if n_changed == 0:
+                converged_at = i
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        # Scratch hygiene, on EVERY exit path: the edge list and all
+        # superseded label snapshots are dead. Only the final snapshot
+        # survives a successful run — it backs the (lazy) returned
+        # DataFrame; on failure nothing is returned, so remove it all.
+        shutil.rmtree(f"{scratch}/edges", ignore_errors=True)
+        last = converged_at if converged_at is not None else max_iters + 1
+        for j in range(last):
+            shutil.rmtree(f"{scratch}/iter{j}", ignore_errors=True)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -1777,10 +1777,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_ORACLE = """
 WITH h AS (
+    -- NULLs contribute nothing (COUNT DISTINCT semantics), matching
+    -- the operator's filter — unfiltered, DuckDB would rank NULL
+    -- hashes NULLS-LAST and still count them in the top-k
     SELECT DISTINCT event_type,
            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
                / 1152921504606846976.0 AS hv
     FROM events
+    WHERE user_id IS NOT NULL
 ),
 rk AS (
     SELECT event_type, hv,

@@ -8,7 +8,12 @@ the point (``tumbling_window_counts`` in the catalog is the
 oracle-checked twin of ``tumbling_event_counts`` here).
 """
 
+from .stateful import (  # noqa: F401
+    run_sessionize_over_events,
+    sessionize_stateful,
+)
 from .windows import (  # noqa: F401
+    interval_join_streams,
     read_event_stream,
     session_window_counts,
     sliding_event_counts,

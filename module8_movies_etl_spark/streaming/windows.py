@@ -145,6 +145,11 @@ def interval_join_streams(
     once the watermark passes ``left_ts + upper_s``; a right row once
     it passes ``right_ts - lower_s``), so state is bounded by the
     interval width × arrival rate regardless of stream length.
+
+    Output contract: the sides keep ALL their columns under the
+    ``l`` / ``r`` aliases — the two streams usually share a schema,
+    so disambiguate with ``F.col("l.<name>")`` / ``F.col("r.<name>")``
+    when selecting from the result.
     """
     l_wm = left.withWatermark(left_ts, watermark).alias("l")
     r_wm = right.withWatermark(right_ts, watermark).alias("r")
