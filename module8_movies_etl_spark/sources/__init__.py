@@ -1,10 +1,12 @@
 """Sources & sinks (SURVEY.md §2.1, S1-S6)."""
 
 from .readers import (  # noqa: F401
+    read_binary_files,
     read_csv,
     read_json_records,
+    read_orc,
     read_parquet,
     read_table,
     read_tables,
 )
-from .writers import write_jdbc, write_parquet  # noqa: F401
+from .writers import write_jdbc, write_orc, write_parquet  # noqa: F401

@@ -126,3 +126,25 @@ def read_csv(
     elif infer_schema is not False:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate/column pushdown contract as parquet
+    (pinned by test_orc_roundtrip_pushdown)."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan: the ingest path for multimodal blobs (images,
+    audio) sitting as FILES rather than as a column in a table —
+    yields (path, modificationTime, length, content) with ``content``
+    as the opaque binary column the multimodal stages consume
+    (operators.multimodal). Partition parallelism is per-file;
+    ``spark.sql.files.maxPartitionBytes`` governs batching of small
+    files into tasks."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

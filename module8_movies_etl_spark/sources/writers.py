@@ -53,3 +53,20 @@ def write_jdbc(
     props = {"batchsize": str(batch_size)}
     props.update(properties or {})
     df.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the interop format for Hive-centric consumers.
+    Same columnar/pushdown/pruning properties as parquet (Spark ships
+    a vectorized ORC reader); parquet stays the canonical sink, this
+    exists so a reference user with ORC-based downstream tooling can
+    switch without a format migration."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
