@@ -41,6 +41,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the rows-only
-    checked ANN/simhash entries)."""
+    """DuckDB-equivalent SQL per query (omitted only for the seeded
+    random-sample entry — engine-specific RNG)."""
     return dict(bq.ORACLE)

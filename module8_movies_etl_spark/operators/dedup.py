@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint
+from .text import fingerprint, ws_trim
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -49,7 +49,7 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _distinct_words(text_col: str) -> F.Column:
-    return F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return F.array_distinct(F.split(ws_trim(F.col(text_col)), r"\s+"))
 
 
 def _distinct_tokens(text_col: str, ngram: int = 1) -> F.Column:
@@ -60,7 +60,7 @@ def _distinct_tokens(text_col: str, ngram: int = 1) -> F.Column:
     """
     if ngram == 1:
         return _distinct_words(text_col)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(ws_trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
@@ -108,7 +108,7 @@ def _word_postings(
     flat = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+        F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
     )
     w = Window.partitionBy(id_col).orderBy("_p")
     gram = F.concat_ws(
@@ -658,7 +658,7 @@ def winnow_fingerprints(
 
     flat = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+        F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
     )
     w_id = Window.partitionBy(id_col).orderBy("_p")
     gram = F.concat_ws(

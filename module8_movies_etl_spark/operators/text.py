@@ -28,10 +28,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ws_trim(col: Column) -> Column:
+    """Strip leading/trailing WHITESPACE (``\\s``), not just spaces.
+
+    Spark's ``trim`` removes only the space character, so a payload
+    like ``"\\ntext"`` would split into a phantom empty first token —
+    found by the hypothesis property suite
+    (test_token_count_matches_model, falsifying input ``"\\n"``).
+    Every tokenizer in the engine goes through this, and the DuckDB
+    oracles use the matching ``regexp_replace`` so both engines see
+    the same token streams.
+    """
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count (BPE-ish proxy: words; see
     ``approx_bpe_token_count`` for the subword estimate)."""
-    trimmed = F.trim(col)
+    trimmed = ws_trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -44,7 +58,7 @@ def approx_bpe_token_count(col: Column) -> Column:
     """
     words = token_count(col)
     # ceil(len/4) - word_count extra pieces ≈ long-word subword splits
-    extra = F.ceil(F.length(F.trim(col)) / F.lit(4)) - words
+    extra = F.ceil(F.length(ws_trim(col)) / F.lit(4)) - words
     return words + F.greatest(extra, F.lit(0).cast("bigint"))
 
 

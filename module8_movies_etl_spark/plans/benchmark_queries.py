@@ -684,8 +684,8 @@ def _norm_sql(x: str) -> str:
 # empty/whitespace-only text has 0 tokens, not 1 — mirrors
 # text.token_count's guard (DuckDB's split of '' yields [''] → len 1)
 _TOKENS_SQL = (
-    r"(CASE WHEN length(trim(text)) = 0 THEN 0 "
-    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
+    r"(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)"
 )
 
 _QUALITY_SQL = f"""(
@@ -703,7 +703,7 @@ SELECT doc_id,
              / greatest(length(text), 1), 4) AS punct_ratio,
        round({_QUALITY_SQL}, 4) AS quality,
        CAST({_TOKENS_SQL}
-            + greatest(CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)
+            + greatest(CAST(ceil(length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) / 4.0) AS BIGINT)
                        - {_TOKENS_SQL}, 0) AS BIGINT) AS n_bpe_tokens,
        round(
          (  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
@@ -793,7 +793,7 @@ def fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = r"""
 WITH w AS (
     SELECT doc_id, lang,
-           list_distinct(regexp_split_to_array(trim(text), '\s+')) AS words
+           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
     FROM documents
 )
 SELECT a.doc_id AS id_a,
@@ -829,7 +829,7 @@ _JACCARD_NGRAM_ORACLE = rf"""
 WITH w AS (
     SELECT doc_id, lang, {_NGRAM_SQL} AS words
     FROM (SELECT doc_id, lang,
-                 regexp_split_to_array(trim(text), '\s+') AS ws
+                 regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
           FROM documents)
 )
 SELECT a.doc_id AS id_a,
@@ -880,7 +880,7 @@ g AS (
     SELECT doc_id,
            [md5(array_to_string(ws[i:i+2], ' '))
             for i in range(1, greatest(len(ws)-1, 1))] AS hs
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
           FROM surv)
 ),
 wfp AS (
@@ -944,7 +944,7 @@ _CLUSTER_ORACLE = r"""
 WITH RECURSIVE
 w AS (
     SELECT doc_id, lang,
-           list_distinct(regexp_split_to_array(trim(text), '\s+')) AS words
+           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
     FROM documents
 ),
 pairs AS (
@@ -992,7 +992,7 @@ WITH g AS (
     SELECT doc_id,
            [md5(array_to_string(ws[i:i+2], ' '))
             for i in range(1, greatest(len(ws)-1, 1))] AS hs
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
           FROM documents)
 ),
 fp AS (
@@ -1032,7 +1032,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_NGRAM_ORACLE = rf"""
 WITH wx AS (
     SELECT doc_id, unnest({_NGRAM_SQL}) AS w
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
           FROM documents)
 ),
 sig AS (
@@ -1074,7 +1074,7 @@ def minhash_ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = r"""
 WITH wx AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
     FROM documents
 ),
 sig AS (
@@ -1337,7 +1337,7 @@ def _simhash_oracle(max_hamming: int = 12) -> str:
     return f"""
 WITH postings AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+'))) AS w
     FROM documents
 ),
 hashed AS (

@@ -1,0 +1,179 @@
+"""Property-based tests (hypothesis): the scalar expression library
+and session fold against independent Python models, over generated
+inputs rather than hand-picked goldens.
+
+Each example batch becomes ONE Spark job (createDataFrame over the
+whole list) — per-example Spark round-trips would be 100× slower.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.functions import currency, durations
+from module8_movies_etl_spark.operators import text
+from module8_movies_etl_spark.streaming.stateful import _fold_epochs
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- money: model of the reference's parse_dollars (challenge.py:125-155) ---
+
+_MONEY = st.one_of(
+    st.builds(
+        lambda a, b, u: f"${a}.{b} {u}",
+        st.integers(0, 999),
+        st.integers(0, 99),
+        st.sampled_from(["million", "billion", "Million", "billi0n"]),
+    ),
+    st.builds(
+        lambda n: "$" + f"{n:,}",
+        st.integers(0, 10**9),
+    ),
+    st.sampled_from(["N/A", "TBA", "¥1.1 billion", "", "$", "8 crore"]),
+    st.text(
+        alphabet="$0123456789,. millionbillion-",
+        min_size=0,
+        max_size=24,
+    ),
+)
+
+
+def _model_parse_dollars(s: str) -> float | None:
+    if s is None:
+        return None
+    if re.match(r"(?i)^\$\s*\d+\.?\d*\s*milli?on", s):
+        num = re.sub(r"(?i)[\$\sa-z]", "", s)
+        try:
+            return float(num) * 1e6
+        except ValueError:
+            return None
+    if re.match(r"(?i)^\$\s*\d+\.?\d*\s*billi?on", s):
+        num = re.sub(r"(?i)[\$\sa-z]", "", s)
+        try:
+            return float(num) * 1e9
+        except ValueError:
+            return None
+    if re.match(r"^\$\s*\d{1,3}(?:,\d{3})+(?!\s[mb]illion)", s):
+        num = re.sub(r"[\$,]", "", s)
+        try:
+            return float(num)
+        except ValueError:
+            return None
+    return None
+
+
+@given(st.lists(_MONEY, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_parse_dollars_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        r.out
+        for r in df.select(
+            currency.parse_dollars(F.col("s")).alias("out")
+        ).collect()
+    ]
+    want = [_model_parse_dollars(v) for v in values]
+    for g, w, v in zip(got, want, values):
+        if w is None:
+            assert g is None, (v, g)
+        else:
+            assert g is not None and abs(g - w) < 1e-6 * max(abs(w), 1), (v, g, w)
+
+
+# --- durations: hours/minutes extraction (challenge.py:195-199) ---
+
+_DURATION = st.one_of(
+    st.builds(
+        lambda h, m: f"{h} hours {m} minutes",
+        st.integers(0, 30),
+        st.integers(0, 300),
+    ),
+    st.builds(lambda h: f"{h} h", st.integers(0, 30)),
+    st.builds(lambda m: f"{m} minutes", st.integers(0, 10_000)),
+    st.builds(lambda m: f"{m} min.", st.integers(0, 500)),
+    st.sampled_from(["", "unknown", "90", "1h30", "TBD"]),
+)
+
+
+def _model_minutes(s: str) -> float:
+    """Reference semantics (challenge.py:195-199): coerce-fill groups
+    to 0, no match → 0.0."""
+    from module8_movies_etl_spark.functions.durations import DURATION_PATTERN
+
+    m = re.search(DURATION_PATTERN, s or "")
+    g1 = float(m.group(1)) if m and m.group(1) else 0.0
+    g2 = float(m.group(2)) if m and m.group(2) else 0.0
+    g3 = float(m.group(3)) if m and m.group(3) else 0.0
+    return g1 * 60.0 + g2 if g3 == 0.0 else g3
+
+
+@given(st.lists(_DURATION, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_duration_minutes_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        r.out
+        for r in df.select(
+            durations.parse_running_time(F.col("s")).alias("out")
+        ).collect()
+    ]
+    want = [_model_minutes(v) for v in values]
+    assert got == want, list(zip(values, got, want))
+
+
+# --- token_count: whitespace-token model, incl. empty/whitespace-only ---
+
+_TEXTS = st.text(
+    alphabet=" \t\naAbB01.,!$é", min_size=0, max_size=60
+)
+
+
+@given(st.lists(_TEXTS, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_token_count_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        r.out
+        for r in df.select(text.token_count(F.col("s")).alias("out")).collect()
+    ]
+    want = [len(v.split()) for v in values]
+    assert got == want, list(zip(values, got, want))
+
+
+# --- session fold: pure-Python invariants, no Spark needed ---
+
+@given(
+    st.lists(st.integers(0, 100_000), min_size=0, max_size=60),
+    st.integers(1, 3600),
+)
+@settings(max_examples=200, deadline=None)
+def test_fold_epochs_invariants(epochs, gap):
+    closed, cur = _fold_epochs(sorted(epochs), None, gap)
+    sessions = closed + ([cur] if cur else [])
+    # events conserved
+    assert sum(s[2] for s in sessions) == len(epochs)
+    for s0, e0, n in sessions:
+        assert s0 <= e0 and n >= 1
+    # sessions ordered and separated by more than gap
+    for (a0, a1, _), (b0, b1, _) in zip(sessions, sessions[1:]):
+        assert b0 - a1 > gap
+        assert a1 <= b0
+    # within a session there is no internal gap larger than `gap`:
+    # re-fold each session's own events and expect a single session
+    if epochs:
+        es = sorted(epochs)
+        idx = 0
+        for s0, e0, n in sessions:
+            sub = es[idx : idx + n]
+            resplit, last = _fold_epochs(sub, None, gap)
+            assert resplit == [] and last == (s0, e0, n)
+            idx += n
