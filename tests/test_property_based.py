@@ -177,3 +177,94 @@ def test_fold_epochs_invariants(epochs, gap):
             resplit, last = _fold_epochs(sub, None, gap)
             assert resplit == [] and last == (s0, e0, n)
             idx += n
+
+
+# --- date ladder: extract-then-parse vs Python model (F8+F9, Q10) ---
+
+_MONTHS = (
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+)
+
+_DATES = st.one_of(
+    st.builds(
+        lambda m, d, y: f"{m} {d}, {y}",
+        st.sampled_from(_MONTHS),
+        st.integers(1, 31),
+        st.integers(1800, 2100),
+    ),
+    st.builds(
+        lambda y, m, d: f"{y:04d}-{m:02d}-{d:02d}",
+        st.integers(1800, 2100),
+        st.integers(1, 13),
+        st.integers(1, 32),
+    ),
+    st.builds(
+        lambda m, y: f"{m} {y}", st.sampled_from(_MONTHS), st.integers(1800, 2100)
+    ),
+    st.builds(lambda y: str(y), st.integers(1000, 2999)),
+    st.builds(
+        lambda w, y: f"{w} {y}",
+        st.sampled_from(["Cannes", "Sundance", "circa", "May-ish"]),
+        st.integers(1800, 2100),
+    ),
+    st.sampled_from(["", "unknown", "02/03/2000", "release: 1999-12-31 (US)"]),
+)
+
+
+def _model_extract(s: str) -> str | None:
+    alt = "(?:" + "|".join(_MONTHS) + ")"
+    forms = [
+        alt + r"\s\d{1,2},\s\d{4}",
+        r"\d{4}[-/]\d{2}[-/]\d{2}",
+        alt + r"\s\d{4}",
+        r"\d{4}",
+    ]
+    m = re.search("(" + "|".join(forms) + ")", s or "")
+    return m.group(1) if m else None
+
+
+def _model_parse(s: str | None):
+    import datetime
+
+    if s is None:
+        return None
+    alt = "(?:" + "|".join(_MONTHS) + ")"
+
+    def mk(y: int, mo: int, d: int):
+        try:
+            return datetime.date(y, mo, d)
+        except ValueError:
+            return None
+
+    m = re.match(r"^(\d{4})[-/](\d{2})[-/](\d{2})$", s)
+    if m:
+        return mk(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = re.match(rf"^({alt})\s(\d{{1,2}}),\s(\d{{4}})$", s)
+    if m:
+        return mk(int(m.group(3)), _MONTHS.index(m.group(1)) + 1, int(m.group(2)))
+    m = re.match(rf"^({alt})\s(\d{{4}})$", s)
+    if m:
+        return mk(int(m.group(2)), _MONTHS.index(m.group(1)) + 1, 1)
+    if re.match(r"^\d{4}$", s):
+        return mk(int(s), 1, 1)
+    return None
+
+
+@given(st.lists(_DATES, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_date_extract_and_parse_match_model(spark, values):
+    from module8_movies_etl_spark.functions import dates
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    rows = df.select(
+        dates.extract_date_text(F.col("s")).alias("ex"),
+        dates.parse_multiformat_date(
+            dates.extract_date_text(F.col("s"))
+        ).alias("dt"),
+    ).collect()
+    for v, r in zip(values, rows):
+        ex = _model_extract(v)
+        assert r.ex == ex, (v, r.ex, ex)
+        want = _model_parse(ex)
+        assert r.dt == want, (v, ex, r.dt, want)
