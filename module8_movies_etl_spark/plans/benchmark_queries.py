@@ -918,9 +918,16 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        is dropped (deterministic greedy rule, one anti-join — the
        full clustering decision lives in fuzzy_dedup_clusters).
 
-    Composing the stages lazily means Catalyst sees ONE plan: the
-    quality filter pushes into the scan that feeds both dedup stages.
+    The exact-dedup survivor set is MATERIALIZED to scratch parquet at
+    the stage boundary: three downstream consumers (winnow postings,
+    winnow doc sets, the final anti-join) would otherwise each
+    re-derive it from the raw scan — Spark has no common-subplan
+    reuse below the exchange level, and the lazy form re-read the
+    corpus 12× (fatal at 100 TB, where every real curation pipeline
+    checkpoints between stages for exactly this reason).
     """
+    import tempfile
+
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
     scored = d.select(
@@ -930,7 +937,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.quality_score(t), 4).alias("quality"),
     )
     kept = scored.filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 30))
-    survivors = dedup.exact_dedup(kept, "text", "doc_id")
+    scratch = tempfile.mkdtemp(prefix="curation_survivors_")
+    dedup.exact_dedup(kept, "text", "doc_id").write.mode("overwrite").parquet(
+        scratch
+    )
+    survivors = spark.read.parquet(scratch)
     pairs = dedup.winnow_similar_pairs(
         survivors, "doc_id", "text", k=3, window=4, min_shared=2
     )
