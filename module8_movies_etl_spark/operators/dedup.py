@@ -184,11 +184,18 @@ def jaccard_similar_pairs(
         # shingles: flat lead-window postings, and the verification
         # arrays AGGREGATED from them — never explode or re-evaluate
         # the _distinct_tokens lambda-HOF array (interpreted; both
-        # directions measured ~4× slower at sf0.1)
-        postings = _word_postings(
+        # directions measured ~4× slower at sf0.1). The postings are
+        # MATERIALIZED to scratch parquet: three consumers (document
+        # frequencies, the prefix index, the verification arrays)
+        # would otherwise each re-run the posexplode + lead-window
+        # shingle assembly from the scan (measured ~2× end-to-end).
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="shingle_postings_")
+        _word_postings(
             base, id_col, text_col, ngram, extra_cols=tuple(block_cols)
-        ).withColumnRenamed(id_col, "_id")
-        postings = postings.withColumn(
+        ).withColumnRenamed(id_col, "_id").write.mode("overwrite").parquet(scratch)
+        postings = df.sparkSession.read.parquet(scratch).withColumn(
             "sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
         )
         docs = postings.groupBy("_id", *block_cols, "sz").agg(
