@@ -1925,6 +1925,45 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS grouping_lvl,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_revenue_status", _CUBE_ORACLE)
+def cube_revenue_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[OLAP cube, beyond-ref] Revenue by (status, priority) with ALL
+    cross-subtotals — CUBE's 2^n grouping sets vs ROLLUP's hierarchy
+    (rollup_revenue). Same single-pass expanded hash aggregate;
+    grouping_lvl separates real NULL keys from subtotal rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("grouping_lvl"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grouping_lvl",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 _ASOF_ORACLE = """
 SELECT a.event_id,
        a.user_id,
