@@ -268,3 +268,39 @@ def test_date_extract_and_parse_match_model(spark, values):
         assert r.ex == ex, (v, r.ex, ex)
         want = _model_parse(ex)
         assert r.dt == want, (v, ex, r.dt, want)
+
+
+# --- lenient casts: coerce-to-zero model over messy numerics (C1/C3) ---
+
+_NUMERICS = st.one_of(
+    st.builds(lambda n: str(n), st.integers(-10**12, 10**12)),
+    st.builds(lambda f: f"{f:.4f}", st.floats(-1e6, 1e6, allow_nan=False)),
+    st.builds(lambda n: f"  {n} ", st.integers(-999, 999)),
+    st.builds(lambda a, b: f"{a}.{b}", st.integers(0, 99), st.integers(0, 999)),
+    st.sampled_from(["", " ", "n/a", "1.2.3", "12abc", ".5", "5.", "-", "-7"]),
+    st.text(alphabet="0123456789.- ", min_size=0, max_size=12),
+)
+
+
+def _model_lenient_double(s: str) -> float:
+    if s is None:
+        return 0.0
+    t = s.strip()
+    if re.match(r"^-?(\d+\.?\d*|\.\d+)$", t):
+        return float(t)
+    return 0.0
+
+
+@given(st.lists(_NUMERICS, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_lenient_double_matches_model(spark, values):
+    from module8_movies_etl_spark.functions import casts
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        r.out
+        for r in df.select(casts.lenient_double(F.col("s")).alias("out")).collect()
+    ]
+    want = [_model_lenient_double(v) for v in values]
+    for v, g, w in zip(values, got, want):
+        assert g == w, (repr(v), g, w)
