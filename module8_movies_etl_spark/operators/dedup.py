@@ -185,19 +185,18 @@ def jaccard_similar_pairs(
         # arrays AGGREGATED from them — never explode or re-evaluate
         # the _distinct_tokens lambda-HOF array (interpreted; both
         # directions measured ~4× slower at sf0.1). The postings are
-        # MATERIALIZED to scratch parquet: three consumers (document
+        # snapshotted (sources.scratch): three consumers (document
         # frequencies, the prefix index, the verification arrays)
         # would otherwise each re-run the posexplode + lead-window
         # shingle assembly from the scan (measured ~2× end-to-end).
-        import tempfile
+        from ..sources.scratch import snapshot
 
-        scratch = tempfile.mkdtemp(prefix="shingle_postings_")
-        _word_postings(
-            base, id_col, text_col, ngram, extra_cols=tuple(block_cols)
-        ).withColumnRenamed(id_col, "_id").write.mode("overwrite").parquet(scratch)
-        postings = df.sparkSession.read.parquet(scratch).withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-        )
+        postings = snapshot(
+            _word_postings(
+                base, id_col, text_col, ngram, extra_cols=tuple(block_cols)
+            ).withColumnRenamed(id_col, "_id"),
+            prefix="shingle_postings_",
+        ).withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
         docs = postings.groupBy("_id", *block_cols, "sz").agg(
             F.collect_list("w").alias("_words")
         )
@@ -756,8 +755,13 @@ def connected_components(
     """
     import tempfile
 
+    from ..sources.scratch import register
+
     spark = pairs.sparkSession
     scratch = tempfile.mkdtemp(prefix="cc_labels_")
+    # the final label snapshot backs the returned DataFrame — adopt
+    # the dir into the shared atexit reap instead of leaking it
+    register(scratch)
     # Materialize the edge list ONCE: ``pairs`` is usually the tail of
     # an expensive similarity pipeline, and without a snapshot every
     # propagation round would re-execute it from the scan (measured 6x

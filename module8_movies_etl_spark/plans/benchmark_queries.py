@@ -926,7 +926,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus 12× (fatal at 100 TB, where every real curation pipeline
     checkpoints between stages for exactly this reason).
     """
-    import tempfile
+    from ..sources.scratch import snapshot
 
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -937,11 +937,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.quality_score(t), 4).alias("quality"),
     )
     kept = scored.filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 30))
-    scratch = tempfile.mkdtemp(prefix="curation_survivors_")
-    dedup.exact_dedup(kept, "text", "doc_id").write.mode("overwrite").parquet(
-        scratch
+    # NOTE: snapshot() executes stage 1 eagerly at construction time —
+    # inspecting this query's plan costs the stage-1 run.
+    survivors = snapshot(
+        dedup.exact_dedup(kept, "text", "doc_id"), prefix="curation_survivors_"
     )
-    survivors = spark.read.parquet(scratch)
     pairs = dedup.winnow_similar_pairs(
         survivors, "doc_id", "text", k=3, window=4, min_shared=2
     )
@@ -1348,7 +1348,7 @@ def _simhash_oracle(max_hamming: int = 12) -> str:
     return f"""
 WITH postings AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\\s+'))) AS w
+           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS w
     FROM documents
 ),
 hashed AS (

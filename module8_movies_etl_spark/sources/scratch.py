@@ -1,0 +1,70 @@
+"""Scratch-parquet snapshots — the engine's stage-boundary
+materialization primitive.
+
+Spark has no common-subplan reuse below the exchange level: a
+DataFrame consumed by several downstream branches re-executes its
+whole lineage per branch, and iterative algorithms grow unbounded
+plans. The fix every large pipeline uses is materializing stage
+boundaries; this module is the ONE implementation of that idiom
+(connected components, the shingle-postings index, and the curation
+capstone all route through it).
+
+Lifecycle: the returned DataFrame lazily reads the written files, so
+a snapshot cannot be deleted at call time. Every snapshot dir is
+registered and reaped at interpreter exit (atexit), bounding
+accumulation to one process's working set. Callers that finish with a
+snapshot early can ``release()`` it explicitly.
+
+Deployment note: ``tempfile.mkdtemp`` is DRIVER-local, which is
+correct for this engine's local-mode target; a multi-node deployment
+must point ``scratch_root`` at a shared filesystem/object-store URI
+(executors write and read the snapshot, not the driver).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_LIVE: set[str] = set()
+
+
+def snapshot(df: DataFrame, prefix: str = "snap_", scratch_root: str | None = None) -> DataFrame:
+    """Write ``df`` to a fresh scratch parquet dir and return the
+    re-read (lineage-truncated) DataFrame.
+
+    NOTE: this executes ``df`` EAGERLY — builders that call it run
+    their upstream stages at construction time, trading laziness for
+    single execution of a multiply-consumed stage.
+    """
+    path = tempfile.mkdtemp(prefix=prefix, dir=scratch_root)
+    df.write.mode("overwrite").parquet(path)
+    _LIVE.add(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def register(path: str) -> None:
+    """Adopt an externally created scratch dir into the atexit reap
+    (for multi-file lifecycles like the connected-components label
+    iteration that manage their own intermediate files)."""
+    _LIVE.add(path)
+
+
+def release(df_path_or_all: str | None = None) -> None:
+    """Delete one snapshot dir (by path) or, with no argument, all of
+    this process's live snapshots. Only for callers that KNOW no live
+    DataFrame still reads the files."""
+    targets = [df_path_or_all] if df_path_or_all else list(_LIVE)
+    for p in targets:
+        shutil.rmtree(p, ignore_errors=True)
+        _LIVE.discard(p)
+
+
+@atexit.register
+def _reap() -> None:
+    for p in list(_LIVE):
+        shutil.rmtree(p, ignore_errors=True)
+    _LIVE.clear()

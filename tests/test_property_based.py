@@ -62,7 +62,10 @@ def _model_parse_dollars(s: str) -> float | None:
             return float(num) * 1e9
         except ValueError:
             return None
-    if re.match(r"^\$\s*\d{1,3}(?:,\d{3})+(?!\s[mb]illion)", s):
+    # form_two (challenge.py:121): group separators are [,.] — a
+    # dot-grouped "$1.234" parses as 1.234 (single dot survives the
+    # comma-only strip and float() accepts it); multi-dot fails → None
+    if re.match(r"^\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illion)", s):
         num = re.sub(r"[\$,]", "", s)
         try:
             return float(num)
