@@ -766,12 +766,15 @@ def connected_components(
     # an expensive similarity pipeline, and without a snapshot every
     # propagation round would re-execute it from the scan (measured 6x
     # the whole query's cost at sf0.1).
+    # No distinct: the pair set is already unique with id_a < id_b, so
+    # the two mirrored directions cannot collide — and even a stray
+    # duplicate would only repeat a min() input. Skipping it saves a
+    # full shuffle of the doubled edge list (4.6M rows at sf0.1).
     (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
         .write.mode("overwrite")
         .parquet(f"{scratch}/edges")
     )
