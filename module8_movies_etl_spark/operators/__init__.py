@@ -8,8 +8,20 @@ from .aggregates import (  # noqa: F401
     summary_stats,
     value_counts,
 )
+from .aggregates import kmv_distinct_sketch  # noqa: F401
+from .asof import asof_join_backward  # noqa: F401
+from .dedup import (  # noqa: F401
+    connected_components,
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    winnow_fingerprints,
+    winnow_similar_pairs,
+)
 from .filters import dedup_by_key, null_prune, prune_mostly_null_columns  # noqa: F401
 from .joins import join_with_suffixes, left_join_small  # noqa: F401
 from .pivot import pivot_count  # noqa: F401
 from .projections import rename_columns, select_columns  # noqa: F401
+from .rangejoin import range_join_binned  # noqa: F401
 from .slices import sample_rows, slice_rows, tail_rows  # noqa: F401
