@@ -24,4 +24,6 @@ from .joins import join_with_suffixes, left_join_small  # noqa: F401
 from .pivot import pivot_count  # noqa: F401
 from .projections import rename_columns, select_columns  # noqa: F401
 from .rangejoin import range_join_binned  # noqa: F401
+from .sampling import hash_sample, stratified_hash_sample  # noqa: F401
+from .sketches import cms_build, cms_estimate  # noqa: F401
 from .slices import sample_rows, slice_rows, tail_rows  # noqa: F401

@@ -35,7 +35,9 @@ from ..operators import (
     multimodal,
     pivot,
     rangejoin,
+    sampling,
     similarity,
+    sketches,
     slices,
     text,
 )
@@ -2106,3 +2108,309 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("content_sha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: deterministic sampling, grouping sets, exact quantiles,
+# window-analytics breadth, semi/anti joins, CMS sketch, streaming dedup.
+# --------------------------------------------------------------------------
+
+_HASH_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+      / 1152921504606846976.0 < 0.1
+"""
+
+
+@query("hash_sample_orders", _HASH_SAMPLE_ORACLE)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L2 upgrade] Deterministic 10% uniform sample of orders by md5
+    of the primary key (operators.sampling.hash_sample). Unlike the
+    RNG path (random_sample_orders — rows-only by necessity), the md5
+    decision is engine-portable, so the SAMPLE MEMBERSHIP itself is
+    hash-verified; it is also stable under repartitioning and
+    consistent across tables sharing the key — the properties that
+    make sampled dev pipelines reproducible at 100 TB. Pure narrow
+    filter at the scan; no shuffle.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return sampling.hash_sample(o, "o_orderkey", 0.1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 2) AS value_r
+FROM events
+WHERE CAST('0x' || substr(md5(event_type || ':' || CAST(event_id AS VARCHAR)), 1, 15)
+           AS BIGINT) / 1152921504606846976.0
+      < CASE event_type WHEN 'error' THEN 1.0
+                        WHEN 'purchase' THEN 0.5
+                        WHEN 'click' THEN 0.05
+                        ELSE 0.1 END
+"""
+
+
+@query("stratified_sample_events", _STRAT_SAMPLE_ORACLE)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L2 upgrade] Per-stratum deterministic sampling
+    (operators.sampling.stratified_hash_sample): keep ALL errors, half
+    the purchases, 5% of clicks, 10% otherwise — the class-rebalancing
+    move of training-data curation, reproducible because the per-row
+    decision is md5(stratum:key), not an RNG. Narrow filter; the rate
+    lookup is a when-chain folded into the scan predicate.
+    """
+    e = read_table(spark, sf_dir, "events")
+    out = sampling.stratified_hash_sample(
+        e,
+        "event_type",
+        "event_id",
+        rates={"error": 1.0, "purchase": 0.5, "click": 0.05},
+        default_rate=0.1,
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("quantiles_by_status", _QUANTILES_ORACLE)
+def quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 extension] Exact grouped quantiles (linear interpolation —
+    pandas/DuckDB ``quantile_cont`` semantics) of order value per
+    status. Exact ``percentile`` buffers each group's values once —
+    fine for bounded groups; the 100 TB tier swaps in
+    ``percentile_approx`` (GK sketch, mergeable, bounded memory) at
+    the cost of oracle exactness — the same exact-vs-sketch trade the
+    KMV/CMS entries document from the sketch side.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 2).alias(name)
+            for name, q in qs.items()
+        ],
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS grouping_lvl,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+@query("grouping_sets_revenue", _GROUPING_SETS_ORACLE)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[OLAP grouping sets, beyond-ref] Arbitrary GROUPING SETS —
+    both one-dimension marginals plus the full cross, but NO grand
+    total, a set list neither ROLLUP nor CUBE can express
+    (rollup_revenue / cube_revenue_status are its fixed special
+    cases). Same execution shape: Spark expands the sets inside one
+    partial+final hash-aggregate pass — the fact table is scanned
+    once, not once per set.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("grouping_lvl"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grouping_lvl",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+_RUNNING_TOTAL_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_ts_s,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("running_total_by_customer", _RUNNING_TOTAL_ORACLE)
+def running_total_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10 windows] Analytic-window breadth beyond top-k
+    (topk_orders_per_customer): per-customer order sequence number,
+    running spend, and previous order price — row_number + running sum
+    + lag sharing ONE window spec, so a single shuffle+sort on
+    o_custkey serves all three (the plan shows one Window node, one
+    Exchange). The running sum is order-deterministic because the sort
+    key (date, orderkey) is unique.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_ts_s"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("cum_spend"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+_SEMI_ANTI_ORACLE = """
+SELECT c_custkey, TRUE AS has_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("semi_anti_customers", _SEMI_ANTI_ORACLE)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3 join family] Semi/anti join pair: every customer labeled
+    by order existence — ``left_semi`` (EXISTS) plus ``left_anti``
+    (NOT EXISTS) over the same probe side. Semi/anti ship NO payload
+    from the right side (the join carries only the key test), so at
+    100 TB the orders side reduces to its distinct keys inside the
+    join — far cheaper than an outer join + null test, which would
+    shuffle whole rows then discard them.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    cond_col = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond_col, "left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = c.join(o, cond_col, "left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
+_CMS_ORACLE = r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+    FROM documents
+),
+tok AS (SELECT w FROM toks WHERE w <> ''),
+pairs AS (
+    SELECT w,
+           i,
+           CAST('0x' || substr(md5(w || '#' || CAST(i AS VARCHAR)), 1, 15)
+                AS BIGINT) % 256 AS bucket
+    FROM tok, range(0, 4) t(i)
+),
+grid AS (SELECT i, bucket, count(*) AS cnt FROM pairs GROUP BY i, bucket),
+probe AS (
+    SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w HAVING count(*) >= 100
+),
+est AS (
+    SELECT p.w, p.exact_cnt, min(g.cnt) AS cms_estimate
+    FROM probe p
+    JOIN (SELECT DISTINCT w, i, bucket FROM pairs) pb ON pb.w = p.w
+    JOIN grid g ON g.i = pb.i AND g.bucket = pb.bucket
+    GROUP BY p.w, p.exact_cnt
+)
+SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+"""
+
+
+@query("cms_token_counts", _CMS_ORACLE)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch, beyond-ref] Count-min frequency sketch (4×256 grid)
+    over all token occurrences in documents, probed at the frequent
+    tokens (exact count ≥ 100) so the overestimate is visible next to
+    the truth. Like KMV, the hashing is public md5 arithmetic — the
+    ESTIMATES are hash-verified, not just the exact counts. The grid
+    is ≤1,024 rows regardless of corpus size (map-side partials
+    collapse before the shuffle; probing broadcasts the grid) and
+    mergeable across partitions/days — the 100 TB path to "how often
+    does this token appear" without a full-vocabulary shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(text.ws_trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    from ..sources.scratch import snapshot
+
+    # three consumers (grid build, exact counts, probe fan-out) —
+    # snapshot the one-column token stream instead of tokenizing the
+    # corpus three times
+    toks = snapshot(toks, prefix="cms_tokens_")
+    grid = sketches.cms_build(toks, "w", depth=4, width=256)
+    probes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= 100)
+    )
+    return sketches.cms_estimate(grid, probes, "w", depth=4, width=256)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_events", _STREAM_DEDUP_ORACLE)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming, beyond-ref] Streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type),
+    replayed over the finite events table with ``availableNow``
+    (real state store + watermark eviction machinery). The replay
+    delay exceeds the table's event-time span, so the emitted rows
+    are exactly the distinct keys — hash-verified against a plain
+    DISTINCT oracle — while the operator itself is the one an
+    unbounded 100 TB/day ingest would run with a short delay and
+    at-least-once semantics (streaming.dedup).
+    """
+    from ..streaming.dedup import run_dedup_over_events
+
+    return run_dedup_over_events(spark, sf_dir)

@@ -8,6 +8,7 @@ the point (``tumbling_window_counts`` in the catalog is the
 oracle-checked twin of ``tumbling_event_counts`` here).
 """
 
+from .dedup import dedup_stream, run_dedup_over_events  # noqa: F401
 from .stateful import (  # noqa: F401
     run_sessionize_over_events,
     sessionize_stateful,
