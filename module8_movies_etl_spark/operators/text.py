@@ -171,6 +171,75 @@ def quality_score(col: Column) -> Column:
     return length_factor * F.lit(0.4) + word_factor * F.lit(0.3) + punct_factor * F.lit(0.3)
 
 
+def text_stats_frame(df, text_col: str, keep_cols: tuple[str, ...] = ()):
+    """The quality-stats projection (token count, punct ratio, quality
+    score, BPE estimate, stopword ratio) as a STAGED two-projection
+    plan — the same repeated-subexpression discipline as
+    ``lang_id_frame``.
+
+    Inlining the five outputs repeats the expensive primitives —
+    ``ws_trim`` (a regexp over the whole text), the ``split`` tokenize,
+    the punctuation ``regexp_replace``, and the five stopword
+    ``replace`` scans — up to six times each inside one projection
+    (token_count alone appears in four outputs), and codegen evaluates
+    every occurrence. Staging names each primitive once; the outputs
+    are pure arithmetic over the named columns. Catalyst's
+    CollapseProject keeps the projections apart because re-inlining
+    would duplicate non-cheap expressions. Results are identical
+    (pinned by test_text_stats_frame_matches_inline).
+    """
+    t = F.col(text_col)
+    # Stage the trimmed text once, then every primitive once over it.
+    trimmed_df = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.length(t).cast("double").alias("_n_chars"),
+        F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("double").alias(
+            "_n_punct"
+        ),
+        _lang_score(t, "en").alias("_en_hits"),
+        ws_trim(t).alias("_trimmed"),
+    )
+    stage1 = trimmed_df.select(
+        *[F.col(c) for c in keep_cols],
+        "_n_chars",
+        "_n_punct",
+        "_en_hits",
+        F.length("_trimmed").alias("_n_trimmed"),
+        F.when(F.length("_trimmed") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("_trimmed"), r"\s+")))
+        .alias("_n_tokens"),
+    )
+    n_chars = F.col("_n_chars")
+    n_tokens = F.col("_n_tokens")
+    punct_ratio_c = F.col("_n_punct") / F.greatest(n_chars, F.lit(1.0))
+    mean_word = n_chars / F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    length_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_factor = F.when(
+        (mean_word >= 3) & (mean_word <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_factor = F.lit(1.0) - F.least(punct_ratio_c * F.lit(4.0), F.lit(1.0))
+    quality = (
+        length_factor * F.lit(0.4)
+        + word_factor * F.lit(0.3)
+        + punct_factor * F.lit(0.3)
+    )
+    bpe_extra = F.ceil(F.col("_n_trimmed") / F.lit(4)) - n_tokens
+    return stage1.select(
+        *[F.col(c) for c in keep_cols],
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio_c, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+        (n_tokens + F.greatest(bpe_extra, F.lit(0).cast("bigint"))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            F.col("_en_hits")
+            / F.greatest(n_tokens.cast("double"), F.lit(1.0)),
+            4,
+        ).alias("stopword_ratio_en"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercased,
     punctuation stripped, whitespace collapsed). The exact-dedup key.

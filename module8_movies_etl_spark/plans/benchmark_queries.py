@@ -496,9 +496,16 @@ def parse_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("$"), v_plain))
     )
     cleaned = currency.collapse_money_range(currency.strip_citations(raw))
-    extracted = currency.extract_currency(cleaned)
-    return p.select(
-        "p_partkey", currency.parse_dollars(extracted).alias("parsed_usd")
+    # Stage the extracted money string as a named column: parse_dollars
+    # references its input six times (3 rlike dispatches + 2 cleanup
+    # replaces), and inlined, each reference would re-run the whole
+    # strip→collapse→extract regexp chain (measured ~3× on this query;
+    # same staging discipline as text_stats_frame/lang_id_frame).
+    staged = p.select(
+        "p_partkey", currency.extract_currency(cleaned).alias("_money")
+    )
+    return staged.select(
+        "p_partkey", currency.parse_dollars(F.col("_money")).alias("parsed_usd")
     )
 
 
@@ -722,19 +729,12 @@ FROM documents
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[text-analysis] Token count, punctuation ratio, composite
     quality score, BPE-ish subword estimate, and English stopword
-    ratio — one fused narrow projection over documents; the 100 TB
-    quality-filter stage.
+    ratio over documents — the 100 TB quality-filter stage, as a
+    STAGED narrow plan (each regexp/split primitive evaluates once
+    per row, not once per output column; see text.text_stats_frame).
     """
     d = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        text.token_count(t).cast("long").alias("n_tokens"),
-        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(text.quality_score(t), 4).alias("quality"),
-        text.approx_bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
-        F.round(text.stopword_ratio(t, "en"), 4).alias("stopword_ratio_en"),
-    )
+    return text.text_stats_frame(d, "text", keep_cols=("doc_id",))
 
 
 def _lang_id_oracle() -> str:
@@ -2414,3 +2414,43 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup import run_dedup_over_events
 
     return run_dedup_over_events(spark, sf_dir)
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       round(avg(k), 2) AS avg_k
+FROM (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
+@query("parse_event_props", _PROPS_ORACLE)
+def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§1.3 stringified JSON] Parse the events.props JSON column with
+    ``from_json`` into a typed struct and aggregate the extracted
+    field — the reference's stringified-JSON pattern (kaggle `genres`
+    / `belongs_to_collection`, Data Cleaning.ipynb cell 9) as a
+    catalog query. Schema-on-read stays a narrow projection: the JSON
+    parse runs inside the scan stage, and only the extracted int
+    reaches the aggregate shuffle — at 100 TB the raw JSON strings
+    never move.
+    """
+    e = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )

@@ -108,3 +108,24 @@ def test_stream_dedup_reruns_in_one_session(spark, sf_dir):
     )
     assert a.count() == truth
     assert b.count() == truth
+
+
+def test_text_stats_frame_matches_inline(spark, sf_dir):
+    """The staged quality-stats plan is a pure restructuring — values
+    must be identical to the naive inline projection."""
+    from module8_movies_etl_spark.operators import text as T
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    inline = d.select(
+        "doc_id",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        F.round(T.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(T.quality_score(t), 4).alias("quality"),
+        T.approx_bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(T.stopword_ratio(t, "en"), 4).alias("stopword_ratio_en"),
+    )
+    staged = T.text_stats_frame(d, "text", keep_cols=("doc_id",))
+    assert sorted(staged.columns) == sorted(inline.columns)
+    assert staged.exceptAll(inline).count() == 0
+    assert inline.exceptAll(staged).count() == 0
