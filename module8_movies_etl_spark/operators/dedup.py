@@ -770,11 +770,16 @@ def connected_components(
     # the two mirrored directions cannot collide — and even a stray
     # duplicate would only repeat a min() input. Skipping it saves a
     # full shuffle of the doubled edge list (4.6M rows at sf0.1).
+    # REBALANCE before every scratch write: per-round tables here are
+    # (node, label) pairs — tiny at bench scale (32 near-empty files
+    # per round otherwise, committer overhead dominating), size-split
+    # at 100 TB. Same rationale as sources.scratch.snapshot.
     (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .hint("rebalance")
         .write.mode("overwrite")
         .parquet(f"{scratch}/edges")
     )
@@ -782,7 +787,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
-    labels.write.mode("overwrite").parquet(f"{scratch}/iter0")
+    labels.hint("rebalance").write.mode("overwrite").parquet(f"{scratch}/iter0")
     labels = spark.read.parquet(f"{scratch}/iter0")
     import shutil
 
@@ -806,7 +811,9 @@ def connected_components(
                     ).alias("_changed"),
                 )
             )
-            updated.write.mode("overwrite").parquet(f"{scratch}/iter{i}")
+            updated.hint("rebalance").write.mode("overwrite").parquet(
+                f"{scratch}/iter{i}"
+            )
             updated = spark.read.parquet(f"{scratch}/iter{i}")
             n_changed = updated.filter(F.col("_changed")).count()
             labels = updated.drop("_changed")

@@ -32,16 +32,31 @@ from pyspark.sql import DataFrame
 _LIVE: set[str] = set()
 
 
-def snapshot(df: DataFrame, prefix: str = "snap_", scratch_root: str | None = None) -> DataFrame:
+def snapshot(
+    df: DataFrame,
+    prefix: str = "snap_",
+    scratch_root: str | None = None,
+    rebalance: bool = True,
+) -> DataFrame:
     """Write ``df`` to a fresh scratch parquet dir and return the
     re-read (lineage-truncated) DataFrame.
 
     NOTE: this executes ``df`` EAGERLY — builders that call it run
     their upstream stages at construction time, trading laziness for
     single execution of a multiply-consumed stage.
+
+    ``rebalance`` (default) routes the write through AQE's REBALANCE
+    exchange: small outputs coalesce to a few right-sized files
+    (a 260k-row postings snapshot wrote 32 near-empty files and spent
+    3× longer on task/committer overhead than on data) and skewed
+    outputs split — the same code writes hundreds of size-targeted
+    files at 100 TB. The extra shuffle before a checkpoint write is
+    the standard production trade; pass ``rebalance=False`` when the
+    input partitioning must be preserved byte-for-byte.
     """
     path = tempfile.mkdtemp(prefix=prefix, dir=scratch_root)
-    df.write.mode("overwrite").parquet(path)
+    out = df.hint("rebalance") if rebalance else df
+    out.write.mode("overwrite").parquet(path)
     _LIVE.add(path)
     return df.sparkSession.read.parquet(path)
 
