@@ -791,6 +791,8 @@ def connected_components(
     labels = spark.read.parquet(f"{scratch}/iter0")
     import shutil
 
+    from pyspark.sql import Observation
+
     converged_at = None
     try:
         for i in range(1, max_iters + 1):
@@ -811,12 +813,20 @@ def connected_components(
                     ).alias("_changed"),
                 )
             )
-            updated.hint("rebalance").write.mode("overwrite").parquet(
-                f"{scratch}/iter{i}"
+            # The convergence count rides ON the snapshot write as an
+            # Observation metric — a separate count() action per round
+            # would re-scan the just-written table (two passes per
+            # round instead of one; the difference compounds at 100 TB
+            # where each pass is a full label-table read).
+            obs = Observation(f"cc_round_{i}")
+            observed = updated.observe(
+                obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
             )
-            updated = spark.read.parquet(f"{scratch}/iter{i}")
-            n_changed = updated.filter(F.col("_changed")).count()
-            labels = updated.drop("_changed")
+            observed.drop("_changed").hint("rebalance").write.mode(
+                "overwrite"
+            ).parquet(f"{scratch}/iter{i}")
+            n_changed = obs.get["n_changed"] or 0
+            labels = spark.read.parquet(f"{scratch}/iter{i}")
             if n_changed == 0:
                 converged_at = i
                 break

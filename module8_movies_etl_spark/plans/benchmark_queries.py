@@ -1142,14 +1142,17 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
-def _embedding_near_dup_oracle(
-    n_planes: int = 12, dim: int = 64, n_bands: int = 3
+def _embedding_pairs_cte(
+    n_planes: int = 12, dim: int = 64, n_bands: int = 3, threshold: float = 0.2
 ) -> str:
-    """DuckDB oracle for BANDED hyperplane-LSH near-dup pairs: the ±1
-    plane weights are plan-time constants (python hashlib), so the SQL
+    """Shared CTE body producing banded hyperplane-LSH near-dup pairs
+    with verified cosine (``pairs(id_a, id_b, cos)``): the ±1 plane
+    weights are plan-time constants (python hashlib), so the SQL
     embeds them as array literals — single source of truth with the
     Spark expression (similarity.plane_weights); the band split and
-    OR-combination mirror similarity.embedding_near_dups exactly."""
+    OR-combination mirror similarity.embedding_near_dups exactly.
+    Used by both the near-dup-pairs oracle and the semantic-dedup
+    transitive-closure oracle."""
     from ..operators.similarity import plane_weights
 
     band_bits = n_planes // n_bands
@@ -1168,7 +1171,7 @@ def _embedding_near_dup_oracle(
     )
     band_or = " OR ".join(f"a.band{i} = c.band{i}" for i in range(n_bands))
     return f"""
-WITH v AS (
+v AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 proj AS (
@@ -1183,16 +1186,29 @@ b AS (
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
     FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({band_or})
-)
-SELECT cand.id_a, cand.id_b,
-       round(list_dot_product(x.v, y.v)
-             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
-           AS cosine_sim
-FROM cand
-JOIN v x ON x.vec_id = cand.id_a
-JOIN v y ON y.vec_id = cand.id_b
-WHERE list_dot_product(x.v, y.v)
-      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.2
+),
+pairs AS (
+    SELECT cand.id_a, cand.id_b,
+           list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+               AS cos
+    FROM cand
+    JOIN v x ON x.vec_id = cand.id_a
+    JOIN v y ON y.vec_id = cand.id_b
+    WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+          >= {threshold}
+)"""
+
+
+def _embedding_near_dup_oracle(
+    n_planes: int = 12, dim: int = 64, n_bands: int = 3
+) -> str:
+    """Near-dup pairs oracle: the shared pairs CTE, rounded."""
+    cte = _embedding_pairs_cte(n_planes, dim, n_bands, threshold=0.2)
+    return f"""
+WITH {cte}
+SELECT id_a, id_b, round(cos, 4) AS cosine_sim FROM pairs
 """
 
 
@@ -2453,4 +2469,135 @@ def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
             F.round(F.avg("k"), 2).alias("avg_k"),
         )
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH h AS (
+    SELECT l_orderkey,
+           count(*) FILTER (WHERE l_returnflag = 'A') AS flag_a,
+           count(*) FILTER (WHERE l_returnflag = 'N') AS flag_n,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS flag_r
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, 'flag_a' AS flag, CAST(flag_a AS BIGINT) AS cnt FROM h
+UNION ALL
+SELECT l_orderkey, 'flag_n' AS flag, CAST(flag_n AS BIGINT) AS cnt FROM h
+UNION ALL
+SELECT l_orderkey, 'flag_r' AS flag, CAST(flag_r AS BIGINT) AS cnt FROM h
+"""
+
+
+@query("unpivot_order_flags", _UNPIVOT_ORACLE)
+def unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 reshape] Unpivot/melt — the INVERSE of V1: the per-order
+    return-flag histogram widened by pivot_count goes back to long
+    (order, flag, cnt) form via ``df.unpivot``. Wide→long is the
+    reshape the reference never needed but every analytics surface
+    pairs with pivot; Spark expands it as an Expand node in the same
+    stage — no shuffle beyond the histogram's own aggregate.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    hist = pivot.pivot_count(
+        lineitem, "l_orderkey", "l_returnflag", values=["A", "N", "R"], prefix="flag_"
+    ).select(
+        "l_orderkey",
+        F.col("`flag_A`").alias("flag_a"),
+        F.col("`flag_N`").alias("flag_n"),
+        F.col("`flag_R`").alias("flag_r"),
+    )
+    # pivot leaves NULL where an order has no lineitem with that flag;
+    # long form reports zero occurrences (matching the FILTER-count
+    # formulation), so zero-fill before melting.
+    return hist.na.fill(0).unpivot(
+        ids=["l_orderkey"],
+        values=["flag_a", "flag_n", "flag_r"],
+        variableColumnName="flag",
+        valueColumnName="cnt",
+    )
+
+
+_TOP_TOKENS_ORACLE = r"""
+WITH toks AS (
+    SELECT lang,
+           unnest(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+    FROM documents
+),
+counts AS (
+    SELECT lang, w, count(*) AS cnt
+    FROM toks WHERE w <> '' GROUP BY lang, w
+)
+SELECT lang, w, cnt, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT lang, w, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rnk
+    FROM counts
+)
+WHERE rnk <= 5
+"""
+
+
+@query("top_tokens_per_lang", _TOP_TOKENS_ORACLE)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis] Per-language top-5 tokens by occurrence count —
+    the heavy-hitters profile of a corpus (the exact counterpart of
+    the CMS sketch's estimates). One hash aggregate on (lang, token)
+    then a rank window per language; WindowGroupLimit pushes the top-k
+    below the window sort, so only each partition's leaders shuffle.
+    Ties break lexicographically for determinism.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(text.ws_trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("w"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Transitive closure over the banded-LSH verified cosine pairs —
+    the embeddings-side twin of fuzzy_dedup_clusters' recursive CTE."""
+    cte = _embedding_pairs_cte(threshold=0.2)
+    return f"""
+WITH RECURSIVE {cte},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT vec_id AS node, vec_id AS m FROM embeddings
+    UNION
+    SELECT e.src AS node, r.m
+    FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node AS vec_id, CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
+@query("semantic_dedup_clusters", _semantic_dedup_oracle())
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-embedding decision] SemDeDup-style semantic dedup
+    finished end to end on the embeddings table: banded hyperplane-LSH
+    candidate pairs, exact cosine verification (embedding_near_dups),
+    then connected components assign every vector its cluster's min id
+    — keep rows where vec_id == cluster_id and the corpus is
+    semantically deduplicated. Same iterative min-label propagation as
+    the text-side decision (fuzzy_dedup_clusters); the oracle replays
+    the identical plane/band math plus a recursive-CTE closure.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    ).select("id_a", "id_b")
+    return dedup.connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
     )

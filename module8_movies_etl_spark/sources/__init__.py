@@ -9,4 +9,10 @@ from .readers import (  # noqa: F401
     read_table,
     read_tables,
 )
-from .writers import write_jdbc, write_orc, write_parquet  # noqa: F401
+from .writers import (  # noqa: F401
+    write_csv,
+    write_jdbc,
+    write_json,
+    write_orc,
+    write_parquet,
+)

@@ -55,6 +55,33 @@ def write_jdbc(
     df.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """CSV sink — the reference's actual output format (its repo
+    strips two output CSVs, ``.MISSING_LARGE_BLOBS``; pandas
+    ``to_csv`` equivalents). Executor-parallel part files; the
+    interchange sink for spreadsheet/pandas consumers. Not a 100 TB
+    format (no columnar pruning, no row groups) — parquet stays
+    canonical; this exists for export parity.
+    """
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the mirror of the S1 JSON scan, for
+    downstream consumers of the reference's wiki-shaped records.
+    Same export-parity caveat as CSV."""
+    df.write.mode(mode).json(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

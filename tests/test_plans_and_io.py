@@ -281,3 +281,31 @@ def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
     one = sorted(payloads.items())[0][1]
     h = hashlib.sha256(one).digest()
     assert any(r.width == 64 + h[0] and r.height == 64 + h[1] for r in feats)
+
+
+def test_csv_json_sink_roundtrip(spark, tmp_path):
+    """The reference's actual outputs were CSVs (.MISSING_LARGE_BLOBS);
+    csv/json sinks round-trip values through their text encodings."""
+    from module8_movies_etl_spark.sources import write_csv, write_json
+
+    o = read_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    csv_out = str(tmp_path / "orders_csv")
+    write_csv(o, csv_out)
+    back_csv = spark.read.csv(csv_out, header=True, inferSchema=True)
+    assert back_csv.count() == o.count()
+    assert sorted(back_csv.columns) == sorted(o.columns)
+    assert (
+        back_csv.agg(F.sum("o_orderkey")).first()[0]
+        == o.agg(F.sum("o_orderkey")).first()[0]
+    )
+
+    json_out = str(tmp_path / "orders_json")
+    write_json(o, json_out)
+    back_json = spark.read.json(json_out)
+    assert back_json.count() == o.count()
+    assert (
+        back_json.agg(F.sum("o_orderkey")).first()[0]
+        == o.agg(F.sum("o_orderkey")).first()[0]
+    )
