@@ -784,11 +784,13 @@ def connected_components(
         .parquet(f"{scratch}/edges")
     )
     edges = spark.read.parquet(f"{scratch}/edges")
+    # Round-0 labels need NO snapshot: their lineage is already a flat
+    # projection over the caller's (parquet-backed) nodes table, so
+    # there is nothing to truncate — the per-round writes take over
+    # from round 1.
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
-    labels.hint("rebalance").write.mode("overwrite").parquet(f"{scratch}/iter0")
-    labels = spark.read.parquet(f"{scratch}/iter0")
     import shutil
 
     from pyspark.sql import Observation

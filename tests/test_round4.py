@@ -129,3 +129,19 @@ def test_text_stats_frame_matches_inline(spark, sf_dir):
     assert sorted(staged.columns) == sorted(inline.columns)
     assert staged.exceptAll(inline).count() == 0
     assert inline.exceptAll(staged).count() == 0
+
+
+def test_hash_sample_plan_is_narrow(spark, sf_dir):
+    """Deterministic sampling is a pure scan-side filter — the plan
+    must contain no Exchange (no shuffle, no repartition)."""
+    df = bq.QUERIES["hash_sample_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_cms_probe_broadcasts_grid(spark, sf_dir):
+    """The CMS grid is ≤ depth×width rows regardless of corpus size —
+    probing must broadcast it, never shuffle the probe stream."""
+    df = bq.QUERIES["cms_token_counts"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
