@@ -13,7 +13,7 @@ hash-verifiable by the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import normalize_text
@@ -245,3 +245,66 @@ def fingerprint(col: Column) -> Column:
     punctuation stripped, whitespace collapsed). The exact-dedup key.
     """
     return F.md5(normalize_text(col))
+
+
+def tokenize_to_ids(
+    df,
+    id_col: str,
+    text_col: str,
+    max_vocab: int = 65_536,
+):
+    """Text → ordered token-id sequences — the tokenization step every
+    training-data pipeline ends with.
+
+    1. **Vocabulary**: distinct tokens ranked by (count desc, token
+       asc); rank is the id (1-based; ties broken lexicographically so
+       the vocab is deterministic). ``orderBy().limit(max_vocab)``
+       plans as TakeOrderedAndProject — the vocab is BOUNDED by
+       construction (real subword vocabs are ~10^5), so the global
+       rank never becomes an unbounded single-partition sort, and the
+       id lookup below broadcasts.
+    2. **Encoding**: positions from posexplode; ids from a broadcast
+       join against the vocab (out-of-vocab → 0, the UNK id);
+       per-doc arrays reassembled in position order via
+       ``array_sort(collect_list(struct(pos, id)))`` — one shuffle on
+       the doc key.
+
+    Returns (id_col, n_tokens, token_ids) with docs that have no
+    tokens carrying empty arrays.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    ).filter(F.col("_w") != "")
+    vocab = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("_w"))
+        .limit(max_vocab)
+        .select(
+            "_w",
+            (F.row_number().over(Window.orderBy(F.desc("_cnt"), F.asc("_w"))))
+            .cast("int")
+            .alias("_id"),
+        )
+    )
+    encoded = (
+        toks.join(F.broadcast(vocab), "_w", "left")
+        .select(
+            F.col(id_col),
+            "_p",
+            F.coalesce("_id", F.lit(0)).cast("int").alias("_id"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_id"))),
+                lambda s: s.getField("_id"),
+            ).alias("token_ids")
+        )
+    )
+    return df.select(F.col(id_col)).join(encoded, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.size("token_ids"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+    )

@@ -2601,3 +2601,55 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         pairs, emb.select("vec_id"), id_col="vec_id"
     )
+
+
+_TOKENIZE_ORACLE = r"""
+WITH split AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, u.pos, u.w
+    FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': ws[i]}
+                       for i in range(1, len(ws) + 1)],
+                      recursive := true)
+        FROM split
+    ) AS u(doc_id, pos, w)
+    WHERE u.w <> ''
+),
+vocab AS (
+    SELECT w,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS INTEGER) AS id
+    FROM toks GROUP BY w
+    ORDER BY count(*) DESC, w
+    LIMIT 65536
+),
+enc AS (
+    SELECT t.doc_id, list(coalesce(v.id, 0) ORDER BY t.pos) AS token_ids
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
+       coalesce(e.token_ids, []) AS token_ids
+FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+"""
+
+
+@query("tokenize_documents", _TOKENIZE_ORACLE)
+def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis] Text → ordered token-id sequences over a
+    frequency-ranked vocabulary (ties lexicographic, OOV → 0) — the
+    tokenization step a training-data pipeline feeds to the trainer,
+    with the id ARRAYS themselves hash-verified. Vocab build is
+    TakeOrderedAndProject (bounded by max_vocab, never an unbounded
+    global sort); encoding is a broadcast vocab join + one shuffle on
+    doc_id to reassemble position-ordered arrays
+    (operators.text.tokenize_to_ids).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return text.tokenize_to_ids(d, "doc_id", "text", max_vocab=65_536)

@@ -30,6 +30,15 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array/list cells (e.g. token-id sequences) are unhashable and
+    # unsortable in pandas — stringify them, matching the driver's own
+    # str()-based value compare
+    for col in df.columns:
+        if df[col].map(lambda v: isinstance(v, (list, tuple))
+                       or type(v).__name__ == "ndarray").any():
+            df[col] = df[col].map(
+                lambda v: str(list(v)) if v is not None else None
+            )
     # normalize value repr: NaN -> None-ish marker, floats rounded hard
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True

@@ -145,3 +145,25 @@ def test_cms_probe_broadcasts_grid(spark, sf_dir):
     df = bq.QUERIES["cms_token_counts"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tokenize_to_ids_vocab_rank_and_oov(spark):
+    """Vocab ids are frequency-ranked (ties lexicographic), OOV maps
+    to 0, and token order is preserved; empty docs get empty arrays."""
+    from module8_movies_etl_spark.operators.text import tokenize_to_ids
+
+    rows = [
+        (1, "b a b c b a"),
+        (2, "a zz b"),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    # frequencies: b=4, a=3, c=1, zz=1 → ids b=1, a=2, c=3, zz=4; with
+    # max_vocab=3 zz falls out → 0
+    out = {
+        r.id: (r.n_tokens, r.token_ids)
+        for r in tokenize_to_ids(df, "id", "txt", max_vocab=3).collect()
+    }
+    assert out[1] == (6, [1, 2, 1, 3, 1, 2])
+    assert out[2] == (3, [2, 0, 1])
+    assert out[3] == (0, [])
