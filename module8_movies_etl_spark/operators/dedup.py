@@ -566,29 +566,50 @@ def simhash64(text_col: str) -> F.Column:
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh) — 60-bit SimHash per document, computed the
     codegen-friendly way: explode words, hash each word once
-    (``conv(md5[:15])``), project its 60 bit tests as flat int
-    columns, and hash-aggregate ``S_i = Σ bit_i`` + ``N = count``
-    per doc. votes_i = 2·S_i − N, output bit i set iff votes_i > 0 —
-    bit-identical to the ``simhash64`` expression form, minus the
-    interpreted 60-wide array fold per word.
+    (``conv(md5[:15])``), and hash-aggregate per-bit counters
+    ``S_i = Σ bit_i`` + ``N = count`` per doc. votes_i = 2·S_i − N,
+    output bit i set iff votes_i > 0 — bit-identical to the
+    ``simhash64`` expression form, minus the interpreted 60-wide
+    array fold per word.
+
+    The 60 counters are BIT-SLICED into 20 packed longs (bits i,
+    i+20, i+40 share one long at offsets 0/20/40): each counter gets
+    20 bits of headroom, so packs can't carry into each other below
+    2^20 distinct words per doc (far above any real document — and
+    ``_word_postings`` is per-DISTINCT-word). Packing cuts the
+    aggregate from 61 buffers to 21 — measured ~1.3× warm and ~2.6×
+    cold (the codegen'd class shrinks with the expression tree) on
+    the signature stage at sf0.1 — with the per-posting projection
+    still pure codegen'd shift/mask arithmetic.
     """
     postings = _word_postings(df, id_col, text_col)
     h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    bits = postings.select(
+    packed = postings.select(
         id_col,
         *[
-            F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int").alias(f"b{i}")
-            for i in range(60)
+            (
+                F.shiftright(h, j).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright(h, j + 20).bitwiseAND(F.lit(1)), 20
+                )
+                + F.shiftleft(
+                    F.shiftright(h, j + 40).bitwiseAND(F.lit(1)), 40
+                )
+            ).cast("long").alias(f"p{j}")
+            for j in range(20)
         ],
     )
-    agg = bits.groupBy(id_col).agg(
+    agg = packed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(60)],
+        *[F.sum(f"p{j}").alias(f"sp{j}") for j in range(20)],
     )
+    mask = F.lit((1 << 20) - 1)
     sh = None
     for i in range(60):
+        j, k = i % 20, i // 20
+        s_i = F.shiftright(F.col(f"sp{j}"), 20 * k).bitwiseAND(mask)
         term = F.when(
-            F.col(f"s{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+            s_i * 2 > F.col("_n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sh = term if sh is None else sh + term
     return agg.select(F.col(id_col), sh.alias("sh"))
@@ -753,12 +774,10 @@ def connected_components(
     (isolated docs keep themselves as cluster_id). Returns
     (id_col, cluster_id).
     """
-    import tempfile
-
-    from ..sources.scratch import register
+    from ..sources.scratch import mkscratch, register
 
     spark = pairs.sparkSession
-    scratch = tempfile.mkdtemp(prefix="cc_labels_")
+    scratch = mkscratch("cc_labels_")
     # the final label snapshot backs the returned DataFrame — adopt
     # the dir into the shared atexit reap instead of leaking it
     register(scratch)

@@ -44,6 +44,19 @@ def _ensure_jvm_opts() -> None:
         os.environ["SPARK_SUBMIT_OPTS"] = f"{cur} {_JVM_CODE_CACHE_OPTS}".strip()
 
 
+def _local_dir() -> str:
+    """Shuffle-file location: $SPARK_GRAFT_LOCAL_DIR, else /dev/shm
+    (RAM-backed) when present, else the system tmpdir."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/spark-local"
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def cpu_count() -> int:
     """Worker-thread count: $SPARK_GRAFT_CPUS if set, else all cores."""
     env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -85,6 +98,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/spill files on RAM-backed storage when available:
+        # local-mode shuffle volumes are small, and keeping them off
+        # the (shared) data disk removes I/O-contention variance. A
+        # cluster deployment overrides with its fast local disks
+        # ($SPARK_GRAFT_LOCAL_DIR or spark.local.dir in extra_conf).
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

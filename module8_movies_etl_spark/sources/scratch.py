@@ -24,6 +24,7 @@ must point ``scratch_root`` at a shared filesystem/object-store URI
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -32,10 +33,31 @@ from pyspark.sql import DataFrame
 _LIVE: set[str] = set()
 
 
+def scratch_root() -> str | None:
+    """Root for scratch dirs: ``$SPARK_GRAFT_SCRATCH`` if set, else
+    ``/dev/shm`` when available (RAM-backed — stage snapshots are
+    small and transient, and keeping them off the data disk removes
+    I/O contention with co-tenant load), else the system tmpdir.
+    A cluster deployment overrides with a shared-filesystem URI."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return None  # tempfile default
+
+
+def mkscratch(prefix: str) -> str:
+    """Create (and return) a scratch dir under ``scratch_root()``.
+    The caller owns cleanup — or calls ``register`` to defer it to
+    the atexit reap."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
 def snapshot(
     df: DataFrame,
     prefix: str = "snap_",
-    scratch_root: str | None = None,
+    root: str | None = None,
     rebalance: bool = True,
 ) -> DataFrame:
     """Write ``df`` to a fresh scratch parquet dir and return the
@@ -54,7 +76,7 @@ def snapshot(
     the standard production trade; pass ``rebalance=False`` when the
     input partitioning must be preserved byte-for-byte.
     """
-    path = tempfile.mkdtemp(prefix=prefix, dir=scratch_root)
+    path = tempfile.mkdtemp(prefix=prefix, dir=root or scratch_root())
     out = df.hint("rebalance") if rebalance else df
     out.write.mode("overwrite").parquet(path)
     _LIVE.add(path)

@@ -54,10 +54,8 @@ def run_dedup_over_events(
     oracle. Production callers pass a short delay and accept
     re-emission past the horizon.
     """
-    import tempfile
-
     from ..sources.readers import read_table
-    from ..sources.scratch import register
+    from ..sources.scratch import mkscratch, register
 
     keys = keys or ["user_id", "event_type"]
     # The file-stream source needs a DIRECTORY (events.parquet is a
@@ -66,7 +64,7 @@ def run_dedup_over_events(
     # reject — so snapshot the needed columns to scratch and declare
     # ts as TIMESTAMP (decodes the same micros; same trick as
     # streaming.stateful).
-    scratch = tempfile.mkdtemp(prefix="stream_dedup_")
+    scratch = mkscratch("stream_dedup_")
     register(scratch)
     batch = read_table(spark, sf_dir, "events").select(
         *keys, F.col("ts").cast("timestamp").alias("ts")

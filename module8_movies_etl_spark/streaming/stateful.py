@@ -163,13 +163,12 @@ def run_sessionize_over_events(
     sessionizer's (the production posture for live data is a real
     watermark delay, not 0 seconds).
     """
-    import tempfile
-
     from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch
 
     if query_name is None:
         query_name = f"sessionize_stateful_sink_{next(_SINK_SEQ)}"
-    scratch = tempfile.mkdtemp(prefix="sessionize_stream_")
+    scratch = mkscratch("sessionize_stream_")
     read_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     ).coalesce(1).write.mode("overwrite").parquet(scratch)

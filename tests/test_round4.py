@@ -167,3 +167,29 @@ def test_tokenize_to_ids_vocab_rank_and_oov(spark):
     assert out[1] == (6, [1, 2, 1, 3, 1, 2])
     assert out[2] == (3, [2, 0, 1])
     assert out[3] == (0, [])
+
+
+def test_sql_api_matches_dataframe_plan(spark, sf_dir):
+    """The SQL surface builds the same Catalyst plans as the DataFrame
+    API: a SQL star-join aggregates to identical results, and its
+    filter still reaches the scan as a pushed filter."""
+    from module8_movies_etl_spark.plans.sql_api import run_sql
+
+    sql_df = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        """,
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df_df = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, df_df.collect()))
+    plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
