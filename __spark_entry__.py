@@ -8,11 +8,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual catalog lives in
 ``module8_movies_etl_spark.plans.benchmark_queries`` — one named query
 per implemented SURVEY.md §2 operator (plus the LLM-pipeline
-extensions), each with a DuckDB oracle. As of round 3 every entry is
-fully hash-verified except ``random_sample_orders`` (Spark's sample
-RNG is engine-specific — rows-only by necessity); even the LSH / IVF
-ANN paths and the 60-bit simhash fold replay deterministically in
-SQL.
+extensions), each with a DuckDB oracle. As of round 4 the catalog is
+68 queries; every entry is fully hash-verified except
+``random_sample_orders`` (Spark's sample RNG is engine-specific —
+rows-only by necessity; its deterministic md5 twin
+``hash_sample_orders`` IS hash-verified). Even the LSH / IVF ANN
+paths, the 60-bit simhash fold, the KMV/CMS sketch estimates, the
+connected-components closures, and the tokenizer's id arrays replay
+deterministically in SQL.
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(_idpdf, "id long").count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
@@ -56,6 +57,14 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
+            # Second, warm pass: plan/codegen compiled, footers cached.
+            # Reported SEPARATELY (queries_warm) — "queries"/"value"
+            # stay the first-run numbers, comparable to prior rounds;
+            # the warm pass shows steady-state throughput with
+            # one-off compile cost and host noise largely removed.
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.perf_counter() - t1, 3)
         except Exception as exc:  # noqa: BLE001 - record, don't die mid-bench
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr, flush=True)
@@ -68,6 +77,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

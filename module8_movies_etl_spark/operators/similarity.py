@@ -558,3 +558,255 @@ def embedding_near_dups(
         joined.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the ANN memory-scale path: vectors
+# compress to m small codes (here 8 codes × 4 bits = 8 bytes vs 256
+# bytes of raw float32), and candidate scoring reads ONLY the codes
+# via ADC lookup tables; raw vectors are touched only for the final
+# exact re-rank of a small shortlist. At 100 TB of embeddings the
+# code table is ~1/32 the size of the vector table — the difference
+# between an index that fits in cluster memory and one that doesn't.
+#
+# Determinism/oracle discipline (same as IVF): codebooks are trained
+# driver-side on a bounded deterministic sample with a shared no-RNG
+# Lloyd core, so they are plan-time constants both the Spark path and
+# the DuckDB oracle embed. Every dot/dist accumulation that must
+# compare bit-identically across engines is written in FIXED
+# left-to-right order on both sides (sequential-over-dimension numpy
+# accumulation here, explicit `t0 + t1 + ...` chains in the SQL).
+# ---------------------------------------------------------------------------
+
+
+def lloyd_l2(
+    sample: list[list[float]], n_centroids: int, iters: int = 5
+) -> list[list[float]]:
+    """Deterministic L2 Lloyd (plain k-means) for PQ sub-codebooks:
+    init every ⌊n/k⌋-th sample vector, stable argmin (ties→lowest
+    index), mean update, empty clusters keep their centroid, no RNG.
+    Shared by the Spark trainer and the oracle generator, so both
+    embed bit-identical codebooks."""
+    import numpy as np
+
+    v = np.array(sample, dtype=np.float64)
+    step = max(len(v) // n_centroids, 1)
+    c = v[::step][:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(c)):
+            members = v[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in c]
+
+
+def pq_codebooks_from_sample(
+    sample: list[list[float]], m: int = 8, n_codes: int = 16, iters: int = 5
+) -> list[list[list[float]]]:
+    """m sub-codebooks (m × n_codes × dim/m) from a raw-vector sample —
+    the single training routine both engines' replicas call."""
+    dim = len(sample[0])
+    dsub = dim // m
+    return [
+        lloyd_l2([v[j * dsub : (j + 1) * dsub] for v in sample], n_codes, iters)
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 512,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Bounded deterministic sample (ORDER BY id LIMIT n — a few
+    hundred KB regardless of corpus size) → shared PQ trainer."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    )
+    return pq_codebooks_from_sample(
+        [list(r[1]) for r in rows], m=m, n_codes=n_codes, iters=iters
+    )
+
+
+def _seq_dot(a, b):
+    """Sequential-over-last-axis accumulation: a ⊙ b summed d=0,1,…
+    in FIXED order — bit-matches the oracle's explicit `t0 + t1 + …`
+    chains (numpy's pairwise/BLAS summation would not)."""
+    import numpy as np
+
+    acc = np.zeros(np.broadcast(a[..., 0], b[..., 0]).shape, dtype=np.float64)
+    for d in range(a.shape[-1]):
+        acc = acc + a[..., d] * b[..., d]
+    return acc
+
+
+def pq_encode_table(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, c0..c{m-1}) — each vector's per-subspace code: argmin over
+    centroids of ||x_sub − c||², compared via t = ||c||² − 2·x_sub·c
+    (the ||x_sub||² term is constant per row and dropped). One Arrow
+    batch per partition; stable argmin (ties→lowest code). The t
+    formula, the ||c||² literals, and the sequential x·c order are
+    IDENTICAL to the oracle's SQL, so codes match bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, n_codes, dsub = cb.shape
+    cnorm = np.array(
+        [[_seq_dot(c, c) for c in cb[j]] for j in range(m)], dtype=np.float64
+    )  # (m, k)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"{id_col} {id_type}"] + [f"c{j} int" for j in range(m)])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col]}
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+                # x·c per code, sequential over d
+                xc = _seq_dot(sub[:, None, :], cb[j][None, :, :])  # (n, k)
+                t = cnorm[j][None, :] - 2.0 * xc
+                out[f"c{j}"] = np.argmin(t, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 64,
+    shortlist: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ANN top-k via PQ-ADC: asymmetric-distance shortlist over the
+    8-byte code table, exact cosine re-rank of the shortlist.
+
+    Plan shape: the query set is SMALL by contract (ANN queries are a
+    probe set, not a table) — it is collected once driver-side and its
+    per-subspace lookup tables (query_sub · centroid, nq × m × k
+    doubles) ship as plan constants inside the scoring UDF. Scoring
+    reads ONLY (id, codes): one narrow Arrow pass, sequential-over-m
+    LUT accumulation, no raw vectors. The raw vectors enter exactly
+    once, joining back to the ≤ shortlist×nq candidate ids for the
+    exact re-rank — at 100 TB the 32×-smaller code table is the only
+    thing scanned per query batch.
+
+    Shortlist ranks by approximate DOT (vectors near-unit-norm in
+    this corpus); the exact re-rank restores true cosine order.
+    Recall is pinned against the brute-force truth by
+    test_pq_recall_floor.
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, n_codes=n_codes
+        )
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, dsub)
+    _, _, dsub = cb.shape
+    q_rows = sorted(
+        queries.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    q_ids = [r[0] for r in q_rows]
+    qv = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # (nq, dim)
+    # LUT[qi, j, code] = q_sub · c — sequential over d, like the SQL
+    lut = np.stack(
+        [
+            _seq_dot(
+                qv[:, j * dsub : (j + 1) * dsub][:, None, :], cb[j][None, :, :]
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (nq, m, k)
+
+    codes = pq_encode_table(corpus, codebooks, id_col, vec_col)
+    import pandas as pd
+
+    nq = len(q_ids)
+    q_id_arr = np.array(q_ids)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"query_id {id_type}, neighbor_id {id_type}, approx double"
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            code_mat = np.stack(
+                [pdf[f"c{j}"].to_numpy() for j in range(m)], axis=1
+            )  # (n, m)
+            # approx[n, q]: sequential over m — matches `t0 + t1 + …`
+            acc = np.zeros((n, nq), dtype=np.float64)
+            for j in range(m):
+                acc = acc + lut[:, j, code_mat[:, j]].T  # (n, nq)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_id_arr, n),
+                    "neighbor_id": ids.repeat(nq),
+                    "approx": acc.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(score, schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv_df = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
+    )
+    cv_df = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
+    )
+    rescored = (
+        cand.join(F.broadcast(qv_df), "query_id")
+        .join(cv_df, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -359,3 +359,24 @@ def test_connected_components_chain(spark):
         for r in dedup.connected_components(pairs, nodes, id_col="id").collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 99: 99}
+
+
+def test_cosine_pq_recall_vs_bruteforce(spark):
+    """PQ-ADC recall floor vs the oracle-verified brute force: the
+    catalog config (8 subspaces × 64 codes, 64-id shortlist) measured
+    0.975 @ top-5 at sf0.001 on these isotropic synthetic vectors
+    (4-bit codes measured 0.575 — the 6-bit codebook is what earns
+    the recall). The floor pins codes, ADC scoring, and re-rank
+    against regression."""
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_pq(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall {recall} below the 0.8 floor"

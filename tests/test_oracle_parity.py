@@ -38,6 +38,13 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
         oracle = _cosine_topk_ivf_oracle(sf_dir=sf_dir)
+    if name == "cosine_topk_pq":
+        # PQ codebooks are likewise trained from the SF's own sample
+        from module8_movies_etl_spark.plans.benchmark_queries import (
+            _cosine_topk_pq_oracle,
+        )
+
+        oracle = _cosine_topk_pq_oracle(sf_dir=sf_dir)
     errors = compare(df, con, oracle, name)
     hard = [e for e in errors if "WARNING" not in e]
     assert not hard, "\n".join(errors)
