@@ -19,6 +19,12 @@ from .dedup import (  # noqa: F401
     winnow_fingerprints,
     winnow_similar_pairs,
 )
+from .curation import (  # noqa: F401
+    contamination_hits,
+    quota_sample,
+    repetition_stats,
+    tfidf_top_terms,
+)
 from .filters import dedup_by_key, null_prune, prune_mostly_null_columns  # noqa: F401
 from .joins import join_with_suffixes, left_join_small  # noqa: F401
 from .pivot import pivot_count  # noqa: F401

@@ -1,0 +1,242 @@
+"""Training-data curation operators (SURVEY.md §2.13 north-star set).
+
+These are the corpus-hygiene steps a 100 TB LLM data pipeline runs
+between ingest and tokenization, beyond the dedup family in
+``operators/dedup.py``:
+
+- **benchmark decontamination** (``contamination_hits``): flag corpus
+  documents that share any word n-gram with a held-out benchmark set,
+  the standard eval-leakage guard. The benchmark side is small by
+  definition, so its shingle set broadcasts; the corpus side is one
+  posting pass — the same single-shuffle shape as the dedup postings.
+- **per-group quota sampling** (``quota_sample``): cap documents per
+  source/domain, the "don't let one crawl dominate" rebalancer. Hash
+  order makes the decision deterministic and repartition-stable (same
+  md5 trick as ``operators/sampling.py``).
+- **repetition quality flags** (``repetition_stats``): Gopher-style
+  intra-document repetition metrics (unique-word ratio, top-word and
+  top-bigram mass, mean word length) with a composite keep flag.
+- **TF-IDF top terms** (``tfidf_top_terms``): per-document keyword
+  extraction over exact corpus document frequencies. The idf is the
+  BM25 rational form ``(N - df + 0.5) / (df + 0.5)`` — pure
+  +,*,/ on exactly-representable doubles, so scores (and therefore
+  ranks) replay bit-for-bit in any IEEE engine; a log-based idf
+  would tie ranks to the host libm's last ulp.
+
+All word/gram machinery matches ``operators/dedup.py``'s conventions:
+``ws_trim``-then-``\\s+`` split, posexplode + lead-window grams (flat
+codegen'd concat — measured faster than higher-order-function arrays,
+see ``dedup._word_postings``), aggregation keyed on the document id so
+the gram window's shuffle is reused by the following groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .text import ws_trim
+
+
+def _words_flat(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _p, _w): one row per word occurrence with its position."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    )
+
+
+def word_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w, c): per-document word occurrence counts.
+
+    Unlike ``dedup._word_postings`` this keeps multiplicity — the
+    repetition and TF-IDF operators need counts, not membership.
+    One explode + one hash aggregation on (id, word).
+    """
+    return (
+        _words_flat(df, id_col, text_col)
+        .groupBy(F.col(id_col), F.col("_w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def gram_counts(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """(id, g, c): per-document word n-gram occurrence counts
+    (order-preserving, multiplicity kept).
+
+    Grams come from posexplode + lead() windows — flat codegen'd
+    string concat (see ``dedup._word_postings`` for the measured
+    rationale). The window's doc-id shuffle is reused by the count
+    aggregation and by any downstream per-doc rollup.
+    """
+    flat = _words_flat(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("_p")
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", k).over(w) for k in range(1, ngram)]
+    )
+    return (
+        flat.select(
+            F.col(id_col),
+            gram.alias("g"),
+            # concat_ws skips NULLs → tail positions would emit SHORT
+            # grams instead of none; drop rows whose last member is
+            # past the end of the document
+            F.lead("_w", ngram - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .groupBy(F.col(id_col), "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style per-document repetition metrics + keep flag.
+
+    Columns: n_words, n_distinct, uniq_ratio, top_word_frac (mass of
+    the most frequent word), top_bigram_frac (mass of the most
+    frequent bigram; 0 for one-word docs), mean_word_len, and
+    ``keep`` — 1 iff the document clears all repetition gates.
+
+    Scale shape: two posting aggregations (words keyed (id, w),
+    bigrams keyed (id, g)) each rolled up to the doc id, then a
+    doc-id join — every stage is keyed on or under the doc id, so
+    AQE coalesces rather than re-shuffles. No driver state, no
+    collect; thresholds are plan-time literals.
+    """
+    wc = word_counts(df, id_col, text_col)
+    words = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("_top_w"),
+        F.sum(F.length("w") * F.col("c")).alias("_len_sum"),
+    )
+    grams = (
+        gram_counts(df, id_col, text_col, ngram=2)
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_g"), F.sum("c").alias("_n_grams"))
+    )
+    j = words.join(grams, id_col, "left")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    uniq = dbl("n_distinct") / dbl("n_words")
+    top_w = dbl("_top_w") / dbl("n_words")
+    top_g = F.coalesce(dbl("_top_g") / dbl("_n_grams"), F.lit(0.0))
+    mean_len = dbl("_len_sum") / dbl("n_words")
+    # thresholds: uniq/top-word straddle the corpus medians (the gates
+    # that split real data); top-bigram uses Gopher's published 0.2 —
+    # a short all-distinct doc has top_g = 1/(n-1), so a tight bound
+    # would reject diverse short documents
+    keep = (uniq >= 0.45) & (top_w <= 0.11) & (top_g <= 0.2)
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("n_distinct"),
+        F.round(uniq, 4).alias("uniq_ratio"),
+        F.round(top_w, 4).alias("top_word_frac"),
+        F.round(top_g, 4).alias("top_bigram_frac"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 5,
+) -> DataFrame:
+    """(id, n_hits): corpus documents sharing ≥1 word ``ngram``-gram
+    with the benchmark set, with the count of distinct shared grams.
+
+    The decontamination guard: any document that can leak a benchmark
+    item verbatim (here: any 5-word overlap) is flagged for removal
+    before training. The benchmark side is small by definition —
+    its distinct shingle set is broadcast, so the corpus-side posting
+    stream joins map-side with NO shuffle of corpus grams; the only
+    corpus shuffle is the gram window + final per-doc count, both
+    keyed on the doc id. At 100 TB the corpus side streams once.
+    """
+    from .dedup import _word_postings
+
+    bench_grams = (
+        _word_postings(benchmark, id_col, text_col, ngram=ngram)
+        .select("w")
+        .distinct()
+    )
+    corpus_grams = _word_postings(corpus, id_col, text_col, ngram=ngram)
+    return (
+        corpus_grams.join(broadcast(bench_grams), "w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def quota_sample(
+    df: DataFrame, group_col: str, key_col: str, quota: int
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen deterministically
+    by md5(key) order (ties by key) — adds an ``rk`` rank column.
+
+    The per-domain/per-source rebalancer: because the order is a
+    uniform hash of the key, the kept subset is an unbiased sample of
+    each group, reproducible across engines and stable under
+    repartitioning (unlike RNG sampling — see ``operators/sampling``).
+    Scale shape: one hash shuffle on the group key; the rank-limit
+    filter compiles to ``WindowGroupLimit``, so each map task keeps
+    only its local top-``quota`` before the exchange — the shuffle
+    moves O(groups × quota) rows, not the whole table.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.lit(int(quota))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, term, rk, tfidf): top-``k`` terms per document by TF-IDF
+    with exact corpus document frequencies.
+
+    score = c · (N − df + 0.5) / (df + 0.5) — term count times the
+    BM25 rational idf. All inputs are exactly-representable doubles
+    and the ops are IEEE +,*,/ — so the scores, and hence the ranks,
+    are bit-reproducible in any engine (a ``ln``-based idf would
+    differ in the last ulp across libms and flip ties).
+
+    Scale shape: one (id, word) count aggregation; document
+    frequencies from a word-keyed rollup of those counts (map-side
+    partial); N via a broadcast one-row aggregate; ranking is a
+    WindowGroupLimit top-k keyed on the doc id.
+    """
+    wc = word_counts(df, id_col, text_col)
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        wc.join(dfreq, "w")
+        .crossJoin(broadcast(total))
+        .withColumn(
+            "_score",
+            (
+                F.col("c").cast("double")
+                * (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+            )
+            / (F.col("_df") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.col("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(k)))
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            F.col("rk"),
+            F.round("_score", 4).alias("tfidf"),
+        )
+    )

@@ -118,6 +118,28 @@ def plane_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     ]
 
 
+def random_project(
+    vec: Column, out_dim: int = 8, dim: int = 64, table: int = 31
+) -> list[Column]:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` columns
+    ``p0..p{out_dim-1}`` using the deterministic ±1 plane family
+    (Achlioptas sign matrix — same md5-derived weights as the LSH
+    planes, under an independent ``table`` salt).
+
+    The 100 TB role: shrink embeddings BEFORE the shuffle-heavy
+    stages — an 8-d projection is 8× less shuffle bytes for candidate
+    generation, with the JL guarantee that pairwise distances distort
+    by at most ~(1±ε). Every arithmetic step is an IEEE multiply/add
+    in a fixed left-to-right fold, so projections replay bit-for-bit
+    in any engine (the oracle rebuilds the identical ± chain in SQL).
+    """
+    v = _as_double(vec)
+    return [
+        dot(v, F.array(*[F.lit(w) for w in ws])).alias(f"p{j}")
+        for j, ws in enumerate(plane_weights(out_dim, dim, table))
+    ]
+
+
 def hyperplane_bucket(
     vec: Column, n_planes: int = 12, dim: int = 64, table: int = 0
 ) -> Column:

@@ -29,6 +29,7 @@ from ..functions import casts, currency, dates, durations
 from ..operators import (
     aggregates,
     asof,
+    curation,
     dedup,
     filters,
     joins,
@@ -2795,4 +2796,194 @@ def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation family (§2.13 north-star): decontamination, quota sampling,
+# repetition quality, TF-IDF keywords, random projection.
+# --------------------------------------------------------------------------
+
+_WS_SPLIT_SQL = (
+    r"regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"
+)
+
+_REPETITION_ORACLE = rf"""
+WITH flat AS (
+    SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM flat GROUP BY 1, 2),
+words AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           max(c) AS top_w,
+           sum(len(w) * c) AS len_sum
+    FROM wc GROUP BY 1
+),
+ws AS (SELECT doc_id, {_WS_SPLIT_SQL} AS ws FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+1], ' ')
+                   for i in range(1, greatest(len(ws), 1))]) AS g
+    FROM ws
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+gm AS (SELECT doc_id, max(c) AS top_g, sum(c) AS n_grams FROM gc GROUP BY 1)
+SELECT w.doc_id, w.n_words, w.n_distinct,
+       round(CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE), 4)
+           AS uniq_ratio,
+       round(CAST(w.top_w AS DOUBLE) / CAST(w.n_words AS DOUBLE), 4)
+           AS top_word_frac,
+       round(coalesce(CAST(g.top_g AS DOUBLE) / CAST(g.n_grams AS DOUBLE), 0.0), 4)
+           AS top_bigram_frac,
+       round(CAST(w.len_sum AS DOUBLE) / CAST(w.n_words AS DOUBLE), 4)
+           AS mean_word_len,
+       CAST(CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) >= 0.45
+            AND CAST(w.top_w AS DOUBLE) / CAST(w.n_words AS DOUBLE) <= 0.11
+            AND coalesce(CAST(g.top_g AS DOUBLE) / CAST(g.n_grams AS DOUBLE), 0.0)
+                <= 0.2
+            AS INT) AS keep
+FROM words w LEFT JOIN gm g USING (doc_id)
+"""
+
+
+@query("repetition_quality_flags", _REPETITION_ORACLE)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Gopher-style per-document
+    repetition metrics (unique-word ratio, top-word mass, top-bigram
+    mass, mean word length) with a composite keep flag — the
+    intra-document repetition gate of an LLM curation pipeline.
+    The uniq/top-word thresholds (0.45 / 0.11) straddle the corpus
+    medians so both classes are populated; top-bigram uses Gopher's
+    published 0.2. The keep decision is computed on the
+    UNROUNDED doubles (bit-identical across engines); the report
+    columns are rounded for the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs, "doc_id", "text")
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH ws AS (
+    SELECT doc_id,
+           regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+               AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
+                                 for i in range(1, greatest(len(ws) - 2, 1))])) AS w
+    FROM ws
+),
+bench AS (SELECT DISTINCT w FROM grams WHERE doc_id % 25 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (w)
+WHERE g.doc_id % 25 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@query("decontaminate_ngram", _DECONTAMINATE_ORACLE)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Benchmark decontamination: corpus
+    documents sharing any 4-word shingle with the held-out benchmark
+    slice (doc_id % 25 == 0 stands in for an eval set), with distinct
+    hit counts. The benchmark shingle set broadcasts (small by
+    definition), so the corpus posting stream joins map-side — the
+    eval-leakage guard at 100 TB costs one doc-keyed shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return curation.contamination_hits(corpus, bench, "doc_id", "text", ngram=4)
+
+
+_QUOTA_ORACLE = """
+SELECT doc_id, source, rk
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+) WHERE rk <= 10
+"""
+
+
+@query("source_quota_sample", _QUOTA_ORACLE)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Per-source quota: keep at most 10
+    documents per source, chosen by md5(doc_id) order — the
+    "no single crawl dominates" rebalancer. Deterministic (hash
+    order, not RNG), so fully hash-verified; compiles to
+    WindowGroupLimit (map-side per-group top-k before the one
+    group-key shuffle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.quota_sample(docs, "source", "doc_id", quota=10).select(
+        "doc_id", "source", "rk"
+    )
+
+
+_TFIDF_ORACLE = rf"""
+WITH flat AS (
+    SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM flat GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT wc.doc_id, wc.w,
+           (CAST(wc.c AS DOUBLE) * (n.n_docs - dfreq.df + 0.5))
+               / (dfreq.df + 0.5) AS score
+    FROM wc JOIN dfreq USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS term, rk, round(score, 4) AS tfidf
+FROM (
+    SELECT doc_id, w, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, w) AS rk
+    FROM scored
+) WHERE rk <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Top-3 keywords per document by
+    TF-IDF with exact corpus document frequencies. The idf is the
+    BM25 rational form (N - df + 0.5)/(df + 0.5): IEEE +,*,/ only,
+    so scores and ranks replay bit-for-bit in DuckDB (a ln-based idf
+    would tie ranks to the host libm)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def _rp_oracle(out_dim: int = 8, dim: int = 64, table: int = 31) -> str:
+    """Rebuild the identical ±1 projection fold in SQL: same md5
+    plane weights (plan-time literals), same 0.0-seeded left-to-right
+    summation, same multiply operand order."""
+    planes = similarity.plane_weights(out_dim, dim, table)
+    cols = []
+    for j, ws in enumerate(planes):
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) * {w})" for d, w in enumerate(ws)
+        )
+        cols.append(f"round(0.0 + {terms}, 4) AS p{j}")
+    sel = ",\n       ".join(cols)
+    return f"SELECT vec_id,\n       {sel}\nFROM embeddings"
+
+
+@query("project_embeddings_rp", _rp_oracle())
+def project_embeddings_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Johnson-Lindenstrauss random
+    projection 64→8 dims via the deterministic ±1 plane family — the
+    shrink-before-shuffle embedding transform (8× fewer shuffle bytes
+    for candidate generation, JL-bounded distance distortion). Every
+    step is an IEEE multiply/add in a fixed fold, so all 8 projected
+    coordinates hash-match the SQL replay exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cols = similarity.random_project(
+        F.col("embedding"), out_dim=8, dim=64, table=31
+    )
+    return emb.select(
+        "vec_id", *[F.round(c, 4).alias(f"p{j}") for j, c in enumerate(cols)]
     )
