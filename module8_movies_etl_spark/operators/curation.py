@@ -197,6 +197,87 @@ def quota_sample(
     )
 
 
+def fuzzy_name_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col,
+    max_distance: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, distance): within-block name pairs with
+    Levenshtein distance ≤ ``max_distance`` — the reference's
+    title-reconciliation step (matching wiki/Kaggle movie titles,
+    Data Cleaning.ipynb cells 91-93) as a set-returning operator.
+
+    ``block_col`` is a Column expression bounding the quadratic cell
+    (block on a cheap canopy: a type word, a sorted-token key, a
+    phonetic code). Two lossless pre-filters run before the edit
+    distance: ``id_a < id_b`` halves the cell, and
+    ``|len(a) − len(b)| ≤ d`` (length difference lower-bounds edit
+    distance) drops most pairs with 2 ALU ops before the O(len²) DP.
+    Both are plan-visible predicates, so Catalyst evaluates them
+    inside the join before ``levenshtein`` runs.
+    """
+    side = df.select(
+        F.col(id_col), F.col(name_col), block_col.alias("_blk")
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"), "_blk"
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb"), "_blk"
+    )
+    d = F.lit(int(max_distance))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("_na") - F.length("_nb")) <= d)
+        .withColumn("distance", F.levenshtein("_na", "_nb"))
+        .filter(F.col("distance") <= d)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stream_col: str,
+    budget_tokens: int = 1024,
+) -> DataFrame:
+    """(id, stream, n_tokens, pack_id): greedy sequence packing — the
+    tokenizer-feeding step that concatenates documents into
+    fixed-budget training sequences.
+
+    Documents are packed in deterministic (id) order WITHIN each
+    stream (language/source shard): pack_id = floor(preceding
+    cumulative tokens / budget), i.e. a document starts a new pack
+    when the running total crosses the budget. Packing per-stream
+    rather than globally is the 100 TB shape: a global order would
+    serialize into one partition, while per-stream cumsums are one
+    hash shuffle + streaming window, and training shards are
+    per-stream anyway. Pure integer arithmetic → exact oracle.
+    """
+    from .text import token_count
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = token_count(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.col(stream_col), toks.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            (
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / F.lit(int(budget_tokens))
+            ).cast("long"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -41,6 +41,7 @@ from ..operators import (
     sketches,
     slices,
     text,
+    timeseries,
 )
 from ..sources import read_table
 
@@ -2986,4 +2987,127 @@ def project_embeddings_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id", *[F.round(c, 4).alias(f"p{j}") for j, c in enumerate(cols)]
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series analytics + reconciliation + sequence packing.
+# --------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+       count(*) OVER w AS roll_n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE), 4) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_sum_user_value", _ROLLING_ORACLE)
+def rolling_sum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[timeseries, beyond-ref §2.10] Rolling 5-row sum/count/mean of
+    event value per user, ordered by (ts, event_id). The rolling sum
+    aggregates DECIMAL — exact, order-independent addition — so
+    Spark's running-frame window and DuckDB's segment tree produce the
+    identical double; raw-double frame sums would differ in the last
+    ulp between the two association orders."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.rolling_window_stats(
+        e, "user_id", "ts", "event_id", "value", frame=5
+    )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+    SELECT CAST((epoch_us(ts) // 1000000) // 3600 * 3600 AS BIGINT) AS bucket_s,
+           event_type, ts, event_id, value
+    FROM events
+),
+ranked AS (
+    SELECT bucket_s, event_type, value,
+           row_number() OVER (PARTITION BY bucket_s, event_type
+                              ORDER BY ts ASC, event_id ASC) AS ra,
+           row_number() OVER (PARTITION BY bucket_s, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM base
+)
+SELECT bucket_s, event_type,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("ohlc_hourly_by_type", _OHLC_ORACLE)
+def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[timeseries, beyond-ref §2.13] Hourly OHLC bars per event type:
+    open/close by deterministic (ts, event_id) order, high/low/volume
+    folded map-side. One shuffle (window + agg share the bucket/key
+    partitioning); endpoints are PICKED, never summed, so the doubles
+    are exact on both engines unrounded."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.ohlc_resample(
+        e, "ts", "event_type", "event_id", "value", bucket_seconds=3600
+    )
+
+
+_NAME_MATCH_ORACLE = r"""
+WITH p AS (
+    SELECT p_partkey, p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk
+    FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("part_name_matches", _NAME_MATCH_ORACLE)
+def part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[reconcile, ref seed: title reconciliation Data
+    Cleaning.ipynb cells 91-93] Within-block fuzzy name matching by
+    Levenshtein ≤ 2, blocked on the name's last word (the part type
+    noun) to bound the quadratic cell, with the lossless
+    length-difference pre-filter ahead of the DP. Both engines
+    implement unit-cost edit distance — exact integer parity."""
+    p = read_table(spark, sf_dir, "part")
+    return curation.fuzzy_name_matches(
+        p,
+        "p_partkey",
+        "p_name",
+        block_col=F.regexp_extract("p_name", r"(\S+)$", 1),
+        max_distance=2,
+    )
+
+
+_PACK_ORACLE = rf"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) / 1024) AS BIGINT) AS pack_id
+FROM (SELECT doc_id, lang, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens
+      FROM documents)
+"""
+
+
+@query("pack_sequences_by_lang", _PACK_ORACLE)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Greedy sequence packing into
+    1024-token training sequences, per language shard in doc_id
+    order: pack_id = floor(preceding cumulative tokens / budget).
+    Per-stream cumsum (one hash shuffle + streaming frame) instead of
+    a global order that would serialize into one partition — the
+    100 TB packing shape. Pure integer arithmetic, exact oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    out = curation.pack_sequences(d, "doc_id", "text", "lang", budget_tokens=1024)
+    return out.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
     )
