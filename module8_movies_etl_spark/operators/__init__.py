@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
     winnow_fingerprints,
     winnow_similar_pairs,
 )
+from .cdc import apply_cdc  # noqa: F401
 from .curation import (  # noqa: F401
     contamination_hits,
     fuzzy_name_matches,
@@ -35,4 +36,8 @@ from .rangejoin import range_join_binned  # noqa: F401
 from .sampling import hash_sample, stratified_hash_sample  # noqa: F401
 from .sketches import cms_build, cms_estimate  # noqa: F401
 from .slices import sample_rows, slice_rows, tail_rows  # noqa: F401
-from .timeseries import ohlc_resample, rolling_window_stats  # noqa: F401
+from .timeseries import (  # noqa: F401
+    funnel_stages,
+    ohlc_resample,
+    rolling_window_stats,
+)

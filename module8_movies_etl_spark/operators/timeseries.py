@@ -54,6 +54,54 @@ def rolling_window_stats(
     )
 
 
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    stage was reached STRICTLY AFTER the previous stage, and the
+    number of stages completed.
+
+    Stage k's timestamp is ``min(ts | type = stages[k], ts >
+    t_{k-1})`` — the standard strict-sequence conversion funnel. Each
+    stage is one conditional aggregation keyed on the user: stage
+    k+1's aggregation joins stage k's result on the user key, so all
+    joins and aggs share the same hash partitioning (AQE coalesces
+    the aligned exchanges; no broadcast needed — both sides are
+    user-cardinality).
+
+    Emits epoch seconds (``_s`` columns, NULL where the funnel
+    stopped) plus ``stage_reached`` — engine-portable integers.
+    """
+    ev = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("_t"),
+        F.unix_timestamp(F.col(ts_col)).alias("_e"),
+    )
+    cur = ev.filter(F.col("_t") == stages[0]).groupBy(user_col).agg(
+        F.min("_e").alias(f"t_{stages[0]}_s")
+    )
+    prev_col = f"t_{stages[0]}_s"
+    for st in stages[1:]:
+        nxt = (
+            ev.filter(F.col("_t") == st)
+            .join(cur.select(user_col, prev_col), user_col)
+            .filter(F.col("_e") > F.col(prev_col))
+            .groupBy(user_col)
+            .agg(F.min("_e").alias(f"t_{st}_s"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev_col = f"t_{st}_s"
+    stage_cols = [f"t_{st}_s" for st in stages]
+    reached = sum(
+        (F.col(c).isNotNull().cast("int") for c in stage_cols), F.lit(0)
+    )
+    return cur.select(user_col, *stage_cols, reached.alias("stage_reached"))
+
+
 def ohlc_resample(
     df: DataFrame,
     ts_col: str,

@@ -29,6 +29,7 @@ from ..functions import casts, currency, dates, durations
 from ..operators import (
     aggregates,
     asof,
+    cdc,
     curation,
     dedup,
     filters,
@@ -3111,3 +3112,89 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), "pack_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analytics + CDC merge.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type AS t,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS e
+    FROM events
+),
+v AS (SELECT user_id, min(e) AS t_view_s FROM ev WHERE t = 'view' GROUP BY 1),
+c AS (SELECT ev.user_id, min(e) AS t_click_s
+      FROM ev JOIN v USING (user_id)
+      WHERE t = 'click' AND e > v.t_view_s GROUP BY 1),
+p AS (SELECT ev.user_id, min(e) AS t_purchase_s
+      FROM ev JOIN c USING (user_id)
+      WHERE t = 'purchase' AND e > c.t_click_s GROUP BY 1)
+SELECT v.user_id, v.t_view_s, c.t_click_s, p.t_purchase_s,
+       CAST(v.t_view_s IS NOT NULL AS INT)
+         + CAST(c.t_click_s IS NOT NULL AS INT)
+         + CAST(p.t_purchase_s IS NOT NULL AS INT) AS stage_reached
+FROM v
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+@query("funnel_user_conversion", _FUNNEL_ORACLE)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[timeseries, beyond-ref §2.13] Strict-sequence conversion
+    funnel view→click→purchase per user: stage k's time is the
+    earliest matching event strictly after stage k-1. Every agg and
+    join keys on user_id — one aligned partitioning end to end, both
+    join sides user-cardinality (no broadcast dependence)."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.funnel_stages(
+        e, "user_id", "ts", "event_type", stages=("view", "click", "purchase")
+    )
+
+
+_CDC_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+delta AS (
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) + 1.0 AS total_price,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'D' END AS op
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey, o_orderstatus, total_price FROM delta WHERE op = 'U'
+UNION ALL
+SELECT b.o_orderkey, b.o_orderstatus, b.total_price
+FROM base b ANTI JOIN delta d ON b.o_orderkey = d.o_orderkey
+"""
+
+
+@query("upsert_orders_cdc", _CDC_ORACLE)
+def upsert_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[cdc, ref seed: overwrite load challenge.py:312-322] MERGE a
+    CDC delta (upserts +1.00 price on even keys, deletes on odd) into
+    the base snapshot: union + per-key priority window, one shuffle —
+    the engine-agnostic MERGE INTO lowering (delta wins, deletes drop
+    after the winner is chosen, new keys insert). The oracle replays
+    it as U-rows UNION ALL anti-joined base. (The delta transform is
+    round-then-add: a multiplicative bump like *1.1 creates .xx5
+    third decimals where Spark's shortest-decimal HALF_UP rounding
+    and DuckDB's binary-value rounding legitimately disagree.)"""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+    delta = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round("o_totalprice", 2) + F.lit(1.0)).alias("total_price"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+    )
+    return cdc.apply_cdc(base, delta, "o_orderkey", op_col="op")

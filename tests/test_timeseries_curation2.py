@@ -169,3 +169,60 @@ def test_pack_sequences_budget_roughly_respected(spark):
         .collect()
     )
     assert per and all(r["tot"] <= 1024 + r["mx"] for r in per)
+
+
+# --- funnel ---------------------------------------------------------------
+
+
+def test_funnel_strict_order(spark):
+    """click BEFORE the first view must not count; the funnel requires
+    strictly increasing stage times."""
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:01:00", "click"),
+        (3, 1, "2024-01-01 10:02:00", "purchase"),
+        # user 2: click precedes the only view -> funnel stops at view
+        (4, 2, "2024-01-01 09:00:00", "click"),
+        (5, 2, "2024-01-01 09:30:00", "view"),
+        (6, 2, "2024-01-01 09:10:00", "purchase"),
+        # user 3: no view at all -> absent from output
+        (7, 3, "2024-01-01 08:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    from module8_movies_etl_spark.operators.timeseries import funnel_stages
+
+    out = {r["user_id"]: r for r in funnel_stages(df, "user_id", "ts", "event_type").collect()}
+    assert out[1]["stage_reached"] == 3
+    assert out[2]["stage_reached"] == 1 and out[2]["t_click_s"] is None
+    assert 3 not in out
+
+
+# --- CDC merge ------------------------------------------------------------
+
+
+def test_apply_cdc_semantics(spark):
+    from module8_movies_etl_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (9, "new", "U")], ["k", "v", "op"]
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(base, delta, "k").collect()}
+    assert got == {1: "a", 2: "B", 9: "new"}  # update, delete, insert
+
+
+def test_apply_cdc_single_exchange(spark):
+    """The MERGE lowering is one hash shuffle (union + window)."""
+    from module8_movies_etl_spark.operators.cdc import apply_cdc
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    d = o.filter(F.col("o_orderkey") % 100 == 0).withColumn("op", F.lit("U"))
+    plan = _plan(spark, apply_cdc(o, d, "o_orderkey"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
