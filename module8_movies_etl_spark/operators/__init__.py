@@ -19,7 +19,7 @@ from .dedup import (  # noqa: F401
     winnow_fingerprints,
     winnow_similar_pairs,
 )
-from .cdc import apply_cdc  # noqa: F401
+from .cdc import apply_cdc, refresh_grouped_mv  # noqa: F401
 from .curation import (  # noqa: F401
     contamination_hits,
     fuzzy_name_matches,
@@ -30,8 +30,10 @@ from .curation import (  # noqa: F401
 )
 from .filters import dedup_by_key, null_prune, prune_mostly_null_columns  # noqa: F401
 from .joins import join_with_suffixes, left_join_small  # noqa: F401
+from .layout import morton_code, zorder_by  # noqa: F401
 from .pivot import pivot_count  # noqa: F401
 from .projections import rename_columns, select_columns  # noqa: F401
+from .quality import dq_audit  # noqa: F401
 from .rangejoin import range_join_binned  # noqa: F401
 from .sampling import hash_sample, stratified_hash_sample  # noqa: F401
 from .sketches import cms_build, cms_estimate  # noqa: F401

@@ -17,7 +17,7 @@ same plan feeds ``replaceWhere``/partition-overwrite commits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,4 +48,35 @@ def apply_cdc(
         .withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
         .select(*payload)
+    )
+
+
+def refresh_grouped_mv(
+    base: DataFrame,
+    delta: DataFrame,
+    group_col: str,
+    agg_exprs: dict[str, Column],
+    merge_exprs: dict[str, Column],
+) -> DataFrame:
+    """Incrementally maintain a grouped materialized view: aggregate
+    the delta alone, union its PARTIAL aggregates with the base MV,
+    and re-aggregate — never rescan the base fact table.
+
+    This is the map-side-combine principle lifted to pipeline level:
+    any commutative-monoid measure (count, sum, min, max, and
+    mergeable sketches like the engine's KMV/CMS) refreshes in
+    O(|delta| + |groups|) instead of O(|base|). ``agg_exprs`` builds
+    the delta's partials (name → aggregate over fact columns);
+    ``merge_exprs`` folds partials (name → aggregate over the SAME
+    names: sum of counts, sum of sums, min of mins). For exact
+    cross-engine sums, aggregate DECIMAL (order-independent addition)
+    — the catalog query does.
+    """
+    delta_mv = delta.groupBy(group_col).agg(
+        *[c.alias(n) for n, c in agg_exprs.items()]
+    )
+    return (
+        base.unionByName(delta_mv)
+        .groupBy(group_col)
+        .agg(*[c.alias(n) for n, c in merge_exprs.items()])
     )

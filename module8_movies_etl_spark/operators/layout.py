@@ -1,0 +1,95 @@
+"""Data-layout keys: Z-order (Morton) interleaving for multi-column
+clustering.
+
+At 100 TB, scan pruning is the cheapest optimization there is: files
+sorted by ONE column prune only on that column, while writing files
+clustered by the Z-value of two (or more) columns gives every file a
+tight min/max envelope on BOTH — point/range predicates on either
+column skip most files (the Delta/Iceberg OPTIMIZE ZORDER idea,
+reimplemented as a plain column expression + range repartition).
+
+The code is a flat bit-interleave expression — pure codegen, no UDF,
+and bit-exact replayable in any engine with integer shifts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minmax_scale(x: Column, xmin: Column, xmax: Column, bits: int = 10) -> Column:
+    """Scale an integer column to [0, 2^bits) over its [min, max]
+    range with pure integer arithmetic (exact in any engine):
+    ``(x - min) * (2^bits - 1) div max(max - min, 1)``.
+
+    Z-ordering REQUIRES this normalization: raw columns with
+    mismatched magnitudes (an 8-bit key vs 14-bit epoch-days) put one
+    column's high bits above all of the other's, and the interleave
+    degenerates to a single-column sort (measured: zero custkey
+    locality on the orders table before scaling).
+    """
+    top = F.lit((1 << bits) - 1)
+    span = F.greatest(xmax.cast("long") - xmin.cast("long"), F.lit(1))
+    num = (x.cast("long") - xmin.cast("long")) * top
+    # exact floor division in Column algebra: (n - n mod s) is
+    # divisible by s, so the double division is exact and the cast
+    # cannot cross an integer boundary (n stays far below 2^52)
+    return ((num - F.pmod(num, span)) / span).cast("long")
+
+
+def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer
+    columns into a Z-value: x's bit i lands at position 2i, y's at
+    2i+1. Build-time loop, flat codegen'd expression at runtime.
+    Inputs should be comparably scaled — see ``minmax_scale``.
+    """
+    xm = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ym = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_by(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    n_files: int = 32,
+    bits: int = 10,
+) -> DataFrame:
+    """Range-repartition by the normalized Morton code of (x, y) —
+    the write-side layout step: each output partition (→ file) covers
+    a compact Z range, i.e. a small rectangle in (x, y) space, so
+    min/max file stats prune on both columns. Sort-within-partitions
+    tightens row-group stats too.
+
+    Column stats (min/max for the normalization) come from one
+    aggregate broadcast back onto the stream — the same
+    stats-then-rewrite pass any OPTIMIZE ZORDER job runs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    stats = df.select(
+        F.min(x_col).alias("_xmin"),
+        F.max(x_col).alias("_xmax"),
+        F.min(y_col).alias("_ymin"),
+        F.max(y_col).alias("_ymax"),
+    )
+    z = morton_code(
+        minmax_scale(x_col, F.col("_xmin"), F.col("_xmax"), bits),
+        minmax_scale(y_col, F.col("_ymin"), F.col("_ymax"), bits),
+        bits=bits,
+    )
+    return (
+        df.crossJoin(broadcast(stats))
+        .withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xmin", "_xmax", "_ymin", "_ymax")
+    )

@@ -34,8 +34,10 @@ from ..operators import (
     dedup,
     filters,
     joins,
+    layout,
     multimodal,
     pivot,
+    quality,
     rangejoin,
     sampling,
     similarity,
@@ -3198,3 +3200,152 @@ def upsert_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return cdc.apply_cdc(base, delta, "o_orderkey", op_col="op")
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit, Z-order layout, incremental MV maintenance.
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders
+UNION ALL
+SELECT 'null_custkey', CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'dup_orderkeys', CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'fk_orphan_orders', CAST(count(*) AS BIGINT)
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'fk_orphan_lineitems', CAST(count(*) AS BIGINT)
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'nonpositive_price',
+       CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT)
+FROM orders
+"""
+
+
+@query("dq_audit_orders", _DQ_ORACLE)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[quality, ref seed: isnull().sum()/value_counts profiling
+    throughout Data Cleaning.ipynb] Deequ-style constraint audit as
+    one tidy (metric, value) table: volume, completeness, PK
+    uniqueness, referential integrity (anti-joins, dim side
+    broadcast), and a domain constraint. Each metric is an
+    independent scan+agg branch — a cluster runs them concurrently."""
+    return quality.dq_audit(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "customer"),
+    )
+
+
+def _morton_oracle(bits: int = 10) -> str:
+    """Replay the normalized bit interleave: both columns min-max
+    scaled to ``bits`` bits (integer floor division), then x's bit i
+    at position 2i, y's at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    top = (1 << bits) - 1
+    return f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey AS xr,
+           (epoch_us(o_orderdate) // 1000000) // 86400 AS yr
+    FROM orders
+),
+s AS (SELECT min(xr) AS xmin, max(xr) AS xmax,
+             min(yr) AS ymin, max(yr) AS ymax FROM base),
+b AS (
+    SELECT o_orderkey,
+           ((xr - xmin) * {top}) // greatest(xmax - xmin, 1) AS x,
+           ((yr - ymin) * {top}) // greatest(ymax - ymin, 1) AS y
+    FROM base, s
+)
+SELECT o_orderkey, CAST({z} AS BIGINT) AS zval FROM b
+"""
+
+
+@query("morton_cluster_orders", _morton_oracle())
+def morton_cluster_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[layout, beyond-ref §2.13] Z-order (Morton) clustering key
+    over (customer, order-day): the write-side layout step that gives
+    every file a tight min/max envelope on BOTH columns, so predicates
+    on either prune files at scan time (OPTIMIZE ZORDER as plain
+    codegen'd integer math — no UDF, bit-exact in any engine). Both
+    columns are min-max scaled to 10 bits before interleaving —
+    without normalization the wider column's high bits dominate and
+    the Z sort degenerates to a single-column sort (measured: zero
+    custkey locality unscaled). The layout writer is
+    ``layout.zorder_by`` (stats broadcast → range repartition →
+    sort), pinned by plan test; locality itself is pinned by
+    test_morton_locality_beats_single_column_sort."""
+    from pyspark.sql.functions import broadcast
+
+    o = read_table(spark, sf_dir, "orders")
+    days = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    stats = o.select(
+        F.min("o_custkey").alias("_xmin"),
+        F.max("o_custkey").alias("_xmax"),
+        F.min(days).alias("_ymin"),
+        F.max(days).alias("_ymax"),
+    )
+    zval = layout.morton_code(
+        layout.minmax_scale(F.col("o_custkey"), F.col("_xmin"), F.col("_xmax"), 10),
+        layout.minmax_scale(days, F.col("_ymin"), F.col("_ymax"), 10),
+        bits=10,
+    )
+    return (
+        o.crossJoin(broadcast(stats))
+        .select("o_orderkey", zval.alias("zval"))
+    )
+
+
+_MV_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_rev
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("refresh_revenue_mv", _MV_ORACLE)
+def refresh_revenue_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[cdc-mv, beyond-ref §2.13] Incremental materialized-view
+    refresh: the standing per-status revenue MV (80% of orders) is
+    merged with the delta's partial aggregates (the other 20%) by
+    unioning partials and re-aggregating — O(delta + groups), no base
+    rescan. The oracle computes the SAME view directly over the full
+    table: hash-equality proves the monoid merge is lossless. Sums
+    aggregate DECIMAL so partial-merge order cannot move a bit."""
+    o = read_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    base_mv = (
+        o.filter(F.col("o_orderkey") % 5 != 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec).alias("total_rev"))
+    )
+    out = cdc.refresh_grouped_mv(
+        base_mv,
+        o.filter(F.col("o_orderkey") % 5 == 0),
+        "o_orderstatus",
+        agg_exprs={
+            "n_orders": F.count(F.lit(1)),
+            "total_rev": F.sum(dec),
+        },
+        merge_exprs={
+            "n_orders": F.sum("n_orders"),
+            "total_rev": F.sum("total_rev"),
+        },
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+    )
