@@ -54,6 +54,68 @@ def rolling_window_stats(
     )
 
 
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """(from_type, to_type, n): first-order transition counts between
+    consecutive events of each key, ordered by (ts, id) — the Markov
+    view of user behavior (what follows what). One lag window + one
+    count aggregation; the window's key shuffle is the only wide op
+    (the final count re-shuffles on the tiny type-pair domain).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return (
+        df.select(
+            F.lag(type_col, 1).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cohort_type: str,
+    type_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """(cohort_w, offset_w, n_users): classic cohort-retention grid —
+    users bucketed by their first ``cohort_type`` event's week, counted
+    as active in each later week offset (distinct users per cell).
+
+    Shape: one user-keyed aggregation for cohort assignment, joined
+    back onto the user's activity (both sides user-keyed → aligned
+    partitioning), then a distinct-count on the small cohort grid.
+    Weeks are integer epoch-bucket arithmetic — exact in any engine.
+    """
+    e = df.select(
+        F.col(key_col),
+        F.col(type_col).alias("_t"),
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long").alias("_w"),
+    )
+    cohorts = (
+        e.filter(F.col("_t") == cohort_type)
+        .groupBy(key_col)
+        .agg(F.min("_w").alias("cohort_w"))
+    )
+    return (
+        e.join(cohorts, key_col)
+        .filter(F.col("_w") >= F.col("cohort_w"))
+        .select(key_col, "cohort_w", (F.col("_w") - F.col("cohort_w")).alias("offset_w"))
+        .distinct()
+        .groupBy("cohort_w", "offset_w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     user_col: str,

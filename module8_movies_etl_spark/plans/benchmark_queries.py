@@ -3349,3 +3349,61 @@ def refresh_revenue_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-path analytics: transitions and cohort retention.
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+)
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("event_transition_counts", _TRANSITION_ORACLE)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[timeseries, beyond-ref §2.13] First-order transition counts
+    between consecutive events per user (the Markov view of
+    behavior): one lag window on the user key, then a count on the
+    tiny type-pair domain."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.transition_counts(e, "user_id", "ts", "event_id", "event_type")
+
+
+_COHORT_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type AS t,
+           (epoch_us(ts) // 1000000) // 604800 AS w
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, min(w) AS cohort_w FROM e WHERE t = 'signup' GROUP BY 1
+),
+cells AS (
+    SELECT DISTINCT e.user_id, c.cohort_w, e.w - c.cohort_w AS offset_w
+    FROM e JOIN cohorts c USING (user_id)
+    WHERE e.w >= c.cohort_w
+)
+SELECT cohort_w, offset_w, CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", _COHORT_ORACLE)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[timeseries, beyond-ref §2.13] Weekly cohort-retention grid:
+    users bucketed by first-signup week, counted distinct in each
+    later week offset. Cohort agg and activity join share the user
+    partitioning; week math is integer epoch buckets — exact."""
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.cohort_retention(
+        e, "user_id", "ts", cohort_type="signup", type_col="event_type"
+    )

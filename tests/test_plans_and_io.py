@@ -309,3 +309,40 @@ def test_csv_json_sink_roundtrip(spark, tmp_path):
         back_json.agg(F.sum("o_orderkey")).first()[0]
         == o.agg(F.sum("o_orderkey")).first()[0]
     )
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """100 TB posture: when a selective dimension filter feeds a
+    SHUFFLE join (dim too big to broadcast), Spark injects a runtime
+    Bloom filter — the fact scan drops non-joining rows BEFORE its
+    shuffle (might_contain(bloom_filter_agg(dim keys)) on the fact
+    side). Thresholds are sized for clusters, so the test scopes
+    bench-scale values; the assert pins that our plans stay
+    injection-eligible (equi-join + creation-side filter)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -226,3 +226,50 @@ def test_apply_cdc_single_exchange(spark):
     d = o.filter(F.col("o_orderkey") % 100 == 0).withColumn("op", F.lit("U"))
     plan = _plan(spark, apply_cdc(o, d, "o_orderkey"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+# --- transitions & cohorts ------------------------------------------------
+
+
+def test_transition_counts_hand_check(spark):
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:01:00", "click"),
+        (3, 1, "2024-01-01 10:02:00", "view"),
+        (4, 2, "2024-01-01 10:00:00", "view"),
+        (5, 2, "2024-01-01 10:05:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in timeseries.transition_counts(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_cohort_retention_hand_check(spark):
+    week = 604800
+    rows = [
+        # user 1 signs up week 0, active weeks 0 and 2
+        (1, 1, 0, "signup"),
+        (2, 1, 10, "view"),
+        (3, 1, 2 * week + 5, "click"),
+        # user 2 signs up week 1, active week 1 only
+        (4, 2, week + 3, "signup"),
+        # user 3 never signs up -> excluded
+        (5, 3, 10, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "epoch", "event_type"]
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    got = {
+        (r["cohort_w"], r["offset_w"]): r["n_users"]
+        for r in timeseries.cohort_retention(
+            df, "user_id", "ts", "signup", "event_type"
+        ).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
