@@ -114,6 +114,48 @@ def fake_image_decoder_batch(payloads: "pd.Series") -> "pd.DataFrame":
     )
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+
+
+def fake_audio_decoder_batch(payloads: "pd.Series") -> "pd.DataFrame":
+    """Deterministic audio-codec stand-in (a real build binds
+    soundfile/ffmpeg): pseudo waveform properties from the payload's
+    sha256, vectorized over the Arrow batch like the image twin.
+    ``duration_s``/``rms`` are raw IEEE divisions — bit-identical to
+    the DuckDB oracle's, see ``fake_image_decoder``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(bytes(p)).digest() for p in payloads),
+        dtype=np.uint8,
+    ).reshape(-1, 32)
+    rates = np.asarray(_SAMPLE_RATES, dtype=np.int64)[digests[:, 0] % 4]
+    n_samples = (
+        digests[:, 1].astype(np.int64) * 256 + digests[:, 2].astype(np.int64)
+    ) * 16 + 1
+    return pd.DataFrame(
+        {
+            "sample_rate": rates.astype(np.int32),
+            "n_samples": n_samples,
+            "duration_s": n_samples / rates.astype(np.float64),
+            "rms": digests[:, 11:19].sum(axis=1, dtype=np.int64) / (8 * 255.0),
+        }
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -243,6 +285,7 @@ def extract_media_features(
     decoder: Callable[[bytes], dict[str, Any]] = decode_stub,
     batch_decoder: "Callable[[pd.Series], pd.DataFrame] | None" = None,
     batch_size_hint: int = 256,
+    feature_schema: T.StructType = FEATURE_SCHEMA,
 ) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas`` over
     (id, payload) with a narrow typed output — the canonical shape for
@@ -252,6 +295,9 @@ def extract_media_features(
     ``batch_decoder`` (Series of payloads → feature DataFrame) is the
     fast path — one Python call per Arrow batch; ``decoder`` is the
     per-row fallback for codecs without a batched API.
+    ``feature_schema`` selects the modality's typed output (image
+    ``FEATURE_SCHEMA``, audio ``AUDIO_FEATURE_SCHEMA``, ...); the
+    stage itself is modality-agnostic.
     """
     import pandas as pd
 
@@ -264,6 +310,6 @@ def extract_media_features(
             else:
                 out = pd.DataFrame([decoder(bytes(b)) for b in pdf["_p"]])
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+            yield out[[f.name for f in feature_schema.fields]]
 
-    return src.mapInPandas(process, schema=FEATURE_SCHEMA)
+    return src.mapInPandas(process, schema=feature_schema)

@@ -3407,3 +3407,38 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cohort_retention(
         e, "user_id", "ts", cohort_type="signup", type_col="event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: audio modality (brief: image/audio/video columns).
+# --------------------------------------------------------------------------
+
+_MM_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       CASE ({_mm_byte(0)} % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+       CAST(({_mm_byte(1)} * 256 + {_mm_byte(2)}) * 16 + 1 AS BIGINT) AS n_samples,
+       CAST(({_mm_byte(1)} * 256 + {_mm_byte(2)}) * 16 + 1 AS DOUBLE)
+         / (CASE ({_mm_byte(0)} % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                     WHEN 2 THEN 22050 ELSE 44100 END)
+           AS duration_s,
+       ({" + ".join(_mm_byte(i) for i in range(11, 19))}) / (8 * 255.0) AS rms
+FROM documents
+"""
+
+
+@query("multimodal_audio_features", _MM_AUDIO_ORACLE)
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Audio-modality twin of ``multimodal_features``:
+    the SAME modality-agnostic Arrow decode stage with the audio
+    schema and a vectorized fake waveform codec (sample rate from a
+    digest byte, sample count from two, duration/rms as raw IEEE
+    divisions). The production slot binds soundfile/ffmpeg; the
+    oracle replays the sha256 arithmetic byte for byte."""
+    d = read_table(spark, sf_dir, "documents")
+    payload = d.withColumn("payload", F.encode("text", "UTF-8"))
+    return multimodal.extract_media_features(
+        payload,
+        batch_decoder=multimodal.fake_audio_decoder_batch,
+        feature_schema=multimodal.AUDIO_FEATURE_SCHEMA,
+    )
