@@ -865,3 +865,77 @@ def connected_components(
         for j in range(last):
             shutil.rmtree(f"{scratch}/iter{j}", ignore_errors=True)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def repeated_span_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 4,
+) -> DataFrame:
+    """Exact-substring dedup spans (the ExactSubstr idea from
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, distributed): for every document, the merged
+    word-index intervals ``[span_start, span_end)`` covered by
+    ``gram_len``-grams that appear VERBATIM in at least one other
+    document. Downstream, a curation pipeline cuts those spans (or
+    drops docs whose covered fraction is high) — this finds
+    copy-pasted boilerplate that whole-doc near-dup metrics miss.
+
+    Plan (all codegen + window, no UDFs):
+    1. positional grams via posexplode + lead windows (one doc-keyed
+       shuffle, same machinery as ``_word_postings``);
+    2. cross-doc repeated grams: group by gram with the cheap
+       ``min(id) <> max(id)`` distinct-docs test (no count-distinct);
+    3. join positions back on the gram (gram-keyed shuffle — the same
+       inverted-index shape as the similarity joins);
+    4. gaps-and-islands merge per doc: a gram at p covers
+       ``[p, p+L)``; a new island starts when p exceeds the running
+       max end of earlier spans (two same-partition windows → one
+       shuffle), then min/max per island.
+
+    Returns (id, span_start, span_end, n_words), word-indexed from 0.
+    """
+    from pyspark.sql import Window
+
+    flat = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", k).over(w) for k in range(1, gram_len)]
+    )
+    grams = (
+        flat.select(
+            F.col(id_col),
+            F.col("_p").alias("p"),
+            gram.alias("g"),
+            F.lead("_w", gram_len - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    rep = (
+        grams.groupBy("g")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("g")
+    )
+    marked = grams.join(rep, "g").select(
+        F.col(id_col), F.col("p"), (F.col("p") + gram_len).alias("_e")
+    )
+    w2 = Window.partitionBy(id_col).orderBy("p")
+    prev_max_end = F.max("_e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "_new", (F.coalesce(prev_max_end, F.lit(-1)) < F.col("p")).cast("int")
+    ).withColumn("_isl", F.sum("_new").over(w2))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            F.max("_e").cast("long").alias("span_end"),
+            (F.max("_e") - F.min("p")).cast("long").alias("n_words"),
+        )
+        .drop("_isl")
+    )

@@ -3442,3 +3442,54 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_decoder=multimodal.fake_audio_decoder_batch,
         feature_schema=multimodal.AUDIO_FEATURE_SCHEMA,
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup spans (ExactSubstr, Lee et al. 2022).
+# --------------------------------------------------------------------------
+
+_SPAN_ORACLE = r"""
+WITH ws AS (
+    SELECT doc_id,
+           regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+               AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+3], ' ') AS g
+    FROM ws, unnest(range(1, greatest(len(ws) - 2, 1))) AS t(i)
+),
+rep AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+marked AS (SELECT doc_id, p, p + 4 AS e FROM grams JOIN rep USING (g)),
+isl AS (
+    SELECT doc_id, p, e,
+           CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), -1) < p
+                THEN 1 ELSE 0 END AS newi
+    FROM marked
+),
+isl2 AS (
+    SELECT doc_id, p, e,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS islid
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(p) AS BIGINT) AS n_words
+FROM isl2 GROUP BY doc_id, islid
+"""
+
+
+@query("repeated_span_intervals", _SPAN_ORACLE)
+def repeated_span_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-substring, beyond-ref §2.13] Exact-substring dedup
+    spans (ExactSubstr, Lee et al. 2022): merged word intervals
+    covered by 4-grams appearing verbatim in ≥2 documents — the
+    copy-paste/boilerplate detector whole-doc near-dup metrics miss.
+    Distinct-docs test is min(id)≠max(id) (no count-distinct);
+    interval merge is a gaps-and-islands window, one doc shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.repeated_span_intervals(d, "doc_id", "text", gram_len=4)

@@ -380,3 +380,27 @@ def test_cosine_pq_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ recall {recall} below the 0.8 floor"
+
+
+def test_repeated_span_intervals_hand_check(spark):
+    """ExactSubstr spans: two docs share 'a b c d e' (two overlapping
+    4-grams -> ONE merged [start, end) island per doc); unique text
+    yields no span; a within-doc-only repeat does not count."""
+    from module8_movies_etl_spark.operators.dedup import repeated_span_intervals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y a b c d e q r s"),          # shared run at words 2..6
+            (2, "a b c d e t u v w"),            # shared run at words 0..4
+            (3, "unique words only here now"),   # no cross-doc 4-gram
+            (4, "m n o p z m n o p z"),          # 'm n o p' repeats ONLY here
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_words"])
+        for r in repeated_span_intervals(docs, "doc_id", "text", gram_len=4).collect()
+    }
+    # doc 1: grams at p=2 ('a b c d') and p=3 ('b c d e') merge -> [2, 7)
+    # doc 2: grams at p=0,1 merge -> [0, 5)
+    assert out == {(1, 2): (7, 5), (2, 0): (5, 5)}
