@@ -3493,3 +3493,146 @@ def repeated_span_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge is a gaps-and-islands window, one doc shuffle."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.repeated_span_intervals(d, "doc_id", "text", gram_len=4)
+
+
+# --------------------------------------------------------------------------
+# Curation capstone v2: the round-5 family composed as ONE lazy DAG.
+# --------------------------------------------------------------------------
+
+_CURATION_V2_ORACLE = rf"""
+WITH flat AS (
+    SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM flat GROUP BY 1, 2),
+words AS (
+    SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_w
+    FROM wc GROUP BY 1
+),
+ws AS (SELECT doc_id, {_WS_SPLIT_SQL} AS wsa FROM documents),
+bigrams AS (
+    SELECT doc_id,
+           unnest([array_to_string(wsa[i:i+1], ' ')
+                   for i in range(1, greatest(len(wsa), 1))]) AS g
+    FROM ws
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY 1, 2),
+gm AS (SELECT doc_id, max(c) AS top_g, sum(c) AS n_grams FROM gc GROUP BY 1),
+keepers AS (
+    SELECT w.doc_id
+    FROM words w LEFT JOIN gm g USING (doc_id)
+    WHERE CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) >= 0.45
+      AND CAST(w.top_w AS DOUBLE) / CAST(w.n_words AS DOUBLE) <= 0.11
+      AND coalesce(CAST(g.top_g AS DOUBLE) / CAST(g.n_grams AS DOUBLE), 0.0) <= 0.2
+),
+grams4 AS (
+    SELECT doc_id, i - 1 AS p,
+           array_to_string(wsa[i:i+3], ' ') AS g
+    FROM ws, unnest(range(1, greatest(len(wsa) - 2, 1))) AS t(i)
+),
+bench AS (
+    SELECT DISTINCT g FROM grams4 WHERE doc_id % 25 = 0
+),
+contaminated AS (
+    SELECT DISTINCT doc_id FROM grams4 JOIN bench USING (g)
+    WHERE doc_id % 25 <> 0
+),
+rep AS (SELECT g FROM grams4 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+marked AS (SELECT doc_id, p, p + 4 AS e FROM grams4 JOIN rep USING (g)),
+isl AS (
+    SELECT doc_id, p, e,
+           CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), -1) < p
+                THEN 1 ELSE 0 END AS newi
+    FROM marked
+),
+isl2 AS (
+    SELECT doc_id, p, e,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS islid
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, sum(mx - mn) AS covered
+    FROM (SELECT doc_id, islid, min(p) AS mn, max(e) AS mx
+          FROM isl2 GROUP BY 1, 2)
+    GROUP BY 1
+),
+ntok AS (SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens FROM documents),
+base AS (
+    SELECT d.doc_id, d.lang, d.source, n.n_tokens
+    FROM documents d
+    JOIN keepers USING (doc_id)
+    JOIN ntok n USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+    WHERE d.doc_id % 25 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND 10 * coalesce(s.covered, 0) <= 3 * n.n_tokens
+),
+quota AS (
+    SELECT * FROM (
+        SELECT doc_id, lang, source, n_tokens,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM base
+    ) WHERE rk <= 15
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) / 1024) AS BIGINT) AS pack_id
+FROM quota
+"""
+
+
+@query("curation_pipeline_v2", _CURATION_V2_ORACLE)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone, beyond-ref §2.13] The round-5 curation family
+    composed as ONE lazy DAG: Gopher repetition gate → benchmark
+    exclusion + 4-gram decontamination → exact-substring coverage
+    gate (drop docs with >30% of tokens inside cross-doc verbatim
+    spans, integer arithmetic 10·cov ≤ 3·n) → per-source quota (15,
+    md5 order) → per-language 1024-token sequence packing. Every
+    stage keys on doc/source/lang — no collect, one optimizer pass
+    over the whole pipeline, hash-verified end to end by a single
+    oracle."""
+    from pyspark.sql.functions import broadcast
+
+    docs = read_table(spark, sf_dir, "documents")
+    keepers = (
+        curation.repetition_stats(docs, "doc_id", "text")
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    contaminated = curation.contamination_hits(
+        corpus, bench, "doc_id", "text", ngram=4
+    ).select("doc_id")
+    spans = (
+        dedup.repeated_span_intervals(docs, "doc_id", "text", gram_len=4)
+        .groupBy("doc_id")
+        .agg(F.sum("n_words").alias("_covered"))
+    )
+    n_tok = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    base = (
+        corpus.join(keepers, "doc_id")
+        .join(n_tok, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(spans, "doc_id", "left")
+        .filter(
+            10 * F.coalesce(F.col("_covered"), F.lit(0)) <= 3 * F.col("n_tokens")
+        )
+        .select("doc_id", "lang", "source", "text", "n_tokens")
+    )
+    quota = curation.quota_sample(base, "source", "doc_id", quota=15)
+    packed = curation.pack_sequences(
+        quota, "doc_id", "text", "lang", budget_tokens=1024
+    )
+    return (
+        quota.select("doc_id", "lang", "source", "n_tokens")
+        .join(packed.select("doc_id", "pack_id"), "doc_id")
+    )
