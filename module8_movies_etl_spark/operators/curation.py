@@ -333,3 +333,69 @@ def tfidf_top_terms(
             F.round("_score", 4).alias("tfidf"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score): BM25 relevance of each document for a fixed term
+    set — the keyword-search counterpart to the ANN family (lexical
+    retrieval over exact corpus statistics).
+
+    Engine-portable determinism, same policy as ``tfidf_top_terms``:
+    the idf is the rational BM25 form (N − df + 0.5)/(df + 0.5) (no
+    log → no libm), every factor is an IEEE +,*,/ chain in fixed
+    shape, and the per-document score adds the per-TERM partial
+    scores in FIXED order via conditional aggregation (a plain
+    ``sum`` over term rows would re-associate doubles differently per
+    partitioning). avgdl is one broadcast scalar aggregate.
+
+    Scale shape: one (id, word) count pass filtered to the query
+    terms (the filter prunes before the aggregation — the posting
+    stream for 3 terms is tiny), document frequencies over the term
+    subset, one id-keyed conditional aggregation.
+    """
+    wc = word_counts(df, id_col, text_col).filter(F.col("w").isin(*terms))
+    lens = word_counts(df, id_col, text_col).groupBy(id_col).agg(
+        F.sum("c").alias("_dl")
+    )
+    avgdl = lens.agg(
+        (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avgdl"
+        )
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        wc.join(dfreq, "w")
+        .crossJoin(broadcast(n_docs))
+        .crossJoin(broadcast(avgdl))
+        .join(lens, id_col)
+    )
+    idf = (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (
+        F.col("_df") + F.lit(0.5)
+    )
+    tf = (F.col("c").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("c").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl"))
+        )
+    )
+    per_term = scored.withColumn("_s", idf * tf)
+    agg = per_term.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("w") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return agg.select(F.col(id_col), total.alias("score"))

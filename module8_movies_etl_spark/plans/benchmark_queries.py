@@ -3636,3 +3636,85 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         quota.select("doc_id", "lang", "source", "n_tokens")
         .join(packed.select("doc_id", "pack_id"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search (lexical retrieval beside the ANN family).
+# --------------------------------------------------------------------------
+
+
+def _bm25_oracle(
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> str:
+    """Replay bm25_scores exactly: every float literal is embedded via
+    repr() so DuckDB parses the IDENTICAL double Spark computes (e.g.
+    Python's k1+1.0 is not bit-equal to the SQL literal 2.2); the
+    per-term partials add in the same fixed 0.0-seeded order."""
+    k1p1, k1r, one_b, br = repr(k1 + 1.0), repr(k1), repr(1.0 - b), repr(b)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    cases = ",\n           ".join(
+        f"sum(CASE WHEN w = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = "0.0 + " + " + ".join(
+        f"coalesce(s{i}, 0.0)" for i in range(len(terms))
+    )
+    return rf"""
+WITH flat AS (
+    SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM flat GROUP BY 1, 2),
+lens AS (SELECT doc_id, sum(c) AS dl FROM wc GROUP BY 1),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+n AS (SELECT count(*) AS n_docs FROM documents),
+twc AS (SELECT * FROM wc WHERE w IN ({in_list})),
+dfreq AS (SELECT w, count(*) AS df FROM twc GROUP BY 1),
+per AS (
+    SELECT twc.doc_id, twc.w,
+           ((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((CAST(twc.c AS DOUBLE) * {k1p1})
+                / (CAST(twc.c AS DOUBLE)
+                   + {k1r} * ({one_b}
+                              + {br} * (CAST(lens.dl AS DOUBLE) / stats.avgdl))))
+               AS s
+    FROM twc
+    JOIN dfreq USING (w)
+    JOIN lens USING (doc_id)
+    CROSS JOIN n CROSS JOIN stats
+),
+agg AS (
+    SELECT doc_id,
+           {cases}
+    FROM per GROUP BY 1
+)
+SELECT doc_id, rk, round(score, 4) AS score
+FROM (
+    SELECT doc_id, {total} AS score,
+           row_number() OVER (ORDER BY {total} DESC, doc_id) AS rk
+    FROM agg
+) WHERE rk <= {k}
+"""
+
+
+@query("bm25_keyword_search", _bm25_oracle())
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[search, beyond-ref §2.13] BM25 top-20 for a fixed keyword
+    query — lexical retrieval beside the ANN family, over exact
+    corpus statistics. Rational idf (no log → no libm), fixed-shape
+    IEEE arithmetic, per-term partials added in fixed order via
+    conditional aggregation (a bare sum over term rows would
+    re-associate doubles per partitioning) — scores and ranks replay
+    bit-for-bit in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    scores = curation.bm25_scores(
+        d, "doc_id", "text", terms=("spark", "join", "window")
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "rk", F.round("score", 4).alias("score"))
+    )
