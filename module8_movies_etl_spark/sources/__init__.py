@@ -6,10 +6,12 @@ from .readers import (  # noqa: F401
     read_json_records,
     read_orc,
     read_parquet,
+    read_parquet_evolving,
     read_table,
     read_tables,
 )
 from .writers import (  # noqa: F401
+    compact_parquet,
     write_csv,
     write_jdbc,
     write_json,

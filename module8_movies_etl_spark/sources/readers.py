@@ -44,6 +44,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a dataset whose files were written under DIFFERENT
+    (compatible) schemas — schema evolution on read. ``mergeSchema``
+    unions the per-file schemas (missing columns read as NULL); it
+    costs a footer read per file at planning, which is why it is NOT
+    the default scan: a 100 TB table with a known schema should pay
+    one catalog lookup, not a million footer merges."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic benchmark table from a scale-factor dir.
 

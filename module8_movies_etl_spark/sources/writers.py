@@ -32,6 +32,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_parquet(spark, path: str) -> int:
+    """Small-file compaction: rewrite a parquet dataset through AQE's
+    REBALANCE exchange so file count follows data volume, then swap
+    the rewritten dataset into place. Returns the new file count.
+
+    The maintenance job every long-lived table needs — streaming
+    sinks and incremental loads accrete small files, and at 100 TB
+    the scan's task-scheduling overhead grows with file count, not
+    data size. Spark cannot overwrite a path it is reading, so the
+    rewrite goes to a staging dir and swaps via two renames (atomic
+    on a posix filesystem; object stores use a committer instead).
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__pre_compact"
+    spark.read.parquet(path).hint("rebalance").write.mode("overwrite").parquet(
+        staging
+    )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -346,3 +346,34 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Files written under different compatible schemas union on read
+    with mergeSchema; columns absent in a file read as NULL."""
+    from module8_movies_etl_spark.sources.readers import read_parquet_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.mode("append").parquet(base)
+    spark.createDataFrame([(2, 3.5)], ["id", "v2"]).write.mode("append").parquet(base)
+    out = read_parquet_evolving(spark, base)
+    assert sorted(out.columns) == ["id", "v1", "v2"]
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: (None, 3.5)}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """64 tiny files -> a handful after the REBALANCE rewrite, same
+    rows; the pre-compact dir is gone."""
+    import os
+
+    from module8_movies_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    spark.range(1000).repartition(64).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 32
+    after = compact_parquet(spark, path)
+    assert after < before / 4
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "__pre_compact")
