@@ -3718,3 +3718,100 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "rk", F.round("score", 4).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Hopping windows + quality-weighted sampling.
+# --------------------------------------------------------------------------
+
+_HOPPING_ORACLE = """
+WITH x AS (
+    SELECT event_type, (epoch_us(ts) // 1000000) AS t, value FROM events
+),
+w AS (
+    SELECT event_type, value, ((t // 300) - k) * 300 AS window_start_s
+    FROM x, unnest(range(0, 2)) AS u(k)
+    WHERE ((t // 300) - k) * 300 + 600 > t
+)
+SELECT CAST(window_start_s AS BIGINT) AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@query("hopping_window_counts", _HOPPING_ORACLE)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming-shape, beyond-ref §2.11] 10-minute windows sliding
+    every 5 — the overlapping-window aggregation (each event lands in
+    size/slide = 2 windows). Same F.window machinery the streaming
+    slice runs incrementally; the oracle fans each event out to its
+    window starts with integer epoch arithmetic. Sums aggregate
+    DECIMAL so overlap-fanout order cannot move a bit."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_QWS_ORACLE = r"""
+WITH flat AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                        '\s+')) AS w
+    FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM flat GROUP BY 1, 2),
+q AS (
+    SELECT doc_id,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rate
+    FROM wc GROUP BY 1
+)
+SELECT d.doc_id, d.lang, round(q.rate, 4) AS keep_rate
+FROM documents d JOIN q USING (doc_id)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < q.rate
+"""
+
+
+@query("quality_weighted_sample", _QWS_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Quality-weighted deterministic
+    sampling: keep a document with probability equal to its
+    unique-word ratio (higher-quality → more likely kept), decided by
+    the same md5-u01 arithmetic as ``operators/sampling`` — so the
+    weighted sample is reproducible, repartition-stable, and fully
+    hash-verifiable (RNG weighted sampling would be none of these).
+    One doc-keyed aggregation for the rate + a narrow filter."""
+    from ..operators.sampling import _u01
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        curation.word_counts(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+                "rate"
+            )
+        )
+    )
+    return (
+        docs.join(rate, "doc_id")
+        .filter(_u01(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 4).alias("keep_rate"))
+    )
