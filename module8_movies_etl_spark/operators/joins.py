@@ -118,3 +118,42 @@ def left_join_small(
     if fill_zero:
         joined = joined.na.fill(0, subset=fill_zero)
     return joined
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    spread_col: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient big×big equi-join by key salting.
+
+    When ONE join key holds a disproportionate share of the fact rows
+    and the dim side is too large to broadcast, a plain shuffle join
+    lands the hot key on a single reducer. Salting spreads it: the
+    fact side appends ``_s = pmod(hash(spread_col, 13), salt)``
+    (``spread_col`` is any per-row column — ideally unique — so hot-key
+    rows scatter across salts; hashing rather than ``pmod(id, salt)``
+    keeps any type and skewed id spacing uniform), and the dim side is
+    replicated once per salt via an ``explode(sequence(...))`` —
+    ``salt×`` dim rows buys ``salt×`` parallelism on the hot key.
+    Each fact row matches exactly the one replica carrying its salt,
+    so the result is row-for-row identical to the plain join (inner
+    and left both safe; pinned by the full-oracle catalog entry).
+
+    This is the *static* form of what AQE's OptimizeSkewedJoin does at
+    runtime (pinned by ``test_aqe_skew_join_splits_hot_key``): AQE
+    splits oversized partitions after the map stage, but only for
+    sort-merge joins and only per-partition — salting also rebalances
+    the *aggregation* that typically follows, and works when the skew
+    is known ahead of time (the 100 TB planned-pipeline case).
+    """
+    sdim = dim.withColumn(
+        "_s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_s", F.col("_s").cast("int"))
+    sfact = fact.withColumn(
+        "_s", F.pmod(F.hash(F.col(spread_col), F.lit(13)), F.lit(salt)).cast("int")
+    )
+    return sfact.join(sdim, on=[on, "_s"], how=how).drop("_s")

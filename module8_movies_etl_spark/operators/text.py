@@ -308,3 +308,71 @@ def tokenize_to_ids(
         F.coalesce(F.size("token_ids"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data compliance pass).
+# --------------------------------------------------------------------------
+
+# Pattern dialect is the intersection of Java regex (Spark) and RE2
+# (DuckDB/ripgrep): no lookarounds, no backrefs — so the exact same
+# pattern strings run on both engines and the redaction is
+# hash-verifiable. Order matters and is fixed: emails first (their
+# local parts contain digits a later pass could half-match), then
+# phone runs, then dotted quads.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone-number runs, and IPv4 quads with typed
+    placeholder tags — the standard compliance scrub before a corpus
+    leaves the ingest zone. Three chained ``regexp_replace`` calls in
+    one narrow projection: at 100 TB this fuses into the same
+    whole-stage-codegen pass as the quality filters, zero extra I/O.
+    """
+    out = col
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_tag_count(redacted: Column, kind: str) -> Column:
+    """Occurrences of one placeholder tag in already-redacted text
+    (length-difference trick — no regex second pass)."""
+    tag = {k: t for k, _, t in PII_PATTERNS}[kind]
+    return occurrences(redacted, tag).cast("long")
+
+
+# --------------------------------------------------------------------------
+# N-gram (bigram) language-model counts.
+# --------------------------------------------------------------------------
+
+
+def tokens_array(col: Column) -> Column:
+    """Whitespace tokens as an array; empty/whitespace-only text gives
+    an EMPTY array (a bare ``split`` would give ``['']``)."""
+    trimmed = ws_trim(col)
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def bigrams_array(col: Column) -> Column:
+    """Adjacent token pairs as ``"w1 w2"`` strings (tokens are
+    whitespace-split so the space separator is unambiguous). Texts
+    with fewer than two tokens give an empty array — the guard also
+    keeps ``sequence``-style negative ranges out of the plan.
+    """
+    toks = tokens_array(col)
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )

@@ -39,6 +39,7 @@ from ..operators import (
     pivot,
     quality,
     rangejoin,
+    robust,
     sampling,
     similarity,
     sketches,
@@ -3814,4 +3815,379 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(rate, "doc_id")
         .filter(_u01(F.col("doc_id")) < F.col("rate"))
         .select("doc_id", "lang", F.round("rate", 4).alias("keep_rate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-6 family: robust stats, skew salting, PII redaction, bigram LM,
+# vector HOFs, stream-static enrichment, VARIANT extraction.
+# --------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01), 4) AS lo,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS hi
+    FROM orders
+),
+c AS (
+    SELECT o_orderstatus,
+           least(greatest(CAST(o_totalprice AS DOUBLE), b.lo), b.hi) AS wp
+    FROM orders CROSS JOIN b
+)
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(CAST(sum(CAST(wp AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_w,
+       round(min(wp), 2) AS min_w,
+       round(max(wp), 2) AS max_w
+FROM c
+GROUP BY o_orderstatus
+"""
+
+
+@query("winsorize_totalprice", _WINSORIZE_ORACLE)
+def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[robust-stats, beyond-ref §2.13; seed: the notebook's
+    describe/hist distribution QA, Data Cleaning.ipynb:5612] Winsorize
+    order totals to the exact [p01, p99] band, then per-status stats.
+    The percentile pass reduces the full scan to one 16-byte scalar
+    row broadcast back over the table; the clip is a fused narrow
+    projection and the grouped sums run on DECIMAL so partial-agg
+    order can't move the hash. Thresholds are rounded identically on
+    both engines so a last-ulp interpolation difference can't flip a
+    clip comparison.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = robust.winsorize(
+        o.select("o_orderstatus", "o_totalprice"), "o_totalprice", 0.01, 0.99,
+        out_col="wp",
+    )
+    return w.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("wp").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "sum_w"
+        ),
+        F.round(F.min("wp"), 2).alias("min_w"),
+        F.round(F.max("wp"), 2).alias("max_w"),
+    )
+
+
+_DECILES_ORACLE = """
+WITH s AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+),
+d AS (
+    SELECT o_custkey, spend,
+           ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+    FROM s
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM d
+GROUP BY decile
+"""
+
+
+@query("spend_deciles", _DECILES_ORACLE)
+def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[robust-stats / window, beyond-ref §2.10] Customer spend
+    deciles: exact DECIMAL spend per customer, NTILE(10) over a
+    deterministic total order (spend desc, custkey asc — the unique
+    tie column keeps engines from disagreeing on equal spends), then
+    per-decile stats. The global sort runs on the customer-grained
+    aggregate — orders of magnitude smaller than the fact table — so
+    the single-axis sort stays bounded at 100 TB of orders.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sp"))
+        .select("o_custkey", F.col("_sp").cast("double").alias("spend"))
+    )
+    d = robust.quantile_buckets(spend, "spend", "o_custkey", n=10, out_col="decile")
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total_spend"
+        ),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("salted_skew_join", _SALTED_JOIN_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[skew-resilience, beyond-ref] Events joined to the customer
+    dimension through ``salted_join``: the fact side is salted by
+    ``hash(event_id) % 8`` and the dim side replicated 8×, so a hot
+    user key spreads over 8 reducers instead of one — the static form
+    of AQE's skew split (which is itself pinned by
+    ``test_aqe_skew_join_splits_hot_key``), usable when the skew is
+    known at plan time and the dim is too big to broadcast. The salt
+    is provably result-neutral: this entry hash-matches the PLAIN join
+    oracle.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    j = joins.salted_join(e, c, on="user_id", spread_col="event_id", salt=8)
+    return j.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+# The PII patterns live in operators/text.py (PII_PATTERNS); the oracle
+# re-states them literally — the dialect is the Java-regex ∩ RE2
+# intersection, so the strings are identical on both engines.
+_REDACT_ORACLE = r"""
+WITH injected AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+           AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d-]{7,}\d', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+    FROM injected
+)
+SELECT doc_id,
+       md5(r) AS redacted_md5,
+       CAST((length(r) - length(replace(r, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+       CAST((length(r) - length(replace(r, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
+       CAST((length(r) - length(replace(r, '<IP>', ''))) / 4 AS BIGINT) AS n_ip
+FROM red
+"""
+
+
+@query("redact_pii_docs", _REDACT_ORACLE)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis / compliance, beyond-ref §2.13] PII redaction
+    over the documents table. The synthetic corpus carries no PII, so
+    the query deterministically injects an email, a phone run, and an
+    IPv4 per document (pure doc_id arithmetic — both engines build the
+    identical string), then scrubs with the three chained
+    ``regexp_replace`` passes of ``text.redact_pii``. Verified by md5
+    of the full redacted text plus per-tag counts — a byte-level proof
+    the redaction behaves identically at any scale. One narrow
+    projection; at 100 TB this fuses with the quality filters in a
+    single codegen stage.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.1"),
+    )
+    staged = d.select(
+        "doc_id", text.redact_pii(injected).alias("_r")
+    )
+    return staged.select(
+        "doc_id",
+        F.md5(F.col("_r")).alias("redacted_md5"),
+        text.pii_tag_count(F.col("_r"), "email").alias("n_email"),
+        text.pii_tag_count(F.col("_r"), "phone").alias("n_phone"),
+        text.pii_tag_count(F.col("_r"), "ip").alias("n_ip"),
+    )
+
+
+_BIGRAM_ORACLE = rf"""
+WITH t AS (
+    SELECT lang, {_WS_SPLIT_SQL} AS w FROM documents
+),
+b AS (
+    SELECT lang, w[i] || ' ' || w[i + 1] AS bg
+    FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+),
+c AS (SELECT lang, bg, count(*) AS cnt FROM b GROUP BY lang, bg),
+p AS (
+    SELECT lang, bg, cnt,
+           sum(cnt) OVER (PARTITION BY lang, split_part(bg, ' ', 1))
+               AS prefix_cnt
+    FROM c
+)
+SELECT lang, bg, cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(prefix_cnt AS DOUBLE), 4) AS cond_p,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT lang, bg, cnt, prefix_cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rk
+    FROM p
+)
+WHERE rk <= 5
+"""
+
+
+@query("bigram_lm_topk", _BIGRAM_ORACLE)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis / n-gram LM, beyond-ref §2.13] Per-language
+    top-5 bigrams with their conditional probability P(w2|w1) — the
+    bigram-LM estimation step (and the n=2 member of the shingle
+    family the dedup operators use). Bigrams come from one zip_with
+    over the token array (no self-join); the conditional denominator
+    is a window sum over the already-aggregated bigram counts — two
+    shuffles total on (lang, bigram) and (lang, prefix), both on
+    grouped data far smaller than the corpus. WindowGroupLimit keeps
+    the per-language top-k map-side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "lang", F.explode(text.bigrams_array(F.col("text"))).alias("bg")
+    )
+    counts = bg.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    staged = counts.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    pref = Window.partitionBy("lang", "w1")
+    rank_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
+    return (
+        staged.withColumn("prefix_cnt", F.sum("cnt").over(pref))
+        .withColumn("rk", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            "bg",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("prefix_cnt").cast("double"), 4
+            ).alias("cond_p"),
+            "rk",
+        )
+    )
+
+
+_VECTOR_HOF_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_reduce(
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, x) -> a + x)), 6) AS l2,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_reduce(
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, x) -> a + x)), 6) AS u1,
+       round(list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           (a, x) -> a + x), 6) AS comp_sum,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
+FROM embeddings
+"""
+
+
+@query("vector_stats_hof", _VECTOR_HOF_ORACLE)
+def vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[higher-order functions, beyond-ref §2.13] Per-vector stats via
+    Catalyst's array HOFs — transform / aggregate(fold) / array_max /
+    array_position — the JVM-side idiom that keeps 100 TB of embedding
+    math out of Python entirely. Float parity: the l2/comp_sum folds
+    are left-to-right with a 0.0 seed; DuckDB's ``list_reduce`` seeds
+    with the first element, and ``0.0 + x1 == x1`` exactly in IEEE, so
+    both engines run the identical operation sequence and the rounded
+    values hash-match bit-for-bit (same discipline as
+    ``project_embeddings_rp``). argmax compares raw float32 on both
+    sides — no cast drift.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = similarity._as_double(F.col("embedding"))
+    norm = similarity.l2_norm(v)
+    comp_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("l2"),
+        F.round(F.element_at(v, 1) / norm, 6).alias("u1"),
+        F.round(comp_sum, 6).alias("comp_sum"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("vmax"),
+        F.array_position(
+            F.col("embedding"), F.array_max(F.col("embedding"))
+        ).cast("long").alias("argmax"),
+    )
+
+
+_STREAM_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS mktsegment,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("stream_static_enrich", _STREAM_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming, beyond-ref §2.11] Stream-static enrichment: the
+    event stream inner-joined per micro-batch against the static
+    customer dimension (broadcast — profile dims are key-bounded), in
+    append mode with no state store and no watermark. Replayed with
+    ``trigger(availableNow)`` over the finite events table, the
+    emitted rows are exactly the batch join's, so REAL streaming
+    execution is hash-verified against a plain SQL join oracle (the
+    same replay discipline as ``stream_dedup_events``).
+    """
+    from ..streaming.enrich import run_enrich_over_events
+
+    return run_enrich_over_events(spark, sf_dir)
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS BIGINT)
+           AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY event_type, bucket
+"""
+
+
+@query("variant_props_extract", _VARIANT_ORACLE)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§1.3 semi-structured, Spark-4 VARIANT] The schema-flexible
+    twin of ``parse_event_props``: ``parse_json`` → VARIANT →
+    ``try_variant_get`` extracts ``$.k`` WITHOUT declaring a struct
+    schema up front — the open-content-model path for 100 TB of
+    heterogeneous event payloads (VARIANT's binary encoding scans
+    ~10× faster than re-parsing JSON strings per access, and new keys
+    need no schema migration). Histogram by decade bucket; the
+    extraction stays inside the scan stage, so only (type, bucket)
+    reaches the shuffle.
+    """
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", F.floor(k / F.lit(10)).cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1,0 +1,170 @@
+"""Unit tests for the round-6 operator family: salted joins, robust
+stats, PII redaction, bigram arrays, stream-static enrichment."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.operators import joins, robust, text
+
+
+# ----------------------------------------------------------------- salted join
+
+
+def _skewed_frames(spark):
+    # 90% of fact rows on one hot key; dim includes an unmatched key.
+    fact = spark.createDataFrame(
+        [Row(pk=i, k="hot" if i % 10 else f"k{i}", v=float(i)) for i in range(200)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k="hot", attr="H")]
+        + [Row(k=f"k{i * 10}", attr=f"A{i}") for i in range(20)]
+        + [Row(k="absent", attr="X")]
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_inner(spark):
+    fact, dim = _skewed_frames(spark)
+    plain = fact.join(dim, "k", "inner")
+    salted = joins.salted_join(fact, dim, on="k", spread_col="pk", salt=4)
+    assert sorted(map(tuple, plain.select("pk", "k", "v", "attr").collect())) == sorted(
+        map(tuple, salted.select("pk", "k", "v", "attr").collect())
+    )
+
+
+def test_salted_join_matches_plain_left(spark):
+    fact, dim = _skewed_frames(spark)
+    plain = fact.join(dim, "k", "left")
+    salted = joins.salted_join(fact, dim, on="k", spread_col="pk", salt=4, how="left")
+    assert sorted(
+        map(tuple, plain.select("pk", "k", "v", "attr").collect())
+    ) == sorted(map(tuple, salted.select("pk", "k", "v", "attr").collect()))
+
+
+def test_salted_join_string_spread_col(spark):
+    # Hash-based salting must spread ANY spread-col type (the ADVICE
+    # pmod-on-string pitfall): string ids still join correctly.
+    fact = spark.createDataFrame(
+        [Row(sid=f"s{i}", k="hot", v=i) for i in range(50)]
+    )
+    dim = spark.createDataFrame([Row(k="hot", attr="H")])
+    out = joins.salted_join(fact, dim, on="k", spread_col="sid", salt=8)
+    assert out.count() == 50
+
+
+# ---------------------------------------------------------------- robust stats
+
+
+def test_winsorize_clips_to_percentile_band(spark):
+    # 1..100 with one huge outlier; p01/p99 of 1..100,10000
+    vals = list(range(1, 101)) + [10_000]
+    df = spark.createDataFrame([Row(x=float(v)) for v in vals])
+    out = robust.winsorize(df, "x", lo=0.10, hi=0.90, out_col="w")
+    rows = out.select("x", "w").collect()
+    lo = sorted(v for v in vals)[0]  # noqa: F841 - bounds checked below
+    ws = [r.w for r in rows]
+    # all clipped values inside the band, order stats preserved
+    assert min(ws) > 1.0 and max(ws) < 10_000
+    by_x = {r.x: r.w for r in rows}
+    assert by_x[50.0] == 50.0  # middle untouched
+    assert by_x[10_000.0] == max(ws)  # outlier clipped to hi
+
+
+def test_quantile_buckets_floor_sizes(spark):
+    # 23 rows into 10 buckets -> sizes 3,3,3,2,2,2,2,2,2,2 (SQL NTILE)
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(23)])
+    out = robust.quantile_buckets(df, "v", "id", n=10, out_col="b")
+    sizes = [
+        r["cnt"]
+        for r in out.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).orderBy("b").collect()
+    ]
+    assert sizes == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+
+
+# ---------------------------------------------------------------- PII redaction
+
+
+def test_redact_pii_golden(spark):
+    cases = [
+        ("mail me at jo.na+x@sub.example.org now", "mail me at <EMAIL> now"),
+        ("call +1-555-123-4567 today", "call <PHONE> today"),
+        ("host 192.168.0.254 down", "host <IP> down"),
+        # negatives: short digit runs and hyphenated words survive
+        ("Spider-Man 2 scored 9-1", "Spider-Man 2 scored 9-1"),
+        ("v1.2.3.4000 is a version", "v1.2.3.4000 is a version"),  # no \b quad
+        ("", ""),
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _) in enumerate(cases)])
+    got = {
+        r.i: r.r
+        for r in df.select("i", text.redact_pii(F.col("t")).alias("r")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_pii_tag_count(spark):
+    df = spark.createDataFrame([Row(t="a@b.co and c@d.io and 1.2.3.4")])
+    red = df.select(text.redact_pii(F.col("t")).alias("r"))
+    row = red.select(
+        text.pii_tag_count(F.col("r"), "email").alias("e"),
+        text.pii_tag_count(F.col("r"), "ip").alias("p"),
+    ).collect()[0]
+    assert (row.e, row.p) == (2, 1)
+
+
+# ------------------------------------------------------------------- bigrams
+
+
+def test_bigrams_array_edges(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, t="a b c"),
+            Row(i=1, t="solo"),
+            Row(i=2, t=""),
+            Row(i=3, t="  \n "),
+            Row(i=4, t=" x\ty "),
+        ]
+    )
+    got = {
+        r.i: r.b
+        for r in df.select("i", text.bigrams_array(F.col("t")).alias("b")).collect()
+    }
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["x y"]
+
+
+def test_tokens_array_empty_is_empty(spark):
+    df = spark.createDataFrame([Row(t=" \n ")])
+    assert df.select(text.tokens_array(F.col("t")).alias("a")).collect()[0].a == []
+
+
+# ------------------------------------------------------- stream-static enrich
+
+
+def test_stream_enrich_matches_batch_join(spark, sf_dir):
+    from module8_movies_etl_spark.sources.readers import read_table
+    from module8_movies_etl_spark.streaming.enrich import run_enrich_over_events
+
+    got = run_enrich_over_events(spark, sf_dir)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .join(
+            read_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("mktsegment"),
+            ),
+            "user_id",
+        )
+    )
+    assert got.count() == batch.count()
+    assert (
+        sorted(map(tuple, got.select("event_id", "mktsegment").collect()))
+        == sorted(map(tuple, batch.select("event_id", "mktsegment").collect()))
+    )
