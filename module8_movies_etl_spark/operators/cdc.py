@@ -80,3 +80,55 @@ def refresh_grouped_mv(
         .groupBy(group_col)
         .agg(*[c.alias(n) for n, c in merge_exprs.items()])
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: compress a change
+    stream into validity intervals per key.
+
+    Consecutive rows with the same ``state_col`` value collapse into
+    one interval ``[valid_from, valid_to)``; the current state carries
+    ``valid_to = NULL``. Classic gaps-and-islands: a lag marks state
+    changes, a running sum numbers the islands, one aggregate per
+    (key, island) takes the interval start, and a lead stitches each
+    island's end to the next start. All three windows and the
+    aggregate share the SAME key partitioning — one shuffle serves the
+    whole operator, and keys process independently, so 100 TB of
+    history scales with the key count, not the row count per executor.
+
+    ``tie_col`` must make (ts_col, tie_col) a total order per key —
+    equal timestamps otherwise leave island numbering engine-defined.
+    ``ts_col`` must be integer-comparable (epoch micros); the caller
+    converts (tz-repr discipline, see plans/benchmark_queries docs).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    prev = F.lag(state_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    seg = (
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    islands = df.select(
+        F.col(key_col), F.col(state_col), F.col(ts_col), F.col(tie_col)
+    ).withColumn("seg", seg)
+    g = islands.groupBy(key_col, "seg").agg(
+        F.max(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("seg")
+    return g.select(
+        key_col,
+        "seg",
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -939,3 +939,71 @@ def repeated_span_intervals(
         )
         .drop("_isl")
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Chunk-level exact deduplication survivorship (the
+    paragraph-dedup step of Lee et al. 2022 §4.1, adapted to
+    fixed-width token chunks since the synthetic corpus has no
+    paragraph breaks).
+
+    Each document splits into consecutive ``chunk_tokens``-token
+    chunks (built by one ``transform`` over the token array — no
+    self-join); globally, the FIRST occurrence of each distinct chunk
+    (min ``(doc_id, pos)``) survives. Output is the per-document
+    survivorship profile — total chunks, surviving chunks, kept ratio
+    — i.e. how much of each document remains after cross-corpus
+    chunk dedup. Documents with no tokens keep ratio 1.0 (nothing to
+    deduplicate).
+
+    One wide op: the first-occurrence window partitions BY CHUNK
+    CONTENT, so the shuffle key count is the distinct-chunk count and
+    hot chunks (boilerplate) each land on one reducer only for a
+    cheap rank-1 scan. The per-doc rollup then reuses the doc key.
+    Distinct from ``repeated_span_intervals`` (which finds *where*
+    verbatim runs overlap); this one makes the keep/drop decision.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_array
+
+    toks = tokens_array(F.col(text_col))
+    n = F.size(toks)
+    nch = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        )
+    )
+    flat = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    marked = flat.withColumn(
+        "_keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    g = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_keep").alias("n_kept"),
+    )
+    return df.select(F.col(id_col)).join(g, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.when(
+            F.coalesce("n_chunks", F.lit(0)) > 0,
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_chunks").cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("kept_ratio"),
+    )

@@ -4191,3 +4191,196 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SCD2_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+flagged AS (
+    SELECT user_id, event_type, ts_us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+seg AS (
+    SELECT user_id, event_type, ts_us,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+    FROM flagged
+),
+g AS (
+    SELECT user_id, seg, max(event_type) AS event_type,
+           min(ts_us) AS valid_from, count(*) AS n_events
+    FROM seg GROUP BY user_id, seg
+)
+SELECT user_id, seg, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+       n_events
+FROM g
+"""
+
+
+@query("scd2_user_event_history", _SCD2_ORACLE)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[warehouse history, beyond-ref; seed: the reference's
+    whole-table reload, challenge.py:312 — this is the incremental
+    history form] SCD type-2: compress each user's event-type change
+    stream into validity intervals [valid_from, valid_to) in epoch
+    micros, open interval for the current state. Gaps-and-islands via
+    ``cdc.scd2_history``; every window and the aggregate share one
+    user-key shuffle. Timestamps are integer micros end to end (the
+    tz-repr discipline), and (ts, event_id) is a total order per user
+    so island numbering is engine-independent.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    return cdc.scd2_history(
+        e, key_col="user_id", state_col="event_type", ts_col="ts_us",
+        tie_col="event_id",
+    ).select(
+        "user_id", "seg", "event_type",
+        F.col("valid_from"),
+        F.col("valid_to"),
+        "n_events",
+    )
+
+
+_POSTINGS_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, {_WS_SPLIT_SQL} AS w FROM documents
+),
+flat AS (
+    SELECT doc_id, unnest(w) AS term FROM t
+),
+agg AS (
+    SELECT term,
+           count(DISTINCT doc_id) AS df_docs,
+           count(*) AS cf,
+           (list(DISTINCT doc_id ORDER BY doc_id))[1:50] AS postings
+    FROM flat
+    WHERE term <> ''
+    GROUP BY term
+)
+SELECT term, df_docs, cf, postings FROM agg
+"""
+
+
+@query("postings_index", _POSTINGS_ORACLE)
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[search ETL, beyond-ref §2.13] Inverted-index construction —
+    the artifact BM25 retrieval (``bm25_keyword_search``) serves from:
+    per term, document frequency, collection frequency, and the
+    postings list (sorted doc ids, truncated to the first 50 —
+    impact-ordered truncation is standard index practice; the ``log``
+    of what's dropped is the df column itself). One shuffle on the
+    term key; ``collect_set`` + ``array_sort`` + ``slice`` build the
+    postings without any per-term sort job. At 100 TB the term key is
+    zipfian-hot, but the payload per term is already capped by the
+    slice, so no reducer materializes an unbounded list.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    flat = d.select(
+        "doc_id", F.explode(text.tokens_array(F.col("text"))).alias("term")
+    )
+    return flat.groupBy("term").agg(
+        F.count_distinct(F.col("doc_id")).alias("df_docs"),
+        F.count(F.lit(1)).alias("cf"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, 50).alias("postings"),
+    )
+
+
+_CORR_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(corr(CAST(value AS DOUBLE),
+                  CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS r,
+       round(covar_samp(CAST(value AS DOUBLE),
+                        CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS cov,
+       round(stddev_samp(CAST(value AS DOUBLE)), 4) AS sd_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("corr_value_props", _CORR_ORACLE)
+def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling, extends §2.4 A4; seed: the notebook's cross-source
+    consistency scatter plots, Data Cleaning.ipynb:6079-6236 — the
+    productionized form of eyeballing correlation] Per-type Pearson
+    correlation, sample covariance, and stddev between the event value
+    and the JSON payload field. Single-pass co-moment aggregation
+    (partial+final, no row materialization); both engines use the
+    same estimator definitions and values are rounded where partial
+    merge order could wiggle the last ulp.
+    """
+    e = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    v = F.col("value").cast("double")
+    return (
+        e.select("event_type", v.alias("v"), k.cast("double").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("v", "k"), 4).alias("r"),
+            F.round(F.covar_samp("v", "k"), 4).alias("cov"),
+            F.round(F.stddev_samp("v"), 4).alias("sd_value"),
+        )
+    )
+
+
+_CHUNK_DEDUP_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '^\s*$')
+                THEN CAST([] AS VARCHAR[])
+                ELSE {_WS_SPLIT_SQL} END AS w
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+    FROM t, unnest(generate_series(
+        0, CAST(ceil(len(w) / 10.0) AS INTEGER) - 1)) AS u(i)
+),
+marked AS (
+    SELECT doc_id, pos, chunk,
+           CASE WHEN row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, pos) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM chunks
+),
+g AS (
+    SELECT doc_id, count(*) AS n_chunks, sum(keep) AS n_kept
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(g.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+       CASE WHEN coalesce(g.n_chunks, 0) > 0
+            THEN round(CAST(g.n_kept AS DOUBLE) / CAST(g.n_chunks AS DOUBLE), 4)
+            ELSE 1.0 END AS kept_ratio
+FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+"""
+
+
+@query("chunk_dedup_survivors", _CHUNK_DEDUP_ORACLE)
+def chunk_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup, beyond-ref §2.13] Chunk-level exact dedup survivorship
+    (Lee et al. 2022's paragraph dedup on fixed 10-token chunks):
+    globally keep the first occurrence (min doc_id, pos) of every
+    distinct chunk, report per-document total/kept/ratio. The
+    keep/drop decision step that complements
+    ``repeated_span_intervals``'s span *detection*. Chunks come from
+    one array transform (no self-join); the first-occurrence window
+    shuffles on chunk CONTENT, so reducer load is bounded by
+    distinct-chunk counts, not document sizes.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_stats(d, "doc_id", "text", chunk_tokens=10)

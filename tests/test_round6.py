@@ -168,3 +168,52 @@ def test_stream_enrich_matches_batch_join(spark, sf_dir):
         sorted(map(tuple, got.select("event_id", "mktsegment").collect()))
         == sorted(map(tuple, batch.select("event_id", "mktsegment").collect()))
     )
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def test_scd2_history_islands(spark):
+    from module8_movies_etl_spark.operators.cdc import scd2_history
+
+    rows = [
+        # user 1: A A B A  -> three islands
+        Row(u=1, s="A", t=10, i=1),
+        Row(u=1, s="A", t=20, i=2),
+        Row(u=1, s="B", t=30, i=3),
+        Row(u=1, s="A", t=40, i=4),
+        # user 2: single state, one open interval
+        Row(u=2, s="X", t=5, i=5),
+    ]
+    df = spark.createDataFrame(rows)
+    out = scd2_history(df, "u", "s", "t", "i").orderBy("u", "seg").collect()
+    got = [(r.u, r.seg, r.s, r.valid_from, r.valid_to, r.n_events) for r in out]
+    assert got == [
+        (1, 1, "A", 10, 30, 2),
+        (1, 2, "B", 30, 40, 1),
+        (1, 3, "A", 40, None, 1),
+        (2, 1, "X", 5, None, 1),
+    ]
+
+
+# ---------------------------------------------------------------- chunk dedup
+
+
+def test_chunk_dedup_stats_first_occurrence_wins(spark):
+    from module8_movies_etl_spark.operators.dedup import chunk_dedup_stats
+
+    # 4-token chunks; doc 0 and doc 1 share an identical first chunk.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f"),      # chunks: "a b c d", "e f"
+            Row(doc_id=1, text="a b c d x y"),      # first chunk duplicates doc 0's
+            Row(doc_id=2, text=""),                  # no tokens
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_ratio)
+        for r in chunk_dedup_stats(df, "doc_id", "text", chunk_tokens=4).collect()
+    }
+    assert out[0] == (2, 2, 1.0)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (0, 0, 1.0)
