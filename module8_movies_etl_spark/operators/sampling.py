@@ -72,3 +72,32 @@ def stratified_hash_sample(
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
     u = _u01(F.concat_ws(":", F.col(strata_col), F.col(key_col).cast("string")))
     return df.filter(u < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    boundaries: dict[str, float],
+    default_label: str = "test",
+    out_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    step every training pipeline runs, with the RNG replaced by the
+    same md5-u01 decision as ``hash_sample``.
+
+    ``boundaries`` maps label → upper bound on u01 in ascending order
+    (e.g. ``{"train": 0.8, "val": 0.9}``; the remainder is
+    ``default_label``). Properties the RNG split cannot give: the
+    assignment is reproducible across engines/runs, stable under
+    repartitioning, and keyed — re-running on a grown corpus never
+    moves an old document between splits (the leakage-prevention
+    property: a doc that was in test stays in test forever).
+    ``salt`` decorrelates this decision from other hash samplers on
+    the same key. A narrow codegen'd projection; no shuffle.
+    """
+    u = _u01(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    expr = F.lit(default_label)
+    for label, bound in sorted(boundaries.items(), key=lambda kv: -kv[1]):
+        expr = F.when(u < F.lit(float(bound)), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)

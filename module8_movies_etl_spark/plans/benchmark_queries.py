@@ -4384,3 +4384,202 @@ def chunk_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     return dedup.chunk_dedup_stats(d, "doc_id", "text", chunk_tokens=10)
+
+
+# One SQL text, two engines: Spark 4's recursive CTE support means the
+# EXACT same string runs via spark.sql (over registered temp views) and
+# as the DuckDB oracle — the strongest possible parity statement for
+# the SQL surface. The recursion climbs a synthetic binary-heap tree
+# over customer keys (parent = floor((k-1)/2)); every chain is a
+# unique root path, so UNION ALL terminates without distinct-mode
+# recursion (which Spark does not support yet) and emits exactly
+# depth(node)+1 rows per node.
+_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE anc(node, anc_node, hops) AS (
+    SELECT CAST(c_custkey AS BIGINT) AS node,
+           CAST(c_custkey AS BIGINT) AS anc_node,
+           0 AS hops
+    FROM customer
+    UNION ALL
+    SELECT a.node,
+           CAST(floor((a.anc_node - 1) / 2.0) AS BIGINT),
+           a.hops + 1
+    FROM anc a
+    WHERE a.anc_node > 0
+),
+depths AS (
+    SELECT node, max(hops) AS tree_depth FROM anc GROUP BY node
+),
+j AS (
+    SELECT d.tree_depth, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+    FROM depths d JOIN customer c ON CAST(c.c_custkey AS BIGINT) = d.node
+)
+SELECT CAST(tree_depth AS BIGINT) AS tree_depth,
+       count(*) AS n_nodes,
+       round(CAST(sum(bal) AS DOUBLE), 2) AS sum_acctbal
+FROM j
+GROUP BY tree_depth
+"""
+
+
+@query("recursive_tree_rollup", _RECURSIVE_TREE_SQL)
+def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Spark-4 recursive CTE, beyond-ref] Hierarchy traversal on the
+    ENGINE side: Spark 4 executes ``WITH RECURSIVE`` natively (each
+    iteration is a distributed join of the frontier against the
+    anchor — the same loop ``dedup.connected_components`` hand-builds
+    in DataFrames, now planned by Catalyst). The query assigns every
+    customer its depth in a synthetic binary-heap org tree
+    (parent = floor((k-1)/2)) by climbing ancestor chains, then rolls
+    account balances up per depth. The SAME SQL string is the DuckDB
+    oracle — zero translation. Tree recursion is UNION ALL-safe
+    (unique root paths, no cycles), depth is log2(keys), and each
+    iteration's frontier shrinks — the bounded-recursion shape that
+    scales.
+    """
+    from .sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _RECURSIVE_TREE_SQL)
+
+
+_SPLIT_ORACLE = """
+WITH s AS (
+    SELECT lang,
+           CASE
+             WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) / 1152921504606846976.0 < 0.8 THEN 'train'
+             WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) / 1152921504606846976.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+)
+SELECT lang, split, count(*) AS n_docs
+FROM s
+GROUP BY lang, split
+"""
+
+
+@query("train_val_test_split", _SPLIT_ORACLE)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13] Deterministic 80/10/10
+    train/val/test assignment via ``sampling.hash_split`` (md5-u01 on
+    the salted doc key), rolled up per (lang, split). The property
+    that matters at 100 TB: the assignment is a pure function of the
+    doc id, so re-running on a GROWN corpus never moves an existing
+    document between splits — test-set leakage can't happen by
+    re-shuffle. Narrow projection + one small aggregate; the split
+    column costs one md5 per row next to the scan.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    s = sampling.hash_split(
+        d.select("doc_id", "lang"), "doc_id",
+        boundaries={"train": 0.8, "val": 0.9}, default_label="test",
+    )
+    return s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_FULL_OUTER_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+e AS (
+    SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT coalesce(o.k, e.k) AS k,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN o.k IS NULL THEN 'events_only'
+            WHEN e.k IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.k = e.k
+"""
+
+
+@query("full_outer_reconcile", _FULL_OUTER_ORACLE)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3 join family completion] FULL OUTER reconciliation — the
+    one standard join type the catalog didn't yet exercise: per-key
+    activity from two INDEPENDENT fact tables (orders per customer,
+    events per user) stitched key-by-key, flagging which side is
+    missing. The wide sides are pre-aggregated to key grain BEFORE the
+    join, so the full-outer shuffle moves two key-sized inputs, not
+    two fact tables — the only scalable shape for reconciliation at
+    100 TB (a full outer of raw facts would shuffle everything).
+    """
+    o = read_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    e = read_table(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    j = o.withColumnRenamed("k", "ok").join(
+        e.withColumnRenamed("k", "ek"), F.col("ok") == F.col("ek"), "full_outer"
+    )
+    return j.select(
+        F.coalesce("ok", "ek").alias("k"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("ok").isNull(), F.lit("events_only"))
+        .when(F.col("ek").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+_IQR_ORACLE = """
+WITH q AS (
+    SELECT o_orderstatus,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS q1,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS q3
+    FROM orders GROUP BY o_orderstatus
+),
+f AS (
+    SELECT o_orderstatus, q1, q3,
+           round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+           round(q3 + 1.5 * (q3 - q1), 4) AS hi
+    FROM q
+)
+SELECT o.o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < f.lo
+                       OR CAST(o.o_totalprice AS DOUBLE) > f.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       min(f.lo) AS fence_lo,
+       min(f.hi) AS fence_hi
+FROM orders o JOIN f ON o.o_orderstatus = f.o_orderstatus
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("iqr_outlier_orders", _IQR_ORACLE)
+def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[robust-stats, beyond-ref §2.13; seed: the notebook's outlier
+    eyeballing via scatter plots, Data Cleaning.ipynb:6079] Tukey IQR
+    fences per order status: exact grouped quartiles → 1.5×IQR fences
+    → per-status outlier counts. The grouped-percentile aggregate
+    reduces to |statuses| rows and broadcasts back onto the fact scan
+    (one shuffle for the quartiles, broadcast join for the flagging) —
+    the standard two-pass robust-outlier shape at scale. Fences are
+    rounded identically on both engines before comparison (same
+    boundary discipline as ``winsorize_totalprice``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    q = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+    )
+    f = q.select(
+        "o_orderstatus",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 4).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 4).alias("hi"),
+    )
+    j = o.join(F.broadcast(f), "o_orderstatus")
+    out = (v < F.col("lo")) | (v > F.col("hi"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(out.cast("int")).cast("long").alias("n_outliers"),
+        F.min("lo").alias("fence_lo"),
+        F.min("hi").alias("fence_hi"),
+    )

@@ -217,3 +217,48 @@ def test_chunk_dedup_stats_first_occurrence_wins(spark):
     assert out[0] == (2, 2, 1.0)
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (0, 0, 1.0)
+
+
+# -------------------------------------------------------------- hash split
+
+
+def test_hash_split_deterministic_and_total(spark):
+    from module8_movies_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([Row(k=i) for i in range(1000)])
+    s1 = {r.k: r.split for r in hash_split(df, "k", {"train": 0.8, "val": 0.9}).collect()}
+    s2 = {r.k: r.split for r in hash_split(df, "k", {"train": 0.8, "val": 0.9}).collect()}
+    assert s1 == s2  # deterministic
+    counts = {}
+    for v in s1.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 < counts["train"] < 900  # ~80%
+    # growth stability: a bigger corpus never relabels old keys
+    big = spark.createDataFrame([Row(k=i) for i in range(2000)])
+    s3 = {r.k: r.split for r in hash_split(big, "k", {"train": 0.8, "val": 0.9}).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_recursive_tree_depth_matches_model(spark, sf_dir):
+    """Spark's native WITH RECURSIVE must agree with a driver-side
+    model of the binary-heap depth for every customer key."""
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        recursive_tree_rollup,
+    )
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    keys = [r.c_custkey for r in read_table(spark, sf_dir, "customer").collect()]
+
+    def depth(k):
+        d = 0
+        while k > 0:
+            k = (k - 1) // 2
+            d += 1
+        return d
+
+    want = {}
+    for k in keys:
+        want[depth(k)] = want.get(depth(k), 0) + 1
+    got = {r.tree_depth: r.n_nodes for r in recursive_tree_rollup(spark, sf_dir).collect()}
+    assert got == want
