@@ -4583,3 +4583,53 @@ def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("fence_lo"),
         F.min("hi").alias("fence_hi"),
     )
+
+
+_UDTF_CHUNK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '^\s*$')
+                THEN CAST([] AS VARCHAR[])
+                ELSE {_WS_SPLIT_SQL} END AS w
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+    FROM t, unnest(generate_series(
+        0, CAST(ceil(len(w) / 10.0) AS INTEGER) - 1)) AS u(i)
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       count(*) AS n_docs,
+       count(DISTINCT chunk) AS n_distinct_chunks
+FROM chunks
+WHERE pos < 5
+GROUP BY pos
+"""
+
+
+@query("udtf_chunk_profile", _UDTF_CHUNK_ORACLE)
+def udtf_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 UDF/UDTF surface, Spark-4 Python UDTF] The table-function
+    extension point exercised end to end: a Python UDTF explodes each
+    document into 10-token chunks via a SQL ``LATERAL`` join, then a
+    native aggregate profiles the first five chunk positions. The
+    UDTF's semantics are pinned row-for-row against the engine's
+    NATIVE chunk expression (test_udtf_matches_native_chunks) — the
+    escape hatch is validated against the fast path it escapes from,
+    and the DuckDB oracle verifies the composition like any other
+    operator. Per-partition Python fan-out, no extra shuffle from the
+    lateral itself.
+    """
+    from ..operators.udtf_ext import chunk_rows_udtf
+
+    d = read_table(spark, sf_dir, "documents")
+    rows = chunk_rows_udtf(d, "doc_id", "text")
+    return (
+        rows.filter(F.col("pos") < 5)
+        .groupBy(F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("chunk")).alias("n_distinct_chunks"),
+        )
+    )

@@ -262,3 +262,35 @@ def test_recursive_tree_depth_matches_model(spark, sf_dir):
         want[depth(k)] = want.get(depth(k), 0) + 1
     got = {r.tree_depth: r.n_nodes for r in recursive_tree_rollup(spark, sf_dir).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------------- UDTF
+
+
+def test_udtf_matches_native_chunks(spark):
+    """The UDTF extension point must agree row-for-row with the native
+    transform/posexplode chunk expression it duplicates."""
+    from module8_movies_etl_spark.operators import text as textops
+    from module8_movies_etl_spark.operators.udtf_ext import chunk_rows_udtf
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=" ".join(f"w{i}" for i in range(25))),
+            Row(doc_id=1, text="one two"),
+            Row(doc_id=2, text=""),
+        ]
+    )
+    toks = textops.tokens_array(F.col("text"))
+    n = F.size(toks)
+    nch = F.ceil(n / F.lit(10.0)).cast("int")
+    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        )
+    )
+    native = df.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    via_udtf = chunk_rows_udtf(df, "doc_id", "text")
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, via_udtf.collect())
+    )
