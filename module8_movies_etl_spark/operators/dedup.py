@@ -1007,3 +1007,106 @@ def chunk_dedup_stats(
         .otherwise(F.lit(1.0))
         .alias("kept_ratio"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Word-set CONTAINMENT near-dup pairs within blocks:
+    ``|A∩B| / min(|A|,|B|)`` — the asymmetric criterion that catches a
+    document embedded inside a larger one (quotes, concatenated
+    crawls, boilerplate-wrapped reposts), which symmetric Jaccard
+    structurally under-scores (a 10-word doc inside a 1000-word doc
+    has Jaccard ≤0.01 but containment 1.0).
+
+    Same adaptive physical dispatch as ``jaccard_similar_pairs``:
+
+    - ``bitset``: ≤64-word vocabulary → masks + salted block
+      self-join, containment = bit_count(a&b)/min(bit_count) in pure
+      ALU math;
+    - ``postings``: general vocabulary → inverted-index intersection
+      counts (one (block, token) equi-join + pair aggregate), sizes
+      joined back. NB containment admits weaker prefix pruning than
+      Jaccard (the small side can be fully contained regardless of its
+      prefix), so the general path relies on blocking + the document-
+      frequency structure of the corpus rather than a prefix filter.
+
+    Returns (id_a, id_b, containment), id_a < id_b.
+    """
+    base = df
+    for c in block_cols:
+        base = base.filter(F.col(c).isNotNull())
+    docs = base.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        _distinct_tokens(text_col, 1).alias("_words"),
+    ).withColumn("sz", F.size("_words"))
+    postings = docs.select("_id", *block_cols, "sz", F.explode("_words").alias("w"))
+    if strategy == "auto":
+        n_vocab = postings.select("w").distinct().limit(65).count()
+        strategy = "bitset" if n_vocab <= 64 else "postings"
+    if strategy == "bitset":
+        from pyspark.sql import Window
+
+        vocab = (
+            postings.select("w")
+            .distinct()
+            .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
+        )
+        masks = (
+            postings.join(F.broadcast(vocab), "w")
+            .groupBy("_id", *block_cols)
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask")
+            )
+            .withColumn("_blk", F.struct(*block_cols))
+        )
+        pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_mask_a").bitwiseAND(F.col("_mask_b")))
+            .cast("double")
+            .alias("_inter"),
+            F.least(
+                F.bit_count(F.col("_mask_a")), F.bit_count(F.col("_mask_b"))
+            )
+            .cast("double")
+            .alias("_minsz"),
+        )
+    elif strategy == "postings":
+        a = postings.select(
+            F.col("_id").alias("id_a"),
+            *[F.col(c) for c in block_cols],
+            F.col("sz").alias("sz_a"),
+            "w",
+        )
+        b = postings.select(
+            F.col("_id").alias("id_b"),
+            *[F.col(c) for c in block_cols],
+            F.col("sz").alias("sz_b"),
+            "w",
+        )
+        pairs = (
+            a.join(b, [*block_cols, "w"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+            .select(
+                "id_a",
+                "id_b",
+                "_inter",
+                F.least("sz_a", "sz_b").cast("double").alias("_minsz"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown containment strategy: {strategy!r}")
+    return (
+        pairs.withColumn("containment", F.col("_inter") / F.col("_minsz"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -4633,3 +4633,201 @@ def udtf_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("chunk")).alias("n_distinct_chunks"),
         )
     )
+
+
+_CHECKSUM_ORACLE = """
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS VARCHAR)
+           ), 1, 15) AS BIGINT) AS hv
+    FROM orders
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(hv) % 1152921504606846976 AS BIGINT) AS checksum_sum,
+       CAST(min(hv) AS BIGINT) AS checksum_min,
+       CAST(max(hv) AS BIGINT) AS checksum_max
+FROM h
+"""
+
+
+@query("table_checksum_orders", _CHECKSUM_ORACLE)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data integrity, beyond-ref; seed: the reference's manual
+    row-count tracking after each step, Data Cleaning.ipynb cell
+    outputs 4/19/34] Order-independent table fingerprint: each row
+    hashes its canonical string form to a 60-bit int; SUM (exact in
+    BIGINT — commutative, so partitioning and row order are
+    irrelevant) plus min/max and the row count form the checksum
+    tuple. This is how 100 TB replications are verified across
+    clusters/engines without ordering or sampling — any single
+    changed/dropped/duplicated row moves the sum. One narrow
+    projection + a 4-value aggregate; no shuffle beyond the final
+    partial-merge.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice").cast("double"), 2).cast("string"),
+    )
+    hv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    # The sum of 15k 60-bit values overflows BIGINT: accumulate in
+    # DECIMAL(38,0) (exact, commutative — order/partitioning
+    # irrelevant) and fold back to 60 bits; DuckDB's HUGEINT sum takes
+    # the same modulus.
+    two60 = F.lit(1152921504606846976).cast("decimal(38,0)")
+    return o.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("hv").cast("decimal(38,0)")) % two60)
+        .cast("long")
+        .alias("checksum_sum"),
+        F.min("hv").cast("long").alias("checksum_min"),
+        F.max("hv").cast("long").alias("checksum_max"),
+    )
+
+
+_SHARE_ORACLE = """
+WITH per_nation AS (
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation,
+       round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share,
+       CAST(rank() OVER (ORDER BY revenue DESC, nation) AS BIGINT) AS rnk
+FROM per_nation
+"""
+
+
+@query("revenue_share_by_nation", _SHARE_ORACLE)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10 window / OLAP share-of-total] Percent-of-total revenue
+    per nation (the RATIO_TO_REPORT idiom): revenue aggregates to
+    nation grain through two broadcast dim joins, then ONE empty-frame
+    window computes each nation's share of the global total and its
+    rank. The window runs on 25 rows — share-of-total at scale always
+    rides on the aggregate, never the fact table. DECIMAL-exact sums;
+    the share division happens identically on both engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    rw = Window.orderBy(F.desc("revenue"), F.asc("nation"))
+    return per_nation.select(
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+        F.rank().over(rw).cast("long").alias("rnk"),
+    )
+
+
+_ENTROPY_ORACLE = rf"""
+WITH toks AS (
+    SELECT lang, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+c AS (
+    SELECT lang, w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY lang, w
+),
+t AS (
+    SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total,
+           count(*) AS n_types,
+           sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sum_plogp
+    FROM c GROUP BY lang
+)
+SELECT lang,
+       CAST(total AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(ln(total) - sum_plogp / total, 4) AS entropy_nats,
+       round((ln(total) - sum_plogp / total) / ln(n_types), 4) AS norm_entropy
+FROM t
+"""
+
+
+@query("token_entropy_per_lang", _ENTROPY_ORACLE)
+def token_entropy_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis / corpus diversity, beyond-ref §2.13] Shannon
+    entropy of the token distribution per language — the standard
+    lexical-diversity signal corpus curation tracks (a collapsing
+    entropy flags template spam). Algebraic identity H = ln(N) -
+    Σc·ln(c)/N lets ONE aggregate over the (lang, token) counts
+    produce exact entropy — no per-token probability column, no second
+    pass. Normalized by ln(types) for cross-language comparability.
+    Two hash aggregates total; rounded where libm/sum-order could
+    wiggle the last ulp.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(text.ws_trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    c = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cd = F.col("cnt").cast("double")
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(cd * F.log(cd)).alias("sum_plogp"),
+    )
+    h = F.log(F.col("total")) - F.col("sum_plogp") / F.col("total")
+    return t.select(
+        "lang",
+        F.col("total").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(h, 4).alias("entropy_nats"),
+        F.round(h / F.log(F.col("n_types").cast("double")), 4).alias("norm_entropy"),
+    )
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, lang,
+           list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+    FROM documents
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / least(len(a.words), len(b.words)), 4) AS containment
+FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / least(len(a.words), len(b.words)) >= 0.9
+"""
+
+
+@query("containment_dup_pairs", _CONTAINMENT_ORACLE)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy, beyond-ref §2.13] Word-set containment pairs
+    (|A∩B| / min|A|,|B| ≥ 0.9), blocked by language — the asymmetric
+    dedup criterion that catches a document EMBEDDED in a larger one
+    (quotes, concatenated crawls), which symmetric Jaccard
+    structurally under-scores. Same adaptive bitset/postings dispatch
+    as the Jaccard family (``dedup.containment_pairs``); on this
+    corpus the ≤64-word vocabulary takes the bitset path: containment
+    is three ALU ops per pair on 64-bit masks.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        d, "doc_id", "text", block_cols=["lang"], threshold=0.9
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )

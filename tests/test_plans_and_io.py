@@ -377,3 +377,40 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert after < before / 4
     assert spark.read.parquet(path).count() == 1000
     assert not os.path.exists(path + "__pre_compact")
+
+
+def test_split_is_single_shuffle(spark):
+    """hash_split is a narrow md5 projection: the whole
+    train_val_test_split query must shuffle exactly once (the final
+    group-by) — the split decision itself never moves data."""
+    plan = plan_of(spark, "train_val_test_split")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_postings_index_has_no_join(spark):
+    """The inverted index is pure aggregation: term-keyed exchanges
+    only (two-phase distinct agg), never a self-join."""
+    plan = plan_of(spark, "postings_index")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_salted_join_carries_salt_key(spark):
+    """The salted join must key on (user_id, _s): salt appears in the
+    join condition, the dim side is replicated via explode, and the
+    fact side salts with pmod(hash(...)). If an edit silently drops
+    the salt from the key the result would still be wrong-at-scale
+    correct-at-test, so pin the plan shape."""
+    plan = plan_of(spark, "salted_skew_join")
+    assert "_s" in plan, plan
+    assert "explode" in plan.lower(), plan
+    assert "pmod" in plan.lower(), plan
+
+
+def test_revenue_share_dims_broadcast(spark):
+    """Share-of-total rides on the nation-grain aggregate: both dims
+    broadcast (no fact-side shuffle for the joins) and no
+    SortMergeJoin anywhere."""
+    plan = plan_of(spark, "revenue_share_by_nation")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

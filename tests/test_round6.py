@@ -294,3 +294,42 @@ def test_udtf_matches_native_chunks(spark):
     assert sorted(map(tuple, native.collect())) == sorted(
         map(tuple, via_udtf.collect())
     )
+
+
+# ---------------------------------------------------------------- containment
+
+
+def test_containment_strategies_agree_and_match_model(spark):
+    from module8_movies_etl_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (0, "g", "a b c d e f g h"),
+        (1, "g", "a b c d"),            # fully contained in 0
+        (2, "g", "a b x y z"),          # partial overlap
+        (3, "g", "p q r"),              # disjoint
+        (4, "h", "a b c d"),            # other block: never paired with 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, lang string, text string")
+
+    def model(th):
+        out = {}
+        sets = {i: (lg, set(t.split())) for i, lg, t in docs}
+        for i in sets:
+            for j in sets:
+                if i < j and sets[i][0] == sets[j][0]:
+                    inter = len(sets[i][1] & sets[j][1])
+                    c = inter / min(len(sets[i][1]), len(sets[j][1]))
+                    if c >= th:
+                        out[(i, j)] = round(c, 4)
+        return out
+
+    for strategy in ("bitset", "postings"):
+        got = {
+            (r.id_a, r.id_b): round(r.containment, 4)
+            for r in containment_pairs(
+                df, "doc_id", "text", ["lang"], threshold=0.5, strategy=strategy
+            ).collect()
+        }
+        assert got == model(0.5), (strategy, got)
+    # the embedded-doc case specifically: containment 1.0, pair (0,1)
+    assert model(0.99)[(0, 1)] == 1.0
