@@ -43,3 +43,10 @@ from .timeseries import (  # noqa: F401
     ohlc_resample,
     rolling_window_stats,
 )
+from .stats import (  # noqa: F401
+    chi2_independence,
+    group_trend,
+    mad_outlier_counts,
+)
+from .text import pmi_collocations, unigram_perplexity  # noqa: F401
+from .timeseries import gap_fill  # noqa: F401

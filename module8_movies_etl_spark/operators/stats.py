@@ -1,0 +1,171 @@
+"""Statistical modeling aggregates: per-group OLS trend lines,
+MAD-based robust outlier detection, and chi-square independence.
+
+These extend the profiling surface (SURVEY.md §2.4 A4 describe /
+§2.13 beyond-ref) from *describing* distributions to *testing* them —
+the checks a 100 TB telemetry pipeline runs continuously: "is this
+metric drifting?" (trend slope), "how many points are anomalous?"
+(robust z-score — median/MAD survives the heavy tails that wreck
+mean/stddev), "are these two dimensions independent?" (chi-square).
+
+Reference seed: the exploratory notebook fits a visual trend on the
+rating/budget scatter (``Data Cleaning.ipynb:6079-6236``) and
+eyeballs outliers before trusting columns — these are the
+productionized, scale-safe forms of both.
+
+Everything is a composition of single-pass hash aggregates plus (for
+MAD) one exact-percentile pass — no UDFs, no collects; every op
+replays in ANSI SQL so the driver hash-verifies it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: float = 3600.0,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of y over x: slope (per
+    ``x_scale`` units of x — pass 3600 for per-hour drift when x is in
+    seconds), intercept, and R², plus the sample count. Semantically
+    the SQL-standard ``REGR_SLOPE``/``REGR_INTERCEPT``/``REGR_R2``
+    family — but computed from EXACT co-moment sums, because the
+    native regr aggregates accumulate shifted doubles whose partial-
+    merge order differs per engine and wiggles the 4th decimal of the
+    intercept (measured Spark vs DuckDB): ``x`` must be an exact
+    integer-valued column (e.g. shifted epoch seconds) and ``y``
+    2-decimal data, so Σx, Σy, Σx², Σxy, Σy² are DECIMAL/BIGINT-exact
+    and commutative; the final slope/intercept/r2 algebra then runs on
+    identical doubles on any engine — bit parity by construction.
+
+    One partial+final hash aggregate carrying six co-moments per key
+    regardless of table size; the shuffle moves one row per key.
+    """
+    # Narrow decimal widths keep every product under precision 38 on
+    # any engine (DuckDB errors past 38 rather than capping): x must
+    # fit 12 integer digits (epoch-shifted seconds — centuries of
+    # span), y 10 integer digits at 4-decimal scale.
+    x = F.col(x_col).cast("decimal(12,0)")
+    y = F.col(y_col).cast("decimal(14,4)")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    slope = cov / varx
+    return agg.select(
+        key_col,
+        "n",
+        F.round(slope * F.lit(x_scale), 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(cov * cov / (varx * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+def mad_outlier_counts(
+    df: DataFrame, key_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-key (n, median, mad, n_outliers): the full robust-z-score
+    outlier count. Three aggregation passes (median → MAD → fence
+    count). The per-key median and MAD tables are FETCHED TO THE
+    DRIVER between passes (one row per key — the statistics-driven
+    pattern of ``filters.null_prune``): chaining them lazily instead
+    makes every downstream consumer re-derive its inputs from the
+    fact scan (Spark has no common-subplan reuse below the exchange
+    level) — measured 8 fact scans lazy vs 3 with the fetch, and at
+    100 TB each re-derivation is a full corpus pass while the fetch
+    is ``#keys`` rows. There, also swap ``percentile`` for
+    ``approx_percentile`` to collapse each median pass's full sort-
+    free but memory-heavy exact aggregation into a sketch. Median/MAD
+    are rounded(4) on both engines before the fence compare so
+    interpolation ulps can't flip a boundary row.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    med_rows = (
+        df.groupBy(key_col)
+        .agg(
+            F.round(F.percentile(v, F.lit(0.5)), 4).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    med = F.broadcast(spark.createDataFrame(med_rows))
+    mad_rows = (
+        df.join(med, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.round(
+                F.percentile(F.abs(v - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad")
+        )
+        .collect()
+    )
+    mad = F.broadcast(spark.createDataFrame(mad_rows))
+    return (
+        df.join(med, key_col)
+        .join(mad, key_col)
+        .groupBy(key_col, "n", "med", "mad")
+        .agg(
+            F.sum(
+                (F.abs(v - F.col("med")) > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: returns ONE row (chi2, dof, n) from the observed-vs-
+    expected contingency table, expected(i,j) = row_i * col_j / N.
+
+    Shape: one hash aggregate builds the contingency cells (the only
+    pass over the fact table — cells ≤ |A|×|B|, tiny); marginals are
+    window sums OVER THE CELLS, not the facts; the χ² fold is a
+    second scalar aggregate over the cells. At 100 TB the fact scan
+    dominates and everything after it is constant-size.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("double").alias("_o")
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wn = Window.partitionBy()
+    with_marg = cells.select(
+        col_a,
+        col_b,
+        "_o",
+        F.sum("_o").over(wa).alias("_ra"),
+        F.sum("_o").over(wb).alias("_cb"),
+        F.sum("_o").over(wn).alias("_n"),
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    return with_marg.agg(
+        F.round(F.sum((F.col("_o") - e) * (F.col("_o") - e) / e), 4).alias("chi2"),
+        (
+            (F.count_distinct(F.col(col_a)) - 1)
+            * (F.count_distinct(F.col(col_b)) - 1)
+        ).alias("dof"),
+        F.sum("_o").cast("long").alias("n"),
+    )

@@ -164,6 +164,82 @@ def funnel_stages(
     return cur.select(user_col, *stage_cols, reached.alias("stage_reached"))
 
 
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Densify a per-key time series: every bucket between each key's
+    first and last event exists in the output — empty buckets get
+    ``n_events = 0`` and carry the last observed bucket-sum forward
+    (``value_ff``; the standard gap-fill + LOCF resample that feeds
+    charting and feature windows, where a missing hour must mean
+    "zero happened", not "row absent").
+
+    Shape: (1) one hash aggregate → per-(key, bucket) counts/sums,
+    SNAPSHOT to scratch at the stage boundary: the spine derivation
+    AND the final join both consume it, and without the snapshot each
+    re-derives it from the fact scan (two full corpus passes at
+    100 TB; the snapshot is bucket-grain — trivially small); (2) per-
+    key min/max bucket → ``sequence()`` + ``explode`` builds the
+    dense spine WITHOUT a driver loop or a range table — the spine's
+    row count is sum over keys of each key's span, generated
+    executor-side; (3) one left join spine←actuals on (key, bucket) —
+    both sides are bucket-grain (already reduced), so the join is on
+    aggregate-sized data, never the fact table; (4) LOCF is a
+    ``last(ignorenulls)`` running window per key — one shuffle that
+    AQE aligns with the spine's partitioning. Sums are DECIMAL-exact
+    before the double cast, so engines can't disagree in the last ulp.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.scratch import snapshot
+
+    b = (
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    actual = snapshot(
+        df.select(F.col(key_col), b.alias("bucket_s"),
+                  F.col(value_col).cast("decimal(18,2)").alias("_v"))
+        .groupBy(key_col, "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("_vsum"),
+        ),
+        prefix="gapfill_buckets_",
+    )
+    spine = (
+        actual.groupBy(key_col)
+        .agg(F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.lit(int(bucket_seconds))
+                )
+            ).alias("bucket_s"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(actual, [key_col, "bucket_s"], "left")
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket_s"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last(F.col("_vsum"), ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("value_ff"),
+    )
+
+
 def ohlc_resample(
     df: DataFrame,
     ts_col: str,

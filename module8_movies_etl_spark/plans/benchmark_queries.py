@@ -44,6 +44,7 @@ from ..operators import (
     similarity,
     sketches,
     slices,
+    stats,
     text,
     timeseries,
 )
@@ -4831,3 +4832,287 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("containment", 4).alias("containment")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical-modeling family: OLS trend, robust MAD outliers,
+# chi-square independence; time-series gap fill; corpus scoring
+# (perplexity, PMI collocations).
+# --------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 - 1704000000 AS DECIMAL(12,0)) AS x,
+           CAST(value AS DECIMAL(14,4)) AS y
+    FROM events
+),
+a AS (
+    SELECT event_type, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+    FROM s GROUP BY event_type
+),
+d AS (
+    SELECT event_type, CAST(n AS DOUBLE) AS n,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(syy AS DOUBLE) AS syy
+    FROM a
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600.0, 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM d
+"""
+
+
+@query("trend_slope_by_type", _TREND_ORACLE)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling/statistics, beyond-ref §2.13; seed: the notebook's
+    visual trend fit on the rating/budget scatter, Data
+    Cleaning.ipynb:6079-6236] Per-type OLS drift of event value over
+    time (slope per hour, intercept, R²) — "is this metric trending?"
+    as ONE partial+final hash aggregate carrying six co-moments per
+    key. Semantically REGR_SLOPE/REGR_INTERCEPT/REGR_R2, but the
+    co-moments are DECIMAL-exact over epoch-SHIFTED integer seconds
+    (`operators.stats.group_trend`): the native regr aggregates'
+    double accumulation order differs per engine and measurably
+    wiggles the intercept's 4th decimal, while exact commutative sums
+    + identical double algebra give bit parity by construction — and
+    the shift conditions the sums against 1.7e9-offset cancellation.
+    """
+    e = read_table(spark, sf_dir, "events")
+    shifted = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704000000)).alias("_x"),
+        F.col("value").alias("_y"),
+    )
+    return stats.group_trend(shifted, "event_type", "_x", "_y", x_scale=3600.0)
+
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT o_orderstatus,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS med,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+),
+dev AS (
+    SELECT o.o_orderstatus, m.n, m.med,
+           abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS adev,
+           CAST(o.o_totalprice AS DOUBLE) AS v
+    FROM orders o JOIN med m USING (o_orderstatus)
+),
+mad AS (
+    SELECT o_orderstatus, round(quantile_cont(adev, 0.5), 4) AS mad
+    FROM dev GROUP BY o_orderstatus
+)
+SELECT d.o_orderstatus,
+       CAST(d.n AS BIGINT) AS n,
+       d.med, a.mad,
+       CAST(sum(CASE WHEN abs(d.v - d.med) > 3.0 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (o_orderstatus)
+GROUP BY d.o_orderstatus, d.n, d.med, a.mad
+"""
+
+
+@query("mad_outlier_orders", _MAD_ORACLE)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling/robust statistics, beyond-ref §2.13 — the robust
+    sibling of iqr_outlier_orders] Median/MAD robust z-score outlier
+    counts per order status: median and MAD have a 50% breakdown
+    point, so the fence holds even when half the column is corrupt
+    (mean/stddev fences move with every bad row — the reason curation
+    pipelines fence on MAD). Exact percentiles in two broadcast-joined
+    aggregate passes (`operators.stats.mad_outlier_counts`); at 100 TB
+    the exact medians swap for approx_percentile and the passes fuse.
+    Med/MAD are rounded(4) on both engines BEFORE the fence compare,
+    so interpolation ulps can't flip a boundary row.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return stats.mad_outlier_counts(o, "o_orderstatus", "o_totalprice", k=3.0)
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT o_orderstatus a, o_orderpriority b,
+           CAST(count(*) AS DOUBLE) AS o
+    FROM orders GROUP BY 1, 2
+),
+m AS (
+    SELECT a, b, o,
+           sum(o) OVER (PARTITION BY a) AS ra,
+           sum(o) OVER (PARTITION BY b) AS cb,
+           sum(o) OVER () AS n
+    FROM cells
+)
+SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)), 4)
+           AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+           AS dof,
+       CAST(sum(o) AS BIGINT) AS n
+FROM m
+"""
+
+
+@query("chi2_status_priority", _CHI2_ORACLE)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics, beyond-ref §2.13] Pearson chi-square test of
+    independence between order status and priority — the categorical
+    drift check ("did the status mix shift within a segment?") run
+    continuously over 100 TB fact tables. ONE pass over the facts
+    builds the contingency cells; marginals are window sums over the
+    cells (≤|A|×|B| rows) and the chi-square fold is a scalar
+    aggregate over those cells — everything after the scan is
+    constant-size.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return stats.chi2_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+_GAPFILL_ORACLE = """
+WITH actual AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 // 3600 * 3600 AS bucket_s,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS vsum
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_s
+    FROM (SELECT event_type, min(bucket_s) lo, max(bucket_s) hi
+          FROM actual GROUP BY event_type)
+)
+SELECT s.event_type,
+       s.bucket_s,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       CAST(last_value(a.vsum IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS value_ff
+FROM spine s LEFT JOIN actual a USING (event_type, bucket_s)
+"""
+
+
+@query("gap_fill_hourly", _GAPFILL_ORACLE)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series, beyond-ref §2.13 beside OHLC/rolling] Dense
+    hourly resample of the event stream: every hour between each
+    type's first and last event exists — silent hours get an explicit
+    zero count and carry the last hourly DECIMAL-exact sum forward
+    (LOCF). The dense spine comes from sequence()+explode on the
+    per-key [min, max] span — generated executor-side, no driver
+    loop, no range table; the join and the LOCF window run on
+    bucket-grain aggregates, never the fact table.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.gap_fill(e, "event_type", "ts", "value", 3600)
+
+
+_PPL_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(CASE WHEN regexp_matches(text, '^\s*$')
+               THEN CAST([] AS VARCHAR[])
+               ELSE regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END) AS w
+    FROM documents
+),
+lm AS (
+    SELECT lang, w, count(*) AS cnt FROM toks GROUP BY lang, w
+),
+lmp AS (
+    SELECT lang, w,
+           ln(CAST(cnt AS DOUBLE)
+              / sum(CAST(cnt AS DOUBLE)) OVER (PARTITION BY lang)) AS lp
+    FROM lm
+),
+scored AS (
+    SELECT t.doc_id, t.lang,
+           count(*) AS n_tokens,
+           -avg(m.lp) AS x
+    FROM toks t JOIN lmp m ON t.lang = m.lang AND t.w = m.w
+    GROUP BY t.doc_id, t.lang
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(s.x, 4) AS xent_nats,
+       round(exp(s.x), 4) AS ppl
+FROM documents d LEFT JOIN scored s USING (doc_id, lang)
+"""
+
+
+@query("doc_perplexity_unigram", _PPL_ORACLE)
+def doc_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation/quality, beyond-ref §2.13 — the CCNet signal] Score
+    every document's perplexity under its language's own corpus
+    unigram LM: the distribution-distance quality signal real
+    curation pipelines threshold on (wikipedia-LM perplexity in CCNet;
+    here the corpus is its own reference). MLE probabilities — the
+    scored tokens ARE the vocabulary, so no smoothing and the whole
+    computation replays exactly in SQL. LM build is one (lang, token)
+    aggregate (vocabulary-sized, not corpus-sized); scoring is an
+    equi-join of token postings against the LM plus a per-doc
+    aggregate; empty docs surface with NULL scores via one left join.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return text.unigram_perplexity(d, "doc_id", "text", "lang")
+
+
+_PMI_ORACLE = r"""
+WITH t AS (
+    SELECT lang, regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT lang, w[i] AS w1, w[i + 1] AS w2, count(*) AS n
+    FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    GROUP BY 1, 2, 3
+),
+bgt AS (
+    SELECT lang, w1, w2, n, sum(n) OVER (PARTITION BY lang) AS nb
+    FROM bg
+),
+ug AS (
+    SELECT lang, w, CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY lang) AS p
+    FROM (SELECT lang, unnest(w) AS w FROM t) GROUP BY lang, w
+),
+pmi AS (
+    SELECT b.lang, b.w1, b.w2, b.n,
+           round(ln((CAST(b.n AS DOUBLE) / b.nb) / (u1.p * u2.p)), 4) AS pmi_nats
+    FROM bgt b
+    JOIN ug u1 ON b.lang = u1.lang AND b.w1 = u1.w
+    JOIN ug u2 ON b.lang = u2.lang AND b.w2 = u2.w
+    WHERE b.n >= 5
+)
+SELECT lang, w1, w2, n, pmi_nats, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY pmi_nats DESC, w1, w2) AS rk
+    FROM pmi
+)
+WHERE rk <= 5
+"""
+
+
+@query("pmi_collocations_lang", _PMI_ORACLE)
+def pmi_collocations_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis, beyond-ref §2.13 — phrase mining beside the
+    bigram LM] Top-5 collocations per language by pointwise mutual
+    information with a min-count guard — the "new york" detector:
+    pairs whose joint probability beats the independence assumption.
+    Bigrams from one zip_with (no self-join); the vocabulary-sized
+    unigram table joins the bigram table twice; the final top-k ranks
+    on the ROUNDED pmi (libm's last ulp can't reorder the window) and
+    WindowGroupLimit keeps it map-side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pmi = text.pmi_collocations(d, "lang", "text", min_count=5, k=5)
+    return pmi

@@ -414,3 +414,41 @@ def test_revenue_share_dims_broadcast(spark):
     plan = plan_of(spark, "revenue_share_by_nation")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_trend_is_single_aggregate(spark):
+    """Exact-co-moment OLS is ONE partial+final hash aggregate: a
+    single exchange, no join, no window over the fact table."""
+    plan = plan_of(spark, "trend_slope_by_type")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_chi2_single_fact_pass(spark):
+    """Chi-square reads the fact table once: everything after the
+    contingency-cell aggregate is constant-size (marginal windows and
+    the scalar fold run over the cells)."""
+    plan = plan_of(spark, "chi2_status_priority")
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_gap_fill_spine_is_generated(spark):
+    """The dense spine comes from sequence()+explode (a Generate
+    node), not a driver loop or a range-table join; the bucket-grain
+    aggregate is snapshot-backed so the fact table is scanned once
+    (eagerly, at snapshot time — the visible plan only reads the
+    tiny bucket-grain scratch table)."""
+    plan = plan_of(spark, "gap_fill_hourly")
+    assert "Generate" in plan, plan
+    assert "sequence" in plan.lower(), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_perplexity_no_anti_union_blowup(spark):
+    """Empty docs surface via ONE outer join: the anti-join + union
+    formulation re-derived the scoring pipeline twice (10 corpus
+    scans); the left-join shape halves that. Pin the ceiling."""
+    plan = plan_of(spark, "doc_perplexity_unigram")
+    assert plan.count("Scan parquet") <= 6, plan
+    assert "Union" not in plan, plan
