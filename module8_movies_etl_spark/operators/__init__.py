@@ -50,3 +50,6 @@ from .stats import (  # noqa: F401
 )
 from .text import pmi_collocations, unigram_perplexity  # noqa: F401
 from .timeseries import gap_fill  # noqa: F401
+from .graphs import count_triangles  # noqa: F401
+from .robust import equidepth_histogram  # noqa: F401
+from .stats import cooccurrence_lift  # noqa: F401

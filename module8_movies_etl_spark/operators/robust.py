@@ -72,3 +72,56 @@ def quantile_buckets(
     """
     w = Window.orderBy(F.desc(value_col), F.asc(tie_col))
     return df.withColumn(out_col, F.ntile(n).over(w).cast("long"))
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 8
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin edges are the exact ``i/n`` quantiles
+    (so each bin holds ~the same row count), the complement of the
+    equi-width ``aggregates.histogram``. Heavy-tailed columns render
+    uselessly in equi-width bins (one bar + a tail of empties);
+    equi-depth is what query optimizers and data profilers actually
+    keep, and the per-bin count deviation from N/n is a direct skew
+    diagnostic.
+
+    Shape: ONE exact-percentile aggregate produces all n+1 edges as an
+    array (single scalar row, broadcast back); bin assignment is a
+    rounded-edge comparison folded into a second scan's projection —
+    two fact passes total, no sort of the fact table (the percentile
+    aggregate holds per-partition heaps, not a global order). Edges
+    are rounded(4) on BOTH engines so interpolation ulps can't move a
+    boundary row; assignment uses right-closed intervals
+    (lo, hi] with bin 1 left-closed, replayed identically in SQL.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    edges = df.agg(
+        F.transform(
+            F.percentile(v, F.array(*[F.lit(q) for q in qs])),
+            lambda e: F.round(e, 4),
+        ).alias("_edges")
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        # rightmost edge whose value is strictly below v, +1 -> the
+        # right-closed (lo, hi] bin index; clamp v == min into bin 1
+        F.greatest(
+            F.aggregate(
+                F.slice(F.col("_edges"), 1, n_bins),
+                F.lit(0),
+                lambda acc, e: acc + (v > e).cast("int"),
+            ),
+            F.lit(1),
+        ).alias("bin"),
+        F.col("_edges"),
+    )
+    return (
+        binned.groupBy("bin", "_edges")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.element_at(F.col("_edges"), F.col("bin").cast("int")).alias("lo"),
+            F.element_at(F.col("_edges"), F.col("bin").cast("int") + 1).alias("hi"),
+            "n_rows",
+        )
+    )

@@ -169,3 +169,62 @@ def chi2_independence(
         ).alias("dof"),
         F.sum("_o").cast("long").alias("n"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket pair analysis: for every unordered item pair,
+    the number of baskets containing BOTH, plus support and lift
+    (lift = P(a,b) / (P(a)·P(b)); >1 means the items co-occur more
+    than independence predicts — the association-rule signal, and the
+    set-membership cousin of the sequence-order ``transition_counts``).
+
+    Shape: (1) distinct (basket, item) — one shuffle, and the ONLY
+    pass over the fact table; (2) the pair generation self-joins the
+    distinct table on the basket key with ``item_a < item_b`` — fan-out
+    is C(items-per-basket, 2), bounded by the per-basket item domain,
+    NEVER the basket count; (3) per-item basket counts and the basket
+    total are aggregates of the same distinct table, broadcast back
+    onto the pair counts (item-domain-sized). Lift arithmetic runs on
+    exact counts in double — identical on any engine.
+
+    Returns (item_a, item_b, n_both, support, lift).
+    """
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = bi.agg(
+        F.count_distinct(F.col("_b")).alias("_nb")
+    )
+    item_counts = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_c").alias("_ca"))
+    cb = item_counts.select(F.col("_i").alias("item_b"), F.col("_c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("_nb"), 6).alias("support"),
+            F.round(
+                (F.col("n_both").cast("double") * F.col("_nb"))
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                4,
+            ).alias("lift"),
+        )
+    )

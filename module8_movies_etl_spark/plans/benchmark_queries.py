@@ -33,6 +33,7 @@ from ..operators import (
     curation,
     dedup,
     filters,
+    graphs,
     joins,
     layout,
     multimodal,
@@ -5116,3 +5117,161 @@ def pmi_collocations_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pmi = text.pmi_collocations(d, "lang", "text", min_count=5, k=5)
     return pmi
+
+
+# --------------------------------------------------------------------------
+# Graph + association family: triangle census of the near-dup graph,
+# market-basket lift, equi-depth histogram.
+# --------------------------------------------------------------------------
+
+def _triangle_oracle() -> str:
+    """Triangle census oracle over the embedding near-dup graph: the
+    shared banded-LSH pairs CTE (identical plane literals as the Spark
+    side) + degree orientation + the canonical three-way closure."""
+    cte = _embedding_pairs_cte(threshold=0.2)
+    return f"""
+WITH {cte},
+p AS (SELECT id_a, id_b FROM pairs),
+{_TRIANGLE_TAIL}"""
+
+
+_TRIANGLE_TAIL = r"""
+deg AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT id_a AS v FROM p UNION ALL SELECT id_b FROM p)
+    GROUP BY v
+),
+o AS (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.id_a < p.id_b)
+                THEN p.id_a ELSE p.id_b END AS src
+    FROM p
+    JOIN deg da ON da.v = p.id_a
+    JOIN deg db ON db.v = p.id_b
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM p e1
+    JOIN p e2 ON e2.id_a = e1.id_b
+    JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+wc AS (
+    SELECT CAST(sum(dout * (dout - 1) / 2) AS BIGINT) AS n_wedges
+    FROM (SELECT src, count(*) AS dout FROM o GROUP BY src)
+)
+SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       wc.n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes
+FROM tri, wc
+"""
+
+
+@query("triangle_count_dupgraph", _triangle_oracle())
+def triangle_count_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/dedup-QA, beyond-ref §2.13 beside connected components]
+    Triangle census of the embedding near-dup graph — the graph-level
+    QA signal for a dedup run: clique-heavy (many triangles per
+    wedge) means transitive template clusters; triangle-free means
+    chains of borderline pairs where single-linkage over-merges.
+    Degree-oriented wedge join (``operators.graphs.count_triangles``):
+    after orienting each edge toward its higher-degree endpoint the
+    wedge volume is Σd_out² ≤ E^1.5 instead of Σd² — the shape that
+    survives power-law graphs at 100 TB. The pair list is snapshot
+    once (five consumers); wedges are COUNTED from the out-degree
+    aggregate (C(d,2) sum), never materialized twice; the oracle
+    replays the orientation (verifying the tie-break spec) and closes
+    triangles with the canonical three-way self-join. The EMBEDDING
+    graph is the right input: census cost is Θ(#triangles), so it
+    belongs on the sparse verified graph (avg degree ~4 here), not
+    the clique-dense raw-Jaccard graph whose census is Θ(Σ C(m,3))
+    by definition (measured 943M triangles at sf0.1 — that census is
+    the answer, not a slow plan).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    return graphs.count_triangles(pairs)
+
+
+_BASKET_ORACLE = """
+WITH bi AS (
+    SELECT DISTINCT user_id AS b, event_type AS i FROM events
+),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+ic AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+pairs AS (
+    SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+    FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
+       round(CAST(p.n_both AS DOUBLE) / nb.n, 6) AS support,
+       round((CAST(p.n_both AS DOUBLE) * nb.n)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 4) AS lift
+FROM pairs p
+JOIN ic ca ON ca.i = p.item_a
+JOIN ic cb ON cb.i = p.item_b
+CROSS JOIN nb
+"""
+
+
+@query("basket_pairs_lift", _BASKET_ORACLE)
+def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[association analysis, beyond-ref §2.13 — the set-membership
+    cousin of event_transition_counts] Market-basket lift over
+    (user, event_type) baskets: which event types co-occur in the
+    same user's history beyond what independence predicts. The fact
+    table is touched ONCE (the distinct (basket, item) reduction);
+    the pair self-join fans out C(items-per-user, 2) — bounded by the
+    item domain, never the user count — and the item-count/basket-
+    total denominators broadcast back onto the pair table.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.cooccurrence_lift(e, "user_id", "event_type", min_support=1)
+
+
+_EQUIDEPTH_ORACLE = """
+WITH edges AS (
+    SELECT [round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.000), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.125), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.250), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.375), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.500), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.625), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.750), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.875), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 1.000), 4)] AS e
+    FROM orders
+),
+binned AS (
+    SELECT greatest(
+               (SELECT sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > x
+                                THEN 1 ELSE 0 END)
+                FROM unnest(e[1:8]) AS u(x)),
+               1) AS bin
+    FROM orders o CROSS JOIN edges
+)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       e.e[CAST(b.bin AS INTEGER)] AS lo,
+       e.e[CAST(b.bin AS INTEGER) + 1] AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM binned b CROSS JOIN edges e
+GROUP BY 1, 2, 3
+"""
+
+
+@query("equidepth_hist_totalprice", _EQUIDEPTH_ORACLE)
+def equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling §2.4 A5's complement] Equi-DEPTH histogram of order
+    totals: 8 bins at the exact i/8 quantiles, so each bin holds ~N/8
+    rows — the histogram optimizers and profilers actually keep
+    (heavy tails collapse equi-width histograms into one bar). One
+    percentile aggregate yields ALL nine edges as a single broadcast
+    row; bin assignment is a counted edge-comparison in the second
+    scan's projection — two fact passes, no global sort. Edges are
+    rounded(4) on both engines; intervals are right-closed (lo, hi]
+    with the minimum clamped into bin 1.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return robust.equidepth_histogram(o, "o_totalprice", n_bins=8)

@@ -173,3 +173,87 @@ def test_pmi_collocations_match_model(spark):
     ranks = {p: out[p].rk for p in out}
     if ("of", "the") in out:
         assert ranks[("new", "york")] < ranks[("of", "the")]
+
+
+# ------------------------------------------------------------ count_triangles
+
+
+def test_count_triangles_matches_model(spark):
+    from module8_movies_etl_spark.operators.graphs import count_triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant chain 4-5-6 (0) + an
+    # isolated edge 7-8; wedge count under degree orientation is
+    # checked against itertools brute force of the SAME orientation.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    [r] = count_triangles(df).collect()
+    assert r.n_triangles == 4
+    assert r.n_edges == 9
+    assert r.n_nodes == 8
+    from collections import Counter
+
+    deg = Counter(v for e in edges for v in e)
+    dout = Counter()
+    for a, b in edges:
+        src = a if (deg[a], a) < (deg[b], b) else b
+        dout[src] += 1
+    assert r.n_wedges == sum(d * (d - 1) // 2 for d in dout.values())
+
+
+# ---------------------------------------------------------- cooccurrence_lift
+
+
+def test_cooccurrence_lift_matches_model(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),   # duplicate (1, a) must not inflate
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in stats.cooccurrence_lift(df, "b", "i").collect()
+    }
+    # baskets: 1{a,b} 2{a,b,c} 3{a,c} 4{b}; n=4
+    # pairs: (a,b)=2, (a,c)=2, (b,c)=1; counts: a=3, b=3, c=2
+    assert got[("a", "b")].n_both == 2
+    assert got[("a", "b")].lift == round(2 * 4 / (3 * 3), 4)
+    assert got[("a", "c")].n_both == 2
+    assert got[("a", "c")].lift == round(2 * 4 / (3 * 2), 4)
+    assert got[("b", "c")].n_both == 1
+    assert got[("b", "c")].support == round(1 / 4, 6)
+    assert len(got) == 3
+
+
+# -------------------------------------------------------- equidepth_histogram
+
+
+def test_equidepth_histogram_balanced_bins(spark):
+    from module8_movies_etl_spark.operators.robust import equidepth_histogram
+
+    vals = [float(i) for i in range(1, 81)]  # 80 uniform values
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = sorted(equidepth_histogram(df, "v", n_bins=8).collect())
+    assert [r.bin for r in rows] == list(range(1, 9))
+    # uniform data -> every bin has exactly 10 rows
+    assert all(r.n_rows == 10 for r in rows), rows
+    # bins tile the range: each hi equals the next lo, ends at max
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi == b.lo
+    assert rows[0].lo == 1.0 and rows[-1].hi == 80.0
+    # total preserved
+    assert sum(r.n_rows for r in rows) == 80
+
+
+def test_equidepth_histogram_skewed_beats_equiwidth(spark):
+    from module8_movies_etl_spark.operators.robust import equidepth_histogram
+
+    # heavy tail: 99 small values + one huge — equi-depth still splits
+    # the mass, while equi-width would put 99% into one bin
+    vals = [float(i % 10 + 1) for i in range(99)] + [1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = equidepth_histogram(df, "v", n_bins=4).collect()
+    assert sum(r.n_rows for r in rows) == 100
+    assert max(r.n_rows for r in rows) <= 40  # no 99%-bin collapse
