@@ -53,3 +53,4 @@ from .timeseries import gap_fill  # noqa: F401
 from .graphs import count_triangles  # noqa: F401
 from .robust import equidepth_histogram  # noqa: F401
 from .stats import cooccurrence_lift  # noqa: F401
+from .graphs import pagerank  # noqa: F401

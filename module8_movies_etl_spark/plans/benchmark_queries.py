@@ -5275,3 +5275,57 @@ def equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = read_table(spark, sf_dir, "orders")
     return robust.equidepth_histogram(o, "o_totalprice", n_bins=8)
+
+
+def _pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
+    """PageRank oracle: the shared embedding-pairs CTE + the power
+    iteration UNROLLED as one CTE layer per round (fixed iteration
+    count is what makes the algorithm SQL-replayable at all)."""
+    cte = _embedding_pairs_cte(threshold=0.2)
+    layers = []
+    for i in range(1, n_iters + 1):
+        prev = f"p{i - 1}"
+        layers.append(
+            f"p{i} AS (\n"
+            f"    SELECT ed.t AS node,\n"
+            f"           (1.0 - {damping}) / (SELECT c FROM nn)\n"
+            f"           + {damping} * sum({prev}.p / ed.d) AS p\n"
+            f"    FROM ed JOIN {prev} ON {prev}.node = ed.s\n"
+            f"    GROUP BY ed.t\n)"
+        )
+    return f"""
+WITH {cte},
+e AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+ed AS (SELECT e.s, e.t, deg.d FROM e JOIN deg USING (s)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM deg),
+p0 AS (SELECT s AS node, 1.0 / (SELECT c FROM nn) AS p FROM deg),
+{",".join(layers)}
+SELECT node, round(p, 6) AS rank FROM p{n_iters}
+"""
+
+
+@query("pagerank_dupgraph", _pagerank_oracle())
+def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/centrality, beyond-ref §2.13 — the second iterative
+    graph op beside connected components] Five fixed PageRank
+    iterations over the embedding near-dup graph: centrality ranks
+    the canonical (most-connected) document of each near-dup
+    neighborhood — the principled alternative to min-id survivor
+    selection. Iterative shape mirrors ``connected_components``:
+    snapshot-backed doubled edge list with out-degrees attached, one
+    node-keyed join + sum-by-destination aggregate per round, rank
+    tables snapshot per round to truncate lineage. The oracle unrolls
+    the same five rounds as CTE layers over the identical LSH pair
+    CTE — double summation order wiggles ~1e-13 across engines,
+    six-decimal rounding is 10⁷× coarser.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    return graphs.pagerank(pairs, damping=0.85, n_iters=5)

@@ -257,3 +257,27 @@ def test_equidepth_histogram_skewed_beats_equiwidth(spark):
     rows = equidepth_histogram(df, "v", n_bins=4).collect()
     assert sum(r.n_rows for r in rows) == 100
     assert max(r.n_rows for r in rows) <= 40  # no 99%-bin collapse
+
+
+# ----------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_model(spark):
+    from module8_movies_etl_spark.operators.graphs import pagerank
+
+    # star 1-(2,3,4) plus edge 3-4: known asymmetric ranks
+    edges = [(1, 2), (1, 3), (1, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.node: r.rank for r in pagerank(df, 0.85, 5).collect()}
+
+    adj = {1: [2, 3, 4], 2: [1], 3: [1, 4], 4: [1, 3]}
+    n = 4
+    p = {v: 1 / n for v in adj}
+    for _ in range(5):
+        p = {
+            v: 0.15 / n + 0.85 * sum(p[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    assert got == {v: round(p[v], 6) for v in adj}
+    # hub outranks leaves; symmetric nodes tie exactly
+    assert got[1] > got[3] == got[4] > got[2]
