@@ -54,3 +54,4 @@ from .graphs import count_triangles  # noqa: F401
 from .robust import equidepth_histogram  # noqa: F401
 from .stats import cooccurrence_lift  # noqa: F401
 from .graphs import pagerank  # noqa: F401
+from .stats import group_trend_applyinpandas  # noqa: F401

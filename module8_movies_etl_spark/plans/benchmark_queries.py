@@ -5329,3 +5329,28 @@ def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
     )
     return graphs.pagerank(pairs, damping=0.85, n_iters=5)
+
+
+@query("trend_slope_grouped_map", _TREND_ORACLE)
+def trend_slope_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 extension point — the GROUPED-MAP Python surface] The
+    same per-type OLS drift as ``trend_slope_by_type``, computed in a
+    ``groupBy().applyInPandas`` Arrow grouped-map UDF instead of the
+    native aggregate — the documented slot for per-group imperative
+    Python (scipy fits, per-group models), pinned against the SAME
+    DuckDB oracle as the native path: the UDF folds identical exact
+    co-moments (arbitrary-precision ints mirroring the DECIMAL sums,
+    Fraction descaling = the decimal→double cast's single rounding)
+    so all three implementations agree bit-for-bit. The native
+    aggregate remains the 100 TB default (six numbers of state per
+    key vs materializing each group as a pandas frame).
+    """
+    e = read_table(spark, sf_dir, "events")
+    shifted = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704000000)).alias("_x"),
+        F.col("value").alias("_y"),
+    )
+    return stats.group_trend_applyinpandas(
+        shifted, "event_type", "_x", "_y", x_scale=3600.0
+    )

@@ -281,3 +281,28 @@ def test_pagerank_matches_model(spark):
     assert got == {v: round(p[v], 6) for v in adj}
     # hub outranks leaves; symmetric nodes tie exactly
     assert got[1] > got[3] == got[4] > got[2]
+
+
+# ------------------------------------------------- grouped-map trend parity
+
+
+def test_grouped_map_trend_matches_native(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (k, random.randrange(0, 10**6), round(random.uniform(-500, 500), 2))
+        for k in ("a", "b") for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y double")
+    native = {
+        r.k: (r.n, r.slope, r.intercept, r.r2)
+        for r in stats.group_trend(df, "k", "x", "y", x_scale=3600.0).collect()
+    }
+    via_udf = {
+        r.k: (r.n, r.slope, r.intercept, r.r2)
+        for r in stats.group_trend_applyinpandas(
+            df, "k", "x", "y", x_scale=3600.0
+        ).collect()
+    }
+    assert native == via_udf  # bit-for-bit, not approx
