@@ -4946,12 +4946,21 @@ WITH cells AS (
            CAST(count(*) AS DOUBLE) AS o
     FROM orders GROUP BY 1, 2
 ),
+grid AS (
+    SELECT av.a, bv.b
+    FROM (SELECT DISTINCT a FROM cells) av
+    CROSS JOIN (SELECT DISTINCT b FROM cells) bv
+),
+full_cells AS (
+    SELECT g.a, g.b, coalesce(c.o, 0.0) AS o
+    FROM grid g LEFT JOIN cells c ON g.a = c.a AND g.b = c.b
+),
 m AS (
     SELECT a, b, o,
            sum(o) OVER (PARTITION BY a) AS ra,
            sum(o) OVER (PARTITION BY b) AS cb,
            sum(o) OVER () AS n
-    FROM cells
+    FROM full_cells
 )
 SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)), 4)
            AS chi2,

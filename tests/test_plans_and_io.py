@@ -425,12 +425,16 @@ def test_trend_is_single_aggregate(spark):
 
 
 def test_chi2_single_fact_pass(spark):
-    """Chi-square reads the fact table once: everything after the
-    contingency-cell aggregate is constant-size (marginal windows and
-    the scalar fold run over the cells)."""
+    """Chi-square reads the fact table once per grid derivation:
+    everything after the contingency-cell aggregate is constant-size
+    (the |A|x|B| grid completion, marginal windows, and the scalar
+    fold all run over the driver-fetched cell table — broadcast
+    joins only, no fact-table SortMergeJoin, and the visible plan
+    contains NO parquet scan at all (the one fact pass happened at
+    cell-fetch time)."""
     plan = plan_of(spark, "chi2_status_priority")
-    assert plan.count("Scan parquet") <= 2, plan
-    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_gap_fill_spine_is_generated(spark):
@@ -452,3 +456,22 @@ def test_perplexity_no_anti_union_blowup(spark):
     plan = plan_of(spark, "doc_perplexity_unigram")
     assert plan.count("Scan parquet") <= 6, plan
     assert "Union" not in plan, plan
+
+
+def test_triangle_census_reads_only_snapshot(spark):
+    """count_triangles snapshots the pair list on entry: the visible
+    plan's five consumers all read the tiny scratch edge table — the
+    embedding corpus is scanned only once, eagerly, at snapshot time
+    (an 'embeddings' scan in this plan would mean each consumer
+    re-runs the whole LSH pair pipeline)."""
+    plan = plan_of(spark, "triangle_count_dupgraph")
+    assert "embeddings" not in plan, plan
+
+
+def test_grouped_map_uses_arrow_grouped_map(spark):
+    """The grouped-map extension point must plan as FlatMapGroupsInPandas
+    (Arrow grouped map) over ONE key shuffle — not a collect, not a
+    row-at-a-time PythonUDF."""
+    plan = plan_of(spark, "trend_slope_grouped_map")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
