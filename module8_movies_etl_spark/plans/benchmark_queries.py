@@ -5363,3 +5363,128 @@ def trend_slope_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.group_trend_applyinpandas(
         shifted, "event_type", "_x", "_y", x_scale=3600.0
     )
+
+
+_OBS_ORACLE = """
+WITH vol AS (
+    SELECT 'volume' AS section, 'orders_rows' AS metric,
+           CAST(count(*) AS VARCHAR) AS value FROM orders
+    UNION ALL
+    SELECT 'volume', 'events_rows', CAST(count(*) AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'volume', 'customers_distinct',
+           CAST(count(DISTINCT o_custkey) AS VARCHAR) FROM orders
+),
+integ AS (
+    SELECT 'integrity' AS section, 'orders_checksum' AS metric,
+           CAST(CAST(sum(CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) % 1152921504606846976 AS BIGINT) AS VARCHAR)
+               AS value
+    FROM orders
+),
+dq AS (
+    SELECT 'dq' AS section, 'orphan_orders' AS metric,
+           CAST(count(*) AS VARCHAR) AS value
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'dq', 'negative_totalprice',
+           CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE) <= 0
+                         THEN 1 ELSE 0 END) AS VARCHAR)
+    FROM orders
+),
+drift AS (
+    SELECT 'drift' AS section, 'top_event_share' AS metric,
+           CAST(round(max(cnt) * 1.0 / sum(cnt), 4) AS VARCHAR) AS value
+    FROM (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+)
+SELECT * FROM vol
+UNION ALL SELECT * FROM integ
+UNION ALL SELECT * FROM dq
+UNION ALL SELECT * FROM drift
+"""
+
+
+@query("observability_snapshot", _OBS_ORACLE)
+def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone composition, beyond-ref §2.13; seed: the notebook's
+    manual row-count/info checks after each step, Data
+    Cleaning.ipynb cells 4/19/34] The scheduled table-health job as
+    ONE lazy DAG: volume (row counts, distinct keys), integrity (the
+    order-independent md5 checksum fold), data quality (orphan FK
+    anti-join against the broadcast dim, domain-violation count), and
+    drift (top event-type share) — unioned into a uniform
+    (section, metric, value) metric table, the shape observability
+    stores ingest. Each leg is one narrow aggregate; the union is
+    metric-grain (rows = #metrics); values are stringified so one
+    schema carries counts, checksums, and ratios.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    e = read_table(spark, sf_dir, "events")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def m(section: str, metric: str, col) -> DataFrame:
+        return (
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            col.cast("string").alias("value"),
+        )
+
+    vol_orders = o.agg(*m("volume", "orders_rows", F.count(F.lit(1))))
+    vol_events = e.agg(*m("volume", "events_rows", F.count(F.lit(1))))
+    vol_cust = o.agg(
+        *m("volume", "customers_distinct", F.count_distinct("o_custkey"))
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice").cast("double"), 2).cast("string"),
+    )
+    hv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    two60 = F.lit(1152921504606846976).cast("decimal(38,0)")
+    integ = o.select(hv.alias("hv")).agg(
+        *m(
+            "integrity",
+            "orders_checksum",
+            (F.sum(F.col("hv").cast("decimal(38,0)")) % two60).cast("long"),
+        )
+    )
+    orphans = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(*m("dq", "orphan_orders", F.count(F.lit(1))))
+    negative = o.agg(
+        *m(
+            "dq",
+            "negative_totalprice",
+            F.sum(
+                (F.col("o_totalprice").cast("double") <= 0).cast("long")
+            ),
+        )
+    )
+    drift = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            *m(
+                "drift",
+                "top_event_share",
+                F.round(
+                    F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 4
+                ),
+            )
+        )
+    )
+    return (
+        vol_orders.unionByName(vol_events)
+        .unionByName(vol_cust)
+        .unionByName(integ)
+        .unionByName(orphans)
+        .unionByName(negative)
+        .unionByName(drift)
+    )
