@@ -158,3 +158,22 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1-adjacent: XML scan via Spark 4's NATIVE xml source (the
+    spark-xml package folded into core) — the third semi-structured
+    ingest beside ragged JSON and VARIANT. Schema inference unions
+    element structures like the JSON path; pass ``schema`` to skip
+    the inference pass on large inputs. Row boundaries come from
+    ``rowTag``, so files split cleanly across executors.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

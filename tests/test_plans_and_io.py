@@ -475,3 +475,23 @@ def test_grouped_map_uses_arrow_grouped_map(spark):
     plan = plan_of(spark, "trend_slope_grouped_map")
     assert "FlatMapGroupsInPandas" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML source: schema'd write -> read round trip
+    preserves values and types (the third semi-structured ingest
+    beside ragged JSON and VARIANT)."""
+    from module8_movies_etl_spark.sources.readers import read_xml
+    from module8_movies_etl_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a & b", 2.5), (2, "<tag>", None)],
+        "id int, s string, v double",
+    )
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec")
+    got = sorted(
+        (r["id"], r["s"], r["v"]) for r in back.collect()
+    )
+    assert got == [(1, "a & b", 2.5), (2, "<tag>", None)]
