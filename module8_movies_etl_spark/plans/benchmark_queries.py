@@ -5488,3 +5488,98 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(negative)
         .unionByName(drift)
     )
+
+
+def _lang_confusion_oracle() -> str:
+    """Confusion-matrix oracle: the lang-ID scoring CTE (same marker
+    table as the Spark expression) aggregated to (actual, predicted)
+    cells with per-actual recall."""
+    inner = _lang_id_oracle().strip().rstrip()
+    return f"""
+WITH pred AS ({inner})
+SELECT lang AS actual,
+       lang_pred AS predicted,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+           AS frac_of_actual
+FROM pred
+GROUP BY lang, lang_pred
+"""
+
+
+@query("lang_confusion_matrix", _lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis QA, beyond-ref §2.13 — the evaluation loop on
+    top of lang_id_predict] Confusion matrix of the stopword-hit
+    language classifier against the labeled corpus: (actual,
+    predicted) cell counts plus each cell's share of its actual
+    language — the per-class recall diagonal. This is the model-QA
+    query a curation pipeline runs after every classifier change; at
+    100 TB the scoring is the same narrow staged projection as
+    lang_id_predict and the confusion grid is |langs|² rows. One
+    aggregate + one window over the tiny grid.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pred = text.lang_id_frame(d, "text", keep_cols=("doc_id", "lang"))
+    cells = (
+        pred.groupBy(
+            F.col("lang").alias("actual"),
+            F.col("lang_pred").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w), 4).alias(
+            "frac_of_actual"
+        ),
+    )
+
+
+_DUP_RATE_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id, source, md5({_norm_sql('text')}) AS f
+    FROM documents
+),
+keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+SELECT fp.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fp.doc_id = k.keep_id THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN fp.doc_id = k.keep_id THEN 0.0 ELSE 1.0 END)
+             / count(*), 4) AS dup_rate
+FROM fp JOIN keep k ON fp.f = k.f
+GROUP BY fp.source
+"""
+
+
+@query("dup_rate_by_source", _DUP_RATE_ORACLE)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup QA / curation dashboard, beyond-ref §2.13] Per-source
+    exact-duplicate rate: what fraction of each ingest source's
+    documents lose the min-id survivorship — THE metric that decides
+    which crawl sources get demoted in a 100 TB curation pipeline.
+    One md5-fingerprint aggregate (16-byte shuffle key), survivors
+    joined back source-grain; everything after the scan is
+    fingerprint-cardinality.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", text.fingerprint(F.col("text")).alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    joined = fp.join(keep, "f")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("doc_id") != F.col("keep_id")).cast("long")
+        ).alias("n_dropped"),
+        F.round(
+            F.sum((F.col("doc_id") != F.col("keep_id")).cast("double"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )
