@@ -8,8 +8,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual catalog lives in
 ``module8_movies_etl_spark.plans.benchmark_queries`` — one named query
 per implemented SURVEY.md §2 operator (plus the LLM-pipeline
-extensions), each with a DuckDB oracle. As of round 4 the catalog is
-91 queries; every entry is fully hash-verified except
+extensions), each with a DuckDB oracle. As of round 7 the catalog is
+126 queries; every entry is fully hash-verified except
 ``random_sample_orders`` (Spark's sample RNG is engine-specific —
 rows-only by necessity; its deterministic md5 twin
 ``hash_sample_orders`` IS hash-verified). Even the LSH / IVF ANN
