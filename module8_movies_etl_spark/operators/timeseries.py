@@ -285,3 +285,78 @@ def ohlc_resample(
         F.max(F.when(F.col("_rd") == 1, F.col(value_col))).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    h_mult: float = 2.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key over bucketed
+    sums: the standard drift alarm ("has this metric shifted above
+    its baseline?") that mean/threshold monitors miss because small
+    persistent shifts never cross a static fence but accumulate.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + (x_i - k)) is
+    nonlinear and NOT directly a window function — but it folds into
+    pure windows via S_i = C_i - min(0, min_{j<=i} C_j) with
+    C = cumsum(x - k): a running sum and a running min, both
+    streaming-frame windows over ONE key shuffle. Baseline k is each
+    key's mean bucket sum (rounded(2) into DECIMAL so both engines
+    subtract the same constant), and every accumulation is
+    DECIMAL-exact — no float drift ever enters the recurrence, which
+    is what makes a change-point ALARM (a boundary comparison)
+    engine-portable at all. Alarm fires when S exceeds ``h_mult * k``.
+
+    Returns (key, bucket_s, x, cusum, alarm).
+    """
+    from pyspark.sql import Window
+
+    b = (
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    per_bucket = (
+        df.select(F.col(key_col), b.alias("bucket_s"),
+                  F.col(value_col).cast("decimal(18,2)").alias("_v"))
+        .groupBy(key_col, "bucket_s")
+        .agg(F.sum("_v").alias("x"))
+    )
+    wk = Window.partitionBy(key_col)
+    base = per_bucket.withColumn(
+        "_k",
+        # divide in DOUBLE, not decimal: decimal-division scale rules
+        # are engine-specific; exact-sum -> double -> IEEE division is
+        # identical everywhere, and round(2) re-enters decimal
+        F.round(
+            F.sum("x").over(wk).cast("double")
+            / F.count(F.lit(1)).over(wk).cast("double"),
+            2,
+        ).cast("decimal(18,2)"),
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.sum(F.col("x") - F.col("_k")).over(run)
+    staged = base.withColumn("_c", c).withColumn(
+        "_floor", F.least(F.lit(0).cast("decimal(20,2)"), F.min("_c").over(run))
+    )
+    s = F.col("_c") - F.col("_floor")
+    # h_mult enters as an exact 2-decimal DECIMAL so the alarm
+    # comparison is decimal-vs-decimal (a double comparison at the
+    # boundary loses to the engines' different decimal->double casts
+    # by one ulp); the emitted doubles are rounded(2) for the same
+    # reason (DuckDB's cast multiplies by 0.01, Spark's divides).
+    h = F.lit(round(h_mult, 2)).cast("decimal(6,2)")
+    return staged.select(
+        F.col(key_col),
+        "bucket_s",
+        F.round(F.col("x").cast("double"), 2).alias("x"),
+        F.round(s.cast("double"), 2).alias("cusum"),
+        (s > h * F.col("_k")).alias("alarm"),
+    )

@@ -5583,3 +5583,59 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+_CUSUM_ORACLE = """
+WITH pb AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 // 3600 * 3600 AS bucket_s,
+           sum(CAST(value AS DECIMAL(18,2))) AS x
+    FROM events GROUP BY 1, 2
+),
+base AS (
+    SELECT event_type, bucket_s, x,
+           CAST(round(CAST(sum(x) OVER (PARTITION BY event_type) AS DOUBLE)
+                      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE),
+                      2) AS DECIMAL(18,2)) AS k
+    FROM pb
+),
+c AS (
+    SELECT event_type, bucket_s, x, k,
+           sum(x - k) OVER (PARTITION BY event_type ORDER BY bucket_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM base
+),
+s AS (
+    SELECT event_type, bucket_s, x, k, cum,
+           least(CAST(0 AS DECIMAL(20,2)),
+                 min(cum) OVER (PARTITION BY event_type ORDER BY bucket_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS fl
+    FROM c
+)
+SELECT event_type,
+       CAST(bucket_s AS BIGINT) AS bucket_s,
+       round(CAST(x AS DOUBLE), 2) AS x,
+       round(CAST(cum - fl AS DOUBLE), 2) AS cusum,
+       (cum - fl) > CAST(2.00 AS DECIMAL(6,2)) * k AS alarm
+FROM s
+"""
+
+
+@query("cusum_drift_hourly", _CUSUM_ORACLE)
+def cusum_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series / anomaly, beyond-ref §2.13 beside the IQR/MAD
+    fences] One-sided CUSUM change-point detection over hourly value
+    sums per event type — the drift alarm that catches small
+    PERSISTENT shifts a static threshold never fires on. The textbook
+    reset recurrence S_i = max(0, S_{i-1} + (x_i - k)) is nonlinear,
+    but folds into pure streaming-frame windows as
+    S_i = C_i − min(0, running-min of C_i) with C = cumsum(x − k) —
+    one key shuffle, two window passes, no recursion, no UDF
+    (``timeseries.cusum_drift``). Every accumulation is
+    DECIMAL-exact, so the ALARM boundary comparison is engine-
+    portable — a float recurrence would drift by the time it mattered.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.cusum_drift(e, "event_type", "ts", "value", 3600, 2.0)

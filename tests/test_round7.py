@@ -306,3 +306,33 @@ def test_grouped_map_trend_matches_native(spark):
         ).collect()
     }
     assert native == via_udf  # bit-for-bit, not approx
+
+
+# -------------------------------------------------------------------- cusum
+
+
+def test_cusum_matches_reset_recurrence(spark):
+    # hourly buckets with a level shift in the back half
+    vals = [10.0, 10.0, 10.0, 10.0, 30.0, 30.0, 30.0, 30.0]
+    rows = [
+        ("m", f"2024-01-01 {h:02d}:30:00", v) for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        r.bucket_s: (r.cusum, r.alarm)
+        for r in timeseries.cusum_drift(df, "k", "ts", "v", 3600, 1.0).collect()
+    }
+    # model: textbook reset recurrence with k = mean = 20
+    k = sum(vals) / len(vals)
+    s, expect = 0.0, []
+    for v in vals:
+        s = max(0.0, s + (v - k))
+        expect.append(round(s, 2))
+    h0 = 1704067200
+    got = [out[h0 + 3600 * i][0] for i in range(len(vals))]
+    assert got == expect, (got, expect)
+    # alarm fires exactly where S exceeds 1.0 * k = 20
+    alarms = [out[h0 + 3600 * i][1] for i in range(len(vals))]
+    assert alarms == [s > k for s in expect]
