@@ -5639,3 +5639,59 @@ def cusum_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "events")
     return timeseries.cusum_drift(e, "event_type", "ts", "value", 3600, 2.0)
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT c.digit,
+       CAST(c.n AS BIGINT) AS n,
+       round(c.n / t.total, 4) AS obs_p,
+       round(log10(1.0 + 1.0 / c.digit), 4) AS exp_p,
+       round((c.n / t.total - log10(1.0 + 1.0 / c.digit))
+             * (c.n / t.total - log10(1.0 + 1.0 / c.digit))
+             / log10(1.0 + 1.0 / c.digit) * t.total, 4) AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+
+@query("benford_first_digit", _BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / fraud QA, beyond-ref §2.13 beside chi-square]
+    Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1+1/d) digit frequencies with per-digit chi-square
+    contributions — the classic fabricated-numbers screen finance
+    pipelines run at scale. The first digit comes from the DOUBLE's
+    decimal string (both engines print the shortest round-trip form,
+    so the digit is identical); one 9-cell aggregate after the scan,
+    everything downstream constant-size. Synthetic uniform prices
+    will NOT follow Benford — the query measures the deviation, it
+    does not assert it.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    d = o.filter(v > 0).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs_p = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(obs_p, 4).alias("obs_p"),
+            F.round(exp_p, 4).alias("exp_p"),
+            F.round(
+                (obs_p - exp_p) * (obs_p - exp_p) / exp_p * F.col("total"), 4
+            ).alias("chi2_term"),
+        )
+    )
