@@ -56,3 +56,4 @@ from .stats import cooccurrence_lift  # noqa: F401
 from .graphs import pagerank  # noqa: F401
 from .stats import group_trend_applyinpandas  # noqa: F401
 from .timeseries import cusum_drift  # noqa: F401
+from .stats import spearman_by_key  # noqa: F401

@@ -322,3 +322,56 @@ def group_trend_applyinpandas(
         f"{out_key} string, n long, slope double, intercept double, r2 double"
     )
     return df.groupBy(key_col).applyInPandas(fit, schema=schema)
+
+
+def spearman_by_key(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key tie-corrected Spearman rank correlation — Pearson on
+    AVERAGE ranks, the robust complement to the raw-value Pearson
+    (``corr_value_props``): monotone-but-nonlinear association scores
+    1.0 here and <1 there, and heavy tails can't dominate ranks.
+
+    Average rank folds from two windows per variable (rank() plus the
+    tied-group size) — average rank = rank + (ties−1)/2, always a
+    multiple of ½, so DOUBLING it gives exact integers: the co-moment
+    sums then accumulate in DECIMAL (exact, commutative — the ×2
+    scale cancels in the correlation), and the final ρ algebra runs
+    on identical doubles on any engine, the same bit-parity recipe as
+    ``group_trend``. Shape: one key shuffle shared by all four
+    windows (same partition, two sort orders per variable), one hash
+    aggregate; output one row per key.
+    """
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy(key_col).orderBy(x_col)
+    wy = Window.partitionBy(key_col).orderBy(y_col)
+    cx = Window.partitionBy(key_col, x_col)
+    cy = Window.partitionBy(key_col, y_col)
+    # doubled average ranks: 2*rank + ties - 1 (exact integers)
+    rx = (
+        F.rank().over(wx) * 2 + F.count(F.lit(1)).over(cx) - 1
+    ).cast("decimal(18,0)")
+    ry = (
+        F.rank().over(wy) * 2 + F.count(F.lit(1)).over(cy) - 1
+    ).cast("decimal(18,0)")
+    ranked = df.select(F.col(key_col), rx.alias("_rx"), ry.alias("_ry"))
+    agg = ranked.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        key_col, "n", F.round(num / den, 4).alias("rho")
+    )

@@ -5695,3 +5695,61 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(value AS DOUBLE) AS v,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+),
+ranked AS (
+    SELECT event_type,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY v) * 2
+                + count(*) OVER (PARTITION BY event_type, v) - 1
+                AS DECIMAL(18,0)) AS rx,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY k) * 2
+                + count(*) OVER (PARTITION BY event_type, k) - 1
+                AS DECIMAL(18,0)) AS ry
+    FROM base
+),
+a AS (
+    SELECT event_type, count(*) AS n,
+           sum(rx) AS sx, sum(ry) AS sy,
+           sum(rx * rx) AS sxx, sum(rx * ry) AS sxy, sum(ry * ry) AS syy
+    FROM ranked GROUP BY event_type
+),
+d AS (
+    SELECT event_type, CAST(n AS DOUBLE) AS n,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(syy AS DOUBLE) AS syy
+    FROM a
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS rho
+FROM d
+"""
+
+
+@query("spearman_value_props", _SPEARMAN_ORACLE)
+def spearman_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics, beyond-ref §2.13 — the rank twin of
+    corr_value_props] Per-type tie-corrected Spearman correlation
+    between the event value and the JSON payload field: monotone
+    association robust to heavy tails and nonlinearity. Doubled
+    average ranks are exact integers, co-moments accumulate in
+    DECIMAL, and the ρ algebra runs on identical doubles — the same
+    bit-parity-by-construction recipe as the OLS trend
+    (``operators.stats.spearman_by_key``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.col("value").cast("double").alias("_v"),
+        F.from_json(F.col("props"), "struct<k:int>").getField("k").alias("_k"),
+    )
+    return stats.spearman_by_key(base, "event_type", "_v", "_k")

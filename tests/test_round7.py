@@ -336,3 +336,38 @@ def test_cusum_matches_reset_recurrence(spark):
     # alarm fires exactly where S exceeds 1.0 * k = 20
     alarms = [out[h0 + 3600 * i][1] for i in range(len(vals))]
     assert alarms == [s > k for s in expect]
+
+
+# ----------------------------------------------------------------- spearman
+
+
+def test_spearman_matches_model(spark):
+    # monotone nonlinear: rho = 1 exactly; anti-monotone: -1; ties case
+    rows = (
+        [("mono", float(x), float(x ** 3)) for x in range(1, 9)]
+        + [("anti", float(x), float(-x)) for x in range(1, 9)]
+        + [("ties", 1.0, 1.0), ("ties", 1.0, 2.0),
+           ("ties", 2.0, 2.0), ("ties", 3.0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: r.rho for r in stats.spearman_by_key(df, "k", "x", "y").collect()}
+    assert got["mono"] == 1.0
+    assert got["anti"] == -1.0
+
+    # tie-corrected model for the 'ties' group
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return [
+            (s.index(v) + 1 + (s.index(v) + s.count(v))) / 2 for v in vals
+        ]
+
+    xs = [1.0, 1.0, 2.0, 3.0]
+    ys = [1.0, 2.0, 2.0, 1.0]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert got["ties"] == round(num / den, 4)
