@@ -5753,3 +5753,20 @@ def spearman_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("props"), "struct<k:int>").getField("k").alias("_k"),
     )
     return stats.spearman_by_key(base, "event_type", "_v", "_k")
+
+
+@query("stream_hopping_counts", _HOPPING_ORACLE)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming §2.11] The hopping-window aggregation executed as a
+    REAL Structured Streaming query (file-source stream → watermark →
+    overlapping F.window state → availableNow replay to completion),
+    hash-verified against the same fan-out SQL as the batch twin
+    ``hopping_window_counts`` — the full-span watermark means no
+    window drops, so streaming complete-mode output must equal the
+    batch aggregation bit-for-bit. Exercises the multiplied window
+    state (each event lands in window/slide = 2 windows) through the
+    state store, not just the batch expression.
+    """
+    from ..streaming.windows import run_hopping_over_events
+
+    return run_hopping_over_events(spark, sf_dir)

@@ -10,6 +10,8 @@ aggregation's state grows forever.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,3 +162,62 @@ def interval_join_streams(
         & (rts < lts + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
     return l_wm.join(r_wm, cond)
+
+
+_HOP_SEQ = itertools.count()
+
+
+def run_hopping_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Replay the SLIDING-window streaming aggregation over the finite
+    events table with ``trigger(availableNow)`` and return the final
+    windows — real Structured Streaming execution (window state store,
+    watermark bookkeeping, overlapping-window fan-out) made
+    hash-verifiable: the watermark spans the table's whole event-time
+    range, so no window is dropped and the complete-mode result equals
+    the batch ``F.window`` aggregation the oracle replays in SQL.
+    Production callers use a short watermark and accept late-data
+    drops past it.
+    """
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch, register
+
+    scratch = mkscratch("stream_hopping_")
+    register(scratch)
+    batch = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+    stream = read_event_stream(spark, scratch, schema=batch.schema)
+    agg = (
+        stream.withWatermark("ts", "240 hours")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value").cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    sink = f"stream_hopping_{next(_HOP_SEQ)}"
+    try:
+        run_to_memory(agg, sink, output_mode="complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(sink)
