@@ -5770,3 +5770,45 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_hopping_over_events
 
     return run_hopping_over_events(spark, sf_dir)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH t AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts)
+                     - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+s AS (
+    SELECT user_id, us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+)
+SELECT user_id,
+       CAST(min(us) AS BIGINT) AS session_start_us,
+       CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_windows", _STREAM_SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming §2.11] The built-in ``session_window`` MERGING-state
+    operator executed as a real stream (file source → watermark →
+    session state store → availableNow replay), hash-verified against
+    the batch gaps-and-islands sessionization: full-span watermark →
+    no drops → the streaming sessions must equal the SQL derivation,
+    including the half-open boundary (a successor exactly ``gap``
+    away opens a NEW session — ``>=`` on microsecond arithmetic in
+    the oracle). Complements ``sessionize_stateful``
+    (applyInPandasWithState, custom logic) with the native operator.
+    """
+    from ..streaming.windows import run_session_windows_over_events
+
+    return run_session_windows_over_events(spark, sf_dir)

@@ -221,3 +221,57 @@ def run_hopping_over_events(
         else:
             spark.conf.set(key, prev)
     return spark.table(sink)
+
+
+def run_session_windows_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Replay the built-in ``session_window`` stateful operator over
+    the finite events table (``availableNow``, full-span watermark →
+    no session drops) and return the final sessions — the
+    MERGING-state streaming operator (sessions coalesce as events
+    arrive) made hash-verifiable: with nothing dropped, the closed
+    sessions equal the batch gaps-and-islands derivation, with the
+    boundary semantic pinned: a successor exactly ``gap`` away
+    starts a NEW session (session intervals are half-open
+    ``[ts, ts+gap)``), which the oracle mirrors with ``>=`` on
+    microsecond arithmetic.
+    """
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch, register
+
+    scratch = mkscratch("stream_sessions_")
+    register(scratch)
+    batch = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+    stream = read_event_stream(spark, scratch, schema=batch.schema)
+    agg = (
+        stream.withWatermark("ts", "240 hours")
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    sink = f"stream_sessions_{next(_HOP_SEQ)}"
+    try:
+        run_to_memory(agg, sink, output_mode="complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(sink)
