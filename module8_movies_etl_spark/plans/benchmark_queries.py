@@ -5812,3 +5812,34 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_session_windows_over_events
 
     return run_session_windows_over_events(spark, sf_dir)
+
+
+_STREAM_IJ_ORACLE = """
+SELECT l.event_id AS click_id,
+       r.event_id AS purchase_id,
+       l.user_id,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts)
+ AND epoch_us(r.ts) < epoch_us(l.ts) + 300000000
+"""
+
+
+@query("stream_interval_join", _STREAM_IJ_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming §2.11] Stream-STREAM interval join executed for
+    real: clicks paired with same-user purchases in the following
+    5 minutes, both sides live file-source streams with watermarks
+    and dual-sided join state (each side buffers only until the
+    watermark passes its match horizon — the state-bounding contract
+    that makes stream-stream joins feasible at all). Replayed to
+    completion with availableNow under a full-span watermark, the
+    append-mode matches are hash-verified against the plain SQL
+    interval join — attribution latency (``delta_us``) included,
+    microsecond-exact.
+    """
+    from ..streaming.windows import run_interval_join_over_events
+
+    return run_interval_join_over_events(spark, sf_dir)

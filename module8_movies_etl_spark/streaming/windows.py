@@ -275,3 +275,66 @@ def run_session_windows_over_events(
         else:
             spark.conf.set(key, prev)
     return spark.table(sink)
+
+
+def run_interval_join_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    lower_s: int = 0,
+    upper_s: int = 300,
+) -> DataFrame:
+    """Replay the stream-stream interval join over the finite events
+    table: clicks joined to same-user purchases within the next
+    ``upper_s`` seconds — both sides REAL streams (two file sources,
+    two watermarks, dual-sided join state with time-range eviction),
+    driven to completion with ``availableNow``. The watermark spans
+    the event-time range, so no buffered row is evicted before its
+    match window closes and the append-mode matches equal the batch
+    interval join the oracle replays in SQL.
+    """
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch, register
+
+    base = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    sides = {}
+    for side, etype in (("l", left_type), ("r", right_type)):
+        scratch = mkscratch(f"stream_ij_{side}_")
+        register(scratch)
+        part = base.filter(F.col("event_type") == etype).drop("event_type")
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        sides[side] = read_event_stream(spark, scratch, schema=part.schema)
+    left = sides["l"].select(
+        F.col("event_id").alias("l_id"), "user_id",
+        F.col("ts").alias("l_ts"),
+    )
+    right = sides["r"].select(
+        F.col("event_id").alias("r_id"), "user_id",
+        F.col("ts").alias("r_ts"),
+    )
+    joined = interval_join_streams(
+        left, right, "user_id", "l_ts", "r_ts", lower_s, upper_s,
+        watermark="240 hours",
+    ).select(
+        F.col("l.l_id").alias("click_id"),
+        F.col("r.r_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("r.r_ts")) - F.unix_micros(F.col("l.l_ts")))
+        .alias("delta_us"),
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    sink = f"stream_ij_{next(_HOP_SEQ)}"
+    try:
+        run_to_memory(joined, sink, output_mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(sink)
