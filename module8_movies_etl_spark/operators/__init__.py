@@ -57,3 +57,4 @@ from .graphs import pagerank  # noqa: F401
 from .stats import group_trend_applyinpandas  # noqa: F401
 from .timeseries import cusum_drift  # noqa: F401
 from .stats import spearman_by_key  # noqa: F401
+from .stats import ks_two_sample  # noqa: F401

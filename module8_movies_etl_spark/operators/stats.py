@@ -375,3 +375,70 @@ def spearman_by_key(
     return agg.select(
         key_col, "n", F.round(num / den, 4).alias("rho")
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two groups' value
+    distributions: D = sup |ECDF_a - ECDF_b| — the continuous
+    distribution-drift check beside the categorical chi-square
+    (``chi2_independence``), with the α=0.05 rejection threshold
+    c(α)·√((n_a+n_b)/(n_a·n_b)).
+
+    Scale shape: the fact table reduces to per-(value, group) COUNTS
+    first (one hash shuffle — the only pass over the facts), and the
+    ECDF window walks the DISTINCT-VALUE table, not the rows: the
+    single-partition global-order window KS inherently needs runs
+    over the value domain (bounded — e.g. 2-decimal telemetry has
+    ≤ range×100 points), never the 100 TB of observations. ECDF
+    ratios are integer/integer IEEE divisions — identical on any
+    engine — and D is a max over them: exact comparisons, no sum
+    accumulation anywhere.
+
+    Returns one row (n_a, n_b, ks_stat, threshold, reject).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        v.alias("_v"), F.col(group_col).alias("_g")
+    )
+    counts = base.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    staged = counts.select(
+        "_v",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wn).alias("_na"),
+        F.sum("_cb").over(wn).alias("_nb"),
+    )
+    fa = F.col("_cuma").cast("double") / F.col("_na").cast("double")
+    fb = F.col("_cumb").cast("double") / F.col("_nb").cast("double")
+    agg = staged.groupBy("_na", "_nb").agg(
+        F.round(F.max(F.abs(fa - fb)), 6).alias("ks_stat")
+    )
+    thresh = F.round(
+        F.lit(alpha_c)
+        * F.sqrt(
+            (F.col("_na") + F.col("_nb")).cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double")
+        ),
+        6,
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "ks_stat",
+        thresh.alias("threshold"),
+        (F.col("ks_stat") > thresh).alias("reject"),
+    )

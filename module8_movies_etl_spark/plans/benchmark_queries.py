@@ -5843,3 +5843,55 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_interval_join_over_events
 
     return run_interval_join_over_events(spark, sf_dir)
+
+
+_KS_ORACLE = """
+WITH base AS (
+    SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+    FROM events WHERE event_type IN ('click', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+    FROM base GROUP BY v
+),
+staged AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+           sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+           sum(ca) OVER () AS na,
+           sum(cb) OVER () AS nb
+    FROM counts
+),
+a AS (
+    SELECT na, nb,
+           round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+               AS ks_stat
+    FROM staged GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ks_stat,
+       round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                          / CAST(na * nb AS DOUBLE)), 6) AS threshold,
+       ks_stat > round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                    / CAST(na * nb AS DOUBLE)), 6) AS reject
+FROM a
+"""
+
+
+@query("ks_test_click_view", _KS_ORACLE)
+def ks_test_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / drift, beyond-ref §2.13 — the continuous twin of
+    chi2_status_priority] Two-sample Kolmogorov-Smirnov test between
+    the click and view value distributions: D = sup|ECDF difference|
+    with the α=0.05 threshold. The facts reduce to per-value counts
+    in ONE hash pass; the ECDF window walks the distinct-value
+    domain, not the observations — and every quantity compared is an
+    integer ratio or a max, never an accumulated float
+    (``operators.stats.ks_two_sample``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.ks_two_sample(e, "event_type", "value", "click", "view")

@@ -371,3 +371,34 @@ def test_spearman_matches_model(spark):
         sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
     ) ** 0.5
     assert got["ties"] == round(num / den, 4)
+
+
+# ---------------------------------------------------------------------- KS
+
+
+def test_ks_two_sample_matches_model(spark):
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    b = [4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = stats.ks_two_sample(df, "g", "v", "a", "b").collect()
+
+    pts = sorted(set(a + b))
+    d = max(
+        abs(
+            sum(1 for x in a if x <= p) / len(a)
+            - sum(1 for x in b if x <= p) / len(b)
+        )
+        for p in pts
+    )
+    assert r.ks_stat == round(d, 6)
+    assert (r.n_a, r.n_b) == (6, 6)
+    thr = 1.358 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+    assert r.threshold == round(thr, 6)
+    assert r.reject == (round(d, 6) > round(thr, 6))
+    # identical samples -> D = 0, never rejected
+    df2 = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "g string, v double"
+    )
+    [r2] = stats.ks_two_sample(df2, "g", "v", "a", "b").collect()
+    assert r2.ks_stat == 0.0 and not r2.reject
