@@ -5895,3 +5895,62 @@ def ks_test_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "events")
     return stats.ks_two_sample(e, "event_type", "value", "click", "view")
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS DECIMAL(12,0)) AS i
+    FROM spend
+),
+a AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(sx AS DOUBLE), 2) AS total_spend,
+       round((2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM a
+"""
+
+
+@query("gini_customer_spend", _GINI_ORACLE)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / concentration, beyond-ref §2.13] Gini
+    coefficient of per-customer spend — the standard concentration
+    metric ("do 1% of customers carry 50% of revenue?") computed from
+    the rank identity G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) over
+    ascending-sorted spend. The facts reduce to customer grain first
+    (one hash shuffle — the only fact pass); the global rank window
+    then runs over the ENTITY table, orders of magnitude smaller than
+    the orders it summarizes (the quantile_buckets posture). Rank ×
+    spend products and both sums are DECIMAL-exact; the final G is
+    one identical double expression per engine. Ties order by
+    (spend, custkey) so both engines rank identically.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "x", F.row_number().over(w).cast("decimal(12,0)").alias("i")
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    return a.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(sx, 2).alias("total_spend"),
+        F.round(
+            (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 6
+        ).alias("gini"),
+    )
