@@ -5954,3 +5954,124 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 6
         ).alias("gini"),
     )
+
+
+_ABTEST_ORACLE = """
+WITH assign AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 2 = 0
+                THEN 'control' ELSE 'treatment' END AS variant
+    FROM events
+),
+umax AS (
+    SELECT user_id, max(CAST(value AS DOUBLE)) AS mx
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+med AS (SELECT round(quantile_cont(mx, 0.5), 4) AS m FROM umax),
+conv AS (
+    SELECT user_id FROM umax CROSS JOIN med WHERE mx > m
+),
+cells AS (
+    SELECT a.variant,
+           count(*) AS n_users,
+           sum(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS n_converted
+    FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+    GROUP BY a.variant
+),
+wide AS (
+    SELECT
+        sum(CASE WHEN variant = 'control' THEN n_users END) AS nc,
+        sum(CASE WHEN variant = 'control' THEN n_converted END) AS xc,
+        sum(CASE WHEN variant = 'treatment' THEN n_users END) AS nt,
+        sum(CASE WHEN variant = 'treatment' THEN n_converted END) AS xt
+    FROM cells
+)
+SELECT CAST(nc AS BIGINT) AS n_control,
+       CAST(xc AS BIGINT) AS conv_control,
+       CAST(nt AS BIGINT) AS n_treatment,
+       CAST(xt AS BIGINT) AS conv_treatment,
+       round(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS p_control,
+       round(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_treatment,
+       round((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+             / sqrt((CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+                    * (1.0 - CAST(xc + xt AS DOUBLE) / CAST(nc + nt AS DOUBLE))
+                    * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE))),
+             4) AS z_score
+FROM wide
+"""
+
+
+@query("abtest_conversion_z", _ABTEST_ORACLE)
+def abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[experimentation analytics, beyond-ref §2.13] The A/B readout:
+    users deterministically split 50/50 by md5(user_id) parity (the
+    hash_sample assignment idiom — stable as the corpus grows, no
+    RNG), conversion = the user's best purchase beats the corpus
+    median of per-user maxima (~50% base rate at ANY scale — a fixed
+    threshold converts everyone or no one on this synthetic data,
+    which degenerates the pooled variance to 0/0), and the two-
+    proportion pooled z-statistic for the lift. The facts reduce to
+    the distinct-user grain in two hash passes (assignment, converter
+    set), joined user-keyed; everything after is a 2-cell aggregate
+    and one identical double expression per engine. The synthetic
+    split should z ≈ 0 — the query measures it, the hash-verified
+    oracle proves both engines compute the same readout.
+    """
+    e = read_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2 == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+    )
+    umax = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max(F.col("value").cast("double")).alias("mx"))
+    )
+    med = umax.agg(
+        F.round(F.percentile(F.col("mx"), F.lit(0.5)), 4).alias("m")
+    )
+    conv = (
+        umax.crossJoin(F.broadcast(med))
+        .filter(F.col("mx") > F.col("m"))
+        .select("user_id")
+        .withColumn("_c", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.sum(F.when(F.col("variant") == "control", F.col("n_users"))).alias("nc"),
+        F.sum(F.when(F.col("variant") == "control", F.col("n_converted"))).alias("xc"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias("nt"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("n_converted"))).alias("xt"),
+    )
+    nc = F.col("nc").cast("double")
+    xc = F.col("xc").cast("double")
+    nt = F.col("nt").cast("double")
+    xt = F.col("xt").cast("double")
+    pool = (xc + xt) / (nc + nt)
+    z = (xt / nt - xc / nc) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nc + F.lit(1.0) / nt)
+    )
+    return wide.select(
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("xc").cast("long").alias("conv_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        F.col("xt").cast("long").alias("conv_treatment"),
+        F.round(xc / nc, 6).alias("p_control"),
+        F.round(xt / nt, 6).alias("p_treatment"),
+        F.round(z, 4).alias("z_score"),
+    )
