@@ -58,3 +58,4 @@ from .stats import group_trend_applyinpandas  # noqa: F401
 from .timeseries import cusum_drift  # noqa: F401
 from .stats import spearman_by_key  # noqa: F401
 from .stats import ks_two_sample  # noqa: F401
+from .stats import mannwhitney_u  # noqa: F401

@@ -442,3 +442,74 @@ def ks_two_sample(
         thresh.alias("threshold"),
         (F.col("ks_stat") > thresh).alias("reject"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: does group
+    a's value distribution sit HIGHER than group b's — the rank-based
+    location test beside KS's shape test (``ks_two_sample``), immune
+    to outliers and monotone transforms.
+
+    Exactness recipe: DOUBLED average ranks over the combined sample
+    are exact integers (the ``spearman_by_key`` trick), so the rank
+    sum, U, and the tie-correction term Σ(t³−t) all accumulate
+    exactly; the normal-approximation z (tie-corrected variance)
+    is then one identical double expression per engine. Shape: ranks
+    need one global-order window — run over the combined sample
+    directly when it fits, or reduce to (value, group) counts first
+    like the KS operator when the value domain is bounded; here the
+    two-group filter is the reduction. One shuffle, two aggregates.
+
+    Returns one row (n_a, n_b, u_a, z_score).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        v.alias("_v"), F.col(group_col).alias("_g")
+    )
+    w = Window.orderBy("_v")
+    cv = Window.partitionBy("_v")
+    r2 = (F.rank().over(w) * 2 + F.count(F.lit(1)).over(cv) - 1).cast(
+        "decimal(18,0)"
+    )
+    ranked = base.select("_g", "_v", r2.alias("_r2"))
+    ties = (
+        ranked.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_g") == group_a, F.lit(1)).otherwise(F.lit(0)))
+        .alias("na"),
+        F.sum(F.when(F.col("_g") == group_b, F.lit(1)).otherwise(F.lit(0)))
+        .alias("nb"),
+        F.sum(F.when(F.col("_g") == group_a, F.col("_r2"))).alias("sr2a"),
+    ).crossJoin(F.broadcast(ties))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    # rank sum of a = sr2a / 2 (exact halves); U_a = R_a - na(na+1)/2
+    ra = F.col("sr2a").cast("double") / F.lit(2.0)
+    ua = ra - na * (na + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("_tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (ua - na * nb / F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ua, 2).alias("u_a"),
+        F.round(z, 4).alias("z_score"),
+    )

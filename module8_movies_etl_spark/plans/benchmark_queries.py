@@ -6075,3 +6075,55 @@ def abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(xt / nt, 6).alias("p_treatment"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+_MWU_ORACLE = """
+WITH base AS (
+    SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+    FROM events WHERE event_type IN ('click', 'view')
+),
+ranked AS (
+    SELECT g, v,
+           CAST(rank() OVER (ORDER BY v) * 2
+                + count(*) OVER (PARTITION BY v) - 1 AS DECIMAL(18,0)) AS r2
+    FROM base
+),
+ties AS (
+    SELECT sum(t * t * t - t) AS tie3
+    FROM (SELECT count(*) AS t FROM base GROUP BY v)
+),
+a AS (
+    SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN g = 'click' THEN r2 END) AS sr2a
+    FROM ranked
+),
+d AS (
+    SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+           CAST(sr2a AS DOUBLE) / 2.0 AS ra,
+           CAST(tie3 AS DOUBLE) AS tie3
+    FROM a CROSS JOIN ties
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(ra - na * (na + 1.0) / 2.0, 2) AS u_a,
+       round((ra - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1.0)
+                       - tie3 / ((na + nb) * (na + nb - 1.0)))), 4) AS z_score
+FROM d
+"""
+
+
+@query("mannwhitney_click_view", _MWU_ORACLE)
+def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / drift, beyond-ref §2.13 — location test beside
+    KS's shape test] Mann-Whitney U between click and view values:
+    rank-based, outlier-immune, tie-corrected normal approximation.
+    Doubled average ranks are exact integers (the Spearman recipe),
+    so U and the tie term Σ(t³−t) accumulate exactly and the z is
+    one identical double expression per engine
+    (``operators.stats.mannwhitney_u``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.mannwhitney_u(e, "event_type", "value", "click", "view")

@@ -402,3 +402,34 @@ def test_ks_two_sample_matches_model(spark):
     )
     [r2] = stats.ks_two_sample(df2, "g", "v", "a", "b").collect()
     assert r2.ks_stat == 0.0 and not r2.reject
+
+
+# -------------------------------------------------------------- mann-whitney
+
+
+def test_mannwhitney_matches_scipy_free_model(spark):
+    a = [1.0, 2.0, 3.0, 7.0, 8.0]
+    b = [4.0, 5.0, 6.0, 6.0, 9.0, 10.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = stats.mannwhitney_u(df, "g", "v", "a", "b").collect()
+
+    combined = sorted(a + b)
+
+    def avg_rank(v):
+        lo = combined.index(v) + 1
+        hi = lo + combined.count(v) - 1
+        return (lo + hi) / 2
+
+    ra = sum(avg_rank(v) for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    ua = ra - na * (na + 1) / 2
+    from collections import Counter
+
+    tie3 = sum(t ** 3 - t for t in Counter(combined).values())
+    var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (ua - na * nb / 2) / var ** 0.5
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.u_a == round(ua, 2)
+    assert r.z_score == round(z, 4)
