@@ -6127,3 +6127,68 @@ def mannwhitney_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = read_table(spark, sf_dir, "events")
     return stats.mannwhitney_u(e, "event_type", "value", "click", "view")
+
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders GROUP BY o_custkey
+),
+deciled AS (
+    SELECT x, ntile(10) OVER (ORDER BY x DESC, o_custkey) AS decile
+    FROM spend
+),
+cells AS (
+    SELECT decile, count(*) AS n_customers, sum(x) AS dx
+    FROM deciled GROUP BY decile
+),
+tot AS (SELECT sum(dx) AS t FROM cells)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(dx AS DOUBLE), 2) AS decile_spend,
+       round(CAST(dx AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share,
+       round(CAST(sum(dx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / CAST(t AS DOUBLE), 4) AS cum_share
+FROM cells CROSS JOIN tot
+"""
+
+
+@query("lorenz_customer_deciles", _LORENZ_ORACLE)
+def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / concentration — Gini's companion readout] The
+    Lorenz curve at decile grain: customers NTILE'd by spend
+    (descending, custkey tie-break), each decile's revenue share and
+    the cumulative share — "the top 10% carry X%" in one table. The
+    facts reduce to customer grain first (the quantile_buckets
+    posture: the global NTILE sort runs over the entity table, never
+    the orders); decile sums are DECIMAL-exact, the share divisions
+    identical doubles, and the cumulative window walks TEN rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    deciled = robust.quantile_buckets(
+        spend, "x", "o_custkey", n=10, out_col="decile"
+    )
+    cells = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("dx"),
+    )
+    tot = cells.agg(F.sum("dx").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.round(F.col("dx").cast("double"), 2).alias("decile_spend"),
+            F.round(
+                F.col("dx").cast("double") / F.col("t").cast("double"), 4
+            ).alias("share"),
+            F.round(
+                F.sum("dx").over(wc).cast("double") / F.col("t").cast("double"),
+                4,
+            ).alias("cum_share"),
+        )
+    )
