@@ -6192,3 +6192,125 @@ def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+_KEYSET_ORACLE = """
+WITH ordered AS (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS rawp
+    FROM orders
+),
+boundary AS (
+    SELECT rawp AS bp, o_orderkey AS bk
+    FROM ordered ORDER BY rawp DESC, o_orderkey ASC
+    LIMIT 1 OFFSET 199
+)
+SELECT o.o_orderkey, o.o_custkey, round(o.rawp, 2) AS price
+FROM ordered o CROSS JOIN boundary b
+WHERE o.rawp < b.bp OR (o.rawp = b.bp AND o.o_orderkey > b.bk)
+ORDER BY o.rawp DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@query("keyset_page_orders", _KEYSET_ORACLE)
+def keyset_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.8 L1's scale path — pagination] Page 3 (rows 201-300) of
+    orders by (price desc, orderkey) via KEYSET pagination: the page
+    boundary — the 200th row's (price, orderkey) — turns into a
+    pushable predicate ``(price, key) < boundary``, so every page is
+    a TakeOrderedAndProject over a FILTERED scan. OFFSET pagination
+    re-sorts and discards 200+100 rows here but 10M+100 on page
+    100,001 — keyset cost is constant per page, which is why every
+    at-scale API paginates this way. The boundary itself is one
+    driver-fetched row (the statistics pattern); ties break on the
+    unique key so pages are deterministic and gap-free on any engine.
+    """
+    # paginate on the RAW stored column so the boundary predicate is
+    # pushable to the scan; round only for display
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("rawp"),
+    )
+    [b] = (
+        o.orderBy(F.desc("rawp"), F.asc("o_orderkey"))
+        .limit(200)
+        .orderBy(F.asc("rawp"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()
+    )
+    page = (
+        o.filter(
+            (F.col("rawp") < F.lit(b.rawp))
+            | (
+                (F.col("rawp") == F.lit(b.rawp))
+                & (F.col("o_orderkey") > F.lit(b.o_orderkey))
+            )
+        )
+        .orderBy(F.desc("rawp"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey", "o_custkey", F.round("rawp", 2).alias("price")
+        )
+    )
+    return page
+
+
+_PARENT_SHARE_ORACLE = """
+WITH per_nation AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+           AS share_of_region,
+       CAST(rank() OVER (PARTITION BY region
+                         ORDER BY revenue DESC, nation) AS BIGINT) AS rnk
+FROM per_nation
+"""
+
+
+@query("revenue_share_of_region", _PARENT_SHARE_ORACLE)
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10 window / OLAP — percent-of-PARENT beside the global
+    share-of-total] Each nation's share of ITS REGION's revenue plus
+    its within-region rank: the hierarchical drill-down readout
+    (region → nation) every BI layer computes. Revenue aggregates to
+    nation grain through three broadcast dim joins; the parent-share
+    window partitions by region over the 25-row aggregate — at scale
+    the window always rides the aggregate, never the fact table.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("region")
+    rk = Window.partitionBy("region").orderBy(F.desc("revenue"), F.asc("nation"))
+    return per_nation.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.rank().over(rk).cast("long").alias("rnk"),
+    )

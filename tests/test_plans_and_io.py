@@ -495,3 +495,13 @@ def test_xml_roundtrip(spark, tmp_path):
         (r["id"], r["s"], r["v"]) for r in back.collect()
     )
     assert got == [(1, "a & b", 2.5), (2, "<tag>", None)]
+
+
+def test_keyset_page_pushes_boundary_and_takes_ordered(spark):
+    """Keyset pagination's contract: the boundary predicate reaches
+    the scan (PushedFilters on price/orderkey) and the page itself is
+    TakeOrderedAndProject — constant cost per page, no global sort,
+    no OFFSET discard."""
+    plan = plan_of(spark, "keyset_page_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert re.search(r"PushedFilters: \[.*(LessThan|Or)", plan), plan
