@@ -8,14 +8,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual catalog lives in
 ``module8_movies_etl_spark.plans.benchmark_queries`` — one named query
 per implemented SURVEY.md §2 operator (plus the LLM-pipeline
-extensions), each with a DuckDB oracle. As of round 7 the catalog is
-126 queries; every entry is fully hash-verified except
+extensions), each with a DuckDB oracle (``len(bq.QUERIES)`` is the
+authoritative count). Every entry is fully hash-verified except
 ``random_sample_orders`` (Spark's sample RNG is engine-specific —
 rows-only by necessity; its deterministic md5 twin
 ``hash_sample_orders`` IS hash-verified). Even the LSH / IVF ANN
 paths, the 60-bit simhash fold, the KMV/CMS sketch estimates, the
 connected-components closures, and the tokenizer's id arrays replay
-deterministically in SQL.
+deterministically in SQL. The catalog is ordered so its first 50
+entries cover every §2 core operator plus one flagship per §2.13
+family (the driver's correctness gate samples a prefix); the rest are
+verified by ``tools/driver_sim.py`` → ``CORRECTNESS_local.json``.
 """
 
 from __future__ import annotations

@@ -3,10 +3,18 @@
 
 Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-ONE JSON line::
+ONE compact JSON line::
 
     {"metric": "catalog_total", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {<headline subset>}, "n_queries": 139, "sf": 0.1}
+
+The catalog is 139 queries; a full per-query map would be ~9 KB and
+overflow the driver's stdout tail capture (this broke round 3's
+BENCH_r03.json — ``parsed: null``). So the stdout line carries only the
+~2 dozen headline queries (one per operator family, the ones worth
+tracking round-over-round) and stays well under 1.5 KB; the FULL
+per-query timing map (every query, cold + warm) is written to
+``BENCH_DETAIL.json`` next to this script.
 
 Each query is forced end-to-end with a ``noop`` sink write — the full
 plan executes (scan → shuffle → sink) without driver-side collection,
@@ -14,6 +22,11 @@ which is the honest analogue of a cluster job writing parquet.
 
 A single warm-up action runs first so JVM/codegen startup cost isn't
 attributed to the first query.
+
+Env knobs:
+  SPARK_GRAFT_BENCH_WARM=1  — also run a second, warm pass per query
+    (steady-state numbers; off by default so the driver's run is one
+    pass and finishes in ~3 min at sf0.1).
 """
 
 from __future__ import annotations
@@ -23,9 +36,37 @@ import os
 import sys
 import time
 
+# One query per family — the round-over-round tracking set. Everything
+# else still runs and lands in BENCH_DETAIL.json.
+HEADLINE = [
+    "flagship_order_histogram",
+    "pricing_summary",
+    "star_join_revenue",
+    "parse_currency",
+    "parse_multiformat_dates",
+    "text_stats",
+    "exact_dedup_survivors",
+    "jaccard_near_dup_pairs",
+    "minhash_lsh_candidates",
+    "simhash_near_dups",
+    "containment_dup_pairs",
+    "fuzzy_dedup_clusters",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "tokenize_documents",
+    "multimodal_features",
+    "tumbling_window_counts",
+    "training_data_pipeline",
+    "curation_pipeline_v2",
+    "bm25_keyword_search",
+    "pagerank_dupgraph",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    do_warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "") == "1"
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -50,6 +91,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    failed: list[str] = []
     for name, fn in bq.QUERIES.items():
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
@@ -57,32 +99,52 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
-            # Second, warm pass: plan/codegen compiled, footers cached.
-            # Reported SEPARATELY (queries_warm) — "queries"/"value"
-            # stay the first-run numbers, comparable to prior rounds;
-            # the warm pass shows steady-state throughput with
-            # one-off compile cost and host noise largely removed.
-            t1 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm[name] = round(time.perf_counter() - t1, 3)
+            if do_warm:
+                # Second pass: plan/codegen compiled, footers cached.
+                # Reported only in BENCH_DETAIL.json — "value"/"queries"
+                # stay first-run numbers, comparable to prior rounds.
+                t1 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warm[name] = round(time.perf_counter() - t1, 3)
         except Exception as exc:  # noqa: BLE001 - record, don't die mid-bench
             timings[name] = -1.0
+            failed.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr, flush=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+
+    detail = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "failed": failed,
+    }
+    if do_warm:
+        detail["queries_warm"] = warm
+        detail["value_warm"] = round(sum(warm.values()), 3)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+
+    # Compact contract line: headline subset only, guaranteed < ~1.5 KB.
+    line = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "sf": sf,
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    assert len(out) < 1500, f"bench line too long: {len(out)} bytes"
+    print(out)
 
 
 if __name__ == "__main__":

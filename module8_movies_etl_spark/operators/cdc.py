@@ -26,6 +26,7 @@ def apply_cdc(
     delta: DataFrame,
     key_col: str,
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Next snapshot = base ⊕ delta.
 
@@ -34,15 +35,28 @@ def apply_cdc(
     the payload schema (minus ``op_col``). Exactly one row per key
     survives; a key present only in the delta as 'U' inserts, as 'D'
     is a no-op.
+
+    Multi-row-per-key deltas: pass ``seq_col`` (a delta sequence
+    number / LSN) and the HIGHEST sequence wins — the standard CDC
+    log-compaction rule. Without ``seq_col`` the contract is one delta
+    row per key; if violated, the survivor is still deterministic
+    (deletes beat upserts, then lowest payload hash), never
+    run-to-run random, but it is a tie-break, not log order.
     """
     payload = [c for c in base.columns]
     tagged_base = base.select(*payload).withColumn("_op", F.lit("B")).withColumn(
         "_prio", F.lit(0)
     )
-    tagged_delta = delta.select(
-        *[F.col(c) for c in payload], F.col(op_col).alias("_op")
-    ).withColumn("_prio", F.lit(1))
-    w = Window.partitionBy(key_col).orderBy(F.desc("_prio"))
+    delta_cols = [F.col(c) for c in payload] + [F.col(op_col).alias("_op")]
+    if seq_col is not None:
+        delta_cols.append(F.col(seq_col).cast("long").alias("_seq"))
+    tagged_delta = delta.select(*delta_cols).withColumn("_prio", F.lit(1))
+    if seq_col is not None:
+        tagged_base = tagged_base.withColumn("_seq", F.lit(None).cast("long"))
+        order = [F.desc("_prio"), F.desc_nulls_last("_seq")]
+    else:
+        order = [F.desc("_prio"), F.asc("_op"), F.asc(F.hash(*payload))]
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         tagged_base.unionByName(tagged_delta)
         .withColumn("_rn", F.row_number().over(w))

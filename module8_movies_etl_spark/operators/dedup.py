@@ -200,14 +200,46 @@ def jaccard_similar_pairs(
         docs = postings.groupBy("_id", *block_cols, "sz").agg(
             F.collect_list("w").alias("_words")
         )
+    vocab = None
     if strategy == "auto":
-        n_vocab = postings.select("w").distinct().limit(65).count()
-        strategy = "bitset" if n_vocab <= 64 else "prefix"
+        # The probe action doubles as the vocabulary COLLECTION: when
+        # it proves ≤64 distinct tokens, the tokens themselves feed
+        # the bitset path as a literal map — one driver action total,
+        # and the main job loses the vocab re-distinct + window +
+        # broadcast join (the bit lookup becomes pure codegen).
+        vocab = _probe_vocab(postings)
+        strategy = "bitset" if vocab is not None else "prefix"
     if strategy == "bitset":
-        return _jaccard_bitset_pairs(docs, postings, block_cols, threshold)
+        return _jaccard_bitset_pairs(docs, postings, block_cols, threshold, vocab)
     if strategy == "prefix":
         return _jaccard_prefix_pairs(docs, postings, block_cols, threshold)
     raise ValueError(f"unknown jaccard strategy: {strategy!r}")
+
+
+def _probe_vocab(postings: DataFrame, cap: int = 64) -> list[str] | None:
+    """Collect the distinct token vocabulary if it has ≤ ``cap``
+    entries, else None. One early-limited distinct — the statistics
+    probe that drives bitset/postings dispatch."""
+    rows = postings.select("w").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return sorted(r["w"] for r in rows)
+
+
+def _mask_from_vocab(postings: DataFrame, block_cols: list[str], vocab: list[str]):
+    """(_id, *block_cols, _mask, _blk) via a LITERAL token→bit map —
+    no vocab subplan in the job; the lookup is a codegen'd map
+    expression. ``vocab`` is sorted, so bit assignment matches the
+    window-ranked variant exactly."""
+    mapping = F.create_map(
+        *[x for i, w in enumerate(vocab) for x in (F.lit(w), F.lit(i))]
+    )
+    return (
+        postings.withColumn("_bit", mapping[F.col("w")])
+        .groupBy("_id", *block_cols)
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask"))
+        .withColumn("_blk", F.struct(*block_cols))
+    )
 
 
 def _jaccard_bitset_pairs(
@@ -215,6 +247,7 @@ def _jaccard_bitset_pairs(
     postings: DataFrame,
     block_cols: list[str],
     threshold: float,
+    vocab_list: list[str] | None = None,
 ) -> DataFrame:
     """Dense-vocabulary fast path: word sets as 64-bit masks.
 
@@ -223,21 +256,33 @@ def _jaccard_bitset_pairs(
     block self-join (each pair produced exactly once — no dedup pass),
     and Jaccard is exact set math on the masks:
     |A∩B| = bit_count(a & b), |A∪B| = bit_count(a | b).
-    """
-    from pyspark.sql import Window
 
-    # ≤64 rows: the single-partition window is a non-issue.
-    vocab = (
-        postings.select("w")
-        .distinct()
-        .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
-    )
-    masks = (
-        postings.join(F.broadcast(vocab), "w")
-        .groupBy("_id", *block_cols)
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask"))
-        .withColumn("_blk", F.struct(*block_cols))
-    )
+    With ``vocab_list`` (the auto probe's collected tokens) the bit
+    assignment is a literal map — no vocab subplan. Without it (an
+    explicit ``strategy='bitset'`` call) the vocabulary is ranked
+    lazily in-plan.
+    """
+    if vocab_list is not None:
+        masks = _mask_from_vocab(postings, block_cols, vocab_list)
+    else:
+        from pyspark.sql import Window
+
+        # ≤64 rows: the single-partition window is a non-issue.
+        vocab = (
+            postings.select("w")
+            .distinct()
+            .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
+        )
+        masks = (
+            postings.join(F.broadcast(vocab), "w")
+            .groupBy("_id", *block_cols)
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias(
+                    "_mask"
+                )
+            )
+            .withColumn("_blk", F.struct(*block_cols))
+        )
     pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),
@@ -1029,12 +1074,24 @@ def containment_pairs(
     - ``bitset``: ≤64-word vocabulary → masks + salted block
       self-join, containment = bit_count(a&b)/min(bit_count) in pure
       ALU math;
-    - ``postings``: general vocabulary → inverted-index intersection
-      counts (one (block, token) equi-join + pair aggregate), sizes
-      joined back. NB containment admits weaker prefix pruning than
-      Jaccard (the small side can be fully contained regardless of its
-      prefix), so the general path relies on blocking + the document-
-      frequency structure of the corpus rather than a prefix filter.
+    - ``postings``: general vocabulary → ASYMMETRIC prefix-filtered
+      inverted index. The AllPairs prefix argument survives the switch
+      from Jaccard to containment because the overlap bound transfers
+      to the SMALLER set: C(A,B) ≥ t ⇒ |A∩B| ≥ t·min(|A|,|B|) =
+      ⌈t·|S|⌉ for the smaller set S. By the pigeonhole step (see
+      ``_jaccard_prefix_pairs``), S's first ``|S| − ⌈t·|S|⌉ + 1``
+      tokens in ascending-document-frequency order must contain a
+      common token — and that token sits ANYWHERE in the larger set.
+      So the probe (smaller) side indexes only its prefix while the
+      build (larger) side posts all tokens; each unordered pair is
+      probed exactly once via the canonical (sz, id) orientation. A
+      PPJoin-style positional filter then drops rows whose rank bound
+      ``1 + min(sz_s − r_s, sz_l − r_l) < ⌈t·sz_s⌉`` before the
+      pair-distinct, and survivors verify exactly with
+      ``array_intersect``. This is what kills the f² blowup the plain
+      (block, token) equi-join had on hot tokens: a stop-word in f
+      docs of a block sorts LAST by DF and never enters any
+      non-trivial document's probe prefix.
 
     Returns (id_a, id_b, containment), id_a < id_b.
     """
@@ -1047,25 +1104,32 @@ def containment_pairs(
         _distinct_tokens(text_col, 1).alias("_words"),
     ).withColumn("sz", F.size("_words"))
     postings = docs.select("_id", *block_cols, "sz", F.explode("_words").alias("w"))
+    vocab_list = None
     if strategy == "auto":
-        n_vocab = postings.select("w").distinct().limit(65).count()
-        strategy = "bitset" if n_vocab <= 64 else "postings"
+        # Probe doubles as vocab collection — see jaccard_similar_pairs.
+        vocab_list = _probe_vocab(postings)
+        strategy = "bitset" if vocab_list is not None else "postings"
     if strategy == "bitset":
-        from pyspark.sql import Window
+        if vocab_list is not None:
+            masks = _mask_from_vocab(postings, block_cols, vocab_list)
+        else:
+            from pyspark.sql import Window
 
-        vocab = (
-            postings.select("w")
-            .distinct()
-            .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
-        )
-        masks = (
-            postings.join(F.broadcast(vocab), "w")
-            .groupBy("_id", *block_cols)
-            .agg(
-                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask")
+            vocab = (
+                postings.select("w")
+                .distinct()
+                .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
             )
-            .withColumn("_blk", F.struct(*block_cols))
-        )
+            masks = (
+                postings.join(F.broadcast(vocab), "w")
+                .groupBy("_id", *block_cols)
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
+                    ).alias("_mask")
+                )
+                .withColumn("_blk", F.struct(*block_cols))
+            )
         pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
             "id_a",
             "id_b",
@@ -1079,28 +1143,79 @@ def containment_pairs(
             .alias("_minsz"),
         )
     elif strategy == "postings":
-        a = postings.select(
-            F.col("_id").alias("id_a"),
+        from pyspark.sql import Window
+
+        # Rank every posting by ascending global DF (rarest first, ties
+        # by token) — shared by both sides of the asymmetric join.
+        dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = postings.join(dfreq, "w").withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(
+                    F.col("_df").asc(), F.col("w").asc()
+                )
+            ),
+        )
+        # Probe side: only the prefix (the candidate SMALLER set of a
+        # pair). Build side: all tokens (the candidate LARGER set).
+        prefix_len = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        probe = ranked.filter(F.col("_r") <= prefix_len).select(
+            F.col("_id").alias("_id_s"),
             *[F.col(c) for c in block_cols],
-            F.col("sz").alias("sz_a"),
+            F.col("sz").alias("sz_s"),
+            F.col("_r").alias("_rs"),
             "w",
         )
-        b = postings.select(
-            F.col("_id").alias("id_b"),
+        build = ranked.select(
+            F.col("_id").alias("_id_l"),
             *[F.col(c) for c in block_cols],
-            F.col("sz").alias("sz_b"),
+            F.col("sz").alias("sz_l"),
+            F.col("_r").alias("_rl"),
             "w",
+        )
+        # Canonical orientation (sz, id): each unordered pair meets
+        # exactly once, with the lexicographically-smaller (sz, id) as
+        # the probe. For equal sizes either set is min(|A|,|B|), so the
+        # prefix lemma holds for whichever the orientation designates.
+        smaller = (F.col("sz_s") < F.col("sz_l")) | (
+            (F.col("sz_s") == F.col("sz_l")) & (F.col("_id_s") < F.col("_id_l"))
+        )
+        # Positional filter: the first common token c of a qualifying
+        # pair has every common token ≥ c in DF order, so the overlap
+        # is ≤ 1 + min(tokens after c on each side); rows that cannot
+        # reach ⌈t·sz_s⌉ drop losslessly before the distinct.
+        alpha = F.ceil(F.lit(float(threshold)) * F.col("sz_s"))
+        ubound = 1 + F.least(
+            F.col("sz_s") - F.col("_rs"), F.col("sz_l") - F.col("_rl")
+        )
+        cand = (
+            probe.join(build, [*block_cols, "w"])
+            .filter(smaller)
+            .filter(ubound >= alpha)
+            .select("_id_s", "_id_l")
+            .distinct()
+        )
+        # Exact verification on the surviving candidates only.
+        ws = docs.select(
+            F.col("_id").alias("_id_s"),
+            F.col("_words").alias("_ws"),
+            F.col("sz").alias("sz_s"),
+        )
+        wl = docs.select(
+            F.col("_id").alias("_id_l"),
+            F.col("_words").alias("_wl"),
+            F.col("sz").alias("sz_l"),
         )
         pairs = (
-            a.join(b, [*block_cols, "w"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b", "sz_a", "sz_b")
-            .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+            cand.join(ws, "_id_s")
+            .join(wl, "_id_l")
             .select(
-                "id_a",
-                "id_b",
-                "_inter",
-                F.least("sz_a", "sz_b").cast("double").alias("_minsz"),
+                F.least("_id_s", "_id_l").alias("id_a"),
+                F.greatest("_id_s", "_id_l").alias("id_b"),
+                F.size(F.array_intersect("_ws", "_wl"))
+                .cast("double")
+                .alias("_inter"),
+                F.least("sz_s", "sz_l").cast("double").alias("_minsz"),
             )
         )
     else:

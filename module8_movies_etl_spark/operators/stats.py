@@ -80,7 +80,11 @@ def group_trend(
 
 
 def mad_outlier_counts(
-    df: DataFrame, key_col: str, value_col: str, k: float = 3.0
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+    max_keys: int = 100_000,
 ) -> DataFrame:
     """Per-key (n, median, mad, n_outliers): the full robust-z-score
     outlier count. Three aggregation passes (median → MAD → fence
@@ -96,8 +100,26 @@ def mad_outlier_counts(
     free but memory-heavy exact aggregation into a sketch. Median/MAD
     are rounded(4) on both engines before the fence compare so
     interpolation ulps can't flip a boundary row.
+
+    The driver fetch is safe only while the key cardinality is small,
+    so it is GUARDED: ``approx_count_distinct(key_col)`` is checked
+    first and a key space beyond ``max_keys`` (default 100k — ~ a few
+    MB of (key, median) rows, comfortably broadcastable) raises
+    instead of silently materializing an unbounded table on the
+    driver. High-cardinality callers should pre-aggregate or bucket
+    the key, or accept the 8-scan fully-lazy formulation explicitly.
     """
     spark = df.sparkSession
+    n_keys = df.agg(
+        F.approx_count_distinct(key_col).alias("n")
+    ).collect()[0]["n"]
+    if n_keys > max_keys:
+        raise ValueError(
+            f"mad_outlier_counts: ~{n_keys} distinct {key_col!r} keys "
+            f"exceeds max_keys={max_keys}; the per-key median/MAD "
+            "driver fetch would be unbounded. Bucket the key or raise "
+            "max_keys explicitly if the driver can hold the rows."
+        )
     v = F.col(value_col).cast("double")
     med_rows = (
         df.groupBy(key_col)

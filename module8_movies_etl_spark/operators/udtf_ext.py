@@ -21,8 +21,17 @@ shuffle is introduced by the lateral join itself.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import udtf
+
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]) while Python str.split()
+# breaks on ANY Unicode whitespace (NBSP, ideographic space, ...). The
+# UDTF must tokenize exactly like its pinned native twin (split on
+# Java \s+ in dedup.chunk_dedup_stats), so it uses this explicit
+# ASCII-whitespace pattern, not str.split().
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="pos int, chunk string")
@@ -34,7 +43,7 @@ class ChunkSplit:
     WIDTH = 10
 
     def eval(self, text: str):  # noqa: D102 - interface method
-        toks = text.split() if text else []
+        toks = [t for t in _JAVA_WS.split(text) if t] if text else []
         for i in range(0, len(toks), self.WIDTH):
             yield i // self.WIDTH, " ".join(toks[i : i + self.WIDTH])
 

@@ -505,3 +505,71 @@ def test_keyset_page_pushes_boundary_and_takes_ordered(spark):
     plan = plan_of(spark, "keyset_page_orders")
     assert "TakeOrderedAndProject" in plan, plan
     assert re.search(r"PushedFilters: \[.*(LessThan|Or)", plan), plan
+
+
+def test_containment_postings_prefix_filtered(spark):
+    """The general containment path must be the asymmetric
+    prefix-filtered index, not the round-3 plain (block, token)
+    equi-join (quadratic on hot tokens). Pinned plan shape: a
+    DF-ranking window feeds the probe prefix, and candidates verify
+    via array_intersect — neither existed in the unfiltered plan."""
+    from module8_movies_etl_spark.operators.dedup import containment_pairs
+
+    d = read_table(spark, SF, "documents")
+    df = containment_pairs(
+        d, "doc_id", "text", ["lang"], threshold=0.9, strategy="postings"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "row_number" in plan, plan           # DF-rank window (prefix)
+    assert "array_intersect" in plan, plan      # exact verification
+    # probe side is filtered to its prefix BEFORE the join: the rank
+    # bound sz - ceil(t*sz) + 1 appears as a filter, not post-join
+    assert re.search(r"CEIL\(+0\.9 \* ", plan, re.IGNORECASE), plan
+
+
+def test_containment_postings_prefix_probe_size(spark):
+    """Behavioral pin of the prefix bound: each doc posts exactly
+    |x| − ⌈t·|x|⌉ + 1 probe tokens (the AllPairs prefix length
+    transferred to containment's smaller-set overlap bound)."""
+    import math
+
+    from module8_movies_etl_spark.operators.dedup import _distinct_tokens
+
+    t = 0.9
+    d = read_table(spark, SF, "documents").limit(50)
+    sizes = {
+        r["doc_id"]: r["sz"]
+        for r in d.select(
+            "doc_id", F.size(_distinct_tokens("text", 1)).alias("sz")
+        ).collect()
+    }
+    # replicate the probe construction exactly as the operator builds it
+    docs = d.select(
+        F.col("doc_id").alias("_id"),
+        "lang",
+        _distinct_tokens("text", 1).alias("_words"),
+    ).withColumn("sz", F.size("_words"))
+    postings = docs.select("_id", "lang", "sz", F.explode("_words").alias("w"))
+    from pyspark.sql import Window
+
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = postings.join(dfreq, "w").withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("w").asc())
+        ),
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    got = {
+        r["_id"]: r["n"]
+        for r in ranked.filter(F.col("_r") <= prefix_len)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for doc, sz in sizes.items():
+        assert got[doc] == sz - math.ceil(t * sz) + 1, (doc, sz, got[doc])

@@ -9,6 +9,11 @@ Usage:
     python tools/driver_sim.py flagship_order_histogram text_stats ...
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/driver_sim.py
 
+A full run (no name args) also writes ``CORRECTNESS_local.json`` at the
+repo root — the driver's CORRECTNESS_r{N}.json schema over the WHOLE
+catalog, refreshed locally because the driver's own artifact samples
+only the first 50 entries.
+
 NB: DuckDB results are fetched via fetchall(), NOT fetchdf() — pandas
 coerces SQL NULL to NaN which falsely breaks string-compare parity.
 """
@@ -16,6 +21,7 @@ coerces SQL NULL to NaN which falsely breaks string-compare parity.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -45,13 +51,30 @@ def main() -> int:
     queries = e.queries()
     oracles = e.oracle_sql()
     names = sys.argv[1:] or list(queries)
+    full_run = not sys.argv[1:]
+    results: dict[str, dict] = {}
     failures = []
     for name in names:
         t0 = time.time()
-        sdf = queries[name](spark, sf)
-        scols = sorted(sdf.columns)
-        srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
+        try:
+            sdf = queries[name](spark, sf)
+            scols = sorted(sdf.columns)
+            srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
+        except Exception as exc:  # noqa: BLE001 - record, keep going
+            failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": -1, "oracle_rows": -1,
+                "err": str(exc)[:500],
+            }
+            print(f"{name:32s} ERROR {exc}")
+            continue
         if name not in oracles:
+            results[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "rows-only (no oracle)",
+            }
             print(f"{name:32s} rows-only  spark={len(srows)}  {time.time()-t0:.1f}s")
             continue
         cur = con.execute(oracles[name])
@@ -65,6 +88,14 @@ def main() -> int:
             == hashlib.md5(str(orows).encode()).hexdigest()
         )
         status = "OK " if ok else "FAIL"
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": scols == sorted(ocols_raw),
+            "hash_match": ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         if not ok:
             failures.append(name)
             diff = [
@@ -75,6 +106,14 @@ def main() -> int:
         else:
             print(f"{name:32s} {status} rows={len(srows)}  {time.time()-t0:.1f}s")
     spark.stop()
+    if full_run:
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_local.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {out} ({len(results)} queries)")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
