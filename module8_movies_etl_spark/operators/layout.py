@@ -14,7 +14,7 @@ and bit-exact replayable in any engine with integer shifts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,4 +92,54 @@ def zorder_by(
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z", "_xmin", "_xmax", "_ymin", "_ymax")
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner: assign each file to an output
+    bin of ~``target_bytes`` within its partition — the OPTIMIZE /
+    bin-pack step every lakehouse table service runs, expressed as a
+    pure window computation.
+
+    Assignment is STREAMING NEXT-FIT in deterministic ``file_col``
+    order: ``bin = floor(cumsum_before / target)`` — a file opens a
+    new bin when the running total crosses the target. This is the
+    same one-pass rule streaming compactors use (sorted first-fit
+    needs per-bin state that doesn't fold into a window); bins can
+    overshoot by at most one file, never undershoot below target
+    except the partition's last bin.
+
+    All integer arithmetic — exact in any engine. One shuffle on the
+    partition key; at 100 TB the row count is the FILE count (millions,
+    not billions), and each partition's plan is independent.
+
+    Returns (part, file, size, bin, bin_files, bin_bytes).
+    """
+    w = Window.partitionBy(part_col).orderBy(file_col)
+    before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    binned = files.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("long").alias("size"),
+        F.floor(before / F.lit(target_bytes)).cast("long").alias("bin"),
+    )
+    wb = Window.partitionBy("part", "bin")
+    return binned.select(
+        "part",
+        "file",
+        "size",
+        "bin",
+        F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
+        F.sum("size").over(wb).cast("long").alias("bin_bytes"),
     )

@@ -73,3 +73,85 @@ def cms_estimate(
         .groupBy(*keep)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+def kmv_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    window_buckets: int = 24,
+    k: int = 64,
+) -> DataFrame:
+    """Sliding-window distinct-count estimates via MERGED per-bucket
+    KMV sketches — "distinct users in the trailing 24 h, hourly" — the
+    query that makes mergeability worth carrying: the exact answer
+    needs every (bucket, user) pair in every frame it touches, while
+    the sketch path re-reads only k-entry summaries.
+
+    Per bucket: hash values to U(0,1) (top-60-bit md5, public
+    arithmetic — see ``aggregates.kmv_distinct_sketch``), keep the k
+    smallest. Per frame: union the member buckets' hash sets (flatten
+    + distinct + sort), re-take the k smallest — exactly the sketch
+    merge a cross-day rollup does — and estimate ``(k-1)/m_k``, or
+    the exact union size when it holds fewer than k hashes.
+
+    Scale shape: raw rows touch ONE shuffle (bucket-grain hash
+    dedup + rank); the rolling pass runs over bucket-count rows
+    (8,760/year) each carrying ≤ k doubles. Every step is md5/sort
+    arithmetic — estimates replay bit-for-bit in SQL.
+
+    Returns (bucket_start, n_exact_bucket, est_window) per bucket.
+    """
+    from pyspark.sql import Window
+
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+            "long"
+        )
+        * bucket_seconds
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("_b"), h.alias("_h"))
+        .dropDuplicates(["_b", "_h"])
+    )
+    wk = Window.partitionBy("_b").orderBy("_h")
+    sketches = (
+        hashed.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= k)
+        .groupBy("_b")
+        .agg(
+            F.array_sort(F.collect_list("_h")).alias("_mins"),
+            F.max("_r").cast("long").alias("n_exact_bucket"),
+        )
+    )
+    # RANGE frame over the bucket-start seconds, not ROWS: an empty
+    # bucket must age out of the trailing window on schedule, not
+    # stretch it. Unpartitioned single-node window is fine HERE — it
+    # runs over bucket-grain rows (8,760/year), not raw events.
+    wroll = Window.orderBy("_b").rangeBetween(
+        -(window_buckets - 1) * bucket_seconds, Window.currentRow
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_mins").over(wroll)))),
+        1,
+        k,
+    )
+    est = F.when(
+        F.size("_m") < k, F.size("_m").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.element_at("_m", k))
+    return (
+        sketches.withColumn("_m", merged)
+        .select(
+            F.col("_b").alias("bucket_start"),
+            "n_exact_bucket",
+            F.round(est, 4).alias("est_window"),
+        )
+    )

@@ -360,3 +360,176 @@ def cusum_drift(
         F.round(s.cast("double"), 2).alias("cusum"),
         (s > h * F.col("_k")).alias("alarm"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over time-bucket
+    sums — the classic smoother behind monitoring dashboards and
+    anomaly baselines. Returns (key, bucket_start, x, ewma).
+
+    Smoothing runs over OBSERVED buckets (an empty bucket is a skipped
+    step, not a zero — compose with ``gap_fill`` first for the dense
+    interpretation).
+
+    Seeding is the standard ``e_0 = x_0`` (pandas ``ewm(adjust=False)``):
+    ``e_i = (1-α)·e_{i-1} + α·x_i``. The recurrence accumulates float
+    error in an engine-defined order, so instead both engines evaluate
+    the CLOSED form ``e_i = (1-α)^i·x_0 + α·Σ_{0<j≤i} (1-α)^{i-j}·x_j``
+    with the SAME ascending-j term order. With the default α = 0.5,
+    every weight is a power of two, so each term is an EXACT scaling of
+    the decimal-exact bucket sum and the two engines' sums agree bit
+    for bit. (Other α values work but re-introduce last-ulp pow()
+    variance across libm implementations.)
+
+    Scale shape: one key-bucket aggregate (map-side combined), one
+    collect per key bounded by the bucket count — a year of hourly
+    buckets is 8,760 array entries per key, constant w.r.t. row count.
+    The O(n²) closed-form is deliberate: at n ≤ ~10k it is millions of
+    multiply-adds per key, cheaper than the cross-engine bit-parity it
+    buys; beyond that, fall back to the recurrence and accept
+    float-tolerance comparison.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+            "long"
+        )
+        * bucket_seconds
+    )
+    hourly = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            bucket.alias("_b"),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.sum("_v").cast("double").alias("_x"))
+    )
+    per_key = hourly.groupBy("_k").agg(
+        F.array_sort(F.collect_list(F.struct("_b", "_x"))).alias("_arr")
+    )
+    q = 1.0 - alpha
+    # e_i = q^i * x_0 + alpha * sum_{j=1..i} q^(i-j) * x_j, terms
+    # ascending in j (the oldest/smallest-weight term enters the fold
+    # first — identical sequence in the DuckDB oracle's list_reduce)
+    ewma_arr = F.expr(
+        f"""
+        transform(_arr, (e, i) ->
+            aggregate(
+                transform(slice(_arr, 1, i + 1), (s, j) ->
+                    CASE WHEN j = 0
+                         THEN s._x * power(CAST({q} AS DOUBLE),
+                                           CAST(i AS DOUBLE))
+                         ELSE {alpha}D * (s._x * power(CAST({q} AS DOUBLE),
+                                                       CAST(i - j AS DOUBLE)))
+                    END),
+                CAST(0 AS DOUBLE), (acc, t) -> acc + t))
+        """
+    )
+    exploded = per_key.select(
+        "_k", F.posexplode(F.arrays_zip(F.col("_arr"), ewma_arr.alias("_e")))
+    ).select(
+        F.col("_k").alias(key_col),
+        F.col("col._arr._b").alias("bucket_start"),
+        F.col("col._arr._x").alias("x"),
+        F.col("col._e").alias("ewma"),
+    )
+    return exploded
+
+
+def multitouch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    max_decay_hours: int = 40,
+) -> DataFrame:
+    """Multi-touch conversion attribution: every ``touch_type`` event
+    attributes to the NEXT ``convert_type`` event of the same user
+    (equivalently: a conversion collects all touches since the
+    previous conversion), with two credit models per touch —
+    ``credit_linear`` (1/n) and ``credit_decay`` (half-life weight
+    ``0.5^Δhours`` normalized within the conversion).
+
+    The single-touch last-click rule is ``asof.py``; this is the
+    marketing-standard generalization.
+
+    Cross-engine exactness: the decay weight uses the FLOORED hour
+    delta capped at ``max_decay_hours``, so every weight is a power of
+    two ≥ 2^-40. Per-conversion weight sums then span ≤ 40+log2(n)
+    mantissa bits — exact (order-independent) double addition for any
+    realistic touch count, so the normalized shares are bit-identical
+    in any engine regardless of aggregation order. (An uncapped or
+    fractional-exponent decay would reintroduce both libm pow()
+    variance and order-dependent float sums.)
+
+    Scale shape: ONE shuffle on the user key serves the reverse
+    running-min window, the conversion-id join, and the per-conversion
+    aggregate; no self-join of the event table against itself.
+
+    Returns (user, conv_id, conv_ts, touch_id, touch_ts, n_touches,
+    credit_linear, credit_decay).
+    """
+    e = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    ).filter(F.col("_t").isin(touch_type, convert_type))
+    # next conversion at-or-after each row: reverse running min of the
+    # conversion (ts, id) pair — id rides along to identify the
+    # conversion without a timestamp-equality join fan-out risk
+    wrev = (
+        Window.partitionBy("_u")
+        .orderBy(F.desc("_ts"), F.desc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conv_pair = F.when(
+        F.col("_t") == convert_type, F.struct("_ts", "_id")
+    )
+    tagged = e.withColumn("_next_conv", F.min(conv_pair).over(wrev))
+    # exact ts ties between a touch and a conversion resolve by the
+    # deterministic (ts, id) desc frame order: the conversion is "next"
+    # only if its id sorts after the touch's — microsecond timestamps
+    # make this a measure-zero case, but it is pinned, not random
+    touches = tagged.filter(
+        (F.col("_t") == touch_type) & F.col("_next_conv").isNotNull()
+    )
+    dh = F.least(
+        F.floor(
+            (
+                F.unix_timestamp(F.col("_next_conv._ts"))
+                - F.unix_timestamp(F.col("_ts"))
+            )
+            / 3600
+        ),
+        F.lit(max_decay_hours),
+    ).cast("int")
+    weighted = touches.select(
+        "_u",
+        F.col("_next_conv._id").alias("conv_id"),
+        F.col("_next_conv._ts").alias("conv_ts"),
+        F.col("_id").alias("touch_id"),
+        F.col("_ts").alias("touch_ts"),
+        F.pow(F.lit(0.5), dh.cast("double")).alias("_w"),
+    )
+    wconv = Window.partitionBy("_u", "conv_id")
+    return weighted.select(
+        F.col("_u").alias(user_col),
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        F.count(F.lit(1)).over(wconv).cast("long").alias("n_touches"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wconv)).alias("credit_linear"),
+        (F.col("_w") / F.sum("_w").over(wconv)).alias("credit_decay"),
+    )

@@ -6323,6 +6323,318 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Round-4 additions: exponential smoothing, multi-touch attribution,
+# compaction planning, sliding-window sketch merge, Poisson bootstrap.
+# --------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH h AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS b,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+),
+arr AS (
+    SELECT event_type, list(b ORDER BY b) AS bs, list(x ORDER BY b) AS xs
+    FROM h GROUP BY event_type
+)
+SELECT event_type,
+       bs[i] AS bucket_start,
+       round(xs[i], 4) AS x,
+       round(list_reduce(
+           list_transform(range(1, i + 1),
+                          j -> CASE WHEN j = 1
+                               THEN xs[1] * power(0.5, CAST(i - 1 AS DOUBLE))
+                               ELSE 0.5 * (xs[j] *
+                                    power(0.5, CAST(i - j AS DOUBLE)))
+                               END),
+           (a, t) -> a + t), 6) AS ewma
+FROM arr, UNNEST(range(1, len(bs) + 1)) AS u(i)
+"""
+
+
+@query("ewma_hourly_value", _EWMA_ORACLE)
+def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series, beyond-ref §2.13 beside CUSUM/gap-fill] Per-type
+    EWMA over hourly value sums — the standard monitoring smoother.
+    Bit parity by construction: α = 0.5 makes every decay weight a
+    power of two (exact scaling of the decimal-exact bucket sum), and
+    BOTH engines evaluate the closed form with the same ascending term
+    order via a sequential fold (Spark ``aggregate`` HOF / DuckDB
+    ``list_reduce``) — no recurrence, no engine-ordered float sums
+    (``timeseries.ewma_smooth``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    out = timeseries.ewma_smooth(e, "event_type", "ts", "value", 3600, 0.5)
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("x", 4).alias("x"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+_MULTITOUCH_ORACLE = """
+WITH e AS (
+    SELECT user_id AS u, ts, event_id AS id, event_type AS t
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+tagged AS (
+    SELECT u, ts, id, t,
+           min(CASE WHEN t = 'purchase' THEN {'ts': ts, 'id': id} END)
+               OVER (PARTITION BY u ORDER BY ts DESC, id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc
+    FROM e
+),
+touches AS (
+    SELECT u, ts, id, nc,
+           power(0.5, CAST(least(
+               (epoch_us(nc.ts) // 1000000 - epoch_us(ts) // 1000000) // 3600,
+               40) AS DOUBLE)) AS w
+    FROM tagged WHERE t = 'click' AND nc IS NOT NULL
+)
+SELECT u AS user_id,
+       nc.id AS conv_id,
+       nc.ts AS conv_ts,
+       id AS touch_id,
+       ts AS touch_ts,
+       CAST(count(*) OVER (PARTITION BY u, nc.id) AS BIGINT) AS n_touches,
+       round(1.0 / count(*) OVER (PARTITION BY u, nc.id), 6) AS credit_linear,
+       round(w / sum(w) OVER (PARTITION BY u, nc.id), 6) AS credit_decay
+FROM touches
+"""
+
+
+@query("multitouch_attribution", _MULTITOUCH_ORACLE)
+def multitouch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[attribution, beyond-ref §2.13 — the multi-touch generalization
+    of the as-of last-click join] Every click attributes to the user's
+    NEXT purchase with linear (1/n) and half-life-decay credit. The
+    decay weight is ``0.5^floor(Δh)`` capped at 2^-40, so every weight
+    is a power of two and the per-conversion weight sums are EXACT
+    (order-independent) double addition — shares are bit-identical
+    across engines. One shuffle on the user key serves the reverse
+    running-min window and both credit aggregates
+    (``timeseries.multitouch_attribution``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    out = timeseries.multitouch_attribution(
+        e, "user_id", "ts", "event_id", "event_type"
+    )
+    return out.select(
+        "user_id",
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        "n_touches",
+        F.round("credit_linear", 6).alias("credit_linear"),
+        F.round("credit_decay", 6).alias("credit_decay"),
+    )
+
+
+_COMPACTION_ORACLE = """
+WITH files AS (
+    SELECT lang AS part, doc_id % 40 AS file,
+           CAST(sum(strlen(text)) AS BIGINT) AS size
+    FROM documents GROUP BY 1, 2
+),
+binned AS (
+    SELECT part, file, size,
+           CAST(floor(coalesce(sum(size) OVER (
+                    PARTITION BY part ORDER BY file
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) / 32768) AS BIGINT) AS bin
+    FROM files
+)
+SELECT part, file, size, bin,
+       CAST(count(*) OVER (PARTITION BY part, bin) AS BIGINT) AS bin_files,
+       CAST(sum(size) OVER (PARTITION BY part, bin) AS BIGINT) AS bin_bytes
+FROM binned
+"""
+
+
+@query("compaction_plan_files", _COMPACTION_ORACLE)
+def compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[lakehouse ops, beyond-ref §2.13 beside Z-order layout] The
+    small-file compaction plan every table service runs: simulate the
+    file inventory (per-lang size buckets of the documents corpus),
+    then assign files to ~32 KB output bins with the streaming
+    next-fit rule ``bin = floor(cumsum_before / target)`` — pure
+    integer window arithmetic, one shuffle on the partition key, row
+    count = FILE count at any data scale (``layout.compaction_plan``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    files = (
+        d.groupBy(
+            F.col("lang").alias("p"),
+            F.pmod(F.col("doc_id"), F.lit(40)).cast("long").alias("f"),
+        )
+        .agg(F.sum(F.octet_length("text")).cast("long").alias("sz"))
+    )
+    return layout.compaction_plan(files, "p", "f", "sz", 32768)
+
+
+_ROLLING_KMV_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS b,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 AS hv
+    FROM events WHERE user_id IS NOT NULL
+),
+rk AS (
+    SELECT b, hv, row_number() OVER (PARTITION BY b ORDER BY hv) AS r FROM h
+),
+sk AS (
+    SELECT b, list(hv ORDER BY hv) AS mins,
+           CAST(max(r) AS BIGINT) AS n_exact_bucket
+    FROM rk WHERE r <= 64 GROUP BY b
+),
+rolled AS (
+    SELECT a.b, a.n_exact_bucket,
+           list_slice(list_sort(list_distinct(flatten(list(bb.mins)))), 1, 64) AS m
+    FROM sk a JOIN sk bb ON bb.b BETWEEN a.b - 23 * 3600 AND a.b
+    GROUP BY a.b, a.n_exact_bucket
+)
+SELECT b AS bucket_start, n_exact_bucket,
+       round(CASE WHEN len(m) < 64 THEN CAST(len(m) AS DOUBLE)
+                  ELSE 63.0 / m[64] END, 4) AS est_window
+FROM rolled
+"""
+
+
+@query("rolling_distinct_kmv", _ROLLING_KMV_ORACLE)
+def rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch × window, beyond-ref §2.13 — the query that makes KMV's
+    mergeability pay] Trailing-24h distinct-user estimate per hour:
+    per-hour k-minimum-values sketches (k=64, public md5 arithmetic)
+    MERGED across the range frame — union the hash sets, re-take the k
+    smallest — instead of re-touching raw (hour, user) pairs per
+    frame. Raw rows see one bucket-grain shuffle; the rolling pass
+    runs over bucket-count rows. Estimates replay bit-for-bit in SQL
+    (``sketches.kmv_rolling_distinct``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return sketches.kmv_rolling_distinct(e, "ts", "user_id", 3600, 24, 64)
+
+
+_BOOTSTRAP_ORACLE = """
+WITH fan AS (
+    SELECT o_orderstatus AS k,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+           o_orderkey AS id, i AS bi
+    FROM orders, UNNEST(range(0, 100)) AS t(i)
+),
+wtab AS (
+    -- fixed-width lowercase hex compares numerically as a string:
+    -- thresholds are P(X<=n)*2^60 for Poisson(1), n = 0..3
+    SELECT k, bi, x,
+           CASE WHEN h < '5e2d58d8b3bce00' THEN 0
+                WHEN h < 'bc5ab1b16779c00' THEN 1
+                WHEN h < 'eb715e1dc158300' THEN 2
+                WHEN h < 'fb23979734a2500' THEN 3
+                ELSE 4 END AS w
+    FROM (SELECT k, bi, x,
+                 substr(md5(CAST(id AS VARCHAR) || '#' ||
+                            CAST(bi AS VARCHAR)), 1, 15) AS h
+          FROM fan)
+),
+rep AS (
+    SELECT k, bi,
+           CAST(sum(x * w) AS DOUBLE) / 10000.0 / CAST(sum(w) AS DOUBLE)
+               AS mean_b
+    FROM wtab GROUP BY k, bi
+),
+cis AS (
+    SELECT k, round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+              round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+    FROM rep GROUP BY k
+),
+fullm AS (
+    SELECT o_orderstatus AS k, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                               AS BIGINT)) AS DOUBLE)
+                 / 10000.0 / count(*), 4) AS mean_full
+    FROM orders GROUP BY 1
+)
+SELECT fullm.k AS o_orderstatus, n_rows, mean_full, ci_lo, ci_hi
+FROM fullm JOIN cis ON fullm.k = cis.k
+"""
+
+
+@query("bootstrap_ci_price", _BOOTSTRAP_ORACLE)
+def bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics, beyond-ref §2.13 — uncertainty for the A4 family]
+    Per-status bootstrap CI for mean order value via the POISSON
+    bootstrap (the one-distributed-pass resampling scheme): each row's
+    replicate multiplicity is the Poisson(1) inverse CDF of
+    md5(orderkey, b) → U(0,1), so the "randomness" is deterministic
+    and engine-replayable; replicate means accumulate in DECIMAL
+    (w·x exact), and the CI is the exact [2.5, 97.5] percentile over
+    100 replicate means (``stats.bootstrap_mean_ci``). The B-way
+    fan-out is a map-side projection — no extra shuffle over the scan.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return stats.bootstrap_mean_ci(
+        o, "o_orderstatus", "o_totalprice", "o_orderkey", 100
+    )
+
+
+
+_PYDS_ORACLE = """
+WITH g AS (
+    SELECT i AS doc_id,
+           md5(CAST(i AS VARCHAR)) AS h
+    FROM range(0, 2000) t(i)
+),
+rows_ AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(h, 1, 2) AS BIGINT) % 8 AS INTEGER)
+               AS shard,
+           substr(h, 1, 16) AS payload,
+           CAST('0x' || substr(h, 17, 8) AS BIGINT) / 4294967296.0 AS score
+    FROM g
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(payload) AS first_payload,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM rows_ GROUP BY shard
+"""
+
+
+@query("pyds_graftgen_scan", _PYDS_ORACLE)
+def pyds_graftgen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 extension point — Spark 4 Python DataSource API] A custom
+    Python connector (``sources/pyds.py``): the reader declares range
+    partitions (the scan parallelizes like a file source) and yields
+    md5-derived rows, so the connector itself is pinned by a FULL
+    value oracle — DuckDB replays the generator from ``range()``.
+    Catalyst treats the relation like any other: the per-shard
+    aggregate runs map-side over the source's 8 partitions. min/max
+    only — no double sums — so parity is exact without decimal
+    staging.
+    """
+    from ..sources import pyds
+
+    pyds.register(spark)
+    g = (
+        spark.read.format("graftgen")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return g.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("payload").alias("first_payload"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -1,0 +1,246 @@
+"""Round-4 additions vs independent Python models: EWMA closed form,
+multi-touch attribution, compaction binning, rolling KMV merge,
+Poisson bootstrap."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, minutes=m, seconds=s)
+
+
+# ------------------------------------------------------------------ ewma
+
+
+def test_ewma_matches_recurrence(spark):
+    from module8_movies_etl_spark.operators.timeseries import ewma_smooth
+
+    rows = [("a", _ts(h), float(v)) for h, v in enumerate([10, 20, 5, 0, 40, 7])]
+    rows += [("b", _ts(2 * h), float(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        (r["k"], r["bucket_start"]): (r["x"], r["ewma"])
+        for r in ewma_smooth(df, "k", "ts", "v", 3600, 0.5).collect()
+    }
+    for key in ("a", "b"):
+        series = sorted(
+            (int(t.timestamp()) // 3600 * 3600, v) for kk, t, v in rows if kk == key
+        )
+        e = None
+        for b, x in series:
+            e = x if e is None else 0.5 * e + 0.5 * x
+            gx, ge = got[(key, b)]
+            assert gx == x
+            # closed form == recurrence mathematically; with α=0.5 both
+            # are exact binary scalings, so equality is tight
+            assert math.isclose(ge, e, rel_tol=1e-12), (key, b, ge, e)
+
+
+def test_ewma_skips_empty_buckets(spark):
+    from module8_movies_etl_spark.operators.timeseries import ewma_smooth
+
+    # observations 3 hours apart: smoothing treats them as ADJACENT steps
+    rows = [("a", _ts(0), 8.0), ("a", _ts(3), 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = sorted(
+        (r["bucket_start"], r["ewma"])
+        for r in ewma_smooth(df, "k", "ts", "v", 3600, 0.5).collect()
+    )
+    assert len(out) == 2
+    assert out[1][1] == 0.5 * 8.0 + 0.5 * 4.0
+
+
+# ----------------------------------------------------------- attribution
+
+
+def test_multitouch_attribution_model(spark):
+    from module8_movies_etl_spark.operators.timeseries import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        # user 1: two clicks then purchase, another click then purchase
+        (1, _ts(0), 10, "click"),
+        (1, _ts(1), 11, "click"),
+        (1, _ts(2), 12, "purchase"),
+        (1, _ts(3), 13, "click"),
+        (1, _ts(5), 14, "purchase"),
+        # user 2: click with no purchase → no attribution
+        (2, _ts(0), 20, "click"),
+        # user 3: purchase with no clicks → appears nowhere
+        (3, _ts(0), 30, "purchase"),
+        # noise event types are ignored
+        (1, _ts(1, 30), 99, "view"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, t string")
+    out = multitouch_attribution(df, "u", "ts", "id", "t")
+    got = {
+        (r["conv_id"], r["touch_id"]): (
+            r["n_touches"],
+            r["credit_linear"],
+            r["credit_decay"],
+        )
+        for r in out.collect()
+    }
+    assert set(got) == {(12, 10), (12, 11), (14, 13)}
+    # conversion 12: touches at Δ2h and Δ1h → weights 2^-2, 2^-1
+    n, lin, dec = got[(12, 10)]
+    assert n == 2 and lin == 0.5
+    assert math.isclose(dec, 0.25 / 0.75, rel_tol=1e-12)
+    n, lin, dec = got[(12, 11)]
+    assert math.isclose(dec, 0.5 / 0.75, rel_tol=1e-12)
+    # single-touch conversion gets full credit under both models
+    assert got[(14, 13)] == (1, 1.0, 1.0)
+    # per-conversion credits sum to 1
+    assert math.isclose(
+        got[(12, 10)][2] + got[(12, 11)][2], 1.0, rel_tol=1e-12
+    )
+
+
+def test_multitouch_decay_cap(spark):
+    from module8_movies_etl_spark.operators.timeseries import (
+        multitouch_attribution,
+    )
+
+    # a touch 2000h before conversion: weight floors at 2^-40, never 0
+    rows = [(1, _ts(0), 1, "click"), (1, _ts(2000), 2, "purchase")]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, t string")
+    r = multitouch_attribution(df, "u", "ts", "id", "t").collect()[0]
+    assert r["credit_decay"] == 1.0  # sole touch — normalized to 1 even at cap
+
+
+# ------------------------------------------------------------ compaction
+
+
+def test_compaction_plan_matches_next_fit(spark):
+    from module8_movies_etl_spark.operators.layout import compaction_plan
+
+    sizes = [5, 9, 1, 14, 2, 2, 30, 1, 1, 1]
+    rows = [("p", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "part string, f long, sz long")
+    target = 10
+    got = {
+        r["file"]: (r["bin"], r["bin_files"], r["bin_bytes"])
+        for r in compaction_plan(df, "part", "f", "sz", target).collect()
+    }
+    # python model: bin = floor(cumsum_before / target)
+    cum, expect = 0, {}
+    for i, s in enumerate(sizes):
+        expect[i] = cum // target
+        cum += s
+    assert {f: b for f, (b, _, _) in got.items()} == expect
+    # per-bin aggregates are consistent
+    for f, (b, nf, nb) in got.items():
+        members = [i for i in expect if expect[i] == b]
+        assert nf == len(members)
+        assert nb == sum(sizes[i] for i in members)
+
+
+# ------------------------------------------------------------ rolling kmv
+
+
+def test_kmv_rolling_exact_when_k_large(spark):
+    from module8_movies_etl_spark.operators.sketches import kmv_rolling_distinct
+
+    # 30 users over 30 hours; k=64 > distinct count → every window
+    # estimate is the EXACT trailing-24h distinct count
+    rows = [
+        (_ts(h), (h * 7) % 30) for h in range(30) for _ in range(2)
+    ] + [(_ts(h), (h * 3) % 30) for h in range(30)]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    got = {
+        r["bucket_start"]: r["est_window"]
+        for r in kmv_rolling_distinct(df, "ts", "uid", 3600, 24, 64).collect()
+    }
+    by_hour = {}
+    for t, u in rows:
+        b = int(t.timestamp()) // 3600 * 3600
+        by_hour.setdefault(b, set()).add(u)
+    for b in by_hour:
+        exact = set().union(
+            *[s for bb, s in by_hour.items() if b - 23 * 3600 <= bb <= b]
+        )
+        assert got[b] == float(len(exact)), b
+
+
+def test_kmv_rolling_estimate_quality(spark):
+    from module8_movies_etl_spark.operators.sketches import kmv_rolling_distinct
+
+    # 2000 distinct users in one bucket, k=64 → estimate within ~4 std
+    # errors (1/sqrt(62) ≈ 12.7%) of truth; deterministic, so pinned
+    rows = [(_ts(0), u) for u in range(2000)]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    est = kmv_rolling_distinct(df, "ts", "uid", 3600, 24, 64).collect()[0][
+        "est_window"
+    ]
+    assert abs(est - 2000) / 2000 < 0.5, est
+
+
+# -------------------------------------------------------------- bootstrap
+
+
+def test_bootstrap_ci_model(spark):
+    from module8_movies_etl_spark.operators.stats import bootstrap_mean_ci
+
+    rows = [("g", i, 100.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    r = bootstrap_mean_ci(df, "k", "v", "id", n_replicates=50).collect()[0]
+    assert r["n_rows"] == 500
+    mean = sum(100.0 + (i % 7) for i in range(500)) / 500
+    assert math.isclose(r["mean_full"], round(mean, 4), abs_tol=1e-4)
+    # deterministic CI brackets the sample mean for this symmetric data
+    assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
+    # interval width is plausible: sd/sqrt(n) ≈ 0.09 → ~4·se wide max
+    assert 0.0 < r["ci_hi"] - r["ci_lo"] < 1.0
+
+
+def test_bootstrap_weights_match_hex_thresholds(spark):
+    """The engine's hex-literal compares implement the documented md5 →
+    U(0,1) → Poisson(1) inverse CDF."""
+    from module8_movies_etl_spark.operators.stats import _POISSON1_HEX
+
+    cdf = (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+    )
+    for c, hx in zip(cdf, _POISSON1_HEX):
+        assert int(c * (1 << 60)) == int(hx, 16)
+    # spot-check classification parity on real md5 draws
+    for i in range(200):
+        h = hashlib.md5(f"{i}#0".encode()).hexdigest()[:15]
+        u = int(h, 16) / (1 << 60)
+        w_hex = sum(1 for hx in _POISSON1_HEX if h >= hx)
+        w_u = sum(1 for c in cdf if u >= c)
+        assert w_hex == w_u, (i, h)
+
+
+# ---------------------------------------------------------- python ds api
+
+
+def test_pyds_graftgen_partitions_and_rows(spark):
+    from module8_movies_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("graftgen")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 100
+    # replay row 7 independently
+    h = hashlib.md5(b"7").hexdigest()
+    r = rows[7]
+    assert r["shard"] == int(h[:2], 16) % 8
+    assert r["payload"] == h[:16]
+    assert math.isclose(r["score"], int(h[16:24], 16) / float(1 << 32))
