@@ -128,18 +128,23 @@ def compaction_plan(
         ),
         F.lit(0),
     ).cast("long")
+    # keep the ORIGINAL column names through both windows: renaming
+    # between them breaks alias-aware partitioning propagation and
+    # costs a third exchange; partitioning by part_col satisfies the
+    # (part_col, bin) window's clustering, so the second window rides
+    # the first's shuffle
     binned = files.select(
-        F.col(part_col).alias("part"),
-        F.col(file_col).alias("file"),
-        F.col(size_col).cast("long").alias("size"),
+        F.col(part_col),
+        F.col(file_col),
+        F.col(size_col).cast("long").alias("_sz"),
         F.floor(before / F.lit(target_bytes)).cast("long").alias("bin"),
     )
-    wb = Window.partitionBy("part", "bin")
+    wb = Window.partitionBy(part_col, "bin")
     return binned.select(
-        "part",
-        "file",
-        "size",
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file"),
+        F.col("_sz").alias("size"),
         "bin",
         F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
-        F.sum("size").over(wb).cast("long").alias("bin_bytes"),
+        F.sum("_sz").over(wb).cast("long").alias("bin_bytes"),
     )

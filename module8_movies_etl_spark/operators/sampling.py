@@ -101,3 +101,74 @@ def hash_split(
     for label, bound in sorted(boundaries.items(), key=lambda kv: -kv[1]):
         expr = F.when(u < F.lit(float(bound)), F.lit(label)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    group_col: str | None = None,
+    n: int = 20,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    (2006), md5-deterministic and libm-free: rank rows by a random key
+    whose distribution is ``P(key ≤ t) = t^w`` and keep the top-n —
+    exactly equivalent to successive draws with probability ∝ weight.
+
+    The textbook key is ``u^{1/w}`` (or ``-ln(u)/w``) — both route
+    through pow/ln, whose last-ulp variance across libm
+    implementations could flip a rank at the cut boundary. For INTEGER
+    weights there is an exact alternative: the max of ``w``
+    independent uniforms has CDF ``t^w``, so
+    ``key = max_{i=1..w} u01(md5(id, i))`` gives the same distribution
+    in pure md5 + comparison arithmetic — reproducible bit-for-bit in
+    any engine, stable under repartitioning (depends only on the id),
+    and consistent as the corpus grows.
+
+    ``weight_col`` must be a positive INTEGER column (cap it — the
+    fan-out is Σw rows; quality scores 1..10 are the intended shape).
+
+    Scale shape: a map-side ``sequence``/``explode`` fan-out into one
+    (id)-keyed max-aggregate, then a per-group top-n WindowGroupLimit
+    — the same two-exchange shape as any grouped top-k.
+
+    Returns the sampled rows: (group, key, weight, es_key) with
+    ``es_key`` exposed so callers can audit the draw.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("_id"),
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        .cast("int")
+        .alias("_w"),
+        *([F.col(group_col).alias("_g")] if group_col else []),
+    ).filter(F.col("_w") >= 1)
+    fan = base.select(
+        "_id",
+        "_w",
+        *(["_g"] if group_col else []),
+        F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_i"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("_id").cast("string"), F.col("_i"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 60))
+    keyed = fan.withColumn("_u", u).groupBy(
+        "_id", "_w", *(["_g"] if group_col else [])
+    ).agg(F.max("_u").alias("_key"))
+    part = [F.col("_g")] if group_col else [F.lit(1)]
+    wr = Window.partitionBy(*part).orderBy(F.desc("_key"), F.asc("_id"))
+    out = keyed.withColumn("_r", F.row_number().over(wr)).filter(
+        F.col("_r") <= n
+    )
+    cols = [F.col("_id").alias(key_col), F.col("_w").alias("weight"),
+            F.col("_key").alias("es_key")]
+    if group_col:
+        cols.insert(0, F.col("_g").alias(group_col))
+    return out.select(*cols)

@@ -155,3 +155,168 @@ def kmv_rolling_distinct(
             F.round(est, 4).alias("est_window"),
         )
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA between two populations (Beyer et al.
+    2007): estimate |A|, |B|, |A∪B|, |A∩B| and Jaccard from two
+    k-minimum-values sketches — the cross-source overlap question
+    ("how many users both click and view?") answered from constant
+    state instead of a distinct-pair shuffle.
+
+    Estimators: each set's own sketch gives |A| (``(k-1)/m_k``); the
+    MERGED sketch M = k smallest of A_k ∪ B_k gives |A∪B|; and
+    ρ = |{h ∈ M : h ∈ A_k ∧ h ∈ B_k}| / |M| is an unbiased Jaccard
+    estimate, so |A∩B| ≈ ρ·|A∪B|. When the union holds fewer than k
+    distinct hashes every figure degrades to EXACT (the sketches saw
+    everything). All md5/sort/compare arithmetic — the estimates
+    themselves replay in SQL.
+
+    Scale shape: one scan, one (label, hash) dedup shuffle, one
+    window top-k; everything after is two ≤k arrays in a single row.
+
+    Returns one row: (n_a_sketch, n_b_sketch, est_a, est_b,
+    est_union, est_intersection, est_jaccard).
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(label_col).isin(label_a, label_b))
+        .select(F.col(label_col).alias("_l"), h.alias("_h"))
+        .dropDuplicates(["_l", "_h"])
+    )
+    wk = Window.partitionBy("_l").orderBy("_h")
+    topk = hashed.withColumn("_r", F.row_number().over(wk)).filter(
+        F.col("_r") <= k
+    )
+    one = topk.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_l") == label_a, F.col("_h")))
+        ).alias("_a"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("_l") == label_b, F.col("_h")))
+        ).alias("_b"),
+    )
+
+    def est(arr, kth):
+        sz = F.size(arr)
+        return F.when(sz < k, sz.cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.element_at(arr, kth)
+        )
+
+    merged = F.slice(F.array_sort(F.array_distinct(F.concat("_a", "_b"))), 1, k)
+    both = F.size(
+        F.filter(
+            F.col("_m"),
+            lambda x: F.array_contains(F.col("_a"), x)
+            & F.array_contains(F.col("_b"), x),
+        )
+    )
+    with_m = one.withColumn("_m", merged)
+    rho = both.cast("double") / F.size("_m")
+    est_union = est(F.col("_m"), k)
+    return with_m.select(
+        F.size("_a").cast("long").alias("n_a_sketch"),
+        F.size("_b").cast("long").alias("n_b_sketch"),
+        F.round(est(F.col("_a"), k), 4).alias("est_a"),
+        F.round(est(F.col("_b"), k), 4).alias("est_b"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(rho * est_union, 4).alias("est_intersection"),
+        F.round(rho, 4).alias("est_jaccard"),
+    )
+
+
+def bloom_build_probe(
+    build: DataFrame,
+    build_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Portable Bloom-filter membership: build an ``m_bits``-bit filter
+    from the build side's keys (bit positions = top-60-bit md5 of the
+    salted key, mod m — public arithmetic, so the filter and its
+    false-positive behavior replay in ANY engine), probe the probe
+    side, and report the confusion summary against exact membership.
+
+    This is the PORTABLE twin of Spark's runtime
+    ``InSubqueryExec``/Bloom join pruning (already plan-pinned
+    elsewhere in the suite): a filter you can BUILD ONCE, ship as ≤
+    m/8 bytes, and apply at ingest on a different system entirely —
+    the cross-pipeline pre-filter pattern (only rows that MIGHT match
+    an allowlist get forwarded at all).
+
+    Scale shape: the filter is a ≤``m_bits``-row bit-position table
+    folded from a map-side-combined distinct — broadcast to the probe
+    scan; exact membership (for the report) is one broadcast semi
+    join of the (small) build key set. Probe cost: ``n_hashes`` md5s
+    per row, no shuffle.
+
+    Returns one row: (n_build, n_probe, n_flagged, n_members,
+    n_false_pos, fp_rate).
+    """
+    bits = (
+        build.select(F.col(build_col).cast("string").alias("_k"))
+        .distinct()
+        .select(
+            "_k",
+            F.explode(
+                F.array(
+                    *[
+                        _bucket(F.col("_k"), r, m_bits).alias(f"_p{r}")
+                        for r in range(n_hashes)
+                    ]
+                )
+            ).alias("_pos"),
+        )
+        .select("_pos")
+        .distinct()
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_bits"))
+    )
+    keys = (
+        build.select(F.col(build_col).cast("string").alias("_k"))
+        .distinct()
+        .groupBy()
+        .agg(F.collect_set("_k").alias("_keys"))
+    )
+    p = probe.select(F.col(probe_col).cast("string").alias("_p"))
+    flagged_expr = None
+    for r in range(n_hashes):
+        c = F.array_contains(F.col("_bits"), _bucket(F.col("_p"), r, m_bits))
+        flagged_expr = c if flagged_expr is None else (flagged_expr & c)
+    member = F.array_contains(F.col("_keys"), F.col("_p"))
+    joined = p.crossJoin(F.broadcast(bits)).crossJoin(F.broadcast(keys))
+    return joined.select(
+        F.size("_keys").alias("_nb"),
+        flagged_expr.alias("_f"),
+        member.alias("_m"),
+    ).groupBy().agg(
+        F.max("_nb").cast("long").alias("n_build"),
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("_f").cast("long")).cast("long").alias("n_flagged"),
+        F.sum(F.col("_m").cast("long")).cast("long").alias("n_members"),
+        F.sum((F.col("_f") & ~F.col("_m")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum((F.col("_f") & ~F.col("_m")).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

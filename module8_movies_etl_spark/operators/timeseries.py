@@ -533,3 +533,63 @@ def multitouch_attribution(
         (F.lit(1.0) / F.count(F.lit(1)).over(wconv)).alias("credit_linear"),
         (F.col("_w") / F.sum("_w").over(wconv)).alias("credit_decay"),
     )
+
+
+def interval_union_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col,
+    end_col,
+) -> DataFrame:
+    """Per-key UNION length of (possibly overlapping) intervals — "how
+    much wall-clock was covered by at least one session?" — the
+    interval twin of gaps-and-islands. ``start_col``/``end_col`` are
+    integer-comparable Column expressions (epoch seconds/micros).
+
+    Classic sweep, all in one key partitioning: order intervals by
+    (start, end); an interval opens a NEW island when its start
+    exceeds the running max of all previous ends; islands are numbered
+    by a running sum of those breaks; one aggregate per island takes
+    (min start, max end). Everything is integer min/max/sum — exact
+    in any engine — and every window + the aggregate share the single
+    key shuffle, so 100 TB scales by key count.
+
+    Returns (key, n_intervals, n_islands, covered, span, coverage)
+    where span = max end − min start and coverage = covered/span
+    rounded(6).
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        start_col.cast("long").alias("_s"),
+        end_col.cast("long").alias("_e"),
+    ).filter(F.col("_e") >= F.col("_s"))
+    w = Window.partitionBy("_k").orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+    ).otherwise(0)
+    seg = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    islands = base.withColumn("_seg", seg)
+    per_island = islands.groupBy("_k", "_seg").agg(
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    out = per_island.groupBy("_k").agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("long").alias("covered"),
+        (F.max("_ie") - F.min("_is")).cast("long").alias("span"),
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        "n_intervals",
+        "n_islands",
+        "covered",
+        "span",
+        F.round(
+            F.col("covered").cast("double") / F.greatest("span", F.lit(1)), 6
+        ).alias("coverage"),
+    )

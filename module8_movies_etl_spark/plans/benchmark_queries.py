@@ -6635,6 +6635,224 @@ def pyds_graftgen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_KMV_SETOPS_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT event_type AS l,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 AS hv
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+),
+rk AS (
+    SELECT l, hv, row_number() OVER (PARTITION BY l ORDER BY hv) AS r FROM h
+),
+tk AS (SELECT l, hv FROM rk WHERE r <= 64),
+arrs AS (
+    SELECT list(hv ORDER BY hv) FILTER (WHERE l = 'click') AS a,
+           list(hv ORDER BY hv) FILTER (WHERE l = 'view') AS b
+    FROM tk
+),
+m AS (
+    SELECT a, b,
+           list_slice(list_sort(list_distinct(list_concat(a, b))), 1, 64) AS mm
+    FROM arrs
+),
+s AS (
+    SELECT a, b, mm,
+           CASE WHEN len(a) < 64 THEN CAST(len(a) AS DOUBLE)
+                ELSE 63.0 / a[64] END AS ea,
+           CASE WHEN len(b) < 64 THEN CAST(len(b) AS DOUBLE)
+                ELSE 63.0 / b[64] END AS eb,
+           CASE WHEN len(mm) < 64 THEN CAST(len(mm) AS DOUBLE)
+                ELSE 63.0 / mm[64] END AS eu,
+           CAST(len(list_filter(mm, x -> list_contains(a, x)
+                                     AND list_contains(b, x))) AS DOUBLE)
+               / len(mm) AS rho
+    FROM m
+)
+SELECT CAST(len(a) AS BIGINT) AS n_a_sketch,
+       CAST(len(b) AS BIGINT) AS n_b_sketch,
+       round(ea, 4) AS est_a,
+       round(eb, 4) AS est_b,
+       round(eu, 4) AS est_union,
+       round(rho * eu, 4) AS est_intersection,
+       round(rho, 4) AS est_jaccard
+FROM s
+"""
+
+
+@query("kmv_setops_click_view", _KMV_SETOPS_ORACLE)
+def kmv_setops_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch, beyond-ref §2.13 — KMV set algebra, Beyer et al. 2007]
+    Cross-population overlap from constant state: |click users|,
+    |view users|, their union, intersection, and Jaccard, all
+    estimated from two k=64 KMV sketches (merged sketch → union;
+    membership fraction of the merged k-mins in BOTH sketches →
+    Jaccard) — the cross-source overlap question answered without a
+    distinct-pair shuffle, and every estimate replays bit-for-bit in
+    SQL (``sketches.kmv_set_ops``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return sketches.kmv_set_ops(e, "event_type", "user_id", "click", "view", 64)
+
+
+_ES_SAMPLE_ORACLE = """
+WITH base AS (
+    SELECT doc_id, lang, CAST(1 + doc_id % 5 AS INTEGER) AS w FROM documents
+),
+fan AS (
+    SELECT doc_id, lang, w, i FROM base, UNNEST(range(1, w + 1)) AS t(i)
+),
+keyed AS (
+    SELECT doc_id, lang, w,
+           max(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                       CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0) AS es_key
+    FROM fan GROUP BY 1, 2, 3
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY es_key DESC, doc_id ASC) AS r
+    FROM keyed
+)
+SELECT lang, doc_id, w AS weight, es_key FROM rk WHERE r <= 20
+"""
+
+
+@query("es_weighted_sample_docs", _ES_SAMPLE_ORACLE)
+def es_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sampling, beyond-ref §2.13 beside the md5 uniform/stratified
+    samplers] Weighted sampling WITHOUT replacement per language:
+    Efraimidis-Spirakis top-20 by a key with CDF t^w — realized for
+    integer weights as ``max of w independent md5 uniforms`` (same
+    distribution, ZERO libm calls), so the draw is deterministic,
+    repartition-stable, and hash-verified end to end
+    (``sampling.weighted_sample_es``). Weights here are the synthetic
+    quality grade 1 + doc_id mod 5.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample_es(
+        d,
+        "doc_id",
+        F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5)),
+        group_col="lang",
+        n=20,
+    )
+
+
+_BLOOM_ORACLE = """
+WITH vip AS (
+    SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+    FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+    SELECT DISTINCT CAST(CAST('0x' || substr(md5(k || '#' ||
+                                CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 4096 AS INTEGER) AS pos
+    FROM vip, UNNEST([0, 1, 2]) AS t(r)
+),
+bl AS (SELECT list(pos) AS bits FROM bits),
+kl AS (SELECT list(k) AS keys, CAST(count(*) AS BIGINT) AS nb FROM vip),
+probe AS (SELECT CAST(o_custkey AS VARCHAR) AS p FROM orders),
+f AS (
+    SELECT p,
+           list_contains(bits, CAST(CAST('0x' || substr(md5(p || '#0'), 1, 15)
+                                         AS BIGINT) % 4096 AS INTEGER))
+           AND list_contains(bits, CAST(CAST('0x' || substr(md5(p || '#1'), 1, 15)
+                                             AS BIGINT) % 4096 AS INTEGER))
+           AND list_contains(bits, CAST(CAST('0x' || substr(md5(p || '#2'), 1, 15)
+                                             AS BIGINT) % 4096 AS INTEGER))
+               AS flagged,
+           list_contains(keys, p) AS member,
+           nb
+    FROM probe, bl, kl
+)
+SELECT max(nb) AS n_build,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN flagged AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos,
+       round(CAST(sum(CASE WHEN flagged AND NOT member THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS fp_rate
+FROM f
+"""
+
+
+@query("bloom_filter_vip_orders", _BLOOM_ORACLE)
+def bloom_filter_vip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch, beyond-ref §2.13 — the PORTABLE twin of the plan-pinned
+    runtime Bloom join filter] Build a 4096-bit, 3-hash Bloom filter
+    over VIP customers (md5 bit positions — the filter itself and its
+    false-positive behavior replay in any engine), probe every order's
+    customer, and report the confusion summary against exact
+    membership. The shippable-allowlist pre-filter pattern: rows that
+    can't match never leave the source system
+    (``sketches.bloom_build_probe``).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    vip = c.filter(F.col("c_acctbal") > 9000)
+    return sketches.bloom_build_probe(vip, "c_custkey", o, "o_custkey", 4096, 3)
+
+
+_COVERAGE_ORACLE = """
+WITH base AS (
+    SELECT event_type AS k,
+           epoch_us(ts) // 1000000 AS s,
+           epoch_us(ts) // 1000000 + CAST(trunc(value) AS BIGINT) AS e
+    FROM events
+),
+flt AS (SELECT * FROM base WHERE e >= s),
+marked AS (
+    SELECT k, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+    FROM flt
+),
+seg AS (
+    SELECT k, s, e,
+           sum(brk) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+    FROM marked
+),
+isl AS (
+    SELECT k, sg, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+    FROM seg GROUP BY k, sg
+)
+SELECT k AS event_type,
+       CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+       CAST(max(i_e) - min(i_s) AS BIGINT) AS span,
+       round(CAST(sum(i_e - i_s) AS DOUBLE)
+             / greatest(max(i_e) - min(i_s), 1), 6) AS coverage
+FROM isl GROUP BY k
+"""
+
+
+@query("session_coverage_by_type", _COVERAGE_ORACLE)
+def session_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series, beyond-ref §2.13 — the interval twin of
+    gaps-and-islands] Per-type UNION length of event intervals
+    [ts, ts + value seconds]: overlapping sessions merge via the
+    running-max-end sweep, islands aggregate once, and coverage =
+    covered/span. All integer epoch arithmetic (the duration is
+    TRUNCATED toward zero on both engines — DuckDB's double→BIGINT
+    cast rounds, so the oracle truncs explicitly); every window and
+    the aggregate share one key shuffle
+    (``timeseries.interval_union_coverage``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    start = F.unix_timestamp(F.col("ts"))
+    end = start + F.col("value").cast("long")
+    return timeseries.interval_union_coverage(e, "event_type", start, end)
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

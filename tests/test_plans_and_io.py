@@ -573,3 +573,43 @@ def test_containment_postings_prefix_probe_size(spark):
     }
     for doc, sz in sizes.items():
         assert got[doc] == sz - math.ceil(t * sz) + 1, (doc, sz, got[doc])
+
+
+def test_multitouch_single_user_shuffle(spark):
+    """Attribution's contract: the reverse running-min window, the
+    per-conversion count and the weight-sum windows all ride ONE user
+    hash partitioning — no self-join of the event table, no second
+    wide exchange keyed on the fact rows."""
+    plan = plan_of(spark, "multitouch_attribution")
+    assert "Join" not in plan, plan
+    # formatted mode puts the partitioning on an Arguments: line
+    n_ex = len(re.findall(r"hashpartitioning\(", plan))
+    assert 1 <= n_ex <= 2, plan  # user window + (user, conv) windows
+
+
+def test_interval_coverage_shares_key_partitioning(spark):
+    """The sweep windows, the island aggregate and the final per-key
+    aggregate all cluster on the key: partitioning by k satisfies
+    grouping on (k, seg), so exactly one wide exchange appears."""
+    plan = plan_of(spark, "session_coverage_by_type")
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+
+
+def test_compaction_plan_windows_only(spark):
+    """Compaction planning is pure window arithmetic over the file
+    inventory — no joins; the (part) window reuses nothing from the
+    (part, file) aggregate but the (part, bin) window reuses the
+    (part) partitioning."""
+    plan = plan_of(spark, "compaction_plan_files")
+    assert "Join" not in plan, plan
+    assert 1 <= len(re.findall(r"hashpartitioning\(", plan)) <= 2, plan
+
+
+def test_bootstrap_fanout_is_mapside(spark):
+    """The B-way replicate fan-out must be a generator in the scan
+    stage (explode of sequence), not a join against a replicate table;
+    the only wide exchanges are the pre-fan repartition and the
+    (key, replicate) aggregate."""
+    plan = plan_of(spark, "bootstrap_ci_price")
+    assert re.search(r"[Ee]xplode|Generate", plan), plan
+    assert "conv(" not in plan.lower(), plan  # hex compare, not conv()

@@ -244,3 +244,92 @@ def test_pyds_graftgen_partitions_and_rows(spark):
     assert r["shard"] == int(h[:2], 16) % 8
     assert r["payload"] == h[:16]
     assert math.isclose(r["score"], int(h[16:24], 16) / float(1 << 32))
+
+
+# ------------------------------------------------------------ kmv set ops
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    from module8_movies_etl_spark.operators.sketches import kmv_set_ops
+
+    # A = {0..29}, B = {20..49}: union 50, intersection 10 — all < k,
+    # so every estimate degrades to EXACT
+    rows = [("a", u) for u in range(30)] + [("b", u) for u in range(20, 50)]
+    df = spark.createDataFrame(rows, "l string, v long")
+    r = kmv_set_ops(df, "l", "v", "a", "b", k=64).collect()[0]
+    assert r["n_a_sketch"] == 30 and r["n_b_sketch"] == 30
+    assert r["est_a"] == 30.0 and r["est_b"] == 30.0
+    assert r["est_union"] == 50.0
+    assert r["est_intersection"] == 10.0
+    assert r["est_jaccard"] == 0.2
+
+
+def test_kmv_set_ops_estimates_at_scale(spark):
+    from module8_movies_etl_spark.operators.sketches import kmv_set_ops
+
+    # A = 0..999, B = 500..1499: true union 1500, intersection 500,
+    # J = 1/3; k=64 → deterministic estimates within sketch error
+    rows = [("a", u) for u in range(1000)] + [("b", u) for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "l string, v long")
+    r = kmv_set_ops(df, "l", "v", "a", "b", k=64).collect()[0]
+    assert abs(r["est_union"] - 1500) / 1500 < 0.5
+    assert 0.05 < r["est_jaccard"] < 0.7
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from module8_movies_etl_spark.operators.sketches import bloom_build_probe
+
+    build = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "p long")
+    r = bloom_build_probe(build, "k", probe, "p", 4096, 3).collect()[0]
+    assert r["n_build"] == 100 and r["n_probe"] == 1000
+    assert r["n_members"] == 100
+    # Bloom guarantee: every member is flagged (no false negatives)
+    assert r["n_flagged"] >= 100
+    assert r["n_false_pos"] == r["n_flagged"] - 100
+    # theoretical fp ≈ (1 - e^(-3*100/4096))^3 ≈ 0.00035 — allow 20x
+    assert r["fp_rate"] < 0.01
+
+
+# ------------------------------------------------------------ es sampling
+
+
+def test_es_weighted_sample_deterministic_and_biased(spark):
+    from module8_movies_etl_spark.operators.sampling import weighted_sample_es
+
+    rows = [(i, "g", 5 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string, w int")
+    out1 = weighted_sample_es(df, "id", "w", group_col="g", n=100)
+    got1 = sorted(r["id"] for r in out1.collect())
+    # repartition-stable: same sample regardless of physical layout
+    out2 = weighted_sample_es(df.repartition(13), "id", "w", group_col="g", n=100)
+    assert got1 == sorted(r["id"] for r in out2.collect())
+    # weight bias: the 10% of ids with weight 5 should be >2x
+    # over-represented vs uniform (expected ~34 of 100 under ES)
+    heavy = sum(1 for i in got1 if i < 100)
+    assert heavy > 20, heavy
+
+
+# ------------------------------------------------------- interval coverage
+
+
+def test_interval_union_coverage_model(spark):
+    from module8_movies_etl_spark.operators.timeseries import (
+        interval_union_coverage,
+    )
+
+    ivs = [(0, 10), (5, 15), (20, 30), (30, 35), (40, 41), (40, 41)]
+    df = spark.createDataFrame(
+        [("k", s, e) for s, e in ivs], "k string, s long, e long"
+    )
+    r = interval_union_coverage(df, "k", F.col("s"), F.col("e")).collect()[0]
+    # islands: [0,15], [20,35] (touching merges: 30 > running max 30
+    # is FALSE → same island), [40,41]
+    assert r["n_intervals"] == 6
+    assert r["n_islands"] == 3
+    assert r["covered"] == 15 + 15 + 1
+    assert r["span"] == 41
+    assert r["coverage"] == round(31 / 41, 6)  # operator rounds to 6
