@@ -1225,3 +1225,73 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def incremental_minhash_matches(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Dedup-at-INGEST: match a new document batch against the
+    corpus's MinHash band index WITHOUT touching corpus pairs — the
+    incremental form every growing 100 TB corpus actually runs (the
+    self-join variants re-derive all-pairs per refresh; this touches
+    |new| × bands keys).
+
+    Both sides build the same 8-hash / 4-band signature as
+    ``minhash_lsh_pairs`` (identical md5 arithmetic — on a real
+    deployment the index side is PRECOMPUTED once and stored as the
+    (band_idx, band_hash, doc_id) table this plan derives); candidates
+    come from one equi-join on (band_idx, band_hash) — new batch
+    against index, never index against itself — then collapse to one
+    row per matched new doc.
+
+    Returns (id, n_index_matches, first_match_id) for new docs with at
+    least one banded match; unmatched new docs are absent (they are
+    the inserts).
+    """
+    n_bands = n_hashes // band_size
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sig = _word_postings(df, id_col, text_col, 1).groupBy(id_col).agg(
+            *[
+                F.min(F.md5(F.concat(F.col("w"), F.lit(f":{i}")))).alias(
+                    f"mh{i}"
+                )
+                for i in range(n_hashes)
+            ]
+        )
+        band_exprs = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+        return sig.select(
+            F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("_bi", "_bv")
+        )
+
+    idx = _bands(index_df).select(
+        F.col(id_col).alias("_idx_id"), "_bi", "_bv"
+    )
+    new = _bands(new_df).select(F.col(id_col).alias("_new_id"), "_bi", "_bv")
+    cand = new.join(idx, ["_bi", "_bv"]).select("_new_id", "_idx_id").distinct()
+    return (
+        cand.groupBy("_new_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_index_matches"),
+            F.min("_idx_id").alias("first_match_id"),
+        )
+        .select(
+            F.col("_new_id").alias(id_col), "n_index_matches", "first_match_id"
+        )
+    )

@@ -6853,6 +6853,79 @@ def session_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.interval_union_coverage(e, "event_type", start, end)
 
 
+
+@query("stream_kmv_distinct", _KMV_ORACLE)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming-stateful × sketch, beyond-ref §2.11/§2.13] The KMV
+    distinct sketch maintained as CUSTOM STREAMING STATE
+    (``applyInPandasWithState``): per key, the state is the k smallest
+    md5 hashes — constant-size and mergeable, updated incrementally
+    per micro-batch and flushed by event-time timeout in the terminal
+    no-data batch of the ``availableNow`` replay. The hash arithmetic
+    is bit-identical to the batch sketch (hashlib vs conv(md5) both
+    produce the correctly-rounded n/2^60 double), so this REAL
+    streaming execution is verified by the BATCH query's oracle
+    verbatim — state-store maintenance provably loses nothing
+    (``streaming.stateful.kmv_stateful``).
+    """
+    from ..streaming.stateful import run_kmv_over_events
+
+    return run_kmv_over_events(spark, sf_dir, k=64)
+
+
+
+_INCR_MINHASH_ORACLE = r"""
+WITH wx AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           min(md5(w || ':0')) AS mh0, min(md5(w || ':1')) AS mh1,
+           min(md5(w || ':2')) AS mh2, min(md5(w || ':3')) AS mh3,
+           min(md5(w || ':4')) AS mh4, min(md5(w || ':5')) AS mh5,
+           min(md5(w || ':6')) AS mh6, min(md5(w || ':7')) AS mh7
+    FROM wx GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+           md5(mh4 || '|' || mh5) AS b2, md5(mh6 || '|' || mh7) AS b3
+    FROM sig
+),
+newb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+idx AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+    FROM newb n JOIN idx i
+      ON n.b0 = i.b0 OR n.b1 = i.b1 OR n.b2 = i.b2 OR n.b3 = i.b3
+)
+SELECT new_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_index_matches,
+       min(idx_id) AS first_match_id
+FROM cand GROUP BY new_id
+"""
+
+
+@query("incremental_dedup_newbatch", _INCR_MINHASH_ORACLE)
+def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy-scale, beyond-ref §2.13 — the INGEST-TIME form]
+    Match a new document batch (doc_id ≡ 0 mod 7 plays the arriving
+    batch) against the rest of the corpus's MinHash band index: one
+    (band_idx, band_hash) equi-join of new-batch bands against the
+    index — |new|-proportional work, NO corpus self-join, which is how
+    a growing corpus actually deduplicates per refresh
+    (``dedup.incremental_minhash_matches``; the index side is
+    precomputed-and-stored in a real deployment).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    idx = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+    return dedup.incremental_minhash_matches(idx, new, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -205,3 +205,143 @@ def run_sessionize_over_events(
 
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(query_name)
+
+
+KMV_OUT_SCHEMA = "event_type string, n_exactish bigint, est_raw double"
+_KMV_STATE_SCHEMA = "mins array<double>"
+
+
+def _merge_kmins(
+    mins: list[float], new_hashes: Iterable[float], k: int
+) -> list[float]:
+    """Merge new hashes into a sorted k-minimum set — the KMV state
+    transition, pure for unit tests."""
+    merged = sorted(set(mins) | set(new_hashes))
+    return merged[:k]
+
+
+def kmv_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch as a CUSTOM stateful
+    operator: per key, the state is the set of k smallest md5-U(0,1)
+    hashes seen so far — constant-size, mergeable, exactly the batch
+    sketch's state (``aggregates.kmv_distinct_sketch``), maintained
+    incrementally instead of recomputed.
+
+    Because the hash arithmetic is identical (hashlib md5 here, Spark
+    ``conv(md5)`` in batch — both land on the same correctly-rounded
+    double n/2^60), a finite replay's final emission EQUALS the batch
+    sketch row for row: the streaming operator shares the batch
+    query's full value oracle, the strongest correctness statement a
+    custom streaming operator can make.
+
+    Emission: nothing per batch; each key flushes its final
+    (n_exactish, estimate) when the event-time watermark passes its
+    timeout in the terminal no-data micro-batch of an
+    ``availableNow`` replay (for a live stream this emits a
+    checkpointed snapshot per quiet period).
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kt = key[0]
+        if state.hasTimedOut:
+            (mins,) = state.get
+            state.remove()
+            n = len(mins)
+            est = float(n) if n < k else (k - 1) / mins[k - 1]
+            yield pd.DataFrame(
+                [(kt, n, est)],
+                columns=["event_type", "n_exactish", "est_raw"],
+            )
+            return
+        hashes = []
+        for pdf in pdfs:
+            for v in pdf["_v"]:
+                if v is None:
+                    continue
+                h = hashlib.md5(str(v).encode()).hexdigest()[:15]
+                hashes.append(int(h, 16) / (1 << 60))
+        mins = list(state.get[0]) if state.exists else []
+        state.update((_merge_kmins(mins, hashes, k),))
+        # flush once the watermark moves past this batch (terminal
+        # no-data micro-batch of an availableNow replay)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(
+            [], columns=["event_type", "n_exactish", "est_raw"]
+        )
+
+    prepared = events.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("_k"),
+        F.col("ts"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    return prepared.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_kmv_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Replay the finite events table through the streaming KMV sketch
+    (same scratch-copy + availableNow + memory-sink mechanics as
+    ``run_sessionize_over_events``) and return the final per-key
+    estimates, rounded like the batch query so the BATCH oracle
+    applies verbatim."""
+    import shutil
+
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch
+
+    if query_name is None:
+        query_name = f"kmv_stateful_sink_{next(_SINK_SEQ)}"
+    scratch = mkscratch("kmv_stream_")
+    read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    ).coalesce(1).write.mode("overwrite").parquet(scratch)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, user_id long"
+    ).parquet(scratch)
+    sketches = kmv_stateful(stream, k=k)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    try:
+        q = (
+            sketches.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(query_name).select(
+        "event_type",
+        "n_exactish",
+        F.round("est_raw", 2).alias("kmv_estimate"),
+    )

@@ -333,3 +333,68 @@ def test_interval_union_coverage_model(spark):
     assert r["covered"] == 15 + 15 + 1
     assert r["span"] == 41
     assert r["coverage"] == round(31 / 41, 6)  # operator rounds to 6
+
+
+# ------------------------------------------------------- streaming kmv
+
+
+def test_merge_kmins_pure():
+    from module8_movies_etl_spark.streaming.stateful import _merge_kmins
+
+    assert _merge_kmins([], [0.5, 0.2], 4) == [0.2, 0.5]
+    assert _merge_kmins([0.1, 0.3], [0.2, 0.3, 0.9], 4) == [0.1, 0.2, 0.3, 0.9]
+    # k-truncation keeps the smallest
+    assert _merge_kmins([0.1, 0.3], [0.05, 0.9], 3) == [0.05, 0.1, 0.3]
+
+
+def test_stream_kmv_equals_batch_sketch(spark, sf_dir):
+    """The streaming state-store path must reproduce the batch sketch
+    row for row — the strongest streaming-correctness statement."""
+    from module8_movies_etl_spark.operators.aggregates import (
+        kmv_distinct_sketch,
+    )
+    from module8_movies_etl_spark.sources.readers import read_table
+    from module8_movies_etl_spark.streaming.stateful import run_kmv_over_events
+
+    got = sorted(
+        tuple(r) for r in run_kmv_over_events(spark, sf_dir, k=64).collect()
+    )
+    e = read_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in kmv_distinct_sketch(e, ["event_type"], "user_id", k=64)
+        .collect()
+    )
+    assert got == want
+
+
+# -------------------------------------------------- incremental dedup
+
+
+def test_incremental_minhash_matches_model(spark):
+    from module8_movies_etl_spark.operators.dedup import (
+        incremental_minhash_matches,
+        minhash_lsh_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),     # dup of 1
+        (3, "totally different words here"),
+        (10, "alpha beta gamma delta"),    # new: dup of 1 and 2
+        (11, "nothing like the corpus x"),  # new: no match
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    got = {
+        r["doc_id"]: (r["n_index_matches"], r["first_match_id"])
+        for r in incremental_minhash_matches(idx, new, "doc_id", "text").collect()
+    }
+    assert got == {10: (2, 1)}
+    # consistency with the self-join variant: pairs (10, 1) and (10, 2)
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 10) in all_pairs and (2, 10) in all_pairs
