@@ -399,3 +399,135 @@ def bm25_scores(
     for i in range(len(terms)):
         total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
     return agg.select(F.col(id_col), total.alias("score"))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training: for
+    every document, ``k`` negatives drawn from the same group by
+    RANK-SHIFT — shuffle-free pseudo-randomness with no RNG and no
+    quadratic join.
+
+    Each doc gets a per-group rank in md5 order (a deterministic
+    permutation); negative j is the doc at rank ``(r + j·stride) mod
+    n`` with ``stride = max(1, n // (k+1))`` — k distinct, roughly
+    equi-spaced positions in the permutation, so negatives are
+    hash-uniform over the group but reproducible anywhere, stable as
+    long as the group membership is (growing corpora should pin the
+    permutation to a snapshot id in the hash salt).
+
+    Shape: one rank window per group + one equi-join back on (group,
+    rank) — both keyed on the group; the join's build side is the
+    ranked table itself (no fan-out beyond k rows per doc).
+
+    Returns (id, neg_idx 1..k, neg_id); docs whose group has ≤ k
+    members get the distinct positions available (self-rank excluded).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_g")
+    ).withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("_g").orderBy(
+                F.md5(F.col("_id").cast("string")), F.col("_id")
+            )
+        )
+        - 1,
+    )
+    counts = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    base = ranked.join(F.broadcast(counts), "_g")
+    stride = F.greatest(F.lit(1), F.floor(F.col("_n") / F.lit(k + 1)))
+    fan = base.select(
+        "_g",
+        "_id",
+        "_r",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_idx"),
+    ).select(
+        "_g",
+        "_id",
+        "neg_idx",
+        F.pmod(F.col("_r") + F.col("neg_idx") * stride, F.col("_n")).alias(
+            "_cand"
+        ),
+        "_r",
+    )
+    # a candidate that wraps onto the doc itself is dropped (tiny
+    # groups), keeping the contract "negatives are never the anchor"
+    fan = fan.filter(F.col("_cand") != F.col("_r"))
+    neg = ranked.select(
+        F.col("_g"), F.col("_r").alias("_cand"), F.col("_id").alias("neg_id")
+    )
+    return (
+        fan.join(neg, ["_g", "_cand"])
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("neg_idx").cast("int").alias("neg_idx"),
+            "neg_id",
+        )
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count_col,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """DATA MIXING to a token budget: keep a deterministic sample of
+    each group such that every group contributes ~equal tokens toward
+    ``budget_frac`` of the corpus — the mixture-rebalancing step of a
+    training-data pipeline (upweight scarce languages, downsample
+    dominant ones).
+
+    Per group: ``rate = min(1, target_tokens / group_tokens)`` with
+    ``target_tokens = budget_frac · total_tokens / n_groups``; a doc
+    survives iff its md5-U(0,1) (salted ``mix:``) falls under the
+    group's rate. Everything derives from exact integer token counts
+    — the rates are identical doubles in any engine, so membership is
+    hash-verifiable, repartition-stable, and never relabels a doc as
+    the corpus grows (same id ⇒ same draw; only the rate moves).
+
+    Shape: one group aggregate (broadcast back — group cardinality is
+    languages/sources, not documents), one scalar total (1-row
+    broadcast), one codegen filter on the scan. No driver fetch.
+
+    Returns the kept docs: (id, group, n_tokens, rate).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        token_count_col.cast("long").alias("_t"),
+    )
+    per_g = toks.groupBy("_g").agg(F.sum("_t").alias("_gt"))
+    total = per_g.groupBy().agg(
+        F.sum("_gt").alias("_tt"), F.count(F.lit(1)).alias("_ng")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(budget_frac) * F.col("_tt") / F.col("_ng")) / F.col("_gt"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 60))
+    return (
+        toks.join(F.broadcast(per_g), "_g")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rate", F.round(rate, 6))
+        .filter(u < F.col("rate"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_t").alias("n_tokens"),
+            "rate",
+        )
+    )

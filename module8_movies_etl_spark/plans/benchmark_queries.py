@@ -6926,6 +6926,78 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_matches(idx, new, "doc_id", "text")
 
 
+
+_NEG_SAMPLES_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id AS id, lang AS g,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r
+    FROM documents
+),
+counts AS (SELECT g, count(*) AS n FROM ranked GROUP BY g),
+base AS (SELECT ranked.*, n FROM ranked JOIN counts USING (g)),
+fan AS (
+    SELECT g, id, j AS neg_idx,
+           (r + j * greatest(1, n // 5)) % n AS cand, r
+    FROM base, UNNEST([1, 2, 3, 4]) AS t(j)
+),
+flt AS (SELECT * FROM fan WHERE cand <> r)
+SELECT f.id AS doc_id,
+       CAST(f.neg_idx AS INTEGER) AS neg_idx,
+       rk.id AS neg_id
+FROM flt f JOIN ranked rk ON f.g = rk.g AND f.cand = rk.r
+"""
+
+
+@query("negative_samples_docs", _NEG_SAMPLES_ORACLE)
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[contrastive training prep, beyond-ref §2.13] Four deterministic
+    negatives per document by RANK-SHIFT: each doc gets a per-language
+    rank in md5-permutation order; negative j sits at rank
+    (r + j·stride) mod n. Hash-uniform over the group yet fully
+    reproducible — no RNG, no quadratic candidate join; one rank
+    window + one (group, rank) equi-join
+    (``curation.negative_samples``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return curation.negative_samples(d, "doc_id", "lang", k=4)
+
+
+_MIXTURE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id AS id, lang AS g, CAST({_TOKENS_SQL} AS BIGINT) AS t
+    FROM documents
+),
+per_g AS (SELECT g, sum(t) AS gt FROM toks GROUP BY g),
+tot AS (SELECT sum(gt) AS tt, count(*) AS ng FROM per_g),
+r AS (
+    SELECT toks.*, round(least(1.0, (0.5 * tt / ng) / gt), 6) AS rate
+    FROM toks JOIN per_g ON toks.g = per_g.g CROSS JOIN tot
+)
+SELECT id AS doc_id, g AS lang, t AS n_tokens, rate
+FROM r
+WHERE CAST('0x' || substr(md5('mix:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+          / 1152921504606846976.0 < rate
+"""
+
+
+@query("mixture_rebalance_docs", _MIXTURE_ORACLE)
+def mixture_rebalance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data mixing, beyond-ref §2.13 beside quotas/splits] Rebalance
+    the corpus to a token budget with ~equal per-language token mass:
+    rate_L = min(1, (0.5·total/n_langs)/tokens_L); a doc survives iff
+    its salted md5-U(0,1) clears the rate. Rates derive from exact
+    integer token counts, so membership is engine-replayable and
+    never relabels a doc as the corpus grows. One language aggregate
+    broadcast back + a codegen filter — no driver fetch
+    (``curation.mixture_rebalance``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return curation.mixture_rebalance(
+        d, "doc_id", "lang", text.token_count(F.col("text")), 0.5
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

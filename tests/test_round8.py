@@ -398,3 +398,47 @@ def test_incremental_minhash_matches_model(spark):
         for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
     }
     assert (1, 10) in all_pairs and (2, 10) in all_pairs
+
+
+# ------------------------------------------------- negatives / mixture
+
+
+def test_negative_samples_properties(spark):
+    from module8_movies_etl_spark.operators.curation import negative_samples
+
+    rows = [(i, "g" if i < 20 else "h") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = negative_samples(df, "id", "grp", k=4).collect()
+    by_anchor = {}
+    grp = dict(rows)
+    for r in out:
+        by_anchor.setdefault(r["id"], []).append(r["neg_id"])
+        # negative is never the anchor and stays in-group
+        assert r["neg_id"] != r["id"]
+        assert grp[r["neg_id"]] == grp[r["id"]]
+    # every doc got k distinct negatives (groups are big enough)
+    for anchor, negs in by_anchor.items():
+        assert len(negs) == 4 and len(set(negs)) == 4, (anchor, negs)
+    assert len(by_anchor) == 30
+    # deterministic under repartitioning
+    out2 = negative_samples(df.repartition(7), "id", "grp", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mixture_rebalance_equalizes_tokens(spark):
+    from module8_movies_etl_spark.operators.curation import mixture_rebalance
+
+    # group a: 10x the tokens of group b → a is downsampled ~10x
+    rows = [(i, "a", 100) for i in range(1000)] + [
+        (i, "b", 10) for i in range(1000, 2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, t long")
+    out = mixture_rebalance(df, "id", "grp", F.col("t"), budget_frac=0.5)
+    kept = out.groupBy("grp").sum("n_tokens").collect()
+    toks = {r["grp"]: r["sum(n_tokens)"] for r in kept}
+    # target per group = 0.5 * 110000 / 2 = 27500
+    assert abs(toks["a"] - 27500) / 27500 < 0.2, toks
+    # group b can't reach the target (only 10k tokens) → keep all
+    assert toks["b"] == 10000
+    rates = {r["grp"]: r["rate"] for r in out.select("grp", "rate").distinct().collect()}
+    assert rates["b"] == 1.0 and 0.2 < rates["a"] < 0.35
