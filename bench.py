@@ -61,6 +61,9 @@ HEADLINE = [
     "curation_pipeline_v2",
     "bm25_keyword_search",
     "pagerank_dupgraph",
+    "bootstrap_ci_price",
+    "stream_kmv_distinct",
+    "incremental_dedup_newbatch",
 ]
 
 

@@ -125,3 +125,58 @@ def equidepth_histogram(
             "n_rows",
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    id_col: str,
+) -> DataFrame:
+    """Per-key 2D SKYLINE (Pareto frontier, minimize both axes): a row
+    survives iff no other row of the key has x ≤ AND y ≤ with at least
+    one strict — the classic SKYLINE OF operator, lowered to two
+    window minima instead of the textbook O(n²) dominance self-join.
+
+    ``x_col``/``y_col`` must be integer-comparable Column expressions
+    (cents-scaled money, epoch days): dominance tests are then exact
+    in any engine, and "strictly smaller x" is the RANGE frame
+    ``(-∞, -1]`` on x.
+
+    A row is dominated iff ``min(y | x' < x) ≤ y`` (someone strictly
+    cheaper is also no-later) or ``min(y | x' = x) < y`` (an equal-x
+    row is strictly earlier). Exact (x, y) duplicates tie — all kept,
+    per skyline semantics. One key shuffle serves both frames.
+
+    Returns the surviving rows: (key, id, x, y).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        x_col.cast("long").alias("_x"),
+        y_col.cast("long").alias("_y"),
+    )
+    wlt = (
+        Window.partitionBy("_k")
+        .orderBy("_x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    weq = Window.partitionBy("_k", "_x")
+    min_y_cheaper = F.min("_y").over(wlt)
+    min_y_equal = F.min("_y").over(weq)
+    dominated = (
+        min_y_cheaper.isNotNull() & (min_y_cheaper <= F.col("_y"))
+    ) | (min_y_equal < F.col("_y"))
+    return (
+        base.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_id").alias(id_col),
+            F.col("_x").alias("x"),
+            F.col("_y").alias("y"),
+        )
+    )

@@ -320,3 +320,83 @@ def bloom_build_probe(
             6,
         ).alias("fp_rate"),
     )
+
+
+def histogram_sketch_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable QUANTILE sketch: per-key equi-width histogram (counts
+    add across partitions/days — the property `percentile_approx`'s
+    engine-private digest has but cannot replay) + linear
+    interpolation inside the target bin. Error is bounded by the bin
+    width, not the data size; ``n_bins`` rows of state per key.
+
+    Every step is identical-operand double arithmetic (bin edges from
+    per-key min/max, counts integer, interpolation in one fixed
+    expression order), so the ESTIMATES replay bit-for-bit in SQL —
+    the sketch-accuracy/portability trade at its clearest.
+
+    Shape: one (key) min/max aggregate broadcast back, one (key, bin)
+    count aggregate, one cumulative window over ≤ n_bins rows per key.
+
+    Returns (key, n, est_q50, est_q95, ...) — one row per key.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    # clamp to the last bin so v == max lands in bin n_bins-1
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("_v") - F.col("_lo")) * n_bins / span).cast("int"),
+    )
+    binned = (
+        df.select(F.col(key_col).alias("_k"), v.alias("_v"))
+        .join(F.broadcast(stats), "_k")
+        .select(
+            "_k",
+            "_lo",
+            "_hi",
+            F.when(span > 0, bin_).otherwise(F.lit(0)).alias("_b"),
+        )
+        .groupBy("_k", "_lo", "_hi", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("_k")
+    cum = binned.select(
+        "_k",
+        "_lo",
+        "_hi",
+        "_b",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    outs = [F.max("_n").cast("long").alias("n")]
+    for q in qs:
+        target = F.lit(q) * F.col("_n")
+        prev = F.col("_cum") - F.col("_c")
+        # first bin whose cumulative count reaches the target rank
+        est = F.min(
+            F.when(
+                F.col("_cum") >= target,
+                F.col("_lo")
+                + F.col("_b") * width
+                + (target - prev) / F.col("_c") * width,
+            )
+        )
+        outs.append(F.round(est, 4).alias(f"est_q{int(q * 100)}"))
+    return cum.groupBy(F.col("_k").alias(key_col)).agg(*outs)

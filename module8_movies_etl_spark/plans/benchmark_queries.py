@@ -6998,6 +6998,106 @@ def mixture_rebalance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_HISTSKETCH_ORACLE = """
+WITH stats AS (
+    SELECT o_orderstatus AS k, min(CAST(o_totalprice AS DOUBLE)) AS lo,
+           max(CAST(o_totalprice AS DOUBLE)) AS hi
+    FROM orders GROUP BY 1
+),
+binned AS (
+    SELECT o.o_orderstatus AS k, s.lo, s.hi,
+           CASE WHEN s.hi > s.lo
+                THEN least(63, CAST(floor((CAST(o_totalprice AS DOUBLE) - s.lo)
+                                          * 64 / (s.hi - s.lo)) AS INTEGER))
+                ELSE 0 END AS b
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.k
+),
+cnt AS (SELECT k, lo, hi, b, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
+cum AS (
+    SELECT k, lo, hi, b, c,
+           sum(c) OVER (PARTITION BY k ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+           sum(c) OVER (PARTITION BY k) AS n
+    FROM cnt
+)
+SELECT k AS o_orderstatus,
+       CAST(max(n) AS BIGINT) AS n,
+       round(min(CASE WHEN cm >= 0.5 * n
+                 THEN lo + b * ((hi - lo) / 64)
+                      + (0.5 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
+           AS est_q50,
+       round(min(CASE WHEN cm >= 0.95 * n
+                 THEN lo + b * ((hi - lo) / 64)
+                      + (0.95 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
+           AS est_q95,
+       round(min(CASE WHEN cm >= 0.99 * n
+                 THEN lo + b * ((hi - lo) / 64)
+                      + (0.99 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
+           AS est_q99
+FROM cum GROUP BY k
+"""
+
+
+@query("histsketch_price_by_status", _HISTSKETCH_ORACLE)
+def histsketch_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch, beyond-ref §2.13 — the QUANTILE sketch beside KMV/CMS]
+    Per-status p50/p95/p99 of order value from a MERGEABLE 64-bin
+    equi-width histogram (counts add across partitions/days — the
+    property percentile_approx's engine-private digest can't replay) +
+    linear interpolation inside the target bin. Identical-operand
+    double arithmetic end to end, so the ESTIMATES hash-verify; the
+    exact-percentile twin is ``quantiles_by_status``
+    (``sketches.histogram_sketch_quantiles``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return sketches.histogram_sketch_quantiles(
+        o, "o_orderstatus", "o_totalprice", n_bins=64, qs=(0.5, 0.95, 0.99)
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH base AS (
+    SELECT o_orderstatus AS k, o_orderkey AS id,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+    FROM orders
+),
+m AS (
+    SELECT k, id, x, y,
+           min(y) OVER (PARTITION BY k ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS myc,
+           min(y) OVER (PARTITION BY k, x) AS mye
+    FROM base
+)
+SELECT k AS o_orderstatus, id AS o_orderkey, x, y
+FROM m
+WHERE NOT ((myc IS NOT NULL AND myc <= y) OR mye < y)
+"""
+
+
+@query("skyline_orders", _SKYLINE_ORACLE)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[analytics, beyond-ref §2.13 — the classic SKYLINE OF operator]
+    Per-status Pareto frontier of orders minimizing (price, date):
+    "cheapest-and-earliest" rows no other row dominates. Lowered to
+    two window minima on integer axes (cents, epoch days) — min(y)
+    over strictly-cheaper rows via a RANGE (-inf, -1] frame plus
+    min(y) over equal-price rows — instead of the textbook O(n²)
+    dominance self-join; one key shuffle serves both frames
+    (``robust.skyline_2d``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    y = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    return robust.skyline_2d(o, "o_orderstatus", x, y, "o_orderkey").select(
+        F.col("o_orderstatus"),
+        F.col("o_orderkey"),
+        "x",
+        "y",
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

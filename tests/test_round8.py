@@ -442,3 +442,59 @@ def test_mixture_rebalance_equalizes_tokens(spark):
     assert toks["b"] == 10000
     rates = {r["grp"]: r["rate"] for r in out.select("grp", "rate").distinct().collect()}
     assert rates["b"] == 1.0 and 0.2 < rates["a"] < 0.35
+
+
+# ---------------------------------------------------- histogram sketch
+
+
+def test_histsketch_close_to_exact(spark):
+    from module8_movies_etl_spark.operators.sketches import (
+        histogram_sketch_quantiles,
+    )
+
+    vals = [float(i) for i in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = histogram_sketch_quantiles(df, "k", "v", n_bins=64).collect()[0]
+    assert r["n"] == 1000
+    # bin width ≈ 15.6 → estimates within ~2 bins of truth (the rank
+    # interpolation can straddle a bin boundary)
+    assert abs(r["est_q50"] - 500.5) < 32
+    assert abs(r["est_q95"] - 950.05) < 32
+    assert abs(r["est_q99"] - 990.01) < 32
+
+
+def test_histsketch_degenerate_single_value(spark):
+    from module8_movies_etl_spark.operators.sketches import (
+        histogram_sketch_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", 7.0)] * 5, "k string, v double")
+    r = histogram_sketch_quantiles(df, "k", "v", n_bins=64).collect()[0]
+    assert r["est_q50"] == 7.0 and r["est_q99"] == 7.0
+
+
+# ----------------------------------------------------------- skyline
+
+
+def test_skyline_matches_brute_force(spark):
+    from module8_movies_etl_spark.operators.robust import skyline_2d
+
+    pts = [
+        (1, 5, 10), (2, 3, 20), (3, 3, 15), (4, 8, 5), (5, 8, 5),
+        (6, 1, 30), (7, 9, 4), (8, 2, 25), (9, 3, 15),
+    ]
+    df = spark.createDataFrame(
+        [("k", i, x, y) for i, x, y in pts], "k string, id long, x long, y long"
+    )
+    got = sorted(r["id"] for r in skyline_2d(df, "k", F.col("x"), F.col("y"), "id").collect())
+
+    def dominated(a, b):  # b dominates a
+        return b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+
+    want = sorted(
+        i for (i, x, y) in pts
+        if not any(dominated((i, x, y), p) for p in pts if p[0] != i)
+    )
+    assert got == want, (got, want)
+    # duplicates on the frontier tie and both survive
+    assert 4 in got and 5 in got
