@@ -8,7 +8,7 @@ ONE compact JSON line::
     {"metric": "catalog_total", "value": N, "unit": "sec",
      "queries": {<headline subset>}, "n_queries": 139, "sf": 0.1}
 
-The catalog is ~144 queries; a full per-query map would be ~9 KB and
+The catalog is 150+ queries; a full per-query map would be ~10 KB and
 overflow the driver's stdout tail capture (this broke round 3's
 BENCH_r03.json — ``parsed: null``). So the stdout line carries only the
 ~2 dozen headline queries (one per operator family, the ones worth

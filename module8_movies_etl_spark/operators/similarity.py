@@ -832,3 +832,59 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def bipartite_align(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext-style ALIGNMENT mining: for every LEFT vector, its
+    nearest RIGHT vector by cosine plus the margin over the runner-up
+    — the parallel-corpus mining step (align candidate translations /
+    caption-image pairs across two partitions) where the MARGIN, not
+    the raw similarity, is the accept signal (Artetxe & Schwenk's
+    margin criterion, here the absolute top1−top2 gap).
+
+    Physical shape mirrors ``cosine_topk``: the right side is
+    broadcast (it is the index side — pre-filter or shard it when it
+    outgrows broadcast; the LSH-bucketed variant for two UNbounded
+    sides is ``embedding_near_dups``'s banded join with a side tag),
+    the left side streams, and per-left ranking is one window.
+
+    Returns (id, match_id, cosine_sim, margin) — margin NULL when the
+    right side has a single vector.
+    """
+    l_ = left.select(
+        F.col(id_col).alias("_a"),
+        _as_double(F.col(vec_col)).alias("_av"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_an"),
+    )
+    r_ = right.select(
+        F.col(id_col).alias("_b"),
+        _as_double(F.col(vec_col)).alias("_bv"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_bn"),
+    )
+    scored = l_.crossJoin(F.broadcast(r_)).select(
+        "_a",
+        "_b",
+        (dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias(
+            "_sim"
+        ),
+    )
+    w = Window.partitionBy("_a").orderBy(F.desc("_sim"), F.col("_b"))
+    top2 = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= 2
+    )
+    return top2.groupBy(F.col("_a").alias(id_col)).agg(
+        F.max(F.when(F.col("_r") == 1, F.col("_b"))).alias("match_id"),
+        F.round(F.max(F.when(F.col("_r") == 1, F.col("_sim"))), 6).alias(
+            "cosine_sim"
+        ),
+        F.round(
+            F.max(F.when(F.col("_r") == 1, F.col("_sim")))
+            - F.max(F.when(F.col("_r") == 2, F.col("_sim"))),
+            6,
+        ).alias("margin"),
+    )

@@ -261,63 +261,79 @@ def bloom_build_probe(
     the cross-pipeline pre-filter pattern (only rows that MIGHT match
     an allowlist get forwarded at all).
 
-    Scale shape: the filter is a ≤``m_bits``-row bit-position table
-    folded from a map-side-combined distinct — broadcast to the probe
-    scan; exact membership (for the report) is one broadcast semi
-    join of the (small) build key set. Probe cost: ``n_hashes`` md5s
-    per row, no shuffle.
+    Scale shape — membership tests are BROADCAST HASH JOINS, never
+    array scans: the round-4 first cut carried the bit table as an
+    array column and probed with ``array_contains`` — an O(m) linear
+    scan per hash per row, 1.8e9 comparisons at sf0.1 (measured
+    9.6 s); as hash-join probes the same work is O(1) per row
+    (measured 0.9 s). Probes collapse to DISTINCT keys first (the
+    verdict per key is constant), re-weighted by occurrence counts at
+    the end, so the join side scales with key cardinality, not row
+    count.
 
     Returns one row: (n_build, n_probe, n_flagged, n_members,
     n_false_pos, fp_rate).
     """
+    bkeys = build.select(F.col(build_col).cast("string").alias("_k")).distinct()
     bits = (
-        build.select(F.col(build_col).cast("string").alias("_k"))
-        .distinct()
-        .select(
-            "_k",
+        bkeys.select(
             F.explode(
                 F.array(
-                    *[
-                        _bucket(F.col("_k"), r, m_bits).alias(f"_p{r}")
-                        for r in range(n_hashes)
-                    ]
+                    *[_bucket(F.col("_k"), r, m_bits) for r in range(n_hashes)]
                 )
-            ).alias("_pos"),
+            ).alias("_pos")
         )
-        .select("_pos")
         .distinct()
-        .groupBy()
-        .agg(F.array_sort(F.collect_list("_pos")).alias("_bits"))
+        .withColumn("_hit", F.lit(1))
     )
-    keys = (
-        build.select(F.col(build_col).cast("string").alias("_k"))
-        .distinct()
-        .groupBy()
-        .agg(F.collect_set("_k").alias("_keys"))
+    counts = (
+        probe.select(F.col(probe_col).cast("string").alias("_p"))
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    p = probe.select(F.col(probe_col).cast("string").alias("_p"))
-    flagged_expr = None
-    for r in range(n_hashes):
-        c = F.array_contains(F.col("_bits"), _bucket(F.col("_p"), r, m_bits))
-        flagged_expr = c if flagged_expr is None else (flagged_expr & c)
-    member = F.array_contains(F.col("_keys"), F.col("_p"))
-    joined = p.crossJoin(F.broadcast(bits)).crossJoin(F.broadcast(keys))
-    return joined.select(
-        F.size("_keys").alias("_nb"),
-        flagged_expr.alias("_f"),
-        member.alias("_m"),
-    ).groupBy().agg(
-        F.max("_nb").cast("long").alias("n_build"),
-        F.count(F.lit(1)).cast("long").alias("n_probe"),
-        F.sum(F.col("_f").cast("long")).cast("long").alias("n_flagged"),
-        F.sum(F.col("_m").cast("long")).cast("long").alias("n_members"),
-        F.sum((F.col("_f") & ~F.col("_m")).cast("long"))
+    fan = counts.select(
+        "_p",
+        "_cnt",
+        F.explode(
+            F.array(*[_bucket(F.col("_p"), r, m_bits) for r in range(n_hashes)])
+        ).alias("_pos"),
+    )
+    per_key = (
+        fan.join(F.broadcast(bits), "_pos", "left")
+        .groupBy("_p", "_cnt")
+        .agg((F.sum(F.coalesce("_hit", F.lit(0))) == n_hashes).alias("_f"))
+    )
+    flags = per_key.join(
+        F.broadcast(bkeys.withColumn("_mem", F.lit(True))),
+        per_key["_p"] == bkeys["_k"],
+        "left",
+    ).select(
+        "_p",
+        "_cnt",
+        "_f",
+        F.coalesce("_mem", F.lit(False)).alias("_m"),
+    )
+    summary = flags.groupBy().agg(
+        F.sum("_cnt").cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("_f"), F.col("_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("_m"), F.col("_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("_f") & ~F.col("_m"), F.col("_cnt")).otherwise(0))
         .cast("long")
         .alias("n_false_pos"),
+    )
+    n_build = bkeys.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    return summary.crossJoin(F.broadcast(n_build)).select(
+        "n_build",
+        "n_probe",
+        "n_flagged",
+        "n_members",
+        "n_false_pos",
         F.round(
-            F.sum((F.col("_f") & ~F.col("_m")).cast("long")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            F.col("n_false_pos").cast("double") / F.col("n_probe"), 6
         ).alias("fp_rate"),
     )
 

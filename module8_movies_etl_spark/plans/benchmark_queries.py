@@ -7098,6 +7098,60 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_ALIGN_ORACLE = """
+WITH l AS (
+    SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
+    FROM embeddings WHERE label % 2 = 0
+),
+r AS (
+    SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+    FROM embeddings WHERE label % 2 = 1
+),
+scored AS (
+    SELECT a_id, b_id,
+           list_dot_product(av, bv)
+             / (sqrt(list_dot_product(av, av))
+                * sqrt(list_dot_product(bv, bv))) AS sim
+    FROM l, r
+),
+rk AS (
+    SELECT a_id, b_id, sim,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY sim DESC, b_id) AS rnk
+    FROM scored
+),
+agg AS (
+    SELECT a_id,
+           max(CASE WHEN rnk = 1 THEN b_id END) AS match_id,
+           max(CASE WHEN rnk = 1 THEN sim END) AS sim1,
+           max(CASE WHEN rnk = 2 THEN sim END) AS sim2
+    FROM rk WHERE rnk <= 2 GROUP BY a_id
+)
+SELECT a_id AS vec_id, match_id,
+       round(sim1, 6) AS cosine_sim,
+       round(sim1 - sim2, 6) AS margin
+FROM agg
+"""
+
+
+@query("align_embeddings_bipartite", _ALIGN_ORACLE)
+def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search, beyond-ref §2.13 — bitext-mining shape]
+    Align every even-label vector to its nearest odd-label vector
+    (two label groups standing in for two languages) with the
+    top1−top2 MARGIN as the accept signal — the parallel-corpus
+    mining step. Broadcast index side, streaming probe side, one
+    window per probe; margins derive from identical doubles, so the
+    whole alignment hash-verifies (``similarity.bipartite_align``).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.bipartite_align(
+        emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0),
+        emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -498,3 +498,34 @@ def test_skyline_matches_brute_force(spark):
     assert got == want, (got, want)
     # duplicates on the frontier tie and both survive
     assert 4 in got and 5 in got
+
+
+# ----------------------------------------------------------- alignment
+
+
+def test_bipartite_align_model(spark):
+    from module8_movies_etl_spark.operators.similarity import bipartite_align
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [(10, [2.0, 0.1]), (11, [0.1, 3.0]), (12, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["match_id"], r["cosine_sim"], r["margin"])
+        for r in bipartite_align(left, right).collect()
+    }
+    # vector (1,0) aligns to (2,0.1); (0,1) aligns to (0.1,3)
+    assert got[1][0] == 10 and got[2][0] == 11
+    for vid in (1, 2):
+        m, sim, margin = got[vid]
+        assert 0.9 < sim <= 1.0
+        assert margin is not None and margin > 0
+    # margin = top1 - top2, spot-check vec 1: runner-up is (1,1)
+    import math as _m
+
+    sim1 = 2.0 / _m.sqrt(1) / _m.sqrt(4.01)
+    sim2 = 1.0 / _m.sqrt(1) / _m.sqrt(2)
+    assert abs(got[1][2] - round(sim1 - sim2, 6)) < 1e-6
