@@ -7152,6 +7152,208 @@ def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_PIT_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events WHERE event_type <> 'purchase'
+),
+flagged AS (
+    SELECT user_id, event_type, ts_us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+seg AS (
+    SELECT user_id, event_type, ts_us,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+    FROM flagged
+),
+hist AS (
+    SELECT user_id, seg, max(event_type) AS state_type,
+           min(ts_us) AS valid_from
+    FROM seg GROUP BY user_id, seg
+),
+p AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       h.state_type, h.seg AS state_seg, h.valid_from AS state_from
+FROM p LEFT JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from = (SELECT max(h2.valid_from) FROM hist h2
+                     WHERE h2.user_id = p.user_id
+                       AND h2.valid_from <= p.ts_us)
+"""
+
+
+@query("pit_join_purchase_state", _PIT_ORACLE)
+def pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[feature-store PIT join, beyond-ref §2.13 — SCD2 × as-of
+    composed] Each purchase joined to the user's activity state VALID
+    AT PURCHASE TIME: the SCD2 intervals of non-purchase activity (one
+    gaps-and-islands pass) looked up point-in-time via the linear
+    merge-sorted as-of join (``asof.asof_join_backward`` — union +
+    one (user, ts) sort + carry-forward window; no per-key quadratic
+    candidate join). This is the training-data correctness pattern:
+    features as-of the label's timestamp, never leaked from later
+    state.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    hist = cdc.scd2_history(
+        e.filter(F.col("event_type") != "purchase"),
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts_us",
+        tie_col="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        F.col("seg"),
+        F.col("valid_from"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id"
+    )
+    out = asof.asof_join_backward(
+        purchases,
+        hist,
+        key_cols=["user_id"],
+        left_ts="ts_us",
+        right_ts="valid_from",
+        payload_cols=["state_type", "seg"],
+        prefix="pit_",
+        tiebreak_cols=["seg"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("pit_state_type").alias("state_type"),
+        F.col("pit_seg").alias("state_seg"),
+        F.col("pit_valid_from").alias("state_from"),
+    )
+
+
+
+_F2_CMS_ORACLE = """
+WITH pairs AS (
+    SELECT r AS row_, CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                    || '#' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+                % 256 AS INTEGER) AS bucket
+    FROM orders, UNNEST([0, 1, 2, 3]) AS t(r)
+),
+grid AS (
+    SELECT row_, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY row_, bucket
+),
+est AS (
+    SELECT min(s) AS cms_f2 FROM (
+        SELECT row_, sum(cnt * cnt) AS s FROM grid GROUP BY row_
+    )
+),
+exact AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c * c) AS BIGINT) AS exact_f2
+    FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
+)
+SELECT n_rows, n_keys, exact_f2,
+       CAST(cms_f2 AS BIGINT) AS cms_f2,
+       round((CAST(cms_f2 AS DOUBLE) - exact_f2) / exact_f2, 6) AS rel_err
+FROM exact, est
+"""
+
+
+@query("selfjoin_size_estimate_cms", _F2_CMS_ORACLE)
+def selfjoin_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch × optimizer, beyond-ref §2.13] Self-join size / second
+    frequency moment F₂ = Σ f(v)² of the order-customer key, estimated
+    FROM THE COUNT-MIN SKETCH (min over depth rows of Σ_b cnt_b² — the
+    AGMS-style inner-product estimator on the CMS grid, Cormode &
+    Muthukrishnan §4.2) next to the exact value. This is the statistic
+    a cost-based planner wants before committing to a join strategy on
+    a possibly-skewed key — computable from ≤1,024 counters without
+    touching the pair space. All-integer arithmetic: the ESTIMATE
+    itself hash-verifies (``sketches.cms_build``).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    grid = sketches.cms_build(o, "o_custkey", depth=4, width=256)
+    est = (
+        grid.groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("_s"))
+        .groupBy()
+        .agg(F.min("_s").cast("long").alias("cms_f2"))
+    )
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy()
+        .agg(
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("exact_f2"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "exact_f2",
+        "cms_f2",
+        F.round(
+            (F.col("cms_f2").cast("double") - F.col("exact_f2"))
+            / F.col("exact_f2"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+
+_FB_UPSERT_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+latest AS (
+    SELECT user_id,
+           max({'ts_us': ts_us, 'event_id': event_id,
+                'event_type': event_type}) AS m
+    FROM e GROUP BY user_id
+)
+SELECT user_id,
+       m.event_type AS event_type,
+       m.ts_us AS ts_us,
+       m.event_id AS event_id
+FROM latest
+"""
+
+
+@query("stream_upsert_foreachbatch", _FB_UPSERT_ORACLE)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming sink §2.11 — the foreachBatch MERGE pattern] Replay
+    events as SEVERAL micro-batches (maxFilesPerTrigger=1 over a
+    4-file copy); each batch's latest-row-per-user candidates COMPACT
+    into a versioned parquet state table (union + per-key (ts, id)
+    struct-max — the associative latest-wins fold; read-state and
+    write-state directories never overlap — the self-overwrite trap). Latest-wins by event time is associative
+    over batches, so the final state must equal the batch "latest
+    event per user" EXACTLY regardless of the batch split — which the
+    oracle pins (``streaming.sinks.run_upsert_foreachbatch``).
+    """
+    from ..streaming.sinks import run_upsert_foreachbatch
+
+    return run_upsert_foreachbatch(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

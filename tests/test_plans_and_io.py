@@ -613,3 +613,21 @@ def test_bootstrap_fanout_is_mapside(spark):
     plan = plan_of(spark, "bootstrap_ci_price")
     assert re.search(r"[Ee]xplode|Generate", plan), plan
     assert "conv(" not in plan.lower(), plan  # hex compare, not conv()
+
+
+def test_bloom_probe_is_hash_join_not_array_scan(spark):
+    """Bloom membership must probe via broadcast hash joins: an
+    array_contains over the m-bit table is an O(m) scan per hash per
+    row (measured 9.6 s at sf0.1 vs 0.9 s as joins)."""
+    plan = plan_of(spark, "bloom_filter_vip_orders")
+    assert "array_contains" not in plan.lower(), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bipartite_align_broadcasts_index_side(spark):
+    """Alignment streams the probe side against a broadcast index —
+    a shuffle join here would re-partition the (unbounded) probe
+    stream for no reason."""
+    plan = plan_of(spark, "align_embeddings_bipartite")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
