@@ -1295,3 +1295,65 @@ def incremental_minhash_matches(
             F.col("_new_id").alias(id_col), "n_index_matches", "first_match_id"
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col,
+    block_col,
+    window: int = 5,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup pairs — the third blocking
+    strategy beside token blocking (``jaccard_similar_pairs``) and LSH
+    banding: sort records by a fuzzy key within coarse blocks and
+    compare each record only to its ``window−1`` successors in sort
+    order. Catches prefix-sharing near-dups ("acme corp" / "acme
+    corp.") that token-set methods score low and banding can miss,
+    at linear candidate cost |n|·(w−1).
+
+    Physically: one rank window per block (``block_col`` keeps the
+    sort partitioned — classic blocked SNM; an unblocked global sort
+    would serialize on one task at scale), an offset explode
+    (1..w−1), an equi-join on (block, rank+offset) — no range join,
+    no self-cross — and exact Levenshtein verification ≤
+    ``max_distance`` with the lossless length-difference pre-filter
+    ahead of the DP.
+
+    Returns (id_a, id_b, distance), id_a/id_b in sort order.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key_col.alias("_key"),
+        block_col.alias("_blk"),
+    ).filter(F.col("_key").isNotNull() & F.col("_blk").isNotNull())
+    w = Window.partitionBy("_blk").orderBy("_key", "_id")
+    ranked = base.withColumn("_r", F.row_number().over(w))
+    fan = ranked.select(
+        "_blk",
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("_key_a"),
+        "_r",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("_off"),
+    ).withColumn("_rb", F.col("_r") + F.col("_off"))
+    right = ranked.select(
+        "_blk",
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("_key_b"),
+        F.col("_r").alias("_rb"),
+    )
+    cand = fan.join(right, ["_blk", "_rb"])
+    # lossless pre-filter: |len(a) − len(b)| ≤ d bounds edit distance
+    lenok = (
+        F.abs(F.length("_key_a") - F.length("_key_b")) <= max_distance
+    )
+    dist = F.levenshtein("_key_a", "_key_b")
+    return (
+        cand.filter(lenok)
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+    )

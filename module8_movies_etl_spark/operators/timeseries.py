@@ -593,3 +593,73 @@ def interval_union_coverage(
             F.col("covered").cast("double") / F.greatest("span", F.lit(1)), 6
         ).alias("coverage"),
     )
+
+
+def trending_topk(
+    df: DataFrame,
+    ts_col: str,
+    item_col,
+    bucket_seconds: int = 3600,
+    k: int = 3,
+) -> DataFrame:
+    """Decayed TRENDING leaderboard: per time bucket, the top-k items
+    by exponentially-decayed activity ``score_h = Σ_{h'≤h} c_{h'} ·
+    2^{-(h−h')}`` — the "what's hot right now" ranking that weights a
+    burst this hour over steady volume last week. Scores are defined
+    at buckets where the item was ACTIVE (≥1 event); a silent item
+    decays out of the board by absence.
+
+    Same bit-parity recipe as ``ewma_smooth``: per-bucket decay 1/2
+    makes every weight an exactly-representable power of two, and both
+    engines evaluate the closed form with the identical ascending-h'
+    sequential fold — the RANKING therefore compares identical
+    doubles, and the leaderboard replays exactly in SQL.
+
+    Shape: one (item, bucket) count aggregate (map-side combined), one
+    bounded per-item array fold (bucket count per item, not row
+    count), one per-bucket top-k window (WindowGroupLimit).
+
+    Returns (bucket_start, item, score, rnk), k rows per bucket.
+    """
+    hb = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
+        "long"
+    )
+    hourly = (
+        df.select(item_col.alias("_item"), hb.alias("_hb"))
+        .groupBy("_item", "_hb")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    per_item = hourly.groupBy("_item").agg(
+        F.array_sort(F.collect_list(F.struct("_hb", "_c"))).alias("_arr")
+    )
+    scores = F.expr(
+        """
+        transform(_arr, (e, i) ->
+            aggregate(
+                transform(slice(_arr, 1, i + 1), (s, j) ->
+                    s._c * power(CAST(0.5 AS DOUBLE),
+                                 CAST(e._hb - s._hb AS DOUBLE))),
+                CAST(0 AS DOUBLE), (acc, t) -> acc + t))
+        """
+    )
+    exploded = per_item.select(
+        "_item",
+        F.explode(F.arrays_zip(F.col("_arr"), scores.alias("_s"))).alias("z"),
+    ).select(
+        "_item",
+        (F.col("z._arr._hb") * bucket_seconds).alias("bucket_start"),
+        F.col("z._s").alias("_score"),
+    )
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("_score"), F.asc("_item")
+    )
+    return (
+        exploded.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "bucket_start",
+            F.col("_item").alias("item"),
+            F.round("_score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -7354,6 +7354,102 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_upsert_foreachbatch(spark, sf_dir)
 
 
+
+_SNM_ORACLE = """
+WITH base AS (
+    SELECT p_partkey AS id, p_name AS key_, substr(p_name, 1, 1) AS blk
+    FROM part WHERE p_name IS NOT NULL
+),
+ranked AS (
+    SELECT id, key_, blk,
+           row_number() OVER (PARTITION BY blk ORDER BY key_, id) AS r
+    FROM base
+),
+fan AS (
+    SELECT blk, id AS id_a, key_ AS key_a, r, r + o AS rb
+    FROM ranked, UNNEST([1, 2, 3, 4]) AS t(o)
+),
+cand AS (
+    SELECT f.id_a, f.key_a, rk.id AS id_b, rk.key_ AS key_b
+    FROM fan f JOIN ranked rk ON f.blk = rk.blk AND f.rb = rk.r
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS distance
+FROM cand
+WHERE abs(length(key_a) - length(key_b)) <= 2
+  AND levenshtein(key_a, key_b) <= 2
+"""
+
+
+@query("snm_part_name_pairs", _SNM_ORACLE)
+def snm_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup-fuzzy, beyond-ref §2.13 — the third blocking strategy]
+    Sorted-neighborhood near-dup pairs over part names: sort by name
+    within first-letter blocks, compare each record to its 4
+    successors only (linear candidate cost), verify Levenshtein ≤ 2
+    behind the lossless length-difference pre-filter. Complements
+    token blocking (`part_name_matches`) and LSH banding — SNM catches
+    prefix-sharing variants token sets score low
+    (``dedup.sorted_neighborhood_pairs``).
+    """
+    p = read_table(spark, sf_dir, "part")
+    return dedup.sorted_neighborhood_pairs(
+        p,
+        "p_partkey",
+        F.col("p_name"),
+        F.substring(F.col("p_name"), 1, 1),
+        window=5,
+        max_distance=2,
+    )
+
+
+
+_TRENDING_ORACLE = """
+WITH hourly AS (
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS item,
+           epoch_us(ts) // 1000000 // 3600 AS hb,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1, 2
+),
+arr AS (
+    SELECT item, list(hb ORDER BY hb) AS bs, list(c ORDER BY hb) AS cs
+    FROM hourly GROUP BY item
+),
+scored AS (
+    SELECT item,
+           CAST(bs[i] * 3600 AS BIGINT) AS bucket_start,
+           list_reduce(
+               list_transform(range(1, i + 1),
+                   j -> cs[j] * power(0.5, CAST(bs[i] - bs[j] AS DOUBLE))),
+               (a, t) -> a + t) AS score
+    FROM arr, UNNEST(range(1, len(bs) + 1)) AS u(i)
+),
+rk AS (
+    SELECT bucket_start, item, score,
+           row_number() OVER (PARTITION BY bucket_start
+                              ORDER BY score DESC, item) AS rnk
+    FROM scored
+)
+SELECT bucket_start, item, round(score, 6) AS score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= 3
+"""
+
+
+@query("trending_items_topk", _TRENDING_ORACLE)
+def trending_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series × ranking, beyond-ref §2.13 — the "what's hot"
+    leaderboard] Per-hour top-3 payload items by exponentially-decayed
+    activity (Σ counts · 2^-age_hours): a burst now outranks steady
+    history. Power-of-two decay + identical sequential folds make the
+    scores — and therefore the RANKING — bit-identical across engines
+    (``timeseries.trending_topk``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    item = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    return timeseries.trending_topk(e, "ts", item, 3600, 3)
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -529,3 +529,57 @@ def test_bipartite_align_model(spark):
     sim1 = 2.0 / _m.sqrt(1) / _m.sqrt(4.01)
     sim2 = 1.0 / _m.sqrt(1) / _m.sqrt(2)
     assert abs(got[1][2] - round(sim1 - sim2, 6)) < 1e-6
+
+
+# --------------------------------------------------------------- snm
+
+
+def test_sorted_neighborhood_model(spark):
+    from module8_movies_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = [
+        (1, "acme corp"),
+        (2, "acme corp."),      # dist 1 from 1, adjacent in sort
+        (3, "acme corpse"),     # dist 2 from 1
+        (4, "zzz unrelated"),
+        (5, "beta llc"),
+    ]
+    df = spark.createDataFrame(names, "id long, nm string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in sorted_neighborhood_pairs(
+            df, "id", F.col("nm"), F.substring(F.col("nm"), 1, 1), 5, 2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2 or got[(2, 3)] == 1
+    assert not any(4 in p for p in got)  # different block, never compared
+    # window semantics: only successor pairs, so (a, b) with a after b
+    # in sort order never appears twice
+    assert all((b, a) not in got for (a, b) in got)
+
+
+# ---------------------------------------------------------- trending
+
+
+def test_trending_topk_decay_model(spark):
+    from module8_movies_etl_spark.operators.timeseries import trending_topk
+
+    rows = (
+        [(_ts(0), "a")] * 10        # a: burst at h0
+        + [(_ts(1), "b")] * 6       # b: burst at h1
+        + [(_ts(1), "a")] * 1       # a: trickle at h1
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    got = {
+        (r["bucket_start"], r["rnk"]): (r["item"], r["score"])
+        for r in trending_topk(df, "ts", F.col("item"), 3600, 2).collect()
+    }
+    h0 = int(_ts(0).timestamp()) // 3600 * 3600
+    h1 = h0 + 3600
+    assert got[(h0, 1)] == ("a", 10.0)
+    # at h1: a = 10·0.5 + 1 = 6.0 vs b = 6.0 → tie broken by item asc
+    assert got[(h1, 1)][0] == "a" and got[(h1, 1)][1] == 6.0
+    assert got[(h1, 2)] == ("b", 6.0)
