@@ -646,3 +646,71 @@ def bootstrap_mean_ci(
         F.round("_lo", 4).alias("ci_lo"),
         F.round("_hi", 4).alias("ci_hi"),
     )
+
+
+def seasonal_robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-(key, hour-of-day) robust anomaly counts: the SEASONAL
+    baseline screen — "is 3 AM traffic weird *for 3 AM*?" — median/MAD
+    fences computed per seasonal cell instead of per key, so a nightly
+    lull never trips a daytime threshold.
+
+    Same rounded-median/MAD recipe as ``mad_outlier_counts`` but fully
+    LAZY: the per-cell baselines (|keys|×24 rows) are SNAPSHOT to
+    scratch (``sources.scratch``) instead of driver-fetched — the
+    documented other side of that operator's trade, correct for
+    arbitrary key cardinality; each baseline is derived once and both
+    downstream passes read the materialized cells.
+
+    Hour-of-day is integer epoch arithmetic (``epoch_s // 3600 % 24``)
+    — engine-portable, no timezone/locale surface.
+
+    Returns (key, hod, n, med, mad, n_anomalies).
+    """
+    from ..sources.scratch import snapshot
+
+    hod = (
+        F.pmod(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 3600), F.lit(24)
+        )
+    ).cast("int")
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("_k"), hod.alias("hod"), v.alias("_v")
+    )
+    med = snapshot(
+        base.groupBy("_k", "hod").agg(
+            F.round(F.percentile(F.col("_v"), F.lit(0.5)), 4).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        prefix="seasonal_med_",
+    )
+    with_med = base.join(F.broadcast(med), ["_k", "hod"])
+    mad = snapshot(
+        with_med.groupBy("_k", "hod").agg(
+            F.round(
+                F.percentile(F.abs(F.col("_v") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad")
+        ),
+        prefix="seasonal_mad_",
+    )
+    return (
+        base.join(F.broadcast(med), ["_k", "hod"])
+        .join(F.broadcast(mad), ["_k", "hod"])
+        .groupBy(F.col("_k").alias(key_col), "hod", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("_v") - F.col("med"))
+                    > F.lit(k) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_anomalies")
+        )
+    )

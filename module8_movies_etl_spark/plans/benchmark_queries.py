@@ -7450,6 +7450,268 @@ def trending_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.trending_topk(e, "ts", item, 3600, 3)
 
 
+
+_FEATURE_ASM_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+),
+feat AS (
+    SELECT user_id, event_type, ts_us, event_id, v,
+           CAST(count(*) FILTER (WHERE event_type = 'click')
+                OVER wprior AS BIGINT) AS prior_clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'view')
+                OVER wprior AS BIGINT) AS prior_views,
+           CAST(count(*) FILTER (WHERE event_type = 'error')
+                OVER wprior AS BIGINT) AS prior_errors,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                OVER wprior AS BIGINT) AS prior_purchases,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                OVER wprior, 0) AS DOUBLE) AS prior_spend,
+           max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER wprior AS last_click_us
+    FROM e
+    WINDOW wprior AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us,
+       prior_clicks, prior_views, prior_errors, prior_purchases,
+       round(prior_spend, 4) AS prior_spend,
+       CASE WHEN last_click_us IS NOT NULL
+            THEN (ts_us - last_click_us) // 1000000 END AS secs_since_click,
+       round(CAST(v AS DOUBLE), 4) AS label_value
+FROM feat
+WHERE event_type = 'purchase'
+"""
+
+
+@query("feature_assembly_purchases", _FEATURE_ASM_ORACLE)
+def feature_assembly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML feature assembly capstone, beyond-ref §2.13 — the
+    supervised-training example table] One row per purchase (label =
+    its value) with LEAKAGE-SAFE features computed strictly from the
+    user's PRIOR events: per-type counts, prior spend (DECIMAL-exact),
+    and seconds since last click — every feature an exclusive-frame
+    window over ONE (user, ts, id) sort, so the whole example table
+    costs a single shuffle and features can never see the label's
+    timestamp or later (the point-in-time discipline
+    ``pit_join_purchase_state`` establishes, here at feature grain).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("_v"),
+    )
+    wprior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prior_count(t: str):
+        return (
+            F.count(F.when(F.col("event_type") == t, 1))
+            .over(wprior)
+            .cast("long")
+        )
+
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        "_v",
+        prior_count("click").alias("prior_clicks"),
+        prior_count("view").alias("prior_views"),
+        prior_count("error").alias("prior_errors"),
+        prior_count("purchase").alias("prior_purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("_v"))
+            ).over(wprior),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("_prior_spend"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        )
+        .over(wprior)
+        .alias("_last_click_us"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "prior_clicks",
+        "prior_views",
+        "prior_errors",
+        "prior_purchases",
+        F.round("_prior_spend", 4).alias("prior_spend"),
+        F.floor(
+            (F.col("ts_us") - F.col("_last_click_us")) / 1_000_000
+        ).cast("long").alias("secs_since_click"),
+        F.round(F.col("_v").cast("double"), 4).alias("label_value"),
+    )
+
+
+
+_FK_DISCOVERY_ORACLE = """
+WITH cand(child_tbl, child_col, parent_tbl, parent_col) AS (
+    VALUES ('lineitem', 'l_orderkey', 'orders', 'o_orderkey'),
+           ('orders', 'o_custkey', 'customer', 'c_custkey'),
+           ('customer', 'c_nationkey', 'nation', 'n_nationkey'),
+           ('lineitem', 'l_partkey', 'part', 'p_partkey'),
+           ('events', 'user_id', 'customer', 'c_custkey')
+),
+stats AS (
+    SELECT 'lineitem' AS t, 'l_orderkey' AS c,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child,
+           CAST(count(DISTINCT l_orderkey)
+                FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+                AS BIGINT) AS n_contained
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'o_custkey',
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey)
+                FILTER (WHERE o_custkey IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'c_nationkey',
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey)
+                FILTER (WHERE c_nationkey IN (SELECT n_nationkey FROM nation))
+                AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey',
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(count(DISTINCT l_partkey)
+                FILTER (WHERE l_partkey IN (SELECT p_partkey FROM part))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'user_id',
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id)
+                FILTER (WHERE user_id IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    FROM events
+)
+SELECT cand.child_tbl, cand.child_col, cand.parent_tbl, cand.parent_col,
+       s.n_child AS n_child_keys,
+       s.n_contained AS n_contained,
+       round(CAST(s.n_contained AS DOUBLE) / s.n_child, 6) AS containment,
+       s.n_contained = s.n_child AS is_fk
+FROM cand JOIN stats s ON cand.child_tbl = s.t AND cand.child_col = s.c
+"""
+
+
+@query("fk_discovery_profile", _FK_DISCOVERY_ORACLE)
+def fk_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data discovery, beyond-ref §2.13 beside the DQ audit] Foreign-
+    key DISCOVERY: for each candidate (child.col → parent.col) pair,
+    the inclusion coefficient |child ∩ parent| / |child| over DISTINCT
+    keys — the profiling statistic schema-inference tools rank FK
+    candidates by. Each candidate costs one distinct-aggregate plus a
+    broadcast LEFT SEMI join on the parent's key set (the parent side
+    is key-grain); a containment of exactly 1.0 flags a real FK, and
+    the deliberately-wrong candidate (events.user_id → customer) shows
+    a fractional score instead of a crash — discovery, not assertion.
+    """
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for child_tbl, child_col, parent_tbl, parent_col in pairs:
+        child = (
+            read_table(spark, sf_dir, child_tbl)
+            .select(F.col(child_col).alias("_k"))
+            .distinct()
+        )
+        parent = read_table(spark, sf_dir, parent_tbl).select(
+            F.col(parent_col).alias("_k")
+        )
+        contained = child.join(F.broadcast(parent.distinct()), "_k", "left_semi")
+        row = (
+            child.groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_child_keys"))
+            .crossJoin(
+                contained.groupBy().agg(
+                    F.count(F.lit(1)).cast("long").alias("n_contained")
+                )
+            )
+            .select(
+                F.lit(child_tbl).alias("child_tbl"),
+                F.lit(child_col).alias("child_col"),
+                F.lit(parent_tbl).alias("parent_tbl"),
+                F.lit(parent_col).alias("parent_col"),
+                "n_child_keys",
+                "n_contained",
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_keys"),
+                    6,
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_keys")).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+    SELECT event_type AS k,
+           CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS INTEGER) AS hod,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+),
+med AS (
+    SELECT k, hod, round(quantile_cont(v, 0.5), 4) AS med,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base GROUP BY k, hod
+),
+mad AS (
+    SELECT b.k, b.hod, round(quantile_cont(abs(b.v - m.med), 0.5), 4) AS mad
+    FROM base b JOIN med m ON b.k = m.k AND b.hod = m.hod
+    GROUP BY b.k, b.hod
+)
+SELECT b.k AS event_type, b.hod, m.n, m.med, d.mad,
+       CAST(sum(CASE WHEN abs(b.v - m.med) > 3.0 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM base b
+JOIN med m ON b.k = m.k AND b.hod = m.hod
+JOIN mad d ON b.k = d.k AND b.hod = d.hod
+GROUP BY b.k, b.hod, m.n, m.med, d.mad
+"""
+
+
+@query("seasonal_anomaly_hod", _SEASONAL_ORACLE)
+def seasonal_anomaly_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics × time-series, beyond-ref §2.13 — the SEASONAL
+    baseline screen] Robust median/MAD anomaly counts per (event_type,
+    hour-of-day): "is 3 AM traffic weird FOR 3 AM" — a nightly lull
+    never trips a daytime threshold. Fully-lazy baselines SNAPSHOT to
+    scratch (the other side of ``mad_outlier_orders``'s driver-fetch
+    trade — correct at any key cardinality); hour-of-day is integer
+    epoch arithmetic, and the rounded(4) baselines make the fence
+    compare engine-portable (``stats.seasonal_robust_anomalies``).
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.seasonal_robust_anomalies(e, "event_type", "ts", "value", 3.0)
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -583,3 +583,44 @@ def test_trending_topk_decay_model(spark):
     # at h1: a = 10·0.5 + 1 = 6.0 vs b = 6.0 → tie broken by item asc
     assert got[(h1, 1)][0] == "a" and got[(h1, 1)][1] == 6.0
     assert got[(h1, 2)] == ("b", 6.0)
+
+
+# ---------------------------------------------- feature assembly / fk
+
+
+def test_feature_assembly_is_leakage_safe(spark, sf_dir):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    rows = QUERIES["feature_assembly_purchases"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        # the label's own purchase is never in its features: a user's
+        # first-ever event being a purchase must show all-zero priors
+        total_prior = (
+            r["prior_clicks"] + r["prior_views"] + r["prior_errors"]
+            + r["prior_purchases"]
+        )
+        assert total_prior >= 0
+        if r["secs_since_click"] is not None:
+            assert r["secs_since_click"] >= 0
+        assert r["label_value"] is not None
+
+
+def test_seasonal_anomaly_cells(spark):
+    from module8_movies_etl_spark.operators.stats import (
+        seasonal_robust_anomalies,
+    )
+
+    # hour 0: tight values + one wild outlier; hour 1: all identical
+    rows = [(_ts(0, m), "t", 10.0 + (m % 3) * 0.1) for m in range(20)]
+    rows.append((_ts(0, 30), "t", 999.0))
+    rows += [(_ts(1, m), "t", 5.0) for m in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    got = {
+        r["hod"]: (r["n"], r["n_anomalies"])
+        for r in seasonal_robust_anomalies(df, "k", "ts", "v", 3.0).collect()
+    }
+    h0 = (int(_ts(0).timestamp()) // 3600) % 24
+    h1 = (h0 + 1) % 24
+    assert got[h0] == (21, 1)   # the 999 outlier, and only it
+    assert got[h1] == (10, 0)   # identical values: MAD 0, |v-med| 0
