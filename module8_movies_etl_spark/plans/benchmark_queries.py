@@ -7712,6 +7712,174 @@ def seasonal_anomaly_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.seasonal_robust_anomalies(e, "event_type", "ts", "value", 3.0)
 
 
+
+_COVISIT_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           epoch_us(ts) // 1000000 AS es,
+           event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS item
+    FROM events
+),
+flagged AS (
+    SELECT user_id, es, event_id, item,
+           CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+sess AS (
+    SELECT user_id, item,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM flagged
+),
+items AS (SELECT DISTINCT user_id, sid, item FROM sess),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS together
+    FROM items a JOIN items b
+      ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+    GROUP BY a.item, b.item
+),
+sym AS (
+    SELECT item_a AS item, item_b AS other, together FROM pairs
+    UNION ALL
+    SELECT item_b, item_a, together FROM pairs
+),
+rk AS (
+    SELECT item, other, CAST(together AS BIGINT) AS together,
+           row_number() OVER (PARTITION BY item
+                              ORDER BY together DESC, other) AS rnk
+    FROM sym
+)
+SELECT item, other, together, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= 5
+"""
+
+
+@query("covisitation_topk", _COVISIT_ORACLE)
+def covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[recsys data prep, beyond-ref §2.13 — the also-viewed matrix]
+    Top-5 co-visited payload items per item: sessionize each user
+    (30-min gap, the catalog's standard sessionizer), reduce sessions
+    to DISTINCT item sets, count in-session pairs via a (user,
+    session) self-join — bounded by items-per-session, never the
+    catalog square — symmetrize, and keep each item's top-5 by count
+    (WindowGroupLimit). The candidate-generation table behind
+    "customers also viewed" carousels.
+    """
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("_es"),
+        "event_id",
+        F.from_json(F.col("props"), "struct<k:int>").getField("k").alias(
+            "item"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("_es", "event_id")
+    brk = F.when(
+        F.lag("_es").over(w).isNull()
+        | ((F.col("_es") - F.lag("_es").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "sid",
+        F.sum(brk)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    items = sess.select("user_id", "sid", "item").distinct()
+    a = items.select(
+        "user_id", "sid", F.col("item").alias("item_a")
+    )
+    b = items.select(
+        "user_id", "sid", F.col("item").alias("item_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("together"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("other"),
+        "together",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("other"),
+            "together",
+        )
+    )
+    wr = W.partitionBy("item").orderBy(F.desc("together"), F.asc("other"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("item", "other", "together", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+
+_HYGIENE_ORACLE = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '\xc2\xa0') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nbsp,
+       CAST(sum(CASE WHEN regexp_matches(text, '[\x00-\x08\x0e-\x1f]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+       CAST(sum(CASE WHEN regexp_matches(text, '\xef\xbf\xbd')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+       CAST(sum(CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte,
+       CAST(sum(CASE WHEN text <> trim(text) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_untrimmed
+FROM documents GROUP BY lang
+"""
+
+
+@query("encoding_hygiene_scan", _HYGIENE_ORACLE)
+def encoding_hygiene_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text hygiene, beyond-ref §2.13 beside quality flags / PII]
+    Per-language encoding-hygiene profile of the corpus: documents
+    containing NBSP, C0 control characters (excluding \\t \\n \\r),
+    U+FFFD replacement characters (the mojibake tell), any multi-byte
+    codepoint (byte length ≠ char length), or untrimmed edges — the
+    pre-tokenizer screen that catches double-encoded or
+    binary-contaminated text before it pollutes a vocabulary. One
+    codegen'd scan, five boolean regex/length probes, one aggregate.
+    Java and RE2/DuckDB agree on these literal classes (the PII
+    redaction entry pins the shared-dialect discipline).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    probes = [
+        t.rlike(" ").alias("_nbsp"),
+        t.rlike("[\\x00-\\x08\\x0e-\\x1f]").alias("_ctl"),
+        t.rlike("�").alias("_repl"),
+        (F.octet_length(t) != F.length(t)).alias("_mb"),
+        (t != F.trim(t)).alias("_untrim"),
+    ]
+    return (
+        d.select("lang", *probes)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_nbsp").cast("long")).cast("long").alias("n_nbsp"),
+            F.sum(F.col("_ctl").cast("long")).cast("long").alias("n_control"),
+            F.sum(F.col("_repl").cast("long")).cast("long").alias(
+                "n_replacement"
+            ),
+            F.sum(F.col("_mb").cast("long")).cast("long").alias("n_multibyte"),
+            F.sum(F.col("_untrim").cast("long")).cast("long").alias(
+                "n_untrimmed"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -624,3 +624,35 @@ def test_seasonal_anomaly_cells(spark):
     h1 = (h0 + 1) % 24
     assert got[h0] == (21, 1)   # the 999 outlier, and only it
     assert got[h1] == (10, 0)   # identical values: MAD 0, |v-med| 0
+
+
+# ----------------------------------------------------------- hygiene
+
+
+def test_encoding_hygiene_probes_fire(spark):
+    """The synthetic corpus is clean (catalog entry shows zeros), so
+    pin each probe against deliberately dirty text here."""
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES  # noqa: F401
+    from module8_movies_etl_spark.sources import read_table  # noqa: F401
+
+    rows = [
+        (1, "x", "clean ascii"),
+        (2, "x", "non breaking"),          # NBSP
+        (3, "x", "ctl\x07char"),                 # BEL control
+        (4, "x", "moji�bake"),              # replacement char
+        (5, "x", "café latte"),             # multibyte é
+        (6, "x", "  leading space"),             # untrimmed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from pyspark.sql import functions as FF
+
+    t = FF.col("text")
+    got = df.select(
+        FF.sum(t.rlike(" ").cast("long")).alias("nbsp"),
+        FF.sum(t.rlike("[\\x00-\\x08\\x0e-\\x1f]").cast("long")).alias("ctl"),
+        FF.sum(t.rlike("�").cast("long")).alias("repl"),
+        FF.sum((FF.octet_length(t) != FF.length(t)).cast("long")).alias("mb"),
+        FF.sum((t != FF.trim(t)).cast("long")).alias("untrim"),
+    ).collect()[0]
+    assert (got["nbsp"], got["ctl"], got["repl"], got["untrim"]) == (1, 1, 1, 1)
+    assert got["mb"] == 3  # NBSP, U+FFFD and é are all multi-byte
