@@ -7880,6 +7880,191 @@ def encoding_hygiene_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_CEP_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events WHERE event_type IN ('view', 'purchase', 'error')
+),
+m AS (
+    SELECT user_id, event_type, ts_us, event_id,
+           max(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER wprior AS last_view_us,
+           max(CASE WHEN event_type = 'error' THEN ts_us END)
+               OVER wprior AS last_error_us
+    FROM e
+    WINDOW wprior AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us AS purchase_us, last_view_us,
+       (ts_us - last_view_us) // 1000000 AS secs_from_view
+FROM m
+WHERE event_type = 'purchase'
+  AND last_view_us IS NOT NULL
+  AND ts_us - last_view_us <= CAST(3600 AS BIGINT) * 1000000
+  AND (last_error_us IS NULL OR last_error_us < last_view_us)
+"""
+
+
+@query("cep_view_purchase_noerror", _CEP_ORACLE)
+def cep_view_purchase_noerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CEP pattern match, beyond-ref §2.13 — the sequence-with-
+    negation shape funnels can't express] Purchases preceded by a view
+    within 1 h with NO error in between (MATCH_RECOGNIZE's
+    ``A ¬C* B`` lowered to windows): two conditional running maxima
+    over ONE (user, ts, id) sort give each purchase its latest prior
+    view and latest prior error; the pattern holds iff the error
+    predates the view. No self-join, no per-pattern scan — every CEP
+    primitive here is the same single-shuffle window pass.
+    """
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase", "error"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    wprior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_us")))
+        .over(wprior)
+        .alias("last_view_us"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts_us")))
+        .over(wprior)
+        .alias("last_error_us"),
+    )
+    return (
+        m.filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_view_us").isNotNull())
+        .filter(F.col("ts_us") - F.col("last_view_us") <= 3600 * 1_000_000)
+        .filter(
+            F.col("last_error_us").isNull()
+            | (F.col("last_error_us") < F.col("last_view_us"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            "last_view_us",
+            F.floor(
+                (F.col("ts_us") - F.col("last_view_us")) / 1_000_000
+            ).cast("long").alias("secs_from_view"),
+        )
+    )
+
+
+_QQ_ORACLE = """
+WITH agg AS (
+    SELECT quantile_cont(o_totalprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95])
+               FILTER (WHERE o_orderstatus = 'F') AS fa,
+           quantile_cont(o_totalprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95])
+               FILTER (WHERE o_orderstatus = 'O') AS oa
+    FROM orders
+)
+SELECT i / 20.0 AS q,
+       round(fa[i], 2) AS q_f,
+       round(oa[i], 2) AS q_o,
+       round(fa[i] - oa[i], 2) AS gap
+FROM agg, UNNEST(range(1, 20)) AS t(i)
+"""
+
+
+@query("qq_compare_status", _QQ_ORACLE)
+def qq_compare_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[distribution QA, beyond-ref §2.13 beside the KS test] The QQ
+    table: order-value quantiles of status F vs status O at the 19
+    vigintiles, plus their gap — the quantile-grain drift view that
+    localizes WHERE two distributions diverge (the KS entry reports
+    only the max). One aggregate per quantile grid row over exact
+    interpolated percentiles; rounding before the gap keeps both
+    engines' interpolation ulps out of the compare.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    grid = F.array(*[F.lit(i / 20.0) for i in range(1, 20)])
+    # Spark's percentile takes a FOLDABLE fraction — the whole grid
+    # evaluates in ONE aggregate via the array form (cheaper than the
+    # oracle's grid-join formulation anyway), then explodes to rows
+    agg = o.groupBy().agg(
+        F.percentile(F.when(F.col("o_orderstatus") == "F", v), grid).alias(
+            "_fa"
+        ),
+        F.percentile(F.when(F.col("o_orderstatus") == "O", v), grid).alias(
+            "_oa"
+        ),
+    )
+    z = agg.select(
+        F.posexplode(F.arrays_zip(F.col("_fa"), F.col("_oa"))).alias(
+            "_i", "_z"
+        )
+    )
+    return z.select(
+        ((F.col("_i") + 1) / 20.0).alias("q"),
+        F.round(F.col("_z._fa"), 2).alias("q_f"),
+        F.round(F.col("_z._oa"), 2).alias("q_o"),
+        F.round(F.col("_z._fa") - F.col("_z._oa"), 2).alias("gap"),
+    )
+
+
+_HAPAX_ORACLE = r"""
+WITH tok AS (
+    SELECT lang,
+           unnest(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+    FROM documents
+),
+tf AS (
+    SELECT lang, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY lang, w
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_rate,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS tokens_per_type
+FROM tf GROUP BY lang
+"""
+
+
+@query("hapax_rate_by_lang", _HAPAX_ORACLE)
+def hapax_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus QA, beyond-ref §2.13 beside entropy/perplexity] Hapax
+    legomena rate per language: the share of vocabulary seen exactly
+    once — the vocabulary-growth / contamination tell (a scraped
+    corpus whose hapax rate collapses is template spam; one that
+    explodes is OCR noise). Two hash aggregates (token frequencies →
+    type-level fold), both map-side combinable.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.split(text.ws_trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    hap = F.sum((F.col("c") == 1).cast("long"))
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        hap.cast("long").alias("n_hapax"),
+        F.round(hap.cast("double") / F.count(F.lit(1)), 6).alias("hapax_rate"),
+        F.round(
+            F.sum("c").cast("double") / F.count(F.lit(1)), 4
+        ).alias("tokens_per_type"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of

@@ -656,3 +656,56 @@ def test_encoding_hygiene_probes_fire(spark):
     ).collect()[0]
     assert (got["nbsp"], got["ctl"], got["repl"], got["untrim"]) == (1, 1, 1, 1)
     assert got["mb"] == 3  # NBSP, U+FFFD and é are all multi-byte
+
+
+# --------------------------------------------------------------- cep
+
+
+def test_cep_negation_semantics(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq  # noqa: F401
+
+    # replicate the pattern logic on a hand case via the same windows
+    from pyspark.sql import Window as W
+
+    rows = [
+        (1, "view", 0, 100),
+        (1, "purchase", 10, 101),       # matches: view 10min before, no error
+        (2, "view", 0, 200),
+        (2, "error", 5, 201),
+        (2, "purchase", 10, 202),       # blocked: error between
+        (3, "error", 0, 300),
+        (3, "view", 5, 301),
+        (3, "purchase", 10, 302),       # matches: error BEFORE the view
+        (4, "view", 0, 400),
+        (4, "purchase", 120, 401),      # too late: > 60 min
+    ]
+    df = spark.createDataFrame(
+        [(u, t, int(_ts(0, m).timestamp()) * 1_000_000, i) for u, t, m, i in rows],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    wprior = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_us")))
+        .over(wprior)
+        .alias("lv"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts_us")))
+        .over(wprior)
+        .alias("le"),
+    )
+    got = sorted(
+        r["event_id"]
+        for r in m.filter(F.col("event_type") == "purchase")
+        .filter(F.col("lv").isNotNull())
+        .filter(F.col("ts_us") - F.col("lv") <= 3600 * 1_000_000)
+        .filter(F.col("le").isNull() | (F.col("le") < F.col("lv")))
+        .collect()
+    )
+    assert got == [101, 302]
