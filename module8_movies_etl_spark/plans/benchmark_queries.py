@@ -8065,6 +8065,171 @@ def hapax_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+),
+v2 AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st,
+           CASE WHEN o_orderkey % 31 = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+    FROM orders WHERE o_orderkey % 97 <> 0
+),
+j AS (
+    SELECT coalesce(v1.k, v2.k) AS k,
+           v1.k IS NOT NULL AS in1, v2.k IS NOT NULL AS in2,
+           v1.st IS DISTINCT FROM v2.st AS st_chg,
+           v1.price IS DISTINCT FROM v2.price AS price_chg
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT CAST(sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(sum(CASE WHEN in2 AND NOT in1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+       CAST(sum(CASE WHEN in1 AND in2 AND (st_chg OR price_chg)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN in1 AND in2 AND NOT st_chg AND NOT price_chg
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN in1 AND in2 AND st_chg THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_st_changed,
+       CAST(sum(CASE WHEN in1 AND in2 AND price_chg THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_price_changed
+FROM j
+"""
+
+
+@query("snapshot_diff_orders", _SNAPDIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[lakehouse ops, beyond-ref §2.13 beside CDC/reconcile] TABLE
+    DIFF between two snapshot versions (v2 derives deterministically:
+    every 97th key deleted, every 31st price bumped): added / removed
+    / changed / unchanged row counts plus per-column change counts,
+    from ONE full outer join on the key with NULL-safe column
+    compares — the audit every table-format time-travel diff runs.
+    Key-grain join, no row hashing needed when the column list is
+    explicit (and per-column attribution is the point).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = o.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("st1"),
+        price.alias("p1"),
+    )
+    v2 = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(97)) != 0)
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.col("o_orderstatus").alias("st2"),
+            F.when(
+                F.pmod(F.col("o_orderkey"), F.lit(31)) == 0, price + 1
+            )
+            .otherwise(price)
+            .alias("p2"),
+        )
+    )
+    j = v1.join(v2, v1["k1"] == v2["k2"], "full_outer").select(
+        F.col("k1").isNotNull().alias("in1"),
+        F.col("k2").isNotNull().alias("in2"),
+        (~F.col("st1").eqNullSafe(F.col("st2"))).alias("st_chg"),
+        (~F.col("p1").eqNullSafe(F.col("p2"))).alias("price_chg"),
+    )
+    both = F.col("in1") & F.col("in2")
+    chg = F.col("st_chg") | F.col("price_chg")
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    return j.groupBy().agg(
+        cnt(F.col("in1") & ~F.col("in2")).alias("n_removed"),
+        cnt(F.col("in2") & ~F.col("in1")).alias("n_added"),
+        cnt(both & chg).alias("n_changed"),
+        cnt(both & ~chg).alias("n_unchanged"),
+        cnt(both & F.col("st_chg")).alias("n_st_changed"),
+        cnt(both & F.col("price_chg")).alias("n_price_changed"),
+    )
+
+
+_VOCAB_DRIFT_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+    FROM documents
+),
+halves AS (
+    SELECT w,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+    FROM tok WHERE w <> '' GROUP BY w
+),
+tot AS (
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n2
+    FROM documents
+),
+scored AS (
+    SELECT w, df1, df2,
+           abs(df1 * n2 - df2 * n1) AS xdiff
+    FROM halves, tot
+)
+SELECT w, df1, df2, CAST(xdiff AS BIGINT) AS xdiff
+FROM (
+    SELECT w, df1, df2, xdiff,
+           row_number() OVER (ORDER BY xdiff DESC, w) AS rnk
+    FROM scored
+) WHERE rnk <= 20
+"""
+
+
+@query("vocab_drift_tokens", _VOCAB_DRIFT_ORACLE)
+def vocab_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus QA, beyond-ref §2.13 beside hapax/entropy] The 20 most
+    DRIFTED vocabulary items between two corpus halves (even/odd doc
+    ids standing in for two crawl snapshots), ranked by the EXACT
+    integer cross-product |df1·N2 − df2·N1| — the document-frequency
+    ratio comparison with no logs, no floats, no libm anywhere, so the
+    drift ranking itself is engine-exact. One postings aggregate + a
+    19-row top-k (TakeOrderedAndProject-eligible global limit).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(dedup._distinct_tokens("text", 1)).alias("w")
+    ).filter(F.col("w") != "")
+    halves = tok.groupBy("w").agg(
+        F.sum((F.pmod(F.col("doc_id"), F.lit(2)) == 0).cast("long"))
+        .cast("long")
+        .alias("df1"),
+        F.sum((F.pmod(F.col("doc_id"), F.lit(2)) == 1).cast("long"))
+        .cast("long")
+        .alias("df2"),
+    )
+    tot = d.groupBy().agg(
+        F.sum((F.pmod(F.col("doc_id"), F.lit(2)) == 0).cast("long"))
+        .cast("long")
+        .alias("n1"),
+        F.sum((F.pmod(F.col("doc_id"), F.lit(2)) == 1).cast("long"))
+        .cast("long")
+        .alias("n2"),
+    )
+    scored = halves.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "df1",
+        "df2",
+        F.abs(
+            F.col("df1") * F.col("n2") - F.col("df2") * F.col("n1")
+        ).cast("long").alias("xdiff"),
+    )
+    return (
+        scored.orderBy(F.desc("xdiff"), F.asc("w"))
+        .limit(20)
+        .select("w", "df1", "df2", "xdiff")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of
