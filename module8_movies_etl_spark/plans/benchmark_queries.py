@@ -8230,6 +8230,69 @@ def vocab_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_NOVELTY_ORACLE = r"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, w
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS w
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS toks
+            FROM documents
+        )
+        WHERE len(toks) >= 3
+    )
+),
+df AS (SELECT w, count(*) AS dfreq FROM grams GROUP BY w)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams g JOIN df ON g.w = df.w
+GROUP BY g.doc_id
+"""
+
+
+@query("ngram_novelty_score", _NOVELTY_ORACLE)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus QA, beyond-ref §2.13 — the leave-one-out ORIGINALITY
+    score] Per document: the fraction of its distinct 3-gram shingles
+    appearing in NO other document (document frequency 1) — high
+    novelty marks original text, low novelty marks boilerplate or
+    near-copies even when no single pair crosses a dedup threshold.
+    One shingle-postings aggregate (the shared lead-window machinery)
+    → global DF → join back: the corpus streams twice at shingle
+    grain, never pairs.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    grams = dedup._word_postings(d, "doc_id", "text", ngram=3)
+    dfreq = grams.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).cast("long").alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("_df") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of
