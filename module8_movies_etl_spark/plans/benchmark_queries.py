@@ -2643,7 +2643,7 @@ enc AS (
 )
 SELECT d.doc_id,
        CAST(coalesce(len(e.token_ids), 0) AS BIGINT) AS n_tokens,
-       coalesce(e.token_ids, []) AS token_ids
+       coalesce(array_to_string(e.token_ids, ','), '') AS token_ids
 FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
 """
 
@@ -2653,14 +2653,22 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[text-analysis] Text → ordered token-id sequences over a
     frequency-ranked vocabulary (ties lexicographic, OOV → 0) — the
     tokenization step a training-data pipeline feeds to the trainer,
-    with the id ARRAYS themselves hash-verified. Vocab build is
+    with the id SEQUENCES themselves hash-verified. Vocab build is
     TakeOrderedAndProject (bounded by max_vocab, never an unbounded
     global sort); encoding is a broadcast vocab join + one shuffle on
     doc_id to reassemble position-ordered arrays
-    (operators.text.tokenize_to_ids).
+    (operators.text.tokenize_to_ids). The id sequence is emitted as a
+    comma-joined STRING, not ARRAY<INT>: the harness canonicalizes
+    results via pandas sort_values, which cannot hash list cells —
+    every catalog output column must be scalar-typed.
     """
     d = read_table(spark, sf_dir, "documents")
-    return text.tokenize_to_ids(d, "doc_id", "text", max_vocab=65_536)
+    out = text.tokenize_to_ids(d, "doc_id", "text", max_vocab=65_536)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
+    )
 
 
 def _cosine_topk_pq_oracle(
@@ -4265,7 +4273,9 @@ agg AS (
     SELECT term,
            count(DISTINCT doc_id) AS df_docs,
            count(*) AS cf,
-           (list(DISTINCT doc_id ORDER BY doc_id))[1:50] AS postings
+           coalesce(array_to_string(
+               (list(DISTINCT doc_id ORDER BY doc_id))[1:50], ','),
+               '') AS postings
     FROM flat
     WHERE term <> ''
     GROUP BY term
@@ -4285,7 +4295,9 @@ def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     term key; ``collect_set`` + ``array_sort`` + ``slice`` build the
     postings without any per-term sort job. At 100 TB the term key is
     zipfian-hot, but the payload per term is already capped by the
-    slice, so no reducer materializes an unbounded list.
+    slice, so no reducer materializes an unbounded list. Postings are
+    emitted comma-joined (STRING, not ARRAY) so the harness's pandas
+    canonicalizer can sort/hash the column.
     """
     d = read_table(spark, sf_dir, "documents")
     flat = d.select(
@@ -4294,7 +4306,9 @@ def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("term").agg(
         F.count_distinct(F.col("doc_id")).alias("df_docs"),
         F.count(F.lit(1)).alias("cf"),
-        F.slice(F.array_sort(F.collect_set("doc_id")), 1, 50).alias("postings"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_set("doc_id")), 1, 50)
+        ).alias("postings"),
     )
 
 
@@ -8333,7 +8347,11 @@ _PRIORITY = [
     "order_limit_top5",
     "slice_orders_rows",
     "tail_orders_last5",
-    "random_sample_orders",
+    # random_sample_orders is no-oracle by design (engine RNG) — it
+    # lives AFTER the driver's 50-entry verified prefix; its
+    # deterministic md5 twin hash_sample_orders holds the L2 slot here
+    # and rollup_revenue (fully oracled) takes the freed slot.
+    "rollup_revenue",
     "hash_sample_orders",
     "set_ops_custkeys",
     "topk_orders_per_customer",
