@@ -38,9 +38,10 @@ def apply_cdc(
 
     Multi-row-per-key deltas: pass ``seq_col`` (a delta sequence
     number / LSN) and the HIGHEST sequence wins — the standard CDC
-    log-compaction rule. Without ``seq_col`` the contract is one delta
-    row per key; if violated, the survivor is still deterministic
-    (deletes beat upserts, then lowest payload hash), never
+    log-compaction rule; equal sequences tie-break deterministically
+    (deletes beat upserts, then lowest payload hash). Without
+    ``seq_col`` the contract is one delta row per key; if violated,
+    the survivor follows the same deterministic tie-break, never
     run-to-run random, but it is a tie-break, not log order.
     """
     payload = [c for c in base.columns]
@@ -53,7 +54,16 @@ def apply_cdc(
     tagged_delta = delta.select(*delta_cols).withColumn("_prio", F.lit(1))
     if seq_col is not None:
         tagged_base = tagged_base.withColumn("_seq", F.lit(None).cast("long"))
-        order = [F.desc("_prio"), F.desc_nulls_last("_seq")]
+        # equal-sequence delta rows for the same key fall through to
+        # the same deterministic tie-break as the no-seq path (deletes
+        # beat upserts, then lowest payload hash) — never row_number's
+        # partition-order whim.
+        order = [
+            F.desc("_prio"),
+            F.desc_nulls_last("_seq"),
+            F.asc("_op"),
+            F.asc(F.hash(*payload)),
+        ]
     else:
         order = [F.desc("_prio"), F.asc("_op"), F.asc(F.hash(*payload))]
     w = Window.partitionBy(key_col).orderBy(*order)

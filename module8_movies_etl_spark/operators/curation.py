@@ -459,8 +459,15 @@ def negative_samples(
         "_r",
     )
     # a candidate that wraps onto the doc itself is dropped (tiny
-    # groups), keeping the contract "negatives are never the anchor"
-    fan = fan.filter(F.col("_cand") != F.col("_r"))
+    # groups), keeping the contract "negatives are never the anchor";
+    # when k·stride >= n the modular positions repeat, so duplicate
+    # candidates per anchor collapse to the lowest neg_idx — the
+    # "k distinct negatives" contract holds for small groups too.
+    fan = (
+        fan.filter(F.col("_cand") != F.col("_r"))
+        .groupBy("_g", "_id", "_cand")
+        .agg(F.min("neg_idx").alias("neg_idx"))
+    )
     neg = ranked.select(
         F.col("_g"), F.col("_r").alias("_cand"), F.col("_id").alias("neg_id")
     )

@@ -405,14 +405,23 @@ def histogram_sketch_quantiles(
     for q in qs:
         target = F.lit(q) * F.col("_n")
         prev = F.col("_cum") - F.col("_c")
-        # first bin whose cumulative count reaches the target rank
+        est_in_bin = (
+            F.col("_lo")
+            + F.col("_b") * width
+            + (target - prev) / F.col("_c") * width
+        )
+        # FIRST bin whose cumulative count reaches the target rank —
+        # argmin by bin index via min over (b, est) structs (struct
+        # ordering is field-by-field, so the smallest qualifying _b
+        # wins). A plain min over the estimates is wrong: in later
+        # qualifying bins (target - prev) is negative, so a sparse
+        # tail bin extrapolates below its own range (and below the
+        # data minimum when an outlier stretches the bin width).
         est = F.min(
             F.when(
                 F.col("_cum") >= target,
-                F.col("_lo")
-                + F.col("_b") * width
-                + (target - prev) / F.col("_c") * width,
+                F.struct(F.col("_b").alias("b"), est_in_bin.alias("est")),
             )
-        )
+        ).getField("est")
         outs.append(F.round(est, 4).alias(f"est_q{int(q * 100)}"))
     return cum.groupBy(F.col("_k").alias(key_col)).agg(*outs)

@@ -6955,7 +6955,13 @@ fan AS (
            (r + j * greatest(1, n // 5)) % n AS cand, r
     FROM base, UNNEST([1, 2, 3, 4]) AS t(j)
 ),
-flt AS (SELECT * FROM fan WHERE cand <> r)
+flt AS (
+    -- duplicate modular positions (k*stride >= n) collapse to the
+    -- lowest neg_idx, mirroring the engine's distinct-candidates rule
+    SELECT g, id, cand, min(neg_idx) AS neg_idx
+    FROM fan WHERE cand <> r
+    GROUP BY g, id, cand
+)
 SELECT f.id AS doc_id,
        CAST(f.neg_idx AS INTEGER) AS neg_idx,
        rk.id AS neg_id
@@ -7037,18 +7043,17 @@ cum AS (
 )
 SELECT k AS o_orderstatus,
        CAST(max(n) AS BIGINT) AS n,
-       round(min(CASE WHEN cm >= 0.5 * n
-                 THEN lo + b * ((hi - lo) / 64)
-                      + (0.5 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
-           AS est_q50,
-       round(min(CASE WHEN cm >= 0.95 * n
-                 THEN lo + b * ((hi - lo) / 64)
-                      + (0.95 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
-           AS est_q95,
-       round(min(CASE WHEN cm >= 0.99 * n
-                 THEN lo + b * ((hi - lo) / 64)
-                      + (0.99 * n - (cm - c)) / c * ((hi - lo) / 64) END), 4)
-           AS est_q99
+       -- arg_min(est, b): the FIRST qualifying bin's interpolation
+       -- (mirrors the engine's min-over-(b,est)-struct argmin).
+       round(arg_min(lo + b * ((hi - lo) / 64)
+                     + (0.5 * n - (cm - c)) / c * ((hi - lo) / 64), b)
+             FILTER (WHERE cm >= 0.5 * n), 4) AS est_q50,
+       round(arg_min(lo + b * ((hi - lo) / 64)
+                     + (0.95 * n - (cm - c)) / c * ((hi - lo) / 64), b)
+             FILTER (WHERE cm >= 0.95 * n), 4) AS est_q95,
+       round(arg_min(lo + b * ((hi - lo) / 64)
+                     + (0.99 * n - (cm - c)) / c * ((hi - lo) / 64), b)
+             FILTER (WHERE cm >= 0.99 * n), 4) AS est_q99
 FROM cum GROUP BY k
 """
 

@@ -1,0 +1,113 @@
+"""Round-9 (driver round 5) regression tests: the ADVICE fixes
+(histogram-sketch argmin quantiles, CDC seq tie-break, distinct
+negative samples) plus the scale fixes (linear trending decay,
+single-scan observability, ANN-shortlisted bipartite align) and the
+array-output canonicalization sweep."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- histogram sketch argmin
+
+
+def test_histsketch_outlier_stretched_bins_stay_in_range(spark):
+    """ADVICE (high): with min-over-ALL-qualifying-bins the median of
+    values in [0, 9.9] plus one outlier at 1000 extrapolated to ~-72
+    (negative — below the data minimum). The argmin-by-bin fix must
+    keep every estimate inside [data_min, data_max]."""
+    from module8_movies_etl_spark.operators.sketches import (
+        histogram_sketch_quantiles,
+    )
+
+    vals = [i / 10.0 for i in range(100)] + [1000.0]  # [0, 9.9] + outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = histogram_sketch_quantiles(df, "k", "v", n_bins=64).collect()[0]
+    width = 1000.0 / 64
+    for q in ("est_q50", "est_q95", "est_q99"):
+        assert 0.0 <= r[q] <= 1000.0, (q, r[q])
+    # all of [0, 9.9] lands in bin 0 → p50/p95 interpolate inside bin 0
+    assert r["est_q50"] <= width and r["est_q95"] <= width
+
+
+def test_histsketch_estimate_within_bin_width_of_truth(spark):
+    """The docstring's 'error bounded by the bin width' claim, pinned
+    on a skewed (non-uniform) distribution."""
+    from module8_movies_etl_spark.operators.sketches import (
+        histogram_sketch_quantiles,
+    )
+
+    vals = [float(i * i) / 1000.0 for i in range(1, 1001)]  # quadratic ramp
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = histogram_sketch_quantiles(df, "k", "v", n_bins=64).collect()[0]
+    lo, hi = vals[0], vals[-1]
+    width = (hi - lo) / 64
+    svals = sorted(vals)
+    for q, name in ((0.5, "est_q50"), (0.95, "est_q95"), (0.99, "est_q99")):
+        exact = svals[max(0, int(q * len(svals)) - 1)]
+        assert abs(r[name] - exact) <= 2 * width, (name, r[name], exact)
+
+
+# ------------------------------------------------- CDC seq tie-break
+
+
+def test_apply_cdc_equal_seq_deterministic_tiebreak(spark):
+    """ADVICE: two delta rows for the same key with EQUAL sequence
+    numbers must resolve deterministically — delete beats upsert
+    (asc(_op): 'D' < 'U'), exactly like the no-seq path."""
+    from module8_movies_etl_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    delta = spark.createDataFrame(
+        [(1, "new", "U", 7), (1, "old", "D", 7), (2, "keep2", "U", 3)],
+        "k int, v string, op string, seq int",
+    )
+    out = apply_cdc(base, delta, "k", op_col="op", seq_col="seq")
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    # key 1: equal-seq D vs U → D wins deterministically → key deleted
+    assert rows == {2: "keep2"}
+    # run twice under different partitioning: identical survivor set
+    out2 = apply_cdc(
+        base.repartition(7), delta.repartition(5), "k", op_col="op",
+        seq_col="seq",
+    )
+    assert {r["k"]: r["v"] for r in out2.collect()} == rows
+
+
+def test_apply_cdc_equal_seq_upserts_pick_lowest_hash(spark):
+    from module8_movies_etl_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([], "k int, v string")
+    delta = spark.createDataFrame(
+        [(1, "a", "U", 5), (1, "b", "U", 5)],
+        "k int, v string, op string, seq int",
+    )
+    r1 = apply_cdc(base, delta, "k", op_col="op", seq_col="seq").collect()
+    r2 = apply_cdc(
+        base, delta.repartition(4), "k", op_col="op", seq_col="seq"
+    ).collect()
+    assert len(r1) == 1 and r1 == r2
+
+
+# ------------------------------------------ distinct negative samples
+
+
+def test_negative_samples_distinct_in_tiny_groups(spark):
+    """ADVICE: with n=3, k=4, stride=1 the modular positions repeat;
+    each anchor must emit DISTINCT neg_ids (lowest neg_idx wins)."""
+    from module8_movies_etl_spark.operators.curation import negative_samples
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(3)], "doc_id int, lang string"
+    )
+    out = negative_samples(df, "doc_id", "lang", k=4).collect()
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r["doc_id"], []).append((r["neg_idx"], r["neg_id"]))
+    for anchor, negs in per_anchor.items():
+        ids = [n for _, n in negs]
+        assert len(ids) == len(set(ids)), (anchor, negs)
+        assert anchor not in ids
+        # n=3 → exactly the 2 other members survive
+        assert len(ids) == 2
