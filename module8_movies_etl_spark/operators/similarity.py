@@ -888,3 +888,117 @@ def bipartite_align(
             6,
         ).alias("margin"),
     )
+
+
+def bipartite_align_ann(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 18,
+    dim: int = 64,
+    n_bands: int = 9,
+) -> DataFrame:
+    """``bipartite_align`` at bitext-mining scale: the candidate set
+    comes from banded hyperplane LSH (same deterministic md5-derived
+    planes and band split as ``embedding_near_dups``), the shortlist is
+    exact-rescored, and the top1−top2 margin is computed over it — so
+    neither side is ever broadcast whole and no cross product appears
+    in the plan.
+
+    Contract parity with the exact form: every LEFT id still aligns.
+    Probes whose LSH bands catch NO right-side vector (rare — a
+    same-direction pair agrees on all sign bands with high probability)
+    fall back to an exact scan of the right side for JUST those
+    probes, so the fallback cross join is |misses|×|right|, not
+    |left|×|right|. Margin is relative to the shortlist runner-up —
+    the standard mining practice (the runner-up is itself a nearest
+    candidate, and a margin computed against a far-away vector would
+    be inflated anyway).
+
+    Scale shape: both band indexes are (id, band-key) rows — ids only;
+    the bands equi-join (AQE skew-join spreads a hot band), candidates
+    dedupe as id pairs, and the 64-double vectors join back BY ID
+    after dedup, exactly like the near-dup path. Work is
+    |candidates| + |misses|·|right| dot products instead of
+    |left|·|right|.
+
+    Band sizing is recall-driven and DATA-DEPENDENT: a pair at angle θ
+    collides per b-bit band with (1−θ/π)^b, any of L bands →
+    1−(1−p^b)^L. The 9×2-bit default clears 0.95 top-1 recall even on
+    the test corpus's WEAK matches (median top-1 cosine ≈ 0.34, the
+    adversarial regime for LSH — candidate pruning is then modest by
+    construction); on real bitext corpora, where accepted pairs sit at
+    cosine ≥ 0.8 (p ≥ 0.8), the identical config prunes candidates by
+    orders of magnitude while recall goes to ~1.
+    """
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+
+    def bands(df: DataFrame, out_id: str) -> DataFrame:
+        b = hyperplane_bucket_table(
+            df, id_col, vec_col, n_planes, dim, tables=(0,)
+        ).withColumnRenamed("_b0", "_bucket")
+        return b.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{i}:"),
+                            F.shiftright(
+                                F.col("_bucket"), (n_bands - 1 - i) * band_bits
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .cast("string"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    lb = bands(left, "_a")
+    rb = bands(right, "_b")
+    cand = lb.join(rb, "bk").select("_a", "_b").distinct()
+    l_ids = left.select(F.col(id_col).alias("_a"))
+    r_ids = right.select(F.col(id_col).alias("_b"))
+    missed = l_ids.join(cand.select("_a").distinct(), "_a", "left_anti")
+    all_cand = cand.unionByName(missed.crossJoin(r_ids))
+    lv = left.select(
+        F.col(id_col).alias("_a"),
+        _as_double(F.col(vec_col)).alias("_av"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_an"),
+    )
+    rv = right.select(
+        F.col(id_col).alias("_b"),
+        _as_double(F.col(vec_col)).alias("_bv"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_bn"),
+    )
+    scored = (
+        all_cand.join(lv, "_a")
+        .join(rv, "_b")
+        .select(
+            "_a",
+            "_b",
+            (
+                dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn"))
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("_a").orderBy(F.desc("_sim"), F.col("_b"))
+    top2 = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= 2
+    )
+    return top2.groupBy(F.col("_a").alias(id_col)).agg(
+        F.max(F.when(F.col("_r") == 1, F.col("_b"))).alias("match_id"),
+        F.round(F.max(F.when(F.col("_r") == 1, F.col("_sim"))), 6).alias(
+            "cosine_sim"
+        ),
+        F.round(
+            F.max(F.when(F.col("_r") == 1, F.col("_sim")))
+            - F.max(F.when(F.col("_r") == 2, F.col("_sim"))),
+            6,
+        ).alias("margin"),
+    )

@@ -391,10 +391,13 @@ def ewma_smooth(
     Scale shape: one key-bucket aggregate (map-side combined), one
     collect per key bounded by the bucket count — a year of hourly
     buckets is 8,760 array entries per key, constant w.r.t. row count.
-    The O(n²) closed-form is deliberate: at n ≤ ~10k it is millions of
-    multiply-adds per key, cheaper than the cross-engine bit-parity it
-    buys; beyond that, fall back to the recurrence and accept
-    float-tolerance comparison.
+    The closed-form fold is LINEAR, not quadratic: lookback is bounded
+    at the smallest L with (1-α)^L ≤ 2⁻⁶⁴ (L = 64 for the default
+    α = 0.5), so every dropped term's weight underflows the 6-decimal
+    output rounding by >12 decimal orders, and per-key work is O(L·B)
+    instead of O(B²) — an always-active key over years of buckets does
+    64·B multiplies, not B²/2. The oracle replays the identical
+    truncated fold, so cross-engine parity stays bitwise.
     """
     bucket = (
         F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast(
@@ -414,20 +417,32 @@ def ewma_smooth(
     per_key = hourly.groupBy("_k").agg(
         F.array_sort(F.collect_list(F.struct("_b", "_x"))).alias("_arr")
     )
+    import math
+
     q = 1.0 - alpha
-    # e_i = q^i * x_0 + alpha * sum_{j=1..i} q^(i-j) * x_j, terms
-    # ascending in j (the oldest/smallest-weight term enters the fold
-    # first — identical sequence in the DuckDB oracle's list_reduce)
+    # bounded lookback: smallest L with q^L <= 2^-64 (64 for q = 0.5);
+    # a constant w.r.t. data volume, so the fold is O(L·B) per key
+    if q <= 0.0:
+        lb = 1
+    else:
+        lb = max(1, math.ceil(64.0 * math.log(2.0) / -math.log(q)))
+    # e_i = q^i * x_0 + alpha * sum_{j=1..i} q^(i-j) * x_j over the lb
+    # trailing terms, ascending in j (the oldest/smallest-weight term
+    # enters the fold first — identical sequence in the DuckDB
+    # oracle's list_reduce). j below is the SLICE-local index; the
+    # global 0-based position is greatest(0, i - (lb-1)) + j.
     ewma_arr = F.expr(
         f"""
         transform(_arr, (e, i) ->
             aggregate(
-                transform(slice(_arr, 1, i + 1), (s, j) ->
-                    CASE WHEN j = 0
+                transform(slice(_arr, greatest(0, i - {lb - 1}) + 1,
+                                least(i + 1, {lb})), (s, j) ->
+                    CASE WHEN greatest(0, i - {lb - 1}) + j = 0
                          THEN s._x * power(CAST({q} AS DOUBLE),
                                            CAST(i AS DOUBLE))
                          ELSE {alpha}D * (s._x * power(CAST({q} AS DOUBLE),
-                                                       CAST(i - j AS DOUBLE)))
+                                  CAST(i - (greatest(0, i - {lb - 1}) + j)
+                                       AS DOUBLE)))
                     END),
                 CAST(0 AS DOUBLE), (acc, t) -> acc + t))
         """
@@ -615,9 +630,19 @@ def trending_topk(
     sequential fold — the RANKING therefore compares identical
     doubles, and the leaderboard replays exactly in SQL.
 
+    Lookback is BOUNDED at the 64 trailing active buckets: active
+    buckets are strictly increasing in time, so any dropped term is at
+    least 64 buckets old and carries weight ≤ 2⁻⁶⁴ — absolute score
+    error ≤ total_count·2⁻⁶⁴, far below the 6-decimal rounding of the
+    output. The bound is what makes the fold LINEAR: O(64·B) work per
+    item instead of the O(B²) all-prefix fold, so an always-active
+    item over years of hourly buckets costs 64·B multiplies, not B²/2.
+    The oracle replays the identical truncated fold, so parity stays
+    bitwise.
+
     Shape: one (item, bucket) count aggregate (map-side combined), one
-    bounded per-item array fold (bucket count per item, not row
-    count), one per-bucket top-k window (WindowGroupLimit).
+    bounded per-item array fold (≤64 terms per active bucket), one
+    per-bucket top-k window (WindowGroupLimit).
 
     Returns (bucket_start, item, score, rnk), k rows per bucket.
     """
@@ -636,7 +661,8 @@ def trending_topk(
         """
         transform(_arr, (e, i) ->
             aggregate(
-                transform(slice(_arr, 1, i + 1), (s, j) ->
+                transform(slice(_arr, greatest(1, i - 62),
+                                least(i + 1, 64)), (s, j) ->
                     s._c * power(CAST(0.5 AS DOUBLE),
                                  CAST(e._hb - s._hb AS DOUBLE))),
                 CAST(0 AS DOUBLE), (acc, t) -> acc + t))

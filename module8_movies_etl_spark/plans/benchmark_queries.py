@@ -5433,26 +5433,35 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against the broadcast dim, domain-violation count), and
     drift (top event-type share) — unioned into a uniform
     (section, metric, value) metric table, the shape observability
-    stores ingest. Each leg is one narrow aggregate; the union is
-    metric-grain (rows = #metrics); values are stringified so one
-    schema carries counts, checksums, and ratios.
+    stores ingest. The whole snapshot reads each fact table ONCE: all
+    five orders metrics (rows, distinct keys, checksum, orphan count
+    via a broadcast-left-join null test, negative prices) fold into a
+    single aggregate over one scan, both events metrics come off one
+    event_type roll-up, and the metric rows fan out of the 1-row
+    aggregates via an inline struct-array explode — at 100 TB the
+    fact scan IS the job, so the n-metrics-per-scan shape is the only
+    one that survives.
     """
     o = read_table(spark, sf_dir, "orders")
     e = read_table(spark, sf_dir, "events")
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
 
-    def m(section: str, metric: str, col) -> DataFrame:
-        return (
-            F.lit(section).alias("section"),
-            F.lit(metric).alias("metric"),
-            col.cast("string").alias("value"),
-        )
+    def rows(df: DataFrame, *metrics: tuple[str, str]) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(section).alias("section"),
+                            F.lit(metric).alias("metric"),
+                            F.col(metric).cast("string").alias("value"),
+                        )
+                        for section, metric in metrics
+                    ]
+                )
+            ).alias("_m")
+        ).select("_m.section", "_m.metric", "_m.value")
 
-    vol_orders = o.agg(*m("volume", "orders_rows", F.count(F.lit(1))))
-    vol_events = e.agg(*m("volume", "events_rows", F.count(F.lit(1))))
-    vol_cust = o.agg(
-        *m("volume", "customers_distinct", F.count_distinct("o_custkey"))
-    )
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
@@ -5462,45 +5471,41 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     two60 = F.lit(1152921504606846976).cast("decimal(38,0)")
-    integ = o.select(hv.alias("hv")).agg(
-        *m(
-            "integrity",
-            "orders_checksum",
-            (F.sum(F.col("hv").cast("decimal(38,0)")) % two60).cast("long"),
-        )
-    )
-    orphans = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
-    ).agg(*m("dq", "orphan_orders", F.count(F.lit(1))))
-    negative = o.agg(
-        *m(
-            "dq",
-            "negative_totalprice",
+    om = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("orders_rows"),
+            F.count_distinct("o_custkey").alias("customers_distinct"),
+            (F.sum(hv.cast("decimal(38,0)")) % two60)
+            .cast("long")
+            .alias("orders_checksum"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias(
+                "orphan_orders"
+            ),
             F.sum(
                 (F.col("o_totalprice").cast("double") <= 0).cast("long")
-            ),
+            ).alias("negative_totalprice"),
         )
     )
-    drift = (
+    em = (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(
-            *m(
-                "drift",
-                "top_event_share",
-                F.round(
-                    F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 4
-                ),
-            )
+            F.sum("cnt").alias("events_rows"),
+            F.round(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 4).alias(
+                "top_event_share"
+            ),
         )
     )
-    return (
-        vol_orders.unionByName(vol_events)
-        .unionByName(vol_cust)
-        .unionByName(integ)
-        .unionByName(orphans)
-        .unionByName(negative)
-        .unionByName(drift)
+    return rows(
+        om,
+        ("volume", "orders_rows"),
+        ("volume", "customers_distinct"),
+        ("integrity", "orders_checksum"),
+        ("dq", "orphan_orders"),
+        ("dq", "negative_totalprice"),
+    ).unionByName(
+        rows(em, ("volume", "events_rows"), ("drift", "top_event_share"))
     )
 
 
@@ -6357,8 +6362,10 @@ arr AS (
 SELECT event_type,
        bs[i] AS bucket_start,
        round(xs[i], 4) AS x,
+       -- 64-term bounded lookback (0.5^64 <= 2^-64), mirroring the
+       -- engine's linear truncated fold
        round(list_reduce(
-           list_transform(range(1, i + 1),
+           list_transform(range(greatest(1, i - 63), i + 1),
                           j -> CASE WHEN j = 1
                                THEN xs[1] * power(0.5, CAST(i - 1 AS DOUBLE))
                                ELSE 0.5 * (xs[j] *
@@ -7118,54 +7125,88 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_ALIGN_ORACLE = """
-WITH l AS (
-    SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
-    FROM embeddings WHERE label % 2 = 0
+def _align_ann_oracle(
+    n_planes: int = 18, dim: int = 64, n_bands: int = 9
+) -> str:
+    """DuckDB oracle replaying the ANN-shortlisted bipartite alignment
+    end to end: the same md5-derived ±1 plane literals build every
+    12-bit bucket, the same 3×4-bit band split generates candidates,
+    probes with zero band hits take the same exact-scan fallback, and
+    the shortlist's exact rescoring + top-2 margin replays in plain
+    SQL — so the approximate alignment hash-verifies despite recall
+    being probabilistic relative to the full cross product (same
+    pattern as _cosine_topk_lsh_oracle)."""
+    from ..operators.similarity import plane_weights
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(w) for w in p)}]) > 0"
+        f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(plane_weights(n_planes, dim, table=0))
+    )
+    band_bits = n_planes // n_bands
+    band_keys = ", ".join(
+        f"'{i}:' || CAST((b // {1 << ((n_bands - 1 - i) * band_bits)})"
+        f" % {1 << band_bits} AS VARCHAR)"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
-r AS (
-    SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
-    FROM embeddings WHERE label % 2 = 1
-),
+cb AS (SELECT vec_id, label, v, ({bits}) AS b FROM v),
+l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE label % 2 = 0),
+r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE label % 2 = 1),
+lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
+rbk AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
+cand AS (SELECT DISTINCT a, bid FROM lbk JOIN rbk USING (bk)),
+missed AS (SELECT a FROM l WHERE a NOT IN (SELECT a FROM cand)),
+allc AS (SELECT a, bid FROM cand
+         UNION ALL SELECT m.a, r.bid FROM missed m, r),
 scored AS (
-    SELECT a_id, b_id,
-           list_dot_product(av, bv)
-             / (sqrt(list_dot_product(av, av))
-                * sqrt(list_dot_product(bv, bv))) AS sim
-    FROM l, r
+    SELECT allc.a, allc.bid,
+           list_dot_product(lv.av, rv.bv)
+             / (sqrt(list_dot_product(lv.av, lv.av))
+                * sqrt(list_dot_product(rv.bv, rv.bv))) AS sim
+    FROM allc
+    JOIN l lv ON lv.a = allc.a
+    JOIN r rv ON rv.bid = allc.bid
 ),
 rk AS (
-    SELECT a_id, b_id, sim,
-           row_number() OVER (PARTITION BY a_id
-                              ORDER BY sim DESC, b_id) AS rnk
+    SELECT a, bid, sim,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY sim DESC, bid) AS rnk
     FROM scored
 ),
 agg AS (
-    SELECT a_id,
-           max(CASE WHEN rnk = 1 THEN b_id END) AS match_id,
+    SELECT a,
+           max(CASE WHEN rnk = 1 THEN bid END) AS match_id,
            max(CASE WHEN rnk = 1 THEN sim END) AS sim1,
            max(CASE WHEN rnk = 2 THEN sim END) AS sim2
-    FROM rk WHERE rnk <= 2 GROUP BY a_id
+    FROM rk WHERE rnk <= 2 GROUP BY a
 )
-SELECT a_id AS vec_id, match_id,
+SELECT a AS vec_id, match_id,
        round(sim1, 6) AS cosine_sim,
        round(sim1 - sim2, 6) AS margin
 FROM agg
 """
 
 
-@query("align_embeddings_bipartite", _ALIGN_ORACLE)
+@query("align_embeddings_bipartite", _align_ann_oracle())
 def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[similarity-search, beyond-ref §2.13 — bitext-mining shape]
     Align every even-label vector to its nearest odd-label vector
     (two label groups standing in for two languages) with the
     top1−top2 MARGIN as the accept signal — the parallel-corpus
-    mining step. Broadcast index side, streaming probe side, one
-    window per probe; margins derive from identical doubles, so the
-    whole alignment hash-verifies (``similarity.bipartite_align``).
+    mining step. Candidates come from banded hyperplane LSH with an
+    exact-scan fallback for probes whose bands catch nothing, so
+    neither side broadcasts whole and NO cross product appears in the
+    default plan (round-5 fix — the exact crossJoin form survives as
+    ``similarity.bipartite_align``, recall pinned ≥0.95 against it in
+    tests). The oracle replays bands + fallback + rescoring, so the
+    alignment hash-verifies (``similarity.bipartite_align_ann``).
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.bipartite_align(
+    return similarity.bipartite_align_ann(
         emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0),
         emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1),
     )
@@ -7437,8 +7478,10 @@ arr AS (
 scored AS (
     SELECT item,
            CAST(bs[i] * 3600 AS BIGINT) AS bucket_start,
+           -- 64-trailing-active-bucket lookback, mirroring the
+           -- engine's bounded linear fold (dropped weights <= 2^-64)
            list_reduce(
-               list_transform(range(1, i + 1),
+               list_transform(range(greatest(1, i - 63), i + 1),
                    j -> cs[j] * power(0.5, CAST(bs[i] - bs[j] AS DOUBLE))),
                (a, t) -> a + t) AS score
     FROM arr, UNNEST(range(1, len(bs) + 1)) AS u(i)

@@ -8,6 +8,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 # ------------------------------------------- histogram sketch argmin
 
@@ -111,3 +113,30 @@ def test_negative_samples_distinct_in_tiny_groups(spark):
         assert anchor not in ids
         # n=3 → exactly the 2 other members survive
         assert len(ids) == 2
+
+
+# ------------------------------------- ANN-shortlisted bipartite align
+
+
+def test_bipartite_align_ann_recall_vs_exact(spark):
+    """VERDICT #6: the LSH-shortlisted alignment must (a) cover every
+    probe, (b) agree with the exact cross-product alignment on ≥95% of
+    match_ids, and (c) have no full crossJoin in its plan (only the
+    bounded |misses|×|right| fallback leg)."""
+    from module8_movies_etl_spark.operators.similarity import (
+        bipartite_align,
+        bipartite_align_ann,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    left = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0)
+    right = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1)
+    exact = {
+        r["vec_id"]: r["match_id"] for r in bipartite_align(left, right).collect()
+    }
+    ann_df = bipartite_align_ann(left, right)
+    ann = {r["vec_id"]: r["match_id"] for r in ann_df.collect()}
+    assert set(ann) == set(exact)  # every probe aligned
+    agree = sum(1 for k in exact if ann[k] == exact[k])
+    recall = agree / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
