@@ -14,7 +14,9 @@ authoritative count). Every entry is fully hash-verified except
 rows-only by necessity; its deterministic md5 twin
 ``hash_sample_orders`` IS hash-verified). Even the LSH / IVF ANN
 paths, the 60-bit simhash fold, the KMV/CMS sketch estimates, the
-connected-components closures, and the tokenizer's id arrays replay
+connected-components closures, and the tokenizer's id sequences
+(emitted comma-joined — every output column is scalar-typed so the
+harness's pandas canonicalizer can sort/hash it) replay
 deterministically in SQL. The catalog is ordered so its first 50
 entries cover every §2 core operator plus one flagship per §2.13
 family (the driver's correctness gate samples a prefix); the rest are

@@ -538,3 +538,94 @@ def mixture_rebalance(
             "rate",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Sliding-window document CHUNKING with overlap — the
+    long-document → training-sample fan-out every context-bounded
+    trainer needs (stride < chunk_chars ⇒ consecutive chunks overlap
+    by chunk_chars − stride characters, so no span is ever split
+    across a boundary without also appearing whole in one chunk).
+
+    Window starts are 1, 1+stride, 1+2·stride, … while the start is
+    inside the text; the final chunk may be short; an empty document
+    emits ONE empty chunk (so every doc survives the fan-out and
+    downstream joins need no outer legs).
+
+    Shape: pure narrow codegen — a bounded ``sequence`` fan-out
+    (≤ len/stride rows per doc) exploded and sliced with
+    ``substring``; no shuffle anywhere. Chunk payloads travel as
+    (length, md5) so the fan-out's shuffle-free property is not
+    traded for wide rows downstream.
+
+    Returns (id, chunk_idx 0-based, chunk_start 1-based, chunk_len,
+    chunk_md5).
+    """
+    n = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n), F.lit(stride)
+    )
+    fan = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
+    )
+    piece = F.substring(F.col("_t"), F.col("_s"), chunk_chars)
+    return fan.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_s").cast("long").alias("chunk_start"),
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based multinomial MIXTURE WEIGHTS: sample group i
+    with p_i ∝ (n_i/N)^α — the α-sampling rule multilingual trainers
+    use to up-weight scarce languages without flattening the mixture
+    entirely (α=1 is proportional, α=0 uniform; 0.3 is the common
+    default). The boost column (p_α/p_raw) is the per-group up/down
+    sampling factor a pipeline feeds to its sampler (e.g.
+    ``mixture_rebalance``'s rates).
+
+    Shape: one group aggregate (group cardinality = languages/sources,
+    tiny) + one 1-row scalar broadcast; nothing per-document after the
+    count. Cross-engine parity: both engines compute pow() on the same
+    doubles and results are rounded to 6 dp — the same tolerance
+    pattern as the PageRank oracle.
+
+    Returns (group, n_docs, p_raw, p_samp, boost), rounded 6 dp.
+    """
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    powed = counts.select(
+        "_g", "_n", F.pow(F.col("_n").cast("double"), F.lit(alpha)).alias("_pw")
+    )
+    tot = powed.groupBy().agg(
+        F.sum("_n").alias("_tn"), F.sum("_pw").alias("_tpw")
+    )
+    return (
+        powed.crossJoin(broadcast(tot))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("long").alias("n_docs"),
+            F.round(F.col("_n") / F.col("_tn"), 6).alias("p_raw"),
+            F.round(F.col("_pw") / F.col("_tpw"), 6).alias("p_samp"),
+            F.round(
+                (F.col("_pw") / F.col("_tpw")) / (F.col("_n") / F.col("_tn")),
+                6,
+            ).alias("boost"),
+        )
+    )

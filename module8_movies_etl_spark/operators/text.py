@@ -62,6 +62,46 @@ def approx_bpe_token_count(col: Column) -> Column:
     return words + F.greatest(extra, F.lit(0).cast("bigint"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩
+# RE2 dialect so the SAME string runs on Spark and DuckDB: contraction
+# suffixes, space-prefixed letter/digit/punctuation runs, residual
+# whitespace runs. (The original GPT-2 pattern's `\s+(?!\S)` tail is a
+# lookahead — not RE2 — and only changes how a whitespace run is split
+# BETWEEN tokens; folding it into plain `\s+` keeps the match COUNT
+# semantics deterministic and portable.)
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretoken_stats(df, id_col: str, text_col: str):
+    """Per-document token accounting under BOTH tokenizer families a
+    training pipeline budgets with: whitespace words and GPT-2-style
+    regex pre-tokens (``BPE_PRETOKEN_PATTERN``) — the pre-merge unit
+    count that upper-bounds true BPE token counts and is the standard
+    cheap stand-in when the merge table isn't in the engine.
+
+    Pure codegen: ``regexp_count`` never materializes the token array
+    (one counter pass per row), so the scan stays whole-stage-compiled
+    and shuffles nothing — per-doc row out, no aggregate.
+
+    Returns (id, n_chars, n_ws_tokens, n_bpe_pretokens,
+    chars_per_pretoken [4 dp, NULL for empty docs]).
+    """
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        token_count(F.col(text_col)).cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_pretokens"),
+        F.round(
+            F.length(F.col(text_col))
+            / F.nullif(n_bpe.cast("double"), F.lit(0.0)),
+            4,
+        ).alias("chars_per_pretoken"),
+    )
+
+
 def occurrences(col: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of ``needle`` via
     length-difference — portable to any SQL engine (no regex dialect).

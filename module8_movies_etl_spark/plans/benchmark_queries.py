@@ -8356,6 +8356,105 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 additions: BPE-regex token accounting, sliding-window
+# chunking, temperature mixture weights.
+# --------------------------------------------------------------------------
+
+def _bpe_pretoken_oracle() -> str:
+    from ..operators.text import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    ws = (
+        r"CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0 "
+        r"ELSE len(regexp_split_to_array("
+        r"regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END"
+    )
+    return rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({ws} AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+           AS n_bpe_pretokens,
+       round(length(text) / nullif(
+           CAST(len(regexp_extract_all(text, '{pat}')) AS DOUBLE), 0), 4)
+           AS chars_per_pretoken
+FROM documents
+"""
+
+
+@query("bpe_pretoken_stats_docs", _bpe_pretoken_oracle())
+def bpe_pretoken_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text-analysis, beyond-ref §2.13 — token budgeting] Per-doc
+    whitespace-word AND GPT-2-style regex pre-token counts
+    (contraction suffixes, space-prefixed letter/digit/punct runs —
+    the pattern kept to the Java-regex ∩ RE2 dialect so the SAME
+    string runs in both engines). The pre-merge unit count is the
+    standard engine-side stand-in for true BPE token budgets. Pure
+    codegen via ``regexp_count`` — no token array materialized, no
+    shuffle (``text.bpe_pretoken_stats``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return text.bpe_pretoken_stats(d, "doc_id", "text")
+
+
+_CHUNK_ORACLE = """
+WITH fan AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(1, length(text)) + 1, 384)) AS s
+    FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 384 AS INTEGER) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(s AS INTEGER), 512)) AS BIGINT)
+           AS chunk_len,
+       md5(substr(text, CAST(s AS INTEGER), 512)) AS chunk_md5
+FROM fan
+"""
+
+
+@query("chunk_documents_sliding", _CHUNK_ORACLE)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13 — context-window prep] Sliding
+    512-char windows at stride 384 (128-char overlap) over every
+    document — the long-document → training-sample fan-out, chunk
+    payloads carried as (len, md5) so rows stay narrow. Pure narrow
+    codegen: bounded ``sequence`` explode + ``substring``, NO shuffle
+    in the whole plan (``curation.chunk_documents``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(
+        d, "doc_id", "text", chunk_chars=512, stride=384
+    )
+
+
+_MIXTEMP_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS tn, sum(pow(CAST(n AS DOUBLE), 0.3)) AS tpw FROM c)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       round(n / tn, 6) AS p_raw,
+       round(pow(CAST(n AS DOUBLE), 0.3) / tpw, 6) AS p_samp,
+       round((pow(CAST(n AS DOUBLE), 0.3) / tpw) / (n / tn), 6) AS boost
+FROM c, t
+"""
+
+
+@query("mixture_temperature_lang", _MIXTEMP_ORACLE)
+def mixture_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation, beyond-ref §2.13 — the α-sampling rule] Per-language
+    multinomial sampling weights p_i ∝ (n_i/N)^0.3 with the per-group
+    boost factor (p_α/p_raw) — how multilingual trainers up-weight
+    scarce languages. One tiny group aggregate + a 1-row scalar
+    broadcast; 6-dp rounding absorbs cross-libm pow() ulps, the
+    PageRank-oracle tolerance pattern
+    (``curation.mixture_temperature_weights``).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return curation.mixture_temperature_weights(d, "lang", alpha=0.3)
+
+
+# --------------------------------------------------------------------------
 # Catalog ordering: the driver's correctness gate samples the FIRST 50
 # entries of QUERIES (CORRECTNESS_r03 recorded exactly queries 1-50 of
 # 139). Registration order above is historical (the order operators were

@@ -140,3 +140,69 @@ def test_bipartite_align_ann_recall_vs_exact(spark):
     agree = sum(1 for k in exact if ann[k] == exact[k])
     recall = agree / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+
+
+# ---------------------------------------- BPE-regex pretoken counting
+
+
+def test_bpe_pretoken_counts_known_values(spark):
+    from module8_movies_etl_spark.operators.text import bpe_pretoken_stats
+
+    rows = [
+        (1, "Hello world"),        # 2 words, 2 pretokens
+        (2, "it's x=42"),          # it|'s| x|=|42 -> 5 pretokens, 2 words
+        (3, ""),                   # empty -> 0/0, ratio NULL
+        (4, "   "),                # ws-only: 0 words, 1 ws-run pretoken
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    out = {r["doc_id"]: r for r in bpe_pretoken_stats(df, "doc_id", "t").collect()}
+    assert out[1]["n_ws_tokens"] == 2 and out[1]["n_bpe_pretokens"] == 2
+    assert out[2]["n_ws_tokens"] == 2 and out[2]["n_bpe_pretokens"] == 5
+    assert out[3]["n_ws_tokens"] == 0 and out[3]["n_bpe_pretokens"] == 0
+    assert out[3]["chars_per_pretoken"] is None
+    assert out[4]["n_ws_tokens"] == 0 and out[4]["n_bpe_pretokens"] == 1
+
+
+# ------------------------------------------- sliding-window chunking
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from module8_movies_etl_spark.operators.curation import chunk_documents
+
+    text = "abcdefghij" * 100  # 1000 chars
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "short")],
+                               "doc_id int, t string")
+    out = chunk_documents(df, "doc_id", "t", chunk_chars=512, stride=384)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 1, 385, 769 — last start <= len; window past end not emitted
+    assert [r["chunk_start"] for r in d1] == [1, 385, 769]
+    assert [r["chunk_len"] for r in d1] == [512, 512, 232]
+    # consecutive chunks overlap by chunk-stride = 128 chars
+    assert d1[0]["chunk_start"] + 512 - d1[1]["chunk_start"] == 128
+    # full coverage: last chunk reaches the end
+    assert d1[-1]["chunk_start"] + d1[-1]["chunk_len"] - 1 == 1000
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_len"] == 0  # empty doc survives
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_len"] == 5
+
+
+# ------------------------------------- temperature mixture weights
+
+
+def test_mixture_temperature_weights_properties(spark):
+    from module8_movies_etl_spark.operators.curation import (
+        mixture_temperature_weights,
+    )
+
+    rows = [("en",)] * 80 + [("de",)] * 15 + [("fi",)] * 5
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r["lang"]: r for r in
+           mixture_temperature_weights(df, "lang", alpha=0.3).collect()}
+    assert abs(sum(r["p_samp"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["p_raw"] for r in out.values()) - 1.0) < 1e-4
+    # temperature up-weights scarce groups, down-weights dominant ones
+    assert out["fi"]["boost"] > 1.0 > out["en"]["boost"]
+    # alpha=1 would be proportional; 0 < alpha < 1 keeps ordering
+    assert out["en"]["p_samp"] > out["de"]["p_samp"] > out["fi"]["p_samp"]
