@@ -624,10 +624,21 @@ def test_bloom_probe_is_hash_join_not_array_scan(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
-def test_bipartite_align_broadcasts_index_side(spark):
-    """Alignment streams the probe side against a broadcast index —
-    a shuffle join here would re-partition the (unbounded) probe
-    stream for no reason."""
+def test_bipartite_align_ann_shortlists_no_full_cross(spark):
+    """Round-5 shape: alignment candidates come from an EQUI-join of
+    the two sides' LSH band keys — never a full |left|x|right| cross
+    product. The only permitted cross leg is the bounded fallback
+    (probes with zero band hits x right), which sits behind the
+    left-anti miss filter."""
+    import re
+
     plan = plan_of(spark, "align_embeddings_bipartite")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # band-key candidate generation is an equi-join on bk
+    assert "[bk#" in plan, plan
+    # exactly one cross-join NODE: the |misses|x|right| fallback
+    n_cross = len(
+        re.findall(r"\(\d+\) (?:BroadcastNestedLoopJoin|CartesianProduct)", plan)
+    )
+    assert n_cross <= 1, plan
+    # the miss detection anti-join is present (fallback is gated)
+    assert "LeftAnti" in plan, plan
