@@ -98,19 +98,24 @@ def flagship_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A1 V1 V2 J2 C8] Pivot lineitem return-flags into a per-order
     histogram, left-join onto orders, zero-fill.
 
-    Scale shape: one hash-partial count shuffle on l_orderkey (the
-    pivot aggregates map-side per flag), then a SIZE-CHECKED join:
-    unlike the reference's movieId histogram (bounded ≈45 k rows),
-    this histogram is keyed on the fact key — its row count grows
-    with data volume, so ``left_join_small`` broadcasts it only while
-    the optimizer's estimate stays under the 64 MB ceiling (true at
-    bench scale factors) and falls back to a shuffle join at 100 TB,
-    where a forced broadcast would OOM. This is the reference's
+    Scale shape: the flag domain is known at plan time, so the pivot
+    lowers to a conditional aggregate (``pivot.pivot_count_fixed``) —
+    ONE exchange on l_orderkey with map-side partials, where
+    ``groupBy().pivot()`` would add a second (key, flag)-grain
+    exchange + pivotfirst reshape (the general form stays available
+    as ``pivot.pivot_count`` and is exercised by
+    ``pivot_status_by_priority``). Then a SIZE-CHECKED join: unlike
+    the reference's movieId histogram (bounded ≈45 k rows), this
+    histogram is keyed on the fact key — its row count grows with
+    data volume, so ``left_join_small`` broadcasts it only while the
+    optimizer's estimate stays under the 64 MB ceiling (true at bench
+    scale factors) and falls back to a shuffle join at 100 TB, where
+    a forced broadcast would OOM. This is the reference's
     movies_ratings pipeline in miniature (challenge.py:293-302).
     """
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
-    hist = pivot.pivot_count(
+    hist = pivot.pivot_count_fixed(
         lineitem, "l_orderkey", "l_returnflag", values=["A", "N", "R"], prefix="flag_"
     )
     hist = hist.select(
