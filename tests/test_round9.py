@@ -206,3 +206,85 @@ def test_mixture_temperature_weights_properties(spark):
     assert out["fi"]["boost"] > 1.0 > out["en"]["boost"]
     # alpha=1 would be proportional; 0 < alpha < 1 keeps ordering
     assert out["en"]["p_samp"] > out["de"]["p_samp"] > out["fi"]["p_samp"]
+
+
+# ---------------------------------------------- plan-shape pins (r5)
+
+
+def test_chunk_and_bpe_plans_have_no_exchange(spark):
+    """Both round-5 scan-shaped ops must stay narrow: no Exchange
+    anywhere in the physical plan (the chunk fan-out is a per-row
+    explode; the token counts are per-row regexp_count)."""
+    import module8_movies_etl_spark.plans.benchmark_queries as bq
+
+    for name in ("chunk_documents_sliding", "bpe_pretoken_stats_docs"):
+        df = bq.QUERIES[name](spark, SF0001)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_flagship_pivot_single_exchange(spark):
+    """pivot_count_fixed lowers the known-domain pivot to ONE exchange
+    on the index key (the general pivot path plans two)."""
+    import module8_movies_etl_spark.plans.benchmark_queries as bq
+
+    df = bq.QUERIES["flagship_order_histogram"](spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# -------------------------------------------- property-based (r5 ops)
+
+
+def test_bpe_vs_ws_token_count_property(spark):
+    """Every whitespace token decomposes into >=1 pretokens and
+    whitespace runs only add matches, so n_bpe >= n_ws for ANY text."""
+    from hypothesis import given, settings, strategies as st
+
+    from module8_movies_etl_spark.operators.text import bpe_pretoken_stats
+
+    texts = st.lists(
+        st.text(alphabet=st.characters(codec="utf-8",
+                                       exclude_characters="\x00"),
+                max_size=60),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def check(ts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts)], "doc_id int, t string"
+        )
+        for r in bpe_pretoken_stats(df, "doc_id", "t").collect():
+            assert r["n_bpe_pretokens"] >= r["n_ws_tokens"], r
+
+    check()
+
+
+def test_chunk_reconstruction_property(spark):
+    """At stride == chunk_chars (no overlap) the concatenation of the
+    chunks must reconstruct the document exactly — for any length,
+    including empty and shorter-than-one-chunk texts."""
+    from hypothesis import given, settings, strategies as st
+
+    from module8_movies_etl_spark.operators.curation import chunk_documents
+    from pyspark.sql import functions as SF
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.text(alphabet="ab x", max_size=300), st.integers(5, 50))
+    def check(text, chunk):
+        df = spark.createDataFrame([(1, text)], "doc_id int, t string")
+        out = chunk_documents(df, "doc_id", "t",
+                              chunk_chars=chunk, stride=chunk)
+        rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+        # reconstruct via (start, len) spans: contiguous, full cover
+        pos = 1
+        total = 0
+        for r in rows:
+            assert r["chunk_start"] == pos
+            pos += r["chunk_len"]
+            total += r["chunk_len"]
+        assert total == len(text)
+
+    check()
