@@ -54,18 +54,28 @@ def pivot_count_fixed(
     """``pivot_count`` for a KNOWN small value domain, lowered to a
     conditional aggregate: ``sum(when(col == v, 1))`` per value.
 
-    Same output as ``pivot_count(values=...)`` (long counts, absent
-    value → 0 — Spark's pivot-count of no rows yields NULL only for
-    first/min aggs; count yields 0), but the plan has ONE exchange on
-    the index key with map-side partials, where ``groupBy().pivot()``
-    plans a (index, pivot_col)-grain aggregate + second exchange +
-    ``pivotfirst`` reshape. At 100 TB the saved exchange is a full
-    pass over the fact table's key-value pairs; use the general
-    ``pivot_count`` only when the domain is unknown at plan time.
+    NULL semantics differ from the general form — deliberately:
+    ``groupBy().pivot(values).count()`` emits NULL for a value absent
+    from a group (``pivotfirst``'s missing-slot default), while this
+    form emits 0 (histogram semantics; the coalesce also covers a
+    group whose ``pivot_col`` is entirely NULL, where a bare sum of
+    NULL-comparison casts would be NULL). Callers migrating between
+    the two must not rely on NULL↔0 being interchangeable.
+
+    The plan win: ONE exchange on the index key with map-side
+    partials, where ``groupBy().pivot()`` plans a (index, pivot_col)-
+    grain aggregate + second exchange + ``pivotfirst`` reshape. At
+    100 TB the saved exchange is a full pass over the fact table's
+    key-value pairs; use the general ``pivot_count`` only when the
+    domain is unknown at plan time.
     """
     return df.groupBy(index).agg(
         *[
-            F.sum((F.col(pivot_col) == v).cast("long")).alias(f"{prefix}{v}")
+            F.coalesce(
+                F.sum((F.col(pivot_col) == v).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{prefix}{v}")
             for v in values
         ]
     )

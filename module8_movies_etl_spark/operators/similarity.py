@@ -906,15 +906,20 @@ def bipartite_align_ann(
     neither side is ever broadcast whole and no cross product appears
     in the plan.
 
-    Contract parity with the exact form: every LEFT id still aligns.
-    Probes whose LSH bands catch NO right-side vector (rare — a
-    same-direction pair agrees on all sign bands with high probability)
-    fall back to an exact scan of the right side for JUST those
-    probes, so the fallback cross join is |misses|×|right|, not
-    |left|×|right|. Margin is relative to the shortlist runner-up —
-    the standard mining practice (the runner-up is itself a nearest
-    candidate, and a margin computed against a far-away vector would
-    be inflated anyway).
+    Contract parity with the exact form: every LEFT id still aligns,
+    and every probe has a real runner-up margin whenever |right| ≥ 2.
+    Probes whose LSH bands catch FEWER THAN TWO right-side vectors
+    (rare — a same-direction pair agrees on a sign band with high
+    probability) fall back to an exact scan of the right side for
+    JUST those probes, so the fallback cross join is
+    |misses|×|right|, not |left|×|right|; the threshold is 2, not 1,
+    because the margin (the documented accept signal) needs a
+    runner-up — a 1-candidate shortlist would emit margin NULL and a
+    consumer thresholding on margin would silently drop the pair.
+    Margin is relative to the shortlist runner-up — the standard
+    mining practice (the runner-up is itself a nearest candidate, and
+    a margin computed against a far-away vector would be inflated
+    anyway).
 
     Scale shape: both band indexes are (id, band-key) rows — ids only;
     the bands equi-join (AQE skew-join spreads a hot band), candidates
@@ -963,8 +968,18 @@ def bipartite_align_ann(
     cand = lb.join(rb, "bk").select("_a", "_b").distinct()
     l_ids = left.select(F.col(id_col).alias("_a"))
     r_ids = right.select(F.col(id_col).alias("_b"))
-    missed = l_ids.join(cand.select("_a").distinct(), "_a", "left_anti")
-    all_cand = cand.unionByName(missed.crossJoin(r_ids))
+    covered = (
+        cand.groupBy("_a")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(F.col("_nc") >= 2)
+        .select("_a")
+    )
+    missed = l_ids.join(covered, "_a", "left_anti")
+    # a fallback probe's band candidates are a subset of its full
+    # right-side scan — distinct the union so no pair scores twice
+    # (a duplicate would occupy both top-2 window slots and zero the
+    # margin)
+    all_cand = cand.unionByName(missed.crossJoin(r_ids)).distinct()
     lv = left.select(
         F.col(id_col).alias("_a"),
         _as_double(F.col(vec_col)).alias("_av"),

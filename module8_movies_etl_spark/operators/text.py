@@ -38,6 +38,13 @@ def ws_trim(col: Column) -> Column:
     Every tokenizer in the engine goes through this, and the DuckDB
     oracles use the matching ``regexp_replace`` so both engines see
     the same token streams.
+
+    Dialect caveat: ``\\s`` is NOT identical across engines — Java's
+    includes vertical tab (\\x0B), RE2's (DuckDB) does not — so the
+    ws-split family's cross-engine parity assumes VT-free text (true
+    of real prose and of the test corpus). Operators whose pattern is
+    part of their contract (``BPE_PRETOKEN_PATTERN``) spell the class
+    out explicitly instead.
     """
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
@@ -65,12 +72,17 @@ def approx_bpe_token_count(col: Column) -> Column:
 # GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩
 # RE2 dialect so the SAME string runs on Spark and DuckDB: contraction
 # suffixes, space-prefixed letter/digit/punctuation runs, residual
-# whitespace runs. (The original GPT-2 pattern's `\s+(?!\S)` tail is a
-# lookahead — not RE2 — and only changes how a whitespace run is split
-# BETWEEN tokens; folding it into plain `\s+` keeps the match COUNT
-# semantics deterministic and portable.)
+# whitespace runs. Two portability rewrites vs the original GPT-2
+# pattern: the `\s+(?!\S)` tail is a lookahead (not RE2) and folds
+# into plain whitespace runs without changing match COUNTS; and `\s`
+# itself is NOT dialect-portable (Java's includes vertical tab \x0B,
+# RE2's does not — a VT-bearing document would count differently per
+# engine), so whitespace appears as the explicit class
+# `[ \t\n\x0b\f\r]`, identical to Java's \s in both engines.
+_WS_CLS = r" \t\n\x0b\f\r"
 BPE_PRETOKEN_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS_CLS}\p{{L}}\p{{N}}]+|[{_WS_CLS}]+"
 )
 
 

@@ -421,9 +421,15 @@ def ewma_smooth(
 
     q = 1.0 - alpha
     # bounded lookback: smallest L with q^L <= 2^-64 (64 for q = 0.5);
-    # a constant w.r.t. data volume, so the fold is O(L·B) per key
+    # a constant w.r.t. data volume, so the fold is O(L·B) per key.
+    # Degenerate edges: alpha >= 1 (q <= 0) keeps only the newest
+    # term; alpha <= 0 (q >= 1) never decays, so no truncation is
+    # valid — fall back to the full-prefix fold (e_i = x_0 for
+    # alpha = 0 exactly, as before the bounded-lookback change).
     if q <= 0.0:
         lb = 1
+    elif q >= 1.0:
+        lb = (1 << 31) - 1
     else:
         lb = max(1, math.ceil(64.0 * math.log(2.0) / -math.log(q)))
     # e_i = q^i * x_0 + alpha * sum_{j=1..i} q^(i-j) * x_j over the lb

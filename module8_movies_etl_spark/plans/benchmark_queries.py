@@ -5476,8 +5476,13 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     two60 = F.lit(1152921504606846976).cast("decimal(38,0)")
+    # the dim side is deduped BEFORE the orphan-test join: a duplicate
+    # c_custkey (exactly the defect a DQ snapshot exists to catch)
+    # must not fan out the fact rows and corrupt the very metrics
+    # (row count, checksum, negative prices) auditing it
+    cd = c.distinct()
     om = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(F.broadcast(cd), o.o_custkey == cd.c_custkey, "left")
         .agg(
             F.count(F.lit(1)).alias("orders_rows"),
             F.count_distinct("o_custkey").alias("customers_distinct"),
@@ -5496,7 +5501,11 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(
-            F.sum("cnt").alias("events_rows"),
+            # coalesce: an EMPTY events table has zero groups, so a
+            # bare sum would report NULL where count(*) reports 0
+            F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias(
+                "events_rows"
+            ),
             F.round(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 4).alias(
                 "top_event_share"
             ),
@@ -7135,12 +7144,13 @@ def _align_ann_oracle(
 ) -> str:
     """DuckDB oracle replaying the ANN-shortlisted bipartite alignment
     end to end: the same md5-derived ±1 plane literals build every
-    12-bit bucket, the same 3×4-bit band split generates candidates,
-    probes with zero band hits take the same exact-scan fallback, and
-    the shortlist's exact rescoring + top-2 margin replays in plain
-    SQL — so the approximate alignment hash-verifies despite recall
-    being probabilistic relative to the full cross product (same
-    pattern as _cosine_topk_lsh_oracle)."""
+    ``n_planes``-bit bucket (18 by default), the same band split
+    (9 × 2-bit by default) generates candidates, probes with fewer
+    than two band hits take the same exact-scan fallback (deduped
+    union), and the shortlist's exact rescoring + top-2 margin
+    replays in plain SQL — so the approximate alignment hash-verifies
+    despite recall being probabilistic relative to the full cross
+    product (same pattern as _cosine_topk_lsh_oracle)."""
     from ..operators.similarity import plane_weights
 
     bits = " + ".join(
@@ -7164,9 +7174,10 @@ r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE label % 2 = 1),
 lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
 rbk AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
 cand AS (SELECT DISTINCT a, bid FROM lbk JOIN rbk USING (bk)),
-missed AS (SELECT a FROM l WHERE a NOT IN (SELECT a FROM cand)),
+covered AS (SELECT a FROM cand GROUP BY a HAVING count(*) >= 2),
+missed AS (SELECT a FROM l WHERE a NOT IN (SELECT a FROM covered)),
 allc AS (SELECT a, bid FROM cand
-         UNION ALL SELECT m.a, r.bid FROM missed m, r),
+         UNION SELECT m.a, r.bid FROM missed m, r),
 scored AS (
     SELECT allc.a, allc.bid,
            list_dot_product(lv.av, rv.bv)
@@ -7203,8 +7214,9 @@ def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two label groups standing in for two languages) with the
     top1−top2 MARGIN as the accept signal — the parallel-corpus
     mining step. Candidates come from banded hyperplane LSH with an
-    exact-scan fallback for probes whose bands catch nothing, so
-    neither side broadcasts whole and NO cross product appears in the
+    exact-scan fallback for probes whose bands catch fewer than two
+    right-side vectors (the margin needs a runner-up), so neither
+    side broadcasts whole and NO cross product appears in the
     default plan (round-5 fix — the exact crossJoin form survives as
     ``similarity.bipartite_align``, recall pinned ≥0.95 against it in
     tests). The oracle replays bands + fallback + rescoring, so the

@@ -140,6 +140,49 @@ def test_bipartite_align_ann_recall_vs_exact(spark):
     agree = sum(1 for k in exact if ann[k] == exact[k])
     recall = agree / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+    # |right| >= 2, so EVERY probe must carry a real runner-up margin
+    # (sub-2-candidate shortlists take the exact fallback)
+    margins = [r["margin"] for r in ann_df.collect()]
+    assert all(m is not None for m in margins), margins.count(None)
+
+
+def test_ewma_degenerate_alphas(spark):
+    """Review fix: alpha=0 (q=1, no decay) must not divide by zero —
+    it falls back to the full-prefix fold where e_i = x_0; alpha=1
+    keeps only the newest term (e_i = x_i)."""
+    from module8_movies_etl_spark.operators.timeseries import ewma_smooth
+
+    rows = [("k", f"2024-01-01 0{h}:00:00", float(h + 1)) for h in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    e0 = ewma_smooth(df, "k", "ts", "v", 3600, alpha=0.0)
+    vals0 = {r["bucket_start"]: r["ewma"] for r in e0.collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in vals0.values()), vals0
+    e1 = ewma_smooth(df, "k", "ts", "v", 3600, alpha=1.0)
+    vals1 = sorted(r["ewma"] for r in e1.collect())
+    assert vals1 == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_pivot_count_fixed_null_semantics(spark):
+    """Review fix: absent values and all-NULL pivot groups both emit
+    0 (histogram semantics), documented as DIFFERENT from the general
+    pivot-count's NULL-for-absent-slot behavior."""
+    from module8_movies_etl_spark.operators.pivot import (
+        pivot_count,
+        pivot_count_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "N"), (3, None)], "k int, f string"
+    )
+    fixed = {r["k"]: r for r in
+             pivot_count_fixed(df, "k", "f", ["A", "N", "R"]).collect()}
+    assert fixed[1]["R"] == 0 and fixed[1]["A"] == 1   # absent -> 0
+    assert fixed[3]["A"] == 0 and fixed[3]["R"] == 0   # all-NULL grp -> 0
+    gen = {r["k"]: r for r in
+           pivot_count(df, "k", "f", values=["A", "N", "R"]).collect()}
+    assert gen[1]["R"] is None  # the general form's documented contrast
 
 
 # ---------------------------------------- BPE-regex pretoken counting
