@@ -107,13 +107,21 @@ def compaction_plan(
     bin-pack step every lakehouse table service runs, expressed as a
     pure window computation.
 
-    Assignment is STREAMING NEXT-FIT in deterministic ``file_col``
-    order: ``bin = floor(cumsum_before / target)`` — a file opens a
-    new bin when the running total crosses the target. This is the
-    same one-pass rule streaming compactors use (sorted first-fit
-    needs per-bin state that doesn't fold into a window); bins can
-    overshoot by at most one file, never undershoot below target
-    except the partition's last bin.
+    Assignment is FIXED-QUOTA CUMULATIVE BINNING in deterministic
+    ``file_col`` order: ``bin = floor(cumsum_before / target)`` — the
+    bin index is which target-sized quota the file's running offset
+    falls in. This folds into one window (true next-fit carries
+    per-bin fill state — a sequential recurrence no window
+    expresses) and matches next-fit exactly while every file is
+    ≤ target. The deviation: a file larger than k·target consumes k
+    quotas, so its SUCCESSOR can land in a fresh under-filled bin
+    that next-fit would have merged forward (e.g. sizes [5,20,5,20]
+    at target 10 → bins 0,0,2,3: bin 2 holds one 5-byte file).
+    Oversized files are already single-file bins under any policy, so
+    the cost is bounded at one fragmented bin per oversized file —
+    acceptable for a table service whose inputs are SMALL files by
+    definition; a service with many over-target inputs should split
+    them upstream, not bin-pack them.
 
     All integer arithmetic — exact in any engine. One shuffle on the
     partition key; at 100 TB the row count is the FILE count (millions,

@@ -68,7 +68,12 @@ def dq_audit(
         _metric("fk_orphan_lineitems", F.count(F.lit(1)), orphan_lineitems),
         _metric(
             "nonpositive_price",
-            F.sum((F.col("o_totalprice") <= 0).cast("long")),
+            # coalesce: sum over an EMPTY table is NULL where every
+            # other metric (and the oracle's coalesce) reports 0
+            F.coalesce(
+                F.sum((F.col("o_totalprice") <= 0).cast("long")),
+                F.lit(0).cast("long"),
+            ),
             orders,
         ),
     ]

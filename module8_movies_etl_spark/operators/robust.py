@@ -37,6 +37,12 @@ def winsorize(
     itself is a narrow projection. Thresholds are rounded to 4 decimals
     on BOTH engine and oracle sides so a last-ulp interpolation
     difference can never flip a comparison at the clip boundary.
+
+    NULL inputs stay NULL: clipping is guarded by an explicit
+    ``isNull`` check because ``greatest``/``least`` SKIP null
+    arguments (in Spark and DuckDB alike) — a bare
+    ``least(greatest(v, lo), hi)`` would fabricate the lower
+    percentile bound for every missing value.
     """
     out_col = out_col or f"{value_col}_w"
     v = F.col(value_col).cast("double")
@@ -44,7 +50,9 @@ def winsorize(
         F.round(F.percentile(v, F.lit(lo)), 4).alias("_lo"),
         F.round(F.percentile(v, F.lit(hi)), 4).alias("_hi"),
     )
-    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out_col, clipped)
@@ -93,6 +101,12 @@ def equidepth_histogram(
     are rounded(4) on BOTH engines so interpolation ulps can't move a
     boundary row; assignment uses right-closed intervals
     (lo, hi] with bin 1 left-closed, replayed identically in SQL.
+
+    NULL values are EXCLUDED from the histogram (they are in no
+    (lo, hi] interval; the percentile aggregate already ignores them
+    when computing edges) — without the explicit filter the NULL
+    comparison fold would collapse to bin 1 via ``greatest`` null
+    skipping and silently inflate the first bin's count.
     """
     v = F.col(value_col).cast("double")
     qs = [i / n_bins for i in range(n_bins + 1)]
@@ -102,7 +116,7 @@ def equidepth_histogram(
             lambda e: F.round(e, 4),
         ).alias("_edges")
     )
-    binned = df.crossJoin(F.broadcast(edges)).select(
+    binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(edges)).select(
         # rightmost edge whose value is strictly below v, +1 -> the
         # right-closed (lo, hi] bin index; clamp v == min into bin 1
         F.greatest(
@@ -149,6 +163,12 @@ def skyline_2d(
     row is strictly earlier). Exact (x, y) duplicates tie — all kept,
     per skyline semantics. One key shuffle serves both frames.
 
+    Rows with a NULL coordinate are EXCLUDED up front (dominance is
+    undefined against a missing axis) — explicitly, because leaving
+    them in would let the NULL dominance predicate drop them silently
+    through ``filter`` three-valued logic, which reads like data
+    loss rather than a rule.
+
     Returns the surviving rows: (key, id, x, y).
     """
     from pyspark.sql import Window
@@ -158,7 +178,7 @@ def skyline_2d(
         F.col(id_col).alias("_id"),
         x_col.cast("long").alias("_x"),
         y_col.cast("long").alias("_y"),
-    )
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     wlt = (
         Window.partitionBy("_k")
         .orderBy("_x")

@@ -1744,7 +1744,8 @@ _TUMBLING_ORACLE = """
 SELECT CAST((epoch_us(ts) // 1000000) // 300 * 300 AS BIGINT) AS window_start_s,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1762,7 +1763,12 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # DECIMAL sum: order-independent addition, so partial-agg
+            # order can never flip a rounded .xx5 boundary (matches
+            # the hopping query and the streaming twin)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -3845,8 +3851,11 @@ WITH b AS (
     FROM orders
 ),
 c AS (
+    -- NULL stays NULL (least/greatest skip null args in both engines)
     SELECT o_orderstatus,
-           least(greatest(CAST(o_totalprice AS DOUBLE), b.lo), b.hi) AS wp
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                ELSE least(greatest(CAST(o_totalprice AS DOUBLE), b.lo), b.hi)
+           END AS wp
     FROM orders CROSS JOIN b
 )
 SELECT o_orderstatus,
@@ -5279,6 +5288,7 @@ binned AS (
                 FROM unnest(e[1:8]) AS u(x)),
                1) AS bin
     FROM orders o CROSS JOIN edges
+    WHERE o.o_totalprice IS NOT NULL
 )
 SELECT CAST(b.bin AS BIGINT) AS bin,
        e.e[CAST(b.bin AS INTEGER)] AS lo,
@@ -6496,10 +6506,12 @@ def compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[lakehouse ops, beyond-ref §2.13 beside Z-order layout] The
     small-file compaction plan every table service runs: simulate the
     file inventory (per-lang size buckets of the documents corpus),
-    then assign files to ~32 KB output bins with the streaming
-    next-fit rule ``bin = floor(cumsum_before / target)`` — pure
-    integer window arithmetic, one shuffle on the partition key, row
-    count = FILE count at any data scale (``layout.compaction_plan``).
+    then assign files to ~32 KB output bins by fixed-quota cumulative
+    binning ``bin = floor(cumsum_before / target)`` (next-fit exactly
+    while files are ≤ target; an oversized file's successor may open
+    an under-filled bin — see ``layout.compaction_plan`` for the
+    bound) — pure integer window arithmetic, one shuffle on the
+    partition key, row count = FILE count at any data scale.
     """
     d = read_table(spark, sf_dir, "documents")
     files = (
@@ -7098,10 +7110,13 @@ def histsketch_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKYLINE_ORACLE = """
 WITH base AS (
+    -- NULL coordinates are excluded (dominance is undefined against a
+    -- missing axis), mirroring the engine's explicit filter
     SELECT o_orderstatus AS k, o_orderkey AS id,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 ),
 m AS (
     SELECT k, id, x, y,

@@ -17,7 +17,11 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import read_event_stream, run_to_memory
+from .windows import (
+    read_event_stream,
+    run_to_memory,
+    scoped_shuffle_partitions,
+)
 
 _SINK_SEQ = itertools.count()
 
@@ -79,15 +83,7 @@ def run_dedup_over_events(
     # partition per micro-batch; a default-conf session (200) spends
     # more time on store commits than on data (same scoping as
     # streaming.stateful). The conf is read at query start — scope it.
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     sink = f"stream_dedup_events_{next(_SINK_SEQ)}"
-    try:
+    with scoped_shuffle_partitions(spark, 32):
         run_to_memory(deduped, sink, output_mode="append")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.table(sink).select(*[F.col(k) for k in keys])

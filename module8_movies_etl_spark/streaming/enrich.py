@@ -21,7 +21,11 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import read_event_stream, run_to_memory
+from .windows import (
+    read_event_stream,
+    run_to_memory,
+    scoped_shuffle_partitions,
+)
 
 _SINK_SEQ = itertools.count()
 
@@ -79,15 +83,7 @@ def run_enrich_over_events(
         "event_id", "user_id", "event_type", "mktsegment", "value"
     )
 
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     sink = f"stream_enrich_events_{next(_SINK_SEQ)}"
-    try:
+    with scoped_shuffle_partitions(spark, 32):
         run_to_memory(enriched, sink, output_mode="append")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.table(sink)

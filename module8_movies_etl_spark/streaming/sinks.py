@@ -49,10 +49,14 @@ def run_upsert_foreachbatch(
     sink (multiple micro-batches via ``maxFilesPerTrigger``) and
     return the final per-user state table."""
     from ..sources.readers import read_table
-    from ..sources.scratch import mkscratch
+    from ..sources.scratch import mkscratch, register
 
     scratch = mkscratch("fb_upsert_stream_")
     state_root = mkscratch("fb_upsert_state_")
+    # the state root holds every v{batch_id} version plus the
+    # checkpoint and outlives this function (the returned DataFrame
+    # reads it lazily) — register it so the atexit reaper reclaims it
+    register(state_root)
     # 4 input files → availableNow processes them as several
     # micro-batches (maxFilesPerTrigger=1), exercising the incremental
     # merge path rather than a single-batch degenerate run
@@ -102,8 +106,8 @@ def run_upsert_foreachbatch(
         .start()
     )
     q.awaitTermination()
-    # the input copy is dead; the final state dir stays on disk (it is
-    # scratch-registered — reaped at interpreter exit) so the returned
-    # DataFrame can read it lazily like any table
+    # the input copy is dead; the state root stays on disk (registered
+    # above — reaped at interpreter exit) so the returned DataFrame
+    # can read the final version lazily like any table
     shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.schema(_STATE_SCHEMA).parquet(last_dir[0])

@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .windows import scoped_shuffle_partitions
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start_s bigint, session_end_s bigint, n_events bigint"
 )
@@ -182,23 +184,17 @@ def run_sessionize_over_events(
     # (200) that is 400 store commits for this two-batch replay —
     # measured 6x slower than the data warrants. The conf is read at
     # query start, so scope it to the stream and restore after.
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     try:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(spark, 32):
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
         # The memory sink holds the result rows; the events copy is
         # dead the moment the stream terminates.
         import shutil
@@ -322,23 +318,17 @@ def run_kmv_over_events(
         "event_type string, ts timestamp, user_id long"
     ).parquet(scratch)
     sketches = kmv_stateful(stream, k=k)
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     try:
-        q = (
-            sketches.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(spark, 32):
+            q = (
+                sketches.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(query_name).select(
         "event_type",

@@ -11,9 +11,34 @@ aggregation's state grows forever.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int = 32):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming run.
+
+    Stateful streams commit one state-store partition per shuffle
+    partition per micro-batch; under a default-conf session (200)
+    store-commit overhead dwarfs the data (measured 6× on a two-batch
+    replay). The conf is read at query START, so it must wrap the
+    whole run and restore after — unset if it was unset, not blindly
+    re-set. This is the ONE implementation of that save/set/restore
+    discipline for every streaming runner in the package.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_event_stream(
@@ -46,13 +71,21 @@ def tumbling_event_counts(
     The watermark lets Spark finalize+evict window state once event
     time passes window_end + watermark; late rows beyond it are
     dropped (documented late-data semantics).
+
+    The value sum runs on DECIMAL(18,2): addition is then
+    order-independent, so the batch plan and the streaming
+    state-store plan (different partial-aggregation orders) can never
+    disagree on a rounded .xx5 boundary — the same guard
+    ``run_hopping_over_events`` uses.
     """
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -209,17 +242,9 @@ def run_hopping_over_events(
             "total_value",
         )
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     sink = f"stream_hopping_{next(_HOP_SEQ)}"
-    try:
+    with scoped_shuffle_partitions(spark, 32):
         run_to_memory(agg, sink, output_mode="complete")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.table(sink)
 
 
@@ -263,17 +288,9 @@ def run_session_windows_over_events(
             "n_events",
         )
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     sink = f"stream_sessions_{next(_HOP_SEQ)}"
-    try:
+    with scoped_shuffle_partitions(spark, 32):
         run_to_memory(agg, sink, output_mode="complete")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.table(sink)
 
 
@@ -326,15 +343,7 @@ def run_interval_join_over_events(
         (F.unix_micros(F.col("r.r_ts")) - F.unix_micros(F.col("l.l_ts")))
         .alias("delta_us"),
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "32")
     sink = f"stream_ij_{next(_HOP_SEQ)}"
-    try:
+    with scoped_shuffle_partitions(spark, 32):
         run_to_memory(joined, sink, output_mode="append")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.table(sink)

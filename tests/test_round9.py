@@ -185,6 +185,57 @@ def test_pivot_count_fixed_null_semantics(spark):
     assert gen[1]["R"] is None  # the general form's documented contrast
 
 
+# ------------------------------------- NULL handling in robust stats
+
+
+def test_winsorize_preserves_null(spark):
+    """Review fix: greatest/least skip NULL args, so an unguarded clip
+    fabricated the lower percentile for missing values."""
+    from module8_movies_etl_spark.operators.robust import winsorize
+
+    vals = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(vals, "v double")
+    out = winsorize(df, "v", 0.01, 0.99, out_col="w").collect()
+    nulls = [r for r in out if r["v"] is None]
+    assert len(nulls) == 1 and nulls[0]["w"] is None
+    clipped = {r["v"]: r["w"] for r in out if r["v"] is not None}
+    assert clipped[1.0] > 1.0 and clipped[100.0] < 100.0  # clip works
+
+
+def test_equidepth_excludes_null(spark):
+    """Review fix: NULL values used to collapse into bin 1 via
+    greatest() null skipping; they must be excluded entirely."""
+    from module8_movies_etl_spark.operators.robust import equidepth_histogram
+
+    vals = [(float(i),) for i in range(1, 81)] + [(None,)] * 20
+    df = spark.createDataFrame(vals, "v double")
+    out = equidepth_histogram(df, "v", n_bins=8).collect()
+    assert sum(r["n_rows"] for r in out) == 80  # NULLs not counted
+
+
+def test_skyline_excludes_null_coordinates(spark):
+    from module8_movies_etl_spark.operators.robust import skyline_2d
+
+    df = spark.createDataFrame(
+        [("g", 1, 5, 10), ("g", 2, None, 1), ("g", 3, 3, 20)],
+        "k string, id int, x int, y int",
+    )
+    out = skyline_2d(df, "k", F.col("x"), F.col("y"), "id").collect()
+    ids = {r["id"] for r in out}
+    assert 2 not in ids        # NULL-coordinate row excluded by rule
+    assert ids == {1, 3}       # neither survivor dominates the other
+
+
+def test_pagerank_empty_graph(spark):
+    """Review fix: an empty pair graph returns an empty frame instead
+    of ZeroDivisionError on the node count."""
+    from module8_movies_etl_spark.operators.graphs import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+
+
 # ---------------------------------------- BPE-regex pretoken counting
 
 
