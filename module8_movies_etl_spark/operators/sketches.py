@@ -60,6 +60,14 @@ def cms_estimate(
     """Point-query the sketch: estimate = min over rows of the item's
     counter. ``grid`` is ≤ depth·width rows → broadcast; the probe
     side streams. Adds ``cms_estimate`` (long) to ``probes``.
+
+    The grid lookup is a LEFT join with absent cells coalesced to 0
+    (the ``bloom_build_probe`` pattern): a (row, bucket) cell the
+    build stream never incremented means the true count-min answer is
+    0 — an inner join would instead DROP the fanned row, vanishing
+    the probe from the output entirely when all its cells are empty
+    and overestimating (min over only the surviving non-zero
+    counters) when some are.
     """
     fan = probes.select(
         "*",
@@ -69,9 +77,13 @@ def cms_estimate(
     )
     keep = [c for c in probes.columns]
     return (
-        fan.join(F.broadcast(grid), ["row", "bucket"])
+        fan.join(F.broadcast(grid), ["row", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_estimate"
+            )
+        )
     )
 
 
@@ -101,7 +113,9 @@ def kmv_rolling_distinct(
     (8,760/year) each carrying ≤ k doubles. Every step is md5/sort
     arithmetic — estimates replay bit-for-bit in SQL.
 
-    Returns (bucket_start, n_exact_bucket, est_window) per bucket.
+    Returns (bucket_start, n_exact_bucket, est_window) per bucket;
+    ``n_exact_bucket`` is the bucket's TRUE distinct count (computed
+    on the deduped stream before the k-min truncation).
     """
     from pyspark.sql import Window
 
@@ -123,13 +137,19 @@ def kmv_rolling_distinct(
         .dropDuplicates(["_b", "_h"])
     )
     wk = Window.partitionBy("_b").orderBy("_h")
+    wb = Window.partitionBy("_b")
+    # n_exact_bucket is the TRUE per-bucket distinct count (the hash
+    # dedup already reduced to distinct values) — counted BEFORE the
+    # top-k filter; max(_r) after the filter would silently cap the
+    # "exact" column at k
     sketches = (
         hashed.withColumn("_r", F.row_number().over(wk))
+        .withColumn("_nb", F.count(F.lit(1)).over(wb))
         .filter(F.col("_r") <= k)
         .groupBy("_b")
         .agg(
             F.array_sort(F.collect_list("_h")).alias("_mins"),
-            F.max("_r").cast("long").alias("n_exact_bucket"),
+            F.max("_nb").cast("long").alias("n_exact_bucket"),
         )
     )
     # RANGE frame over the bucket-start seconds, not ROWS: an empty
@@ -332,8 +352,16 @@ def bloom_build_probe(
         "n_flagged",
         "n_members",
         "n_false_pos",
+        # the false-positive RATE conditions on non-members — FP/(FP+TN)
+        # — since a member can never be a false positive; dividing by
+        # all probes would understate it in proportion to membership
         F.round(
-            F.col("n_false_pos").cast("double") / F.col("n_probe"), 6
+            F.col("n_false_pos").cast("double")
+            / F.nullif(
+                (F.col("n_probe") - F.col("n_members")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
         ).alias("fp_rate"),
     )
 
@@ -364,6 +392,11 @@ def histogram_sketch_quantiles(
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
+    # NULL values are excluded up front: they belong to no bin, and
+    # left in they would form a NULL bin that sorts FIRST in the
+    # cumulative window (min-struct argmin would then select a NULL
+    # estimate) while inflating _n and shifting every target rank
+    df = df.filter(v.isNotNull())
     stats = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
     )

@@ -46,11 +46,17 @@ def group_trend(
 
     One partial+final hash aggregate carrying six co-moments per key
     regardless of table size; the shuffle moves one row per key.
+
+    Pairwise-complete semantics (the REGR_* contract): rows where x
+    OR y is NULL are excluded from ``n`` AND every co-moment — a bare
+    ``count(*)`` would count rows the NULL-skipping sums ignored and
+    silently corrupt the slope.
     """
     # Narrow decimal widths keep every product under precision 38 on
     # any engine (DuckDB errors past 38 rather than capping): x must
     # fit 12 integer digits (epoch-shifted seconds — centuries of
     # span), y 10 integer digits at 4-decimal scale.
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     x = F.col(x_col).cast("decimal(12,0)")
     y = F.col(y_col).cast("decimal(14,4)")
     agg = df.groupBy(key_col).agg(
@@ -129,6 +135,15 @@ def mad_outlier_counts(
         )
         .collect()
     )
+    if not med_rows:
+        # empty input: createDataFrame([]) cannot infer a schema —
+        # return the documented shape explicitly instead of crashing
+        key_t = df.schema[key_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{key_col} {key_t}, n long, med double, mad double, "
+            "n_outliers long",
+        )
     med = F.broadcast(spark.createDataFrame(med_rows))
     mad_rows = (
         df.join(med, key_col)
@@ -166,7 +181,12 @@ def chi2_independence(
     the two category lists before the fold — a never-observed
     combination still contributes (0-E)²/E = E, and skipping it
     understates χ² on sparse tables (caught by the hypothesis
-    property suite against the textbook model). The observed cell
+    property suite against the textbook model). Rows with a NULL
+    category are EXCLUDED up front (the standard contingency-table
+    contract; left in, the non-null-safe grid join would lose their
+    observed counts and poison the fold with 0/0 cells), and an
+    empty input returns an empty frame instead of crashing schema
+    inference on the driver fetch. The observed cell
     table is FETCHED to the driver once (≤|A|×|B| rows — the
     ``null_prune`` statistics pattern): deriving the grid lazily from
     the cells instead re-executes the fact aggregate per consumer
@@ -179,10 +199,13 @@ def chi2_independence(
 
     spark = df.sparkSession
     cell_rows = (
-        df.groupBy(col_a, col_b)
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).cast("double").alias("_o"))
         .collect()
     )
+    if not cell_rows:
+        return spark.createDataFrame([], "chi2 double, dof long, n long")
     cells = spark.createDataFrame(cell_rows)
     grid = (
         cells.select(col_a)
@@ -304,8 +327,20 @@ def group_trend_applyinpandas(
     import pandas as pd
 
     out_key = key_col
+    # preserve the key's real type — a hardcoded string schema would
+    # coerce integer keys and break joins against group_trend's output
+    key_t = df.schema[key_col].dataType.simpleString()
+    empty = pd.DataFrame(
+        {out_key: [], "n": [], "slope": [], "intercept": [], "r2": []}
+    )
 
     def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # pairwise-complete, mirroring the native path's pre-filter:
+        # NULL x/y arrives as NaN and int(NaN) would throw; a group
+        # with no complete pair vanishes, as it does natively
+        pdf = pdf[pdf[x_col].notna() & pdf[y_col].notna()]
+        if len(pdf) == 0:
+            return empty
         xs = [int(v) for v in pdf[x_col]]
         ys4 = [int(round(float(v) * 10000)) for v in pdf[y_col]]
         n_i = len(xs)
@@ -341,7 +376,7 @@ def group_trend_applyinpandas(
         )
 
     schema = (
-        f"{out_key} string, n long, slope double, intercept double, r2 double"
+        f"{out_key} {key_t}, n long, slope double, intercept double, r2 double"
     )
     return df.groupBy(key_col).applyInPandas(fit, schema=schema)
 
@@ -363,9 +398,16 @@ def spearman_by_key(
     ``group_trend``. Shape: one key shuffle shared by all four
     windows (same partition, two sort orders per variable), one hash
     aggregate; output one row per key.
+
+    Pairwise-complete: rows with NULL x or y are excluded BEFORE
+    ranking — standard Spearman semantics, and also what keeps the
+    bit-parity claim true (ranking NULLs would pin them to opposite
+    ends per engine: Spark windows order NULLS FIRST, DuckDB's
+    default is NULLS LAST, so every non-null row's rank would shift).
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     wx = Window.partitionBy(key_col).orderBy(x_col)
     wy = Window.partitionBy(key_col).orderBy(y_col)
     cx = Window.partitionBy(key_col, x_col)
@@ -614,6 +656,9 @@ def bootstrap_mean_ci(
     # pre-shuffle is tiny next to the B× hash work it parallelizes;
     # on a real cluster with thousands of input splits it is a no-op
     # cost-wise (one extra narrow exchange).
+    # NULL values are excluded up front so n_rows and the sums agree
+    # (a NULL would be skipped by sum but counted by count(1))
+    df = df.filter(F.col(value_col).isNotNull())
     narrow = df.select(
         F.col(key_col).alias("_k"), x.alias("_x"), F.col(id_col)
     ).repartition(F.col(id_col))
@@ -622,11 +667,22 @@ def bootstrap_mean_ci(
         fan.withColumn("_w", w)
         .groupBy("_k", "_bi")
         .agg(
+            F.sum(F.col("_x") * F.col("_w")).alias("_wx"),
+            F.sum("_w").alias("_wsum"),
+        )
+        # a replicate that drew all-zero Poisson weights (probability
+        # (1/e)^n — common for tiny keys) resamples NOTHING: skip it,
+        # else 0/0 = NaN sorts above every double and corrupts the
+        # upper percentile
+        .filter(F.col("_wsum") > 0)
+        .select(
+            "_k",
+            "_bi",
             (
-                F.sum(F.col("_x") * F.col("_w")).cast("double")
+                F.col("_wx").cast("double")
                 / F.lit(10000.0)
-                / F.sum("_w").cast("double")
-            ).alias("_mean_b")
+                / F.col("_wsum").cast("double")
+            ).alias("_mean_b"),
         )
     )
     cis = rep.groupBy("_k").agg(

@@ -13,6 +13,14 @@ result is identical no matter how the engine associates the frame sum
 (Spark's running window vs DuckDB's segment tree would disagree in
 the last ulp on raw doubles). OHLC picks open/close by deterministic
 (ts, id) order and min/max never sum — exact on doubles.
+
+Epoch-bucket convention: every operator buckets with FLOOR division
+of epoch seconds (engine-side ``F.floor``), and the DuckDB oracles
+use integer ``//`` (which truncates toward zero) — identical on the
+SUPPORTED domain of non-negative epochs (post-1970 timestamps). A
+corpus with pre-1970 event times would need the oracles rewritten
+with an explicit floor-mod; the engine side is already
+floor-consistent across all operators.
 """
 
 from __future__ import annotations
@@ -45,12 +53,17 @@ def rolling_window_stats(
     dec = F.col(value_col).cast("decimal(18,2)")
     roll_sum = F.sum(dec).over(w).cast("double")
     roll_n = F.count(F.lit(1)).over(w)
+    # the mean divides by the NON-NULL count so its null semantics
+    # match the null-skipping sum (count(1) would deflate the mean
+    # whenever the frame holds NULL values); roll_n stays the frame's
+    # row count — both facts are useful, they are different facts
+    roll_nn = F.count(dec).over(w)
     return df.select(
         F.col(id_col),
         F.col(key_col),
         roll_sum.alias("roll_sum"),
         roll_n.alias("roll_n"),
-        F.round(roll_sum / roll_n.cast("double"), 4).alias("roll_avg"),
+        F.round(roll_sum / roll_nn.cast("double"), 4).alias("roll_avg"),
     )
 
 
@@ -99,7 +112,7 @@ def cohort_retention(
     e = df.select(
         F.col(key_col),
         F.col(type_col).alias("_t"),
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long").alias("_w"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long").alias("_w"),
     )
     cohorts = (
         e.filter(F.col("_t") == cohort_type)
@@ -198,7 +211,7 @@ def gap_fill(
     from ..sources.scratch import snapshot
 
     b = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     )
     actual = snapshot(
@@ -259,7 +272,7 @@ def ohlc_resample(
     and folds high/low/volume map-side. No self-join, no collect.
     """
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     ).alias("bucket_s")
     base = df.select(
@@ -316,7 +329,7 @@ def cusum_drift(
     from pyspark.sql import Window
 
     b = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     )
     per_bucket = (

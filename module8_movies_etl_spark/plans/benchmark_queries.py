@@ -2386,10 +2386,12 @@ probe AS (
     SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w HAVING count(*) >= 100
 ),
 est AS (
-    SELECT p.w, p.exact_cnt, min(g.cnt) AS cms_estimate
+    -- LEFT join + coalesce(0): an untouched cell means the count-min
+    -- answer is 0 (mirrors sketches.cms_estimate)
+    SELECT p.w, p.exact_cnt, min(coalesce(g.cnt, 0)) AS cms_estimate
     FROM probe p
     JOIN (SELECT DISTINCT w, i, bucket FROM pairs) pb ON pb.w = p.w
-    JOIN grid g ON g.i = pb.i AND g.bucket = pb.bucket
+    LEFT JOIN grid g ON g.i = pb.i AND g.bucket = pb.bucket
     GROUP BY p.w, p.exact_cnt
 )
 SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -3023,8 +3025,10 @@ _ROLLING_ORACLE = """
 SELECT event_id, user_id,
        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
        count(*) OVER w AS roll_n,
+       -- mean divides by the NON-NULL count, matching the
+       -- null-skipping sum (mirrors timeseries.rolling_window_stats)
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-             / CAST(count(*) OVER w AS DOUBLE), 4) AS roll_avg
+             / CAST(count(value) OVER w AS DOUBLE), 4) AS roll_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -4972,7 +4976,9 @@ _CHI2_ORACLE = """
 WITH cells AS (
     SELECT o_orderstatus a, o_orderpriority b,
            CAST(count(*) AS DOUBLE) AS o
-    FROM orders GROUP BY 1, 2
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY 1, 2
 ),
 grid AS (
     SELECT av.a, bv.b
@@ -6535,9 +6541,11 @@ rk AS (
     SELECT b, hv, row_number() OVER (PARTITION BY b ORDER BY hv) AS r FROM h
 ),
 sk AS (
-    SELECT b, list(hv ORDER BY hv) AS mins,
-           CAST(max(r) AS BIGINT) AS n_exact_bucket
-    FROM rk WHERE r <= 64 GROUP BY b
+    -- n_exact_bucket is the TRUE distinct count per bucket (the k-min
+    -- filter applies only to the kept hash list)
+    SELECT b, list(hv ORDER BY hv) FILTER (WHERE r <= 64) AS mins,
+           CAST(count(*) AS BIGINT) AS n_exact_bucket
+    FROM rk GROUP BY b
 ),
 rolled AS (
     SELECT a.b, a.n_exact_bucket,
@@ -6573,6 +6581,7 @@ WITH fan AS (
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
            o_orderkey AS id, i AS bi
     FROM orders, UNNEST(range(0, 100)) AS t(i)
+    WHERE o_totalprice IS NOT NULL
 ),
 wtab AS (
     -- fixed-width lowercase hex compares numerically as a string:
@@ -6589,10 +6598,13 @@ wtab AS (
           FROM fan)
 ),
 rep AS (
+    -- replicates whose Poisson weights are all zero resample nothing
+    -- and are skipped (mirrors stats.bootstrap_mean_ci)
     SELECT k, bi,
            CAST(sum(x * w) AS DOUBLE) / 10000.0 / CAST(sum(w) AS DOUBLE)
                AS mean_b
     FROM wtab GROUP BY k, bi
+    HAVING sum(w) > 0
 ),
 cis AS (
     SELECT k, round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
@@ -6604,7 +6616,7 @@ fullm AS (
            round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
                                AS BIGINT)) AS DOUBLE)
                  / 10000.0 / count(*), 4) AS mean_full
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 )
 SELECT fullm.k AS o_orderstatus, n_rows, mean_full, ci_lo, ci_hi
 FROM fullm JOIN cis ON fullm.k = cis.k
@@ -6821,8 +6833,11 @@ SELECT max(nb) AS n_build,
        CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
        CAST(sum(CASE WHEN flagged AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
            AS n_false_pos,
+       -- FP rate conditions on NON-members: FP/(FP+TN)
        round(CAST(sum(CASE WHEN flagged AND NOT member THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 6) AS fp_rate
+                  AS DOUBLE)
+             / nullif(CAST(sum(CASE WHEN NOT member THEN 1 ELSE 0 END)
+                           AS DOUBLE), 0), 6) AS fp_rate
 FROM f
 """
 
@@ -7059,12 +7074,14 @@ WITH stats AS (
     FROM orders GROUP BY 1
 ),
 binned AS (
+    -- NULL values excluded, mirroring the engine's up-front filter
     SELECT o.o_orderstatus AS k, s.lo, s.hi,
            CASE WHEN s.hi > s.lo
                 THEN least(63, CAST(floor((CAST(o_totalprice AS DOUBLE) - s.lo)
                                           * 64 / (s.hi - s.lo)) AS INTEGER))
                 ELSE 0 END AS b
     FROM orders o JOIN stats s ON o.o_orderstatus = s.k
+    WHERE o.o_totalprice IS NOT NULL
 ),
 cnt AS (SELECT k, lo, hi, b, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
 cum AS (

@@ -236,6 +236,136 @@ def test_pagerank_empty_graph(spark):
     assert out.columns == ["node", "rank"] and out.count() == 0
 
 
+# --------------------------- stats/sketches review batch (round 5)
+
+
+def test_cms_estimate_absent_item_is_zero(spark):
+    """Review fix: probing an item the build stream never saw must
+    return 0 (left join + coalesce), not vanish or overestimate."""
+    from module8_movies_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    build = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "w string")
+    grid = cms_build(build, "w", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("a",), ("zqx_never_seen",)], "w string"
+    )
+    out = {r["w"]: r["cms_estimate"] for r in
+           cms_estimate(grid, probes, "w", depth=4, width=256).collect()}
+    assert set(out) == {"a", "zqx_never_seen"}  # probe row not dropped
+    assert out["a"] >= 5
+    # with 8 build occurrences over 4x256 cells, at least one of the
+    # unseen item's 4 cells is empty -> count-min returns 0
+    assert out["zqx_never_seen"] == 0
+
+
+def test_chi2_excludes_null_categories(spark):
+    from module8_movies_etl_spark.operators.stats import chi2_independence
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"), (None, "p"),
+         ("x", None)],
+        "a string, b string",
+    )
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["n"] == 4  # NULL-category rows excluded
+    assert r["chi2"] is not None and r["chi2"] == r["chi2"]  # not NaN
+
+
+def test_chi2_empty_input_returns_empty(spark):
+    from module8_movies_etl_spark.operators.stats import chi2_independence
+
+    df = spark.createDataFrame([], "a string, b string")
+    assert chi2_independence(df, "a", "b").count() == 0
+
+
+def test_mad_outlier_empty_input_returns_empty(spark):
+    from module8_movies_etl_spark.operators.stats import mad_outlier_counts
+
+    df = spark.createDataFrame([], "k string, v double")
+    out = mad_outlier_counts(df, "k", "v")
+    assert out.count() == 0
+    assert out.columns == ["k", "n", "med", "mad", "n_outliers"]
+
+
+def test_bootstrap_tiny_key_no_nan(spark):
+    """Review fix: a 1-row key draws all-zero Poisson weights in ~37%
+    of replicates; those must be skipped, not averaged into NaN."""
+    import math
+
+    from module8_movies_etl_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([("solo", 1, 42.0)], "k string, id int, v double")
+    r = bootstrap_mean_ci(df, "k", "v", "id", n_replicates=100).collect()[0]
+    for c in ("ci_lo", "ci_hi", "mean_full"):
+        assert r[c] is not None and not math.isnan(r[c]), (c, r[c])
+    assert r["ci_lo"] == r["ci_hi"] == 42.0  # every surviving mean is 42
+
+
+def test_group_trend_pairwise_complete(spark):
+    """Review fix: rows with NULL x or y are excluded from n AND the
+    co-moments (REGR_* semantics) in both the native and grouped-map
+    paths, which must also preserve the key's type."""
+    from module8_movies_etl_spark.operators.stats import (
+        group_trend,
+        group_trend_applyinpandas,
+    )
+
+    rows = [(1, 0, 0.0), (1, 1, 1.0), (1, 2, None), (1, None, 5.0),
+            (2, 0, None)]
+    df = spark.createDataFrame(rows, "k int, x int, y double")
+    nat = {r["k"]: r for r in group_trend(df, "k", "x", "y", 1.0).collect()}
+    assert nat[1]["n"] == 2 and abs(nat[1]["slope"] - 1.0) < 1e-9
+    assert 2 not in nat  # no complete pair -> group vanishes
+    gm = {r["k"]: r for r in
+          group_trend_applyinpandas(df, "k", "x", "y", 1.0).collect()}
+    assert set(gm) == {1} and gm[1]["n"] == 2
+    assert isinstance(list(gm)[0], int)  # key type preserved, not str
+
+
+def test_rolling_avg_divides_by_nonnull_count(spark):
+    from module8_movies_etl_spark.operators.timeseries import (
+        rolling_window_stats,
+    )
+
+    rows = [("k", i, i, v) for i, v in enumerate([10.0, None, 20.0])]
+    df = spark.createDataFrame(rows, "k string, ts long, id long, v double")
+    out = {r["id"]: r for r in
+           rolling_window_stats(df, "k", "ts", "id", "v", frame=3).collect()}
+    assert out[2]["roll_n"] == 3          # frame row count unchanged
+    assert out[2]["roll_sum"] == 30.0
+    assert out[2]["roll_avg"] == 15.0     # 30/2 non-null, not 30/3
+
+
+def test_kmv_rolling_exact_count_not_capped(spark):
+    """Review fix: n_exact_bucket reports the true per-bucket distinct
+    count even above k."""
+    from module8_movies_etl_spark.operators.sketches import (
+        kmv_rolling_distinct,
+    )
+
+    rows = [("2024-01-01 00:%02d:%02d" % (m, s), (m * 60 + s))
+            for m in range(3) for s in range(0, 60, 2)]  # 90 distinct
+    df = spark.createDataFrame(rows, "ts string, v long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    r = kmv_rolling_distinct(df, "ts", "v", 3600, 24, k=64).collect()[0]
+    assert r["n_exact_bucket"] == 90  # not capped at 64
+
+
+def test_bloom_fp_rate_conditions_on_nonmembers(spark):
+    from module8_movies_etl_spark.operators.sketches import bloom_build_probe
+
+    build = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    probes = spark.createDataFrame([(i,) for i in range(20)], "p int")
+    r = bloom_build_probe(build, "k", probes, "p", 4096, 3).collect()[0]
+    assert r["n_members"] == 10 and r["n_probe"] == 20
+    expected = r["n_false_pos"] / (r["n_probe"] - r["n_members"])
+    assert abs(r["fp_rate"] - round(expected, 6)) < 1e-9
+
+
 # ---------------------------------------- BPE-regex pretoken counting
 
 
