@@ -40,11 +40,16 @@ from .text import ws_trim
 
 
 def _words_flat(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, _p, _w): one row per word occurrence with its position."""
+    """(id, _p, _w): one row per word occurrence with its position.
+
+    Empty/whitespace-only text contributes NO rows: split of the
+    trimmed-empty string is [""], and without the filter an empty doc
+    would count one phantom "" word (n_words=1, uniq_ratio=1.0, a ""
+    TF-IDF term) through every consumer."""
     return df.select(
         F.col(id_col),
         F.posexplode(F.split(ws_trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
-    )
+    ).filter(F.col("_w") != "")
 
 
 def word_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -184,6 +189,11 @@ def quota_sample(
     uniform hash of the key, the kept subset is an unbiased sample of
     each group, reproducible across engines and stable under
     repartitioning (unlike RNG sampling — see ``operators/sampling``).
+    PRECONDITION: ``key_col`` must be unique within each group — two
+    rows sharing a key value hash identically and tie-break by
+    partition-arrival order, so a quota boundary falling between them
+    would pick a run-dependent survivor. Pass a row id, not a payload
+    column.
     Scale shape: one hash shuffle on the group key; the rank-limit
     filter compiles to ``WindowGroupLimit``, so each map task keeps
     only its local top-``quota`` before the exchange — the shuffle
@@ -355,15 +365,19 @@ def bm25_scores(
     ``sum`` over term rows would re-associate doubles differently per
     partitioning). avgdl is one broadcast scalar aggregate.
 
-    Scale shape: one (id, word) count pass filtered to the query
-    terms (the filter prunes before the aggregation — the posting
-    stream for 3 terms is tiny), document frequencies over the term
-    subset, one id-keyed conditional aggregation.
+    Scale shape: the corpus token stream is counted ONCE — the
+    (id, word) counts are SNAPSHOT at the stage boundary and the term
+    postings, document lengths, and document frequencies all derive
+    from the materialized counts (Spark has no common-subplan reuse
+    below the exchange, so two lazy ``word_counts`` consumers would
+    each re-run the full explode+aggregate over the corpus); then one
+    id-keyed conditional aggregation.
     """
-    wc = word_counts(df, id_col, text_col).filter(F.col("w").isin(*terms))
-    lens = word_counts(df, id_col, text_col).groupBy(id_col).agg(
-        F.sum("c").alias("_dl")
-    )
+    from ..sources.scratch import snapshot
+
+    wc_full = snapshot(word_counts(df, id_col, text_col), prefix="bm25_wc_")
+    wc = wc_full.filter(F.col("w").isin(*terms))
+    lens = wc_full.groupBy(id_col).agg(F.sum("c").alias("_dl"))
     avgdl = lens.agg(
         (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "_avgdl"

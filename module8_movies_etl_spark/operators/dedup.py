@@ -31,25 +31,44 @@ from .text import fingerprint, ws_trim
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per distinct (normalized) text: the min-id member.
     Deterministic, unlike ``dropDuplicates``; one shuffle on the md5 key.
+
+    Rows whose text is NULL are ALL kept: NULL means unknown, not
+    equal — md5(NULL) is NULL, and letting groupBy's one-NULL-key
+    semantics run would silently delete every missing-payload row but
+    one as "duplicates" of each other.
     """
     fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    keep = (
+        fp.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .unionByName(fp.filter(F.col("fp").isNull()).select(id_col))
+    )
     return df.join(keep, on=id_col, how="left_semi")
 
 
 def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact-dup profile: one row per fingerprint with group size and
-    canonical (min) id — the QA view of ``exact_dedup``.
-    """
+    canonical (min) id — the QA view of ``exact_dedup``. NULL-text
+    rows are excluded (they are not duplicates of each other — see
+    ``exact_dedup``)."""
     return (
         df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
 
 def _distinct_words(text_col: str) -> F.Column:
-    return F.array_distinct(F.split(ws_trim(F.col(text_col)), r"\s+"))
+    # array_remove("") guards the split-of-empty-string pitfall:
+    # ws_trim of empty/whitespace-only text is "", and split("") is
+    # [""] — without the removal every empty doc would carry one
+    # phantom "" token and any two empty docs would score Jaccard 1.0
+    return F.array_remove(
+        F.array_distinct(F.split(ws_trim(F.col(text_col)), r"\s+")), ""
+    )
 
 
 def _distinct_tokens(text_col: str, ngram: int = 1) -> F.Column:
@@ -210,7 +229,7 @@ def jaccard_similar_pairs(
         vocab = _probe_vocab(postings)
         strategy = "bitset" if vocab is not None else "prefix"
     if strategy == "bitset":
-        return _jaccard_bitset_pairs(docs, postings, block_cols, threshold, vocab)
+        return _jaccard_bitset_pairs(postings, block_cols, threshold, vocab)
     if strategy == "prefix":
         return _jaccard_prefix_pairs(docs, postings, block_cols, threshold)
     raise ValueError(f"unknown jaccard strategy: {strategy!r}")
@@ -242,8 +261,30 @@ def _mask_from_vocab(postings: DataFrame, block_cols: list[str], vocab: list[str
     )
 
 
+def _bitset_masks(
+    postings: DataFrame,
+    block_cols: list[str],
+    vocab_list: list[str] | None,
+) -> DataFrame:
+    """Per-doc 64-bit word masks — the ONE mask construction for both
+    the Jaccard and containment bitset paths. When ``vocab_list`` is
+    None (explicit ``strategy='bitset'`` call, no auto probe yet) the
+    vocabulary is probed here and VALIDATED: a >64-token vocabulary
+    must raise, because Java ``shiftleft`` wraps the shift amount
+    mod 64 and bit 65 would silently collide with bit 1 — wrong
+    similarities with no error."""
+    if vocab_list is None:
+        vocab_list = _probe_vocab(postings)
+        if vocab_list is None:
+            raise ValueError(
+                "bitset strategy requires a <=64-token distinct "
+                "vocabulary (64-bit masks); use the postings/prefix "
+                "strategy for general vocabularies"
+            )
+    return _mask_from_vocab(postings, block_cols, vocab_list)
+
+
 def _jaccard_bitset_pairs(
-    docs: DataFrame,
     postings: DataFrame,
     block_cols: list[str],
     threshold: float,
@@ -251,38 +292,18 @@ def _jaccard_bitset_pairs(
 ) -> DataFrame:
     """Dense-vocabulary fast path: word sets as 64-bit masks.
 
-    vocab (≤ 64 rows) gets a bit index; ``bit_or(1 << bit)`` folds each
-    doc's distinct words into one long. Pairs come from the salted
-    block self-join (each pair produced exactly once — no dedup pass),
-    and Jaccard is exact set math on the masks:
+    vocab (≤ 64 tokens — validated by ``_bitset_masks``) gets a bit
+    index; ``bit_or(1 << bit)`` folds each doc's distinct words into
+    one long. Pairs come from the salted block self-join (each pair
+    produced exactly once — no dedup pass), and Jaccard is exact set
+    math on the masks:
     |A∩B| = bit_count(a & b), |A∪B| = bit_count(a | b).
 
     With ``vocab_list`` (the auto probe's collected tokens) the bit
-    assignment is a literal map — no vocab subplan. Without it (an
-    explicit ``strategy='bitset'`` call) the vocabulary is ranked
-    lazily in-plan.
+    assignment is a literal map — no vocab subplan; an explicit
+    ``strategy='bitset'`` call probes (and validates) here.
     """
-    if vocab_list is not None:
-        masks = _mask_from_vocab(postings, block_cols, vocab_list)
-    else:
-        from pyspark.sql import Window
-
-        # ≤64 rows: the single-partition window is a non-issue.
-        vocab = (
-            postings.select("w")
-            .distinct()
-            .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
-        )
-        masks = (
-            postings.join(F.broadcast(vocab), "w")
-            .groupBy("_id", *block_cols)
-            .agg(
-                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias(
-                    "_mask"
-                )
-            )
-            .withColumn("_blk", F.struct(*block_cols))
-        )
+    masks = _bitset_masks(postings, block_cols, vocab_list)
     pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),
@@ -1110,26 +1131,9 @@ def containment_pairs(
         vocab_list = _probe_vocab(postings)
         strategy = "bitset" if vocab_list is not None else "postings"
     if strategy == "bitset":
-        if vocab_list is not None:
-            masks = _mask_from_vocab(postings, block_cols, vocab_list)
-        else:
-            from pyspark.sql import Window
-
-            vocab = (
-                postings.select("w")
-                .distinct()
-                .withColumn("_bit", F.row_number().over(Window.orderBy("w")) - 1)
-            )
-            masks = (
-                postings.join(F.broadcast(vocab), "w")
-                .groupBy("_id", *block_cols)
-                .agg(
-                    F.bit_or(
-                        F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
-                    ).alias("_mask")
-                )
-                .withColumn("_blk", F.struct(*block_cols))
-            )
+        masks = _bitset_masks(
+            postings.select("_id", *block_cols, "w"), block_cols, vocab_list
+        )
         pairs = _salted_bucket_pairs(masks, "_id", "_blk", payload=("_mask",)).select(
             "id_a",
             "id_b",
@@ -1330,6 +1334,16 @@ def sorted_neighborhood_pairs(
         key_col.alias("_key"),
         block_col.alias("_blk"),
     ).filter(F.col("_key").isNotNull() & F.col("_blk").isNotNull())
+    if window <= 1:
+        # 0 successors to compare — empty by contract. (Falling
+        # through would hit the sequence(1, 0)-runs-DESCENDING
+        # pitfall: offsets [1, 0], and offset 0 self-pairs every
+        # record at distance 0.)
+        return base.select(
+            F.col("_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(0).cast("int").alias("distance"),
+        ).limit(0)
     w = Window.partitionBy("_blk").orderBy("_key", "_id")
     ranked = base.withColumn("_r", F.row_number().over(w))
     fan = ranked.select(

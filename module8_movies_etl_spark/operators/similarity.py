@@ -10,6 +10,12 @@ precision — no UDFs, no collect. Brute force is a broadcast
 nested-loop join: queries are broadcast (they are few), the corpus
 streams — at 100 TB of vectors the corpus side never shuffles; the
 LSH variant prunes the candidate set by ~bucket-count×.
+
+ZERO-NORM vectors are excluded at every scoring entry point (and the
+oracles mirror the filter): cosine is undefined for them, and left in
+they would surface as NULL-similarity rows that still occupy top-k
+rank slots (Spark's Divide yields NULL on a zero divisor, DuckDB
+yields NaN — a cross-engine divergence as well as a semantic one).
 """
 
 from __future__ import annotations
@@ -68,12 +74,12 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -301,12 +307,12 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -354,6 +360,11 @@ def train_ivf_centroids(
         .limit(sample_rows)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — an IVF index needs at "
+            "least one vector to train on"
+        )
     return lloyd_spherical([list(r[1]) for r in rows], n_centroids, iters)
 
 
@@ -466,12 +477,12 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -559,7 +570,7 @@ def embedding_near_dups(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         l2_norm(_as_double(F.col(vec_col))).alias("_n"),
-    )
+    ).filter(F.col("_n") > 0)
     joined = cand.join(
         v.select(
             F.col(id_col).alias("id_a"),
@@ -630,6 +641,11 @@ def pq_codebooks_from_sample(
 ) -> list[list[list[float]]]:
     """m sub-codebooks (m × n_codes × dim/m) from a raw-vector sample —
     the single training routine both engines' replicas call."""
+    if not sample:
+        raise ValueError(
+            "pq_codebooks_from_sample: empty sample — PQ codebooks need "
+            "at least one training vector"
+        )
     dim = len(sample[0])
     dsub = dim // m
     return [
@@ -749,6 +765,20 @@ def cosine_topk_pq(
     q_rows = sorted(
         queries.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
+    # zero-norm probes have undefined cosine — excluded like every
+    # other ANN path
+    q_rows = [r for r in q_rows if any(x != 0 for x in r[1])]
+    if not q_rows:
+        # empty probe set degrades to an empty result like the
+        # pure-DataFrame ANN paths (np.array([]) is 1-D and the LUT
+        # slicing below would raise instead)
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
+            f"neighbor_id "
+            f"{corpus.schema[id_col].dataType.simpleString()}, "
+            "cosine_sim double, rank int",
+        )
     q_ids = [r[0] for r in q_rows]
     qv = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # (nq, dim)
     # LUT[qi, j, code] = q_sub · c — sequential over d, like the SQL
@@ -806,12 +836,12 @@ def cosine_topk_pq(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     cv_df = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     rescored = (
         cand.join(F.broadcast(qv_df), "query_id")
         .join(cv_df, "neighbor_id")
@@ -860,12 +890,12 @@ def bipartite_align(
         F.col(id_col).alias("_a"),
         _as_double(F.col(vec_col)).alias("_av"),
         l2_norm(_as_double(F.col(vec_col))).alias("_an"),
-    )
+    ).filter(F.col("_an") > 0)
     r_ = right.select(
         F.col(id_col).alias("_b"),
         _as_double(F.col(vec_col)).alias("_bv"),
         l2_norm(_as_double(F.col(vec_col))).alias("_bn"),
-    )
+    ).filter(F.col("_bn") > 0)
     scored = l_.crossJoin(F.broadcast(r_)).select(
         "_a",
         "_b",
@@ -984,12 +1014,12 @@ def bipartite_align_ann(
         F.col(id_col).alias("_a"),
         _as_double(F.col(vec_col)).alias("_av"),
         l2_norm(_as_double(F.col(vec_col))).alias("_an"),
-    )
+    ).filter(F.col("_an") > 0)
     rv = right.select(
         F.col(id_col).alias("_b"),
         _as_double(F.col(vec_col)).alias("_bv"),
         l2_norm(_as_double(F.col(vec_col))).alias("_bn"),
-    )
+    ).filter(F.col("_bn") > 0)
     scored = (
         all_cand.join(lv, "_a")
         .join(rv, "_b")

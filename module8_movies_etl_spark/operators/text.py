@@ -124,8 +124,19 @@ def occurrences(col: Column, needle: str) -> Column:
 
 def _lang_score(col: Column, lang: str) -> Column:
     """Stopword hits for one language over ' text ' (padded so edge
-    words match)."""
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    words match).
+
+    Spaces are DOUBLED before counting: ``occurrences`` is a
+    non-overlapping count, and adjacent repetitions of the same
+    marker share their delimiting space — "the the the the" holds
+    four padded ``' the '`` occurrences of which a non-overlapping
+    scan finds only two. After doubling, every word owns its own
+    delimiters and the count is exact — precisely on the
+    repetition-heavy documents these quality signals score.
+    """
+    padded = F.concat(
+        F.lit(" "), F.replace(F.lower(col), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     score = F.lit(0.0)
     for marker in LANG_MARKERS[lang]:
         score = score + occurrences(padded, f" {marker} ")

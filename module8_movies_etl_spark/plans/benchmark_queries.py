@@ -703,6 +703,10 @@ def _norm_sql(x: str) -> str:
     )
 
 
+# double-spaced padded text for exact non-overlapping stopword counts
+# (see text._lang_score)
+_PAD2_SQL = "(' ' || replace(lower(text), ' ', '  ') || ' ')"
+
 # empty/whitespace-only text has 0 tokens, not 1 — mirrors
 # text.token_count's guard (DuckDB's split of '' yields [''] → len 1)
 _TOKENS_SQL = (
@@ -727,12 +731,14 @@ SELECT doc_id,
        CAST({_TOKENS_SQL}
             + greatest(CAST(ceil(length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) / 4.0) AS BIGINT)
                        - {_TOKENS_SQL}, 0) AS BIGINT) AS n_bpe_tokens,
+       -- spaces doubled so adjacent marker repetitions count exactly
+       -- (mirrors text._lang_score)
        round(
-         (  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
-          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
-          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
-          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4.0
-          + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4.0
+         (  (length({_PAD2_SQL}) - length(replace({_PAD2_SQL}, ' the ', ''))) / 5.0
+          + (length({_PAD2_SQL}) - length(replace({_PAD2_SQL}, ' and ', ''))) / 5.0
+          + (length({_PAD2_SQL}) - length(replace({_PAD2_SQL}, ' of ', ''))) / 4.0
+          + (length({_PAD2_SQL}) - length(replace({_PAD2_SQL}, ' to ', ''))) / 4.0
+          + (length({_PAD2_SQL}) - length(replace({_PAD2_SQL}, ' is ', ''))) / 4.0
          ) / greatest(CAST({_TOKENS_SQL} AS DOUBLE), 1.0), 4) AS stopword_ratio_en
 FROM documents
 """
@@ -752,8 +758,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id_oracle() -> str:
     """Generate the DuckDB argmax-of-stopword-hits SQL from the same
-    marker table the Spark expression uses (single source of truth)."""
-    padded = "(' ' || lower(text) || ' ')"
+    marker table the Spark expression uses (single source of truth).
+    Spaces are doubled before counting, mirroring text._lang_score's
+    exact-count fix for adjacent marker repetitions."""
+    padded = "(' ' || replace(lower(text), ' ', '  ') || ' ')"
 
     def score(lang: str) -> str:
         terms = [
@@ -791,6 +799,7 @@ SELECT md5({_norm_sql('text')}) AS fp,
        min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 """
 
@@ -1141,7 +1150,8 @@ WITH fp AS (
     FROM documents
 )
 SELECT doc_id FROM fp
-WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+WHERE f IS NULL  -- NULL text is unknown, never a duplicate
+   OR doc_id IN (SELECT min(doc_id) FROM fp WHERE f IS NOT NULL GROUP BY f)
 """
 
 
@@ -1185,7 +1195,8 @@ def _embedding_pairs_cte(
     band_or = " OR ".join(f"a.band{i} = c.band{i}" for i in range(n_bands))
     return f"""
 v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    -- zero-norm vectors excluded (cosine undefined; mirrors engine)
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 proj AS (
     SELECT vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))}
@@ -1241,8 +1252,9 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id < 8 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 scored AS (
     SELECT q.query_id, c.neighbor_id,
            list_dot_product(q.qv, c.cv)
@@ -1316,7 +1328,7 @@ def _cosine_topk_lsh_oracle(
         for m in masks
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 cb AS (SELECT vec_id, v, {bucket_cols} FROM v),
 c_idx AS (SELECT vec_id AS neighbor_id, unnest([{c_keys}]) AS tk FROM cb),
 q_idx AS (SELECT vec_id AS query_id, unnest([{probe_keys}]) AS tk
@@ -1438,7 +1450,7 @@ def _cosine_topk_ivf_oracle(
         for i, c in enumerate(cents)
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 cells AS (SELECT vec_id, unnest([{cell_structs}]) AS cs FROM v),
 ranked AS (
     SELECT vec_id, cs.cid AS cid,
@@ -2760,7 +2772,7 @@ def _cosine_topk_pq_oracle(
         for j in range(m)
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
 cb(j, code, vec) AS (VALUES {cb_rows}),
 codes AS (
@@ -7198,7 +7210,7 @@ def _align_ann_oracle(
     )
     return f"""
 WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 cb AS (SELECT vec_id, label, v, ({bits}) AS b FROM v),
 l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE label % 2 = 0),

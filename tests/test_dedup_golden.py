@@ -142,20 +142,23 @@ def test_jaccard_prefix_filter_matches_bruteforce(spark):
         j = len(A & B) / len(A | B)
         if j >= 0.5:
             want[(a, b)] = j
-    for strategy in ("auto", "prefix", "bitset"):
+    for strategy in ("auto", "prefix"):
         got = {
             (r.id_a, r.id_b): r.jaccard
             for r in dedup.jaccard_similar_pairs(
                 df, "doc_id", "text", ["_b"], threshold=0.5, strategy=strategy
             ).collect()
         }
-        # 'bitset' on a 65-word vocab must raise, not silently truncate
-        if strategy == "bitset":
-            continue  # exercised in the dense test below
         assert set(got) == set(want), strategy
         for k in got:
             assert got[k] == pytest.approx(want[k])
         assert (100, 101) in got, "stop-word-only intersection pair must survive"
+    # explicit 'bitset' on a 65-word vocab must RAISE, not silently
+    # wrap bit 65 onto bit 1 (shiftleft shifts mod 64)
+    with pytest.raises(ValueError, match="bitset strategy requires"):
+        dedup.jaccard_similar_pairs(
+            df, "doc_id", "text", ["_b"], threshold=0.5, strategy="bitset"
+        )
 
 
 def test_jaccard_bitset_path_matches_bruteforce(spark):
