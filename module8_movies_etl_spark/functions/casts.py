@@ -51,9 +51,15 @@ def strict_cast_audit(df: DataFrame, name: str, dtype: str) -> tuple[DataFrame, 
 
 
 def coerce_bool(col: Column) -> Column:
-    """C4: strict-bool coercion of a bools-and-strings column
-    (reference ``challenge.py:210``: ``df['video'] == True``).
-    Strings 'true'/'True' → true, everything else false.
+    """C4: bool coercion of a bools-and-strings column (reference
+    ``challenge.py:210``: ``df['video'] == True``). Uses the SQL
+    boolean cast vocabulary — case-insensitive 'true'/'t'/'yes'/'y'/
+    '1' → true, 'false'/'f'/'no'/'n'/'0' → false — with everything
+    unparseable (and NULL) coalesced to false. NOTE this is wider
+    than the reference, whose ``== True`` on a string column is False
+    for EVERY string; the engine deliberately accepts the standard
+    string-boolean forms (both engines' try_cast agree on them, so
+    the oracle pins the same vocabulary).
     """
     return F.coalesce(col.try_cast("boolean"), F.lit(False))
 

@@ -31,10 +31,13 @@ def text_or_joined_array(df: DataFrame, name: str) -> Column:
 
 def coalesce_first(df: DataFrame, *names: str) -> Column:
     """C9 rename-consolidation: first non-null among column-name
-    variants, in the reference's apply order (e.g. ``Directed by`` →
-    ``Director``, four writer variants → ``Writer(s)``; reference
-    ``challenge.py:78-96``). Missing variants are skipped so one
-    expression serves ragged inputs.
+    variants. The caller lists variants in PRECEDENCE order — for the
+    reference's overwrite semantics (``movie[new] = movie.pop(old)``:
+    last applied variant wins over any earlier value including the
+    target's own) that is the apply order REVERSED with the canonical
+    target last; see ``pipelines.movies_etl.RENAME_CONSOLIDATION``.
+    Missing variants are skipped so one expression serves ragged
+    inputs.
     """
     present = [F.col(f"`{n}`") for n in names if n in df.columns]
     if not present:

@@ -53,11 +53,18 @@ def asof_join_backward(
     usable = right.filter(F.col(right_ts).isNotNull())
     for k in key_cols:
         usable = usable.filter(F.col(k).isNotNull())
+    # the carried payload travels as ONE struct: last(ignorenulls)
+    # over the struct picks the whole matched row atomically. Per-
+    # column fills would patch a matched row's NULL payload cell with
+    # a STALE value from an older right row — mixing columns of
+    # different rows (right ts=2 with price NULL must yield price
+    # NULL, not ts=1's price).
     rt = usable.select(
         *[F.col(k) for k in key_cols],
         F.col(right_ts).alias("_ats"),
         F.lit(1).alias("_is_r"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_rpay"),
+        *[F.col(c).alias(f"_r_{c}") for c in (tiebreak_cols or [])],
     )
     lt = left.select(
         "*",
@@ -73,15 +80,12 @@ def asof_join_backward(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    matched = F.last(F.col("_rpay"), ignorenulls=True).over(w)
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{prefix}{c}")
-            for c in carried
-        ],
+        *[matched.getField(c).alias(f"{prefix}{c}") for c in carried],
     )
-    return filled.filter(F.col("_is_r") == 0).drop(
-        "_ats", "_is_r", *[f"_r_{c}" for c in carried]
-    )
+    drop = ["_ats", "_is_r", "_rpay"] + [
+        f"_r_{c}" for c in (tiebreak_cols or [])
+    ]
+    return filled.filter(F.col("_is_r") == 0).drop(*drop)

@@ -38,7 +38,11 @@ def null_prune(df: DataFrame, threshold: float = 0.9) -> list[str]:
     ).first()
     n = row[total]
     if n == 0:
-        return list(df.columns)
+        # reference parity: with len(df)==0 the comparison is
+        # null_count < 0 — false for every column, so the reference
+        # keeps NONE (an all-columns early return would silently
+        # diverge the degenerate schema)
+        return []
     return [c for c in df.columns if row[c] < threshold * n]
 
 

@@ -116,7 +116,18 @@ def left_join_small(
     right = F.broadcast(small) if bounded else small
     joined = fact.join(right, on=on if on is not None else condition, how="left")
     if fill_zero:
-        joined = joined.na.fill(0, subset=fill_zero)
+        # coalesce per column, NOT na.fill: na.fill parses a dotted
+        # column name ('rating_0.5' — exactly what the reference's
+        # pivot produces) as a nested field path and silently skips
+        # it, leaving NULLs where the C8 contract promises zeros
+        joined = joined.select(
+            *[
+                F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+                if c in fill_zero
+                else F.col(f"`{c}`")
+                for c in joined.columns
+            ]
+        )
     return joined
 
 
@@ -140,8 +151,10 @@ def salted_join(
     replicated once per salt via an ``explode(sequence(...))`` —
     ``salt×`` dim rows buys ``salt×`` parallelism on the hot key.
     Each fact row matches exactly the one replica carrying its salt,
-    so the result is row-for-row identical to the plain join (inner
-    and left both safe; pinned by the full-oracle catalog entry).
+    so the result is row-for-row identical to the plain join for
+    ``inner`` and ``left`` — the ONLY supported modes (validated): a
+    right/full join would emit every unmatched dim row once per salt
+    replica.
 
     This is the *static* form of what AQE's OptimizeSkewedJoin does at
     runtime (pinned by ``test_aqe_skew_join_splits_hot_key``): AQE
@@ -150,6 +163,12 @@ def salted_join(
     the *aggregation* that typically follows, and works when the skew
     is known ahead of time (the 100 TB planned-pipeline case).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "the dim side is replicated per salt, so right/full joins "
+            "would duplicate every unmatched dim row salt times"
+        )
     sdim = dim.withColumn(
         "_s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_s", F.col("_s").cast("int"))

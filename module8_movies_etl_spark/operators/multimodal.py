@@ -209,7 +209,8 @@ def sample_frames(
     video → frames. Emitting the frame HASH (not the frame bytes)
     keeps the wide binary out of every downstream shuffle; a pipeline
     that needs pixels joins the frames back by (doc_id, frame_idx) at
-    the last narrow stage.
+    the last narrow stage. A NULL payload yields zero frames (nothing
+    to sample), not a task-killing ``bytes(None)`` TypeError.
     """
     import hashlib
 
@@ -221,6 +222,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, shas = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                if payload is None:
+                    continue
                 for i, frame in enumerate(sampler(bytes(payload))):
                     ids.append(doc_id)
                     idxs.append(i)
@@ -257,7 +260,9 @@ def resize_payloads(
     the payload-transforming ``mapInPandas`` shape (decode and
     frame-sample REDUCE the payload; this one rewrites it, so the
     output row stays wide and the same keep-out-of-shuffles rule
-    applies)."""
+    applies). A NULL payload passes through as a NULL payload row
+    (nothing to resize), not a task-killing ``bytes(None)``
+    TypeError."""
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
@@ -268,7 +273,8 @@ def resize_payloads(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "payload": [
-                        resizer(bytes(p), width, height) for p in pdf["_p"]
+                        None if p is None else resizer(bytes(p), width, height)
+                        for p in pdf["_p"]
                     ],
                     "width": width,
                     "height": height,
@@ -298,18 +304,36 @@ def extract_media_features(
     ``feature_schema`` selects the modality's typed output (image
     ``FEATURE_SCHEMA``, audio ``AUDIO_FEATURE_SCHEMA``, ...); the
     stage itself is modality-agnostic.
+
+    NULL payloads (e.g. docs left-joined to a blob store that missed)
+    emit a row of NULL features under their doc_id instead of
+    crashing the stage: ``bytes(None)`` inside a decoder would throw
+    TypeError and fail the whole task, and silently dropping the row
+    would hide undecodable blobs from the pipeline's observability.
     """
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+    feat_cols = [f.name for f in feature_schema.fields if f.name != "doc_id"]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if batch_decoder is not None:
-                out = batch_decoder(pdf["_p"])
+            mask = pdf["_p"].notna()
+            good = pdf[mask]
+            if len(good):
+                if batch_decoder is not None:
+                    out = batch_decoder(good["_p"])
+                else:
+                    out = pd.DataFrame([decoder(bytes(b)) for b in good["_p"]])
+                out.insert(0, "doc_id", good["doc_id"].values)
             else:
-                out = pd.DataFrame([decoder(bytes(b)) for b in pdf["_p"]])
-            out.insert(0, "doc_id", pdf["doc_id"].values)
+                out = pd.DataFrame(columns=["doc_id", *feat_cols])
+            n_null = int((~mask).sum())
+            if n_null:
+                nulls = pd.DataFrame({"doc_id": pdf.loc[~mask, "doc_id"].values})
+                for c in feat_cols:
+                    nulls[c] = None
+                out = pd.concat([out, nulls], ignore_index=True)
             yield out[[f.name for f in feature_schema.fields]]
 
     return src.mapInPandas(process, schema=feature_schema)

@@ -41,22 +41,29 @@ ALT_TITLE_KEYS = [
 ]
 
 # C9: raw key variants → canonical column (reference challenge.py:78-96).
-# Order matters: the reference applies change_column_name sequentially,
-# so a later variant overwrites an earlier one; coalesce_first preserves
-# "first non-null in listed order" per target.
+# Order matters — and encodes the reference's OVERWRITE precedence:
+# change_column_name(old, new) does movie[new] = movie.pop(old), so a
+# variant OVERWRITES any pre-existing target value and sequential
+# calls mean the LAST variant present wins. coalesce_first takes the
+# FIRST non-null, so each list is the reference's call order REVERSED
+# with the canonical target LAST (it survives only when no variant is
+# present). 'Release date' additionally folds the chained renames
+# Released→'Release Date'→'Release date' (challenge.py:90-91):
+# Released beats a raw 'Release Date', which beats 'Original release'.
 RENAME_CONSOLIDATION: dict[str, list[str]] = {
-    "Writer(s)": ["Writer(s)", "Adaptation by", "Screen story by",
-                  "Screenplay by", "Story by", "Written by"],
-    "Country": ["Country", "Country of origin"],
-    "Director": ["Director", "Directed by"],
-    "Distributor": ["Distributor", "Distributed by"],
-    "Editor(s)": ["Editor(s)", "Edited by"],
-    "Running time": ["Running time", "Length"],
-    "Release date": ["Release date", "Original release", "Released"],
-    "Composer(s)": ["Composer(s)", "Music by", "Theme music composer"],
-    "Producer(s)": ["Producer(s)", "Produced by", "Producer"],
-    "Production company(s)": ["Production company(s)",
-                              "Productioncompanies ", "Productioncompany "],
+    "Writer(s)": ["Written by", "Story by", "Screenplay by",
+                  "Screen story by", "Adaptation by", "Writer(s)"],
+    "Country": ["Country of origin", "Country"],
+    "Director": ["Directed by", "Director"],
+    "Distributor": ["Distributed by", "Distributor"],
+    "Editor(s)": ["Edited by", "Editor(s)"],
+    "Running time": ["Length", "Running time"],
+    "Release date": ["Released", "Release Date", "Original release",
+                     "Release date"],
+    "Composer(s)": ["Theme music composer", "Music by", "Composer(s)"],
+    "Producer(s)": ["Producer", "Produced by", "Producer(s)"],
+    "Production company(s)": ["Productioncompany ", "Productioncompanies ",
+                              "Production company(s)"],
 }
 
 # P2: final column order (reference challenge.py:265-270) after
@@ -167,8 +174,13 @@ def wiki_transform(wiki: DataFrame, null_prune_threshold: float = 0.9) -> DataFr
 
 def kaggle_transform(kaggle: DataFrame) -> DataFrame:
     """Stage 3 (reference ``challenge.py:204-214``): adult filter +
-    typed casts. C2 strict casts become try_casts + the caller-visible
-    audit (reference raises; the engine surfaces rows that fail)."""
+    typed casts. The reference's C2 strict casts (``errors='raise'``)
+    become LENIENT try_casts here — a bad id/budget yields NULL and
+    the row flows on (the production posture; a raise would kill a
+    100 TB job on one bad cell). Callers who need the reference's
+    raise semantics run ``casts.strict_cast_audit`` on the raw frame
+    and gate on the audit column — this path deliberately does not,
+    so a NULL kaggle_id silently misses the histogram join."""
     out = kaggle.filter(F.col("adult") == "False").drop("adult")
     return (
         out.withColumn("video", casts.coerce_bool(F.col("video")))

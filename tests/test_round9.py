@@ -355,6 +355,105 @@ def test_kmv_rolling_exact_count_not_capped(spark):
     assert r["n_exact_bucket"] == 90  # not capped at 64
 
 
+# ------------------------- functions/pipeline review batch (round 5)
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """Review fix: the matched right row's NULL payload cell must stay
+    NULL — per-column last(ignorenulls) used to patch it with a stale
+    value from an OLDER right row (mixing columns across rows)."""
+    from module8_movies_etl_spark.operators.asof import asof_join_backward
+
+    right = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 2, None)], "k string, rts int, price double"
+    )
+    left = spark.createDataFrame([("k", 3)], "k string, lts int")
+    r = asof_join_backward(
+        left, right, ["k"], "lts", "rts", ["price"]
+    ).collect()[0]
+    assert r["asof_rts"] == 2
+    assert r["asof_price"] is None  # NOT 5.0 from the ts=1 row
+
+
+def test_rename_consolidation_variant_beats_target(spark):
+    """Review fix: the reference's movie[new] = movie.pop(old)
+    OVERWRITES the target, so a record with both 'Producer(s)' and
+    'Produced by' keeps the VARIANT's value."""
+    from module8_movies_etl_spark.functions.cleaning import coalesce_first
+    from module8_movies_etl_spark.pipelines.movies_etl import (
+        RENAME_CONSOLIDATION,
+    )
+
+    df = spark.createDataFrame(
+        [("X", "Y")], "`Producer(s)` string, `Produced by` string"
+    )
+    out = df.select(
+        coalesce_first(df, *RENAME_CONSOLIDATION["Producer(s)"]).alias("p")
+    ).collect()[0]
+    assert out["p"] == "Y"  # the variant, not the pre-existing target
+    # and the canonical target still survives when no variant exists
+    df2 = spark.createDataFrame([("X",)], "`Producer(s)` string")
+    out2 = df2.select(
+        coalesce_first(df2, *RENAME_CONSOLIDATION["Producer(s)"]).alias("p")
+    ).collect()[0]
+    assert out2["p"] == "X"
+
+
+def test_left_join_small_fills_dotted_columns(spark):
+    """Review fix: na.fill skips dotted names ('rating_0.5' - the
+    reference pivot's own output); the coalesce-based fill must not."""
+    from module8_movies_etl_spark.operators.joins import left_join_small
+
+    fact = spark.createDataFrame([(1,), (2,)], "id int")
+    small = spark.createDataFrame([(1, 7)], "id int, `rating_0.5` int")
+    out = {r["id"]: r for r in
+           left_join_small(fact, small, on="id", fill_zero=["rating_0.5"],
+                           bounded=True).collect()}
+    assert out[1]["rating_0.5"] == 7
+    assert out[2]["rating_0.5"] == 0  # filled despite the dot
+
+
+def test_salted_join_rejects_right_full(spark):
+    from module8_movies_etl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a")], "k int, d string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, on="k", spread_col="v", how="full")
+
+
+def test_null_prune_empty_input_keeps_nothing(spark):
+    """Review fix: reference semantics - null_count < 0.9*0 is false
+    for every column, so an empty frame keeps NO columns."""
+    from module8_movies_etl_spark.operators.filters import null_prune
+
+    df = spark.createDataFrame([], "a string, b int").filter(F.lit(False))
+    assert null_prune(df) == []
+
+
+def test_multimodal_null_payload_rows(spark):
+    """Review fix: NULL payloads emit NULL-feature rows / zero frames
+    instead of bytes(None) TypeErrors killing the stage."""
+    from module8_movies_etl_spark.operators.multimodal import (
+        extract_media_features,
+        fake_frame_sampler,
+        fake_image_decoder_batch,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {r["doc_id"]: r for r in
+             extract_media_features(
+                 df, batch_decoder=fake_image_decoder_batch
+             ).collect()}
+    assert feats[1]["width"] is not None
+    assert feats[2]["width"] is None and feats[2]["mean_luma"] is None
+    frames = sample_frames(df, sampler=fake_frame_sampler).collect()
+    assert all(r["doc_id"] == 1 for r in frames) and len(frames) > 0
+
+
 def test_bloom_fp_rate_conditions_on_nonmembers(spark):
     from module8_movies_etl_spark.operators.sketches import bloom_build_probe
 
