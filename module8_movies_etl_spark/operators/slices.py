@@ -5,6 +5,11 @@ The reference inspects data positionally — ``df.head()``, ``df.tail()``,
 Cleaning.ipynb:831,1075,1320,1410,1500,1590``). Pandas positions are
 free; a distributed table has no intrinsic order, so every operator
 here takes an explicit ``order_by`` — the Spark-honest contract.
+PRECONDITION: ``order_by`` must be a TOTAL order (include a unique
+tiebreak column, e.g. the row id). With ties at a slice/tail
+boundary, ``limit`` keeps an arbitrary subset of the tied rows that
+can change with partitioning — determinism is only as strong as the
+order the caller supplies. (Every catalog query passes a unique key.)
 
 Scale shape: a naive global ``row_number()`` window sorts the ENTIRE
 table in one partition. Instead, bounded slices ride on
