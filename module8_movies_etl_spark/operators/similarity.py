@@ -970,6 +970,16 @@ def bipartite_align_ann(
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
 
+    # Zero-norm vectors have no cosine direction: they can neither be
+    # aligned nor serve as a match. Drop them BEFORE banding so they
+    # also do not count toward the >=2-candidate coverage threshold —
+    # a probe whose band hits are {real vector, zero-norm vector}
+    # must still take the exact-scan fallback to get a real runner-up
+    # (the scoring stage's own norm filter runs after coverage was
+    # decided, so filtering only there would skew the decision).
+    left = left.filter(l2_norm(_as_double(F.col(vec_col))) > 0)
+    right = right.filter(l2_norm(_as_double(F.col(vec_col))) > 0)
+
     def bands(df: DataFrame, out_id: str) -> DataFrame:
         b = hyperplane_bucket_table(
             df, id_col, vec_col, n_planes, dim, tables=(0,)

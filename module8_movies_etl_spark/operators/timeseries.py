@@ -50,7 +50,7 @@ def rolling_window_stats(
         .orderBy(ts_col, id_col)
         .rowsBetween(-(frame - 1), 0)
     )
-    dec = F.col(value_col).cast("decimal(18,2)")
+    dec = F.col(value_col).cast("decimal(28,6)")
     roll_sum = F.sum(dec).over(w).cast("double")
     roll_n = F.count(F.lit(1)).over(w)
     # the mean divides by the NON-NULL count so its null semantics
@@ -216,7 +216,7 @@ def gap_fill(
     )
     actual = snapshot(
         df.select(F.col(key_col), b.alias("bucket_s"),
-                  F.col(value_col).cast("decimal(18,2)").alias("_v"))
+                  F.col(value_col).cast("decimal(28,6)").alias("_v"))
         .groupBy(key_col, "bucket_s")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -334,7 +334,7 @@ def cusum_drift(
     )
     per_bucket = (
         df.select(F.col(key_col), b.alias("bucket_s"),
-                  F.col(value_col).cast("decimal(18,2)").alias("_v"))
+                  F.col(value_col).cast("decimal(28,6)").alias("_v"))
         .groupBy(key_col, "bucket_s")
         .agg(F.sum("_v").alias("x"))
     )

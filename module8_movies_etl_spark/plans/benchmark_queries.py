@@ -760,8 +760,10 @@ def _lang_id_oracle() -> str:
     """Generate the DuckDB argmax-of-stopword-hits SQL from the same
     marker table the Spark expression uses (single source of truth).
     Spaces are doubled before counting, mirroring text._lang_score's
-    exact-count fix for adjacent marker repetitions."""
-    padded = "(' ' || replace(lower(text), ' ', '  ') || ' ')"
+    exact-count fix for adjacent marker repetitions (the shared
+    _PAD2_SQL constant — text_stats' stopword ratio counts through
+    the same expression, so the two oracles cannot drift apart)."""
+    padded = _PAD2_SQL
 
     def score(lang: str) -> str:
         terms = [
@@ -1165,6 +1167,45 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
+def _hyperplane_bucket_sql(
+    n_planes: int, dim: int, table: int = 0, vec: str = "v"
+) -> str:
+    """MSB-first ±1-hyperplane sign bucket as one DuckDB expression —
+    the single source of truth (with similarity.plane_weights /
+    hyperplane_bucket_table) for EVERY LSH oracle's bit packing, so a
+    change to the plane constants or the bit order propagates to the
+    near-dup, top-k, and alignment oracles from one place."""
+    from ..operators.similarity import plane_weights
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, [{', '.join(str(w) for w in p)}]) > 0"
+        f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(plane_weights(n_planes, dim, table=table))
+    )
+    return f"({bits})"
+
+
+def _band_val_sql(bucket: str, i: int, n_planes: int, n_bands: int) -> str:
+    """Value of band ``i`` of an MSB-first ``n_planes``-bit bucket —
+    mirrors the shiftright/bitwiseAND split every engine band path
+    uses (similarity.py band loops)."""
+    band_bits = n_planes // n_bands
+    return (
+        f"(({bucket}) // {1 << ((n_bands - 1 - i) * band_bits)})"
+        f" % {1 << band_bits}"
+    )
+
+
+def _band_keys_sql(n_planes: int, n_bands: int, bucket: str = "b") -> str:
+    """Prefixed band-key list ('<i>:<band value>') for unnest-style
+    band indexes — same key format as the engine's banded joins."""
+    return ", ".join(
+        f"'{i}:' || CAST({_band_val_sql(bucket, i, n_planes, n_bands)}"
+        f" AS VARCHAR)"
+        for i in range(n_bands)
+    )
+
+
 def _embedding_pairs_cte(
     n_planes: int = 12, dim: int = 64, n_bands: int = 3, threshold: float = 0.2
 ) -> str:
@@ -1176,20 +1217,8 @@ def _embedding_pairs_cte(
     OR-combination mirror similarity.embedding_near_dups exactly.
     Used by both the near-dup-pairs oracle and the semantic-dedup
     transitive-closure oracle."""
-    from ..operators.similarity import plane_weights
-
-    band_bits = n_planes // n_bands
-    ws = plane_weights(n_planes, dim)
-    planes = ",\n".join(
-        "list_dot_product(v, [" + ", ".join(str(w) for w in p) + "])" for p in ws
-    )
-    bits = " + ".join(
-        f"(CASE WHEN p{i} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
-        for i in range(n_planes)
-    )
     band_cols = ", ".join(
-        f"(bucket // {1 << ((n_bands - 1 - i) * band_bits)}) % {1 << band_bits}"
-        f" AS band{i}"
+        f"{_band_val_sql('bucket', i, n_planes, n_bands)} AS band{i}"
         for i in range(n_bands)
     )
     band_or = " OR ".join(f"a.band{i} = c.band{i}" for i in range(n_bands))
@@ -1198,14 +1227,9 @@ v AS (
     -- zero-norm vectors excluded (cosine undefined; mirrors engine)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-proj AS (
-    SELECT vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))}
-    FROM (SELECT vec_id, v, {planes.replace(chr(10), " ")} FROM v)
-         AS t(vec_id, v, {", ".join(f"p{i}" for i in range(n_planes))})
-),
 b AS (
     SELECT vec_id, {band_cols}
-    FROM (SELECT vec_id, {bits} AS bucket FROM proj)
+    FROM (SELECT vec_id, {_hyperplane_bucket_sql(n_planes, dim)} AS bucket FROM v)
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1304,17 +1328,10 @@ def _cosine_topk_lsh_oracle(
     rows-only in round 3)."""
     from itertools import combinations
 
-    from ..operators.similarity import plane_weights
-
-    def bucket_expr(t: int) -> str:
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(str(w) for w in p)}]) > 0"
-            f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
-            for i, p in enumerate(plane_weights(n_planes, dim, table=t))
-        )
-        return f"({bits})"
-
-    bucket_cols = ", ".join(f"{bucket_expr(t)} AS b{t}" for t in range(n_tables))
+    bucket_cols = ", ".join(
+        f"{_hyperplane_bucket_sql(n_planes, dim, table=t)} AS b{t}"
+        for t in range(n_tables)
+    )
     c_keys = ", ".join(f"'{t}:' || CAST(b{t} AS VARCHAR)" for t in range(n_tables))
     masks = [0] + [
         sum(1 << i for i in bits)
@@ -1756,7 +1773,7 @@ _TUMBLING_ORACLE = """
 SELECT CAST((epoch_us(ts) // 1000000) // 300 * 300 AS BIGINT) AS window_start_s,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
            AS total_value
 FROM events
 GROUP BY 1, 2
@@ -1779,7 +1796,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # order can never flip a rounded .xx5 boundary (matches
             # the hopping query and the streaming twin)
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
             ).alias("total_value"),
         )
         .select(
@@ -3035,11 +3052,11 @@ def project_embeddings_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_ORACLE = """
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS roll_sum,
        count(*) OVER w AS roll_n,
        -- mean divides by the NON-NULL count, matching the
        -- null-skipping sum (mirrors timeseries.rolling_window_stats)
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
              / CAST(count(value) OVER w AS DOUBLE), 4) AS roll_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -3774,7 +3791,7 @@ w AS (
 SELECT CAST(window_start_s AS BIGINT) AS window_start_s,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
 FROM w GROUP BY 1, 2
 """
 
@@ -3795,7 +3812,7 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
             ).alias("total_value"),
         )
         .select(
@@ -3962,7 +3979,7 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_JOIN_ORACLE = """
 SELECT c.c_mktsegment AS mktsegment,
        count(*) AS n_events,
-       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+       round(CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
        count(DISTINCT e.user_id) AS n_users
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -3991,7 +4008,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.salted_join(e, c, on="user_id", spread_col="event_id", salt=8)
     return j.groupBy("mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2).alias(
             "sum_value"
         ),
         F.count_distinct(F.col("user_id")).alias("n_users"),
@@ -5037,7 +5054,7 @@ WITH actual AS (
     SELECT event_type,
            epoch_us(ts) // 1000000 // 3600 * 3600 AS bucket_s,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS vsum
+           sum(CAST(value AS DECIMAL(28,6))) AS vsum
     FROM events GROUP BY 1, 2
 ),
 spine AS (
@@ -5439,7 +5456,7 @@ dq AS (
     FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     UNION ALL
-    SELECT 'dq', 'negative_totalprice',
+    SELECT 'dq', 'nonpositive_totalprice',
            CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE) <= 0
                          THEN 1 ELSE 0 END) AS VARCHAR)
     FROM orders
@@ -5468,7 +5485,7 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (section, metric, value) metric table, the shape observability
     stores ingest. The whole snapshot reads each fact table ONCE: all
     five orders metrics (rows, distinct keys, checksum, orphan count
-    via a broadcast-left-join null test, negative prices) fold into a
+    via a broadcast-left-join null test, nonpositive prices) fold into a
     single aggregate over one scan, both events metrics come off one
     event_type roll-up, and the metric rows fan out of the 1-row
     aggregates via an inline struct-array explode — at 100 TB the
@@ -5507,7 +5524,7 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dim side is deduped BEFORE the orphan-test join: a duplicate
     # c_custkey (exactly the defect a DQ snapshot exists to catch)
     # must not fan out the fact rows and corrupt the very metrics
-    # (row count, checksum, negative prices) auditing it
+    # (row count, checksum, nonpositive prices) auditing it
     cd = c.distinct()
     om = (
         o.join(F.broadcast(cd), o.o_custkey == cd.c_custkey, "left")
@@ -5522,7 +5539,7 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum(
                 (F.col("o_totalprice").cast("double") <= 0).cast("long")
-            ).alias("negative_totalprice"),
+            ).alias("nonpositive_totalprice"),
         )
     )
     em = (
@@ -5545,7 +5562,7 @@ def observability_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("volume", "customers_distinct"),
         ("integrity", "orders_checksum"),
         ("dq", "orphan_orders"),
-        ("dq", "negative_totalprice"),
+        ("dq", "nonpositive_totalprice"),
     ).unionByName(
         rows(em, ("volume", "events_rows"), ("drift", "top_event_share"))
     )
@@ -5650,7 +5667,7 @@ _CUSUM_ORACLE = """
 WITH pb AS (
     SELECT event_type,
            epoch_us(ts) // 1000000 // 3600 * 3600 AS bucket_s,
-           sum(CAST(value AS DECIMAL(18,2))) AS x
+           sum(CAST(value AS DECIMAL(28,6))) AS x
     FROM events GROUP BY 1, 2
 ),
 base AS (
@@ -7195,26 +7212,18 @@ def _align_ann_oracle(
     replays in plain SQL — so the approximate alignment hash-verifies
     despite recall being probabilistic relative to the full cross
     product (same pattern as _cosine_topk_lsh_oracle)."""
-    from ..operators.similarity import plane_weights
-
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(str(w) for w in p)}]) > 0"
-        f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
-        for i, p in enumerate(plane_weights(n_planes, dim, table=0))
-    )
-    band_bits = n_planes // n_bands
-    band_keys = ", ".join(
-        f"'{i}:' || CAST((b // {1 << ((n_bands - 1 - i) * band_bits)})"
-        f" % {1 << band_bits} AS VARCHAR)"
-        for i in range(n_bands)
-    )
+    bits = _hyperplane_bucket_sql(n_planes, dim, table=0)
+    band_keys = _band_keys_sql(n_planes, n_bands, bucket="b")
     return f"""
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-cb AS (SELECT vec_id, label, v, ({bits}) AS b FROM v),
-l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE label % 2 = 0),
-r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE label % 2 = 1),
+-- ((x % 2) + 2) % 2: DuckDB's % follows the sign of the dividend,
+-- Spark's pmod is always non-negative — normalize so negative labels
+-- land on the same side in both engines
+cb AS (SELECT vec_id, ((label % 2) + 2) % 2 AS lp, v, ({bits}) AS b FROM v),
+l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE lp = 0),
+r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE lp = 1),
 lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
 rbk AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
 cand AS (SELECT DISTINCT a, bid FROM lbk JOIN rbk USING (bk)),

@@ -72,7 +72,7 @@ def tumbling_event_counts(
     time passes window_end + watermark; late rows beyond it are
     dropped (documented late-data semantics).
 
-    The value sum runs on DECIMAL(18,2): addition is then
+    The value sum runs on DECIMAL(28,6): addition is then
     order-independent, so the batch plan and the streaming
     state-store plan (different partial-aggregation orders) can never
     disagree on a rounded .xx5 boundary — the same guard
@@ -84,7 +84,7 @@ def tumbling_event_counts(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
             ).alias("total_value"),
         )
         .select(
@@ -224,7 +224,7 @@ def run_hopping_over_events(
     batch = read_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("value").cast("decimal(28,6)").alias("value"),
     )
     batch.coalesce(1).write.mode("overwrite").parquet(scratch)
     stream = read_event_stream(spark, scratch, schema=batch.schema)

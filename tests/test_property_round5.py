@@ -107,7 +107,7 @@ def test_rolling_sum_matches_model(spark, vals):
     }
     for i in range(len(vals)):
         frame = vals[max(0, i - 2) : i + 1]
-        # the operator casts to DECIMAL(18,2): 2-decimal inputs are
+        # the operator casts to DECIMAL(28,6): 2-decimal inputs are
         # represented exactly, so the model sum is exact too
         assert out[i][0] == float(sum(frame))
         assert out[i][1] == len(frame)
