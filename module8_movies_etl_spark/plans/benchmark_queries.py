@@ -48,6 +48,7 @@ from ..operators import (
     stats,
     text,
     timeseries,
+    udaf_ext,
 )
 from ..sources import read_table
 
@@ -8534,6 +8535,98 @@ def mixture_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly 50 names. Everything else follows in registration order and is
 # verified by tools/driver_sim.py → CORRECTNESS_local.json.
 # --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH s AS (
+    SELECT l_suppkey,
+           CAST(l_extendedprice AS DOUBLE) AS v,
+           CAST(l_quantity AS BIGINT) AS w
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+c AS (
+    SELECT l_suppkey, v,
+           sum(w) OVER (PARTITION BY l_suppkey ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+           sum(w) OVER (PARTITION BY l_suppkey) AS tot
+    FROM s
+)
+SELECT l_suppkey, min(v) AS wmedian
+FROM c WHERE 2 * cum >= tot
+GROUP BY l_suppkey
+"""
+
+
+@query("weighted_median_udaf", _WMEDIAN_ORACLE)
+def weighted_median_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 extension point — the GROUPED-AGG pandas UDF surface]
+    Per-supplier quantity-weighted median line-item price computed by
+    an Arrow-vectorized aggregate UDF inside an ordinary
+    ``groupBy().agg()`` — the fourth and last Python escape hatch
+    (after scalar mapInPandas, grouped-map applyInPandas, and UDTF),
+    exercised end to end. Weighted median is pure SELECTION (the
+    result is an actual data value picked by integer weight
+    comparisons — no float accumulation), so the UDAF hash-verifies
+    exactly against the DuckDB window replay, and the suite pins it
+    row-for-row equal to the native two-window twin
+    (``udaf_ext.weighted_median_native``) that a 100 TB plan should
+    prefer (native partial aggregation; a grouped-agg UDF
+    materializes each group in memory).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return udaf_ext.weighted_median_udaf(
+        li, "l_suppkey", F.col("l_extendedprice"), F.col("l_quantity")
+    )
+
+
+def _khop_oracle(k: int = 3, seed_mod: int = 50) -> str:
+    """Recursive-CTE BFS over the shared near-dup pairs graph: walk
+    (node, dist) frontiers with UNION dedup (terminates — dist is
+    bounded by k), then keep each node's minimum distance."""
+    cte = _embedding_pairs_cte(threshold=0.2)
+    return f"""
+WITH RECURSIVE {cte},
+edges AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+bfs AS (
+    SELECT vec_id AS node, 0 AS dist
+    FROM embeddings WHERE vec_id % {seed_mod} = 0
+    UNION
+    SELECT e.t AS node, b.dist + 1 AS dist
+    FROM bfs b JOIN edges e ON e.s = b.node
+    WHERE b.dist < {k}
+)
+SELECT node AS vec_id, CAST(min(dist) AS INTEGER) AS dist
+FROM bfs GROUP BY node
+"""
+
+
+@query("khop_reach_dupgraph", _khop_oracle())
+def khop_reach_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph-analytics, beyond-ref §2.13 — bounded multi-source BFS]
+    Hop distance (≤3) from a deterministic seed set (vec_id % 50 = 0)
+    to every reachable vector in the embedding near-dup graph — the
+    contamination-propagation read: a document near a known-bad seed
+    in the near-dup graph inherits suspicion, graded by distance.
+    Completes the graph family (components = reachability, pagerank =
+    centrality, triangles = closure, BFS = traversal). Same lazy
+    fixed-round shape as pagerank over one snapshotted doubled edge
+    list (``graphs.khop_distances``); the oracle replays the identical
+    plane/band candidate graph plus a recursive-CTE BFS.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    prs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    ).select("id_a", "id_b")
+    seeds = emb.select("vec_id").filter(F.col("vec_id") % 50 == 0)
+    return graphs.khop_distances(prs, seeds, id_col="vec_id", k=3).select(
+        F.col("node").alias("vec_id"), "dist"
+    )
+
 
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
