@@ -125,7 +125,7 @@ def main() -> None:
         "failed": failed,
         # Round-over-round per-query swings of ±3-9 s on the heavy
         # queries are FIRST-EXECUTION placement of whole-stage-codegen
-        # compilation and JIT warmup inside the shared 172-query JVM
+        # compilation and JIT warmup inside the shared multi-hundred-query JVM
         # session, not plan changes: measured in isolation at sf0.1
         # (round 5), first-vs-second execution in a fresh session was
         # triangle_count_dupgraph 14.1 s -> 4.2 s, training_data_

@@ -8613,10 +8613,12 @@ def khop_reach_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination-propagation read: a document near a known-bad seed
     in the near-dup graph inherits suspicion, graded by distance.
     Completes the graph family (components = reachability, pagerank =
-    centrality, triangles = closure, BFS = traversal). Same lazy
-    fixed-round shape as pagerank over one snapshotted doubled edge
-    list (``graphs.khop_distances``); the oracle replays the identical
-    plane/band candidate graph plus a recursive-CTE BFS.
+    centrality, triangles = closure, BFS = traversal).
+    Level-synchronous frontier expansion with per-level node dedup
+    over one snapshotted doubled edge list (``graphs.khop_distances``
+    — the connected-components snapshot pattern, since each frontier
+    is consumed twice); the oracle replays the identical plane/band
+    candidate graph plus a recursive-CTE BFS.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     prs = similarity.embedding_near_dups(
