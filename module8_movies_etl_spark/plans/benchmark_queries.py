@@ -8630,6 +8630,157 @@ def khop_reach_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE_ORACLE = r"""
+WITH split AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, u.pos, u.w
+    FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': ws[i]}
+                       for i in range(1, len(ws) + 1)],
+                      recursive := true)
+        FROM split
+    ) AS u(doc_id, pos, w)
+    WHERE u.w <> ''
+),
+hits AS (
+    SELECT doc_id, w, pos,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+    FROM toks WHERE w IN ('table', 'hash')
+)
+SELECT doc_id, count(*) AS n_hits
+FROM hits
+WHERE w = 'table' AND nw = 'hash' AND np = pos + 1
+GROUP BY doc_id
+"""
+
+
+@query("phrase_search_docs", _PHRASE_ORACLE)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[search ETL, beyond-ref §2.13 — positional phrase matching]
+    Documents containing the exact phrase "table hash" with the
+    occurrence count — the positional-index intersection BM25-style
+    bag-of-words retrieval cannot express. Plan: filter the
+    positional token stream to the phrase's two terms (at 100 TB this
+    is the two terms' posting lists, a tiny fraction of the corpus),
+    then ONE lead-window pass per document checks that a w1 row's
+    successor in the filtered stream is w2 at the adjacent position —
+    no positional self-join, one shuffle on doc_id. Works because
+    adjacency in the original stream implies adjacency in the
+    term-filtered stream (any token between the two would be neither
+    term). The oracle replays the identical window logic.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(text.tokens_array(F.col("text"))).alias("pos", "w"),
+    ).filter(F.col("w").isin("table", "hash"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = toks.select(
+        "doc_id",
+        "w",
+        "pos",
+        F.lead("w").over(w).alias("_nw"),
+        F.lead("pos").over(w).alias("_np"),
+    ).filter(
+        (F.col("w") == "table")
+        & (F.col("_nw") == "hash")
+        & (F.col("_np") == F.col("pos") + 1)
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+_PATH_NGRAM_SQL = (
+    r"list_distinct([array_to_string(p[i:i+1], ' ') "
+    r"for i in range(1, greatest(len(p), 1))])"
+)
+
+_PATH_SIM_ORACLE = rf"""
+WITH paths AS (
+    SELECT user_id,
+           list(event_type ORDER BY epoch_us(ts), event_id) AS p
+    FROM events
+    GROUP BY user_id
+),
+heads AS (SELECT user_id, p[1:10] AS p FROM paths),
+grams AS (
+    SELECT user_id,
+           len(list_distinct(p)) AS blk,
+           {_PATH_NGRAM_SQL} AS words
+    FROM heads
+)
+SELECT a.user_id AS user_a,
+       b.user_id AS user_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words)
+                - len(list_intersect(a.words, b.words))),
+             4) AS jaccard
+FROM grams a JOIN grams b
+     ON a.blk = b.blk AND a.user_id < b.user_id
+WHERE len(a.words) > 0 AND len(b.words) > 0
+  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / (len(a.words) + len(b.words)
+         - len(list_intersect(a.words, b.words))) >= 0.5
+"""
+
+
+@query("similar_user_paths", _PATH_SIM_ORACLE)
+def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sequence similarity, beyond-ref §2.13 — the trajectory-search
+    shape] Users whose EARLY event journeys look alike: each user's
+    first 10 events (by ts, event_id — a total order) become an
+    ordered event-type path; paths turn into bigram shingle sets
+    (order-sensitive, unlike the bag-of-types); pairs with shingle
+    Jaccard ≥ 0.5, blocked by distinct-type count. Everything reuses
+    the dedup machinery (``dedup.jaccard_similar_pairs``, ngram=2):
+    the event-type bigram vocabulary is ≤ |types|² = tiny, so the
+    auto-dispatch takes the BITSET strategy — each pair costs ~3 ALU
+    ops in codegen, and the blocked salted self-join spreads hot
+    blocks. The head-slice (rank ≤ 10) keeps the shingle sets
+    journey-shaped: full histories of active users saturate toward
+    the complete bigram alphabet and every pair converges to
+    Jaccard 1 (measured), which is a statement about alphabet size,
+    not similarity.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    heads = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("_r"))
+        .filter(F.col("_r") <= 10)
+    )
+    paths = heads.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_r", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            " ",
+        ).alias("path")
+    )
+    blocked = paths.withColumn(
+        "blk", F.size(F.array_distinct(F.split(F.col("path"), " ")))
+    )
+    pairs = dedup.jaccard_similar_pairs(
+        blocked, "user_id", "path", block_cols=["blk"],
+        threshold=0.5, ngram=2,
+    )
+    return pairs.select(
+        F.col("id_a").alias("user_a"),
+        F.col("id_b").alias("user_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -126,3 +126,45 @@ def test_new_queries_oracle_parity(spark, sf_dir):
             bq.QUERIES[name](spark, sf_dir), con, bq.ORACLE[name], name
         )
         assert not errs, errs
+
+
+# --- phrase search / path similarity ---------------------------------------
+
+
+def test_phrase_search_counts_adjacent_occurrences(spark):
+    """Window-over-filtered-stream matches exact adjacency: repeated
+    first terms, doubled second terms, and separated terms behave."""
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        phrase_search_docs,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a table hash b table hash"),   # 2 hits
+        (2, "table table hash"),            # 1 hit (second 'table')
+        (3, "table x hash"),                # 0 - separated
+        (4, "hash table"),                  # 0 - wrong order
+        (5, "table hash hash"),             # 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search_docs(spark, d).collect()
+        }
+    assert got == {1: 2, 2: 1, 5: 1}
+
+
+def test_phrase_and_path_oracle_parity(spark, sf_dir):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    for name in ("phrase_search_docs", "similar_user_paths"):
+        errs = compare(
+            bq.QUERIES[name](spark, sf_dir), con, bq.ORACLE[name], name
+        )
+        assert not errs, errs
