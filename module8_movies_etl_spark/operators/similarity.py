@@ -975,10 +975,18 @@ def bipartite_align_ann(
     # also do not count toward the >=2-candidate coverage threshold —
     # a probe whose band hits are {real vector, zero-norm vector}
     # must still take the exact-scan fallback to get a real runner-up
-    # (the scoring stage's own norm filter runs after coverage was
-    # decided, so filtering only there would skew the decision).
-    left = left.filter(l2_norm(_as_double(F.col(vec_col))) > 0)
-    right = right.filter(l2_norm(_as_double(F.col(vec_col))) > 0)
+    # (filtering only at scoring would run after coverage was
+    # decided, skewing it). The norm is projected ONCE per side and
+    # reused by the scoring stage below, so the interpreted 64-element
+    # fold is not re-derived in a second lineage expression.
+    def _prep(df: DataFrame) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        return df.select(
+            F.col(id_col), v.alias(vec_col), l2_norm(v).alias("_n")
+        ).filter(F.col("_n") > 0)
+
+    left = _prep(left)
+    right = _prep(right)
 
     def bands(df: DataFrame, out_id: str) -> DataFrame:
         b = hyperplane_bucket_table(
@@ -1020,16 +1028,17 @@ def bipartite_align_ann(
     # (a duplicate would occupy both top-2 window slots and zero the
     # margin)
     all_cand = cand.unionByName(missed.crossJoin(r_ids)).distinct()
+    # _prep already projected the norm and dropped zero-norm rows
     lv = left.select(
         F.col(id_col).alias("_a"),
-        _as_double(F.col(vec_col)).alias("_av"),
-        l2_norm(_as_double(F.col(vec_col))).alias("_an"),
-    ).filter(F.col("_an") > 0)
+        F.col(vec_col).alias("_av"),
+        F.col("_n").alias("_an"),
+    )
     rv = right.select(
         F.col(id_col).alias("_b"),
-        _as_double(F.col(vec_col)).alias("_bv"),
-        l2_norm(_as_double(F.col(vec_col))).alias("_bn"),
-    ).filter(F.col("_bn") > 0)
+        F.col(vec_col).alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
     scored = (
         all_cand.join(lv, "_a")
         .join(rv, "_b")

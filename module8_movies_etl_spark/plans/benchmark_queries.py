@@ -8703,9 +8703,13 @@ _PATH_NGRAM_SQL = (
 
 _PATH_SIM_ORACLE = rf"""
 WITH paths AS (
+    -- single-token guard: the engine round-trips the sequence through
+    -- a space-joined path string, so a NULL/empty/whitespace-bearing
+    -- event type would shingle differently; both sides exclude them
     SELECT user_id,
            list(event_type ORDER BY epoch_us(ts), event_id) AS p
     FROM events
+    WHERE event_type IS NOT NULL AND regexp_matches(event_type, '^\S+$')
     GROUP BY user_id
 ),
 heads AS (SELECT user_id, p[1:10] AS p FROM paths),
@@ -8746,9 +8750,14 @@ def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     journey-shaped: full histories of active users saturate toward
     the complete bigram alphabet and every pair converges to
     Jaccard 1 (measured), which is a statement about alphabet size,
-    not similarity.
+    not similarity. Event types must be single whitespace-free
+    tokens (the path round-trips through a space-joined string);
+    NULL or whitespace-bearing types are excluded on BOTH sides
+    rather than silently shingling differently.
     """
-    e = read_table(spark, sf_dir, "events")
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").rlike(r"^\S+$")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
     )

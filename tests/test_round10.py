@@ -4,6 +4,7 @@ bounded multi-source BFS (khop_distances)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -112,20 +113,28 @@ def test_khop_empty_graph_seeds_survive(spark):
     assert [(r["node"], r["dist"]) for r in got] == [(7, 0)]
 
 
-# --- oracle parity for the two new catalog queries -------------------------
+# --- oracle parity for the new catalog queries ------------------------------
 
 
-def test_new_queries_oracle_parity(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name",
+    [
+        "weighted_median_udaf",
+        "khop_reach_dupgraph",
+        "phrase_search_docs",
+        "similar_user_paths",
+    ],
+)
+def test_new_queries_oracle_parity(spark, sf_dir, name):
     from module8_movies_etl_spark.plans import benchmark_queries as bq
 
     from .oracle_check import compare, duckdb_con
 
     con = duckdb_con(sf_dir)
-    for name in ("weighted_median_udaf", "khop_reach_dupgraph"):
-        errs = compare(
-            bq.QUERIES[name](spark, sf_dir), con, bq.ORACLE[name], name
-        )
-        assert not errs, errs
+    errs = compare(
+        bq.QUERIES[name](spark, sf_dir), con, bq.ORACLE[name], name
+    )
+    assert not errs, errs
 
 
 # --- phrase search / path similarity ---------------------------------------
@@ -155,16 +164,3 @@ def test_phrase_search_counts_adjacent_occurrences(spark):
             for r in phrase_search_docs(spark, d).collect()
         }
     assert got == {1: 2, 2: 1, 5: 1}
-
-
-def test_phrase_and_path_oracle_parity(spark, sf_dir):
-    from module8_movies_etl_spark.plans import benchmark_queries as bq
-
-    from .oracle_check import compare, duckdb_con
-
-    con = duckdb_con(sf_dir)
-    for name in ("phrase_search_docs", "similar_user_paths"):
-        errs = compare(
-            bq.QUERIES[name](spark, sf_dir), con, bq.ORACLE[name], name
-        )
-        assert not errs, errs
