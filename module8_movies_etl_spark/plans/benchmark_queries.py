@@ -8790,6 +8790,124 @@ def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_RECALL_ORACLE = r"""
+WITH sdocs AS (
+    SELECT doc_id, text FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          / 1152921504606846976.0 < 0.1
+),
+wx AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+    FROM sdocs
+),
+sig AS (
+    SELECT doc_id,
+           min(md5(w || ':0')) AS mh0, min(md5(w || ':1')) AS mh1,
+           min(md5(w || ':2')) AS mh2, min(md5(w || ':3')) AS mh3,
+           min(md5(w || ':4')) AS mh4, min(md5(w || ':5')) AS mh5,
+           min(md5(w || ':6')) AS mh6, min(md5(w || ':7')) AS mh7
+    FROM wx GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+           md5(mh4 || '|' || mh5) AS b2, md5(mh6 || '|' || mh7) AS b3
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+),
+wsets AS (
+    SELECT doc_id,
+           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+    FROM sdocs
+),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM wsets a JOIN wsets b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+          >= 0.5
+),
+m AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM truth t
+            JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+)
+SELECT n_true AS n_true_pairs, n_cand AS n_candidates, n_hit AS n_hits,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_true, 1), 4) AS recall,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_cand, 1), 4) AS precision
+FROM m
+"""
+
+
+@query("lsh_recall_audit", _LSH_RECALL_ORACLE)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup QA, beyond-ref §2.13 — banding-quality audit] Recall and
+    precision of the MinHash-LSH candidate generator against the
+    UNBLOCKED exact word-set Jaccard truth (threshold 0.5), estimated
+    on a 10% md5-deterministic document sample — the metric an
+    operator tunes (bands × rows) against before trusting a 100 TB
+    dedup run to a probabilistic candidate generator. Sampling IS the
+    scale design: exact truth is quadratic in cluster sizes (the full
+    sf0.1 corpus has 8.9M true pairs — computing them all is the job
+    LSH exists to avoid), and a hash-sample keeps the estimate
+    reproducible and engine-portable while the audit cost scales with
+    rate². Truth pairs come from the PPJoin prefix-filter path with a
+    constant block (AllPairs — the unblocked-but-not-quadratic exact
+    similarity join that machinery exists for); candidates from the
+    same md5 MinHash(8)/4-band pipeline as ``minhash_lsh_candidates``;
+    the intersection is one pair-keyed semi-join, and the three
+    scalar counts cross-join into a single metrics row. Fully
+    deterministic (md5 everywhere), so recall itself hash-verifies.
+    """
+    d = sampling.hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", 0.1
+    )
+    truth = dedup.jaccard_similar_pairs(
+        d.withColumn("_all", F.lit(1)), "doc_id", "text",
+        block_cols=["_all"], threshold=0.5,
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=2
+    ).select("id_a", "id_b")
+    from ..sources.scratch import snapshot
+
+    # both count legs and the semi-join consume each pair set twice —
+    # snapshot so the PPJoin and banding pipelines run once each
+    truth = snapshot(truth, prefix="lsh_audit_truth_")
+    cand = snapshot(cand, prefix="lsh_audit_cand_")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -123,6 +123,7 @@ def test_khop_empty_graph_seeds_survive(spark):
         "khop_reach_dupgraph",
         "phrase_search_docs",
         "similar_user_paths",
+        "lsh_recall_audit",
     ],
 )
 def test_new_queries_oracle_parity(spark, sf_dir, name):
