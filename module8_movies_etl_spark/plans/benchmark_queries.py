@@ -820,7 +820,7 @@ def fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = r"""
 WITH w AS (
     SELECT doc_id, lang,
-           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+           list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), x -> x <> '') AS words
     FROM documents
 )
 SELECT a.doc_id AS id_a,
@@ -829,7 +829,8 @@ SELECT a.doc_id AS id_a,
              / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
              4) AS jaccard
 FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+WHERE len(a.words) > 0 AND len(b.words) > 0
+  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
       / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
 """
 
@@ -982,13 +983,14 @@ _CLUSTER_ORACLE = r"""
 WITH RECURSIVE
 w AS (
     SELECT doc_id, lang,
-           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+           list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), x -> x <> '') AS words
     FROM documents
 ),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+    WHERE len(a.words) > 0 AND len(b.words) > 0
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
           / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
 ),
 edges AS (
@@ -1112,7 +1114,7 @@ def minhash_ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = r"""
 WITH wx AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+           unnest(list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), x -> x <> '')) AS w
     FROM documents
 ),
 sig AS (
@@ -1409,7 +1411,7 @@ def _simhash_oracle(max_hamming: int = 12) -> str:
     return f"""
 WITH postings AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS w
+           unnest(list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')), x -> x <> '')) AS w
     FROM documents
 ),
 hashed AS (
@@ -4863,8 +4865,9 @@ def token_entropy_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_ORACLE = r"""
 WITH w AS (
     SELECT doc_id, lang,
-           list_distinct(regexp_split_to_array(
-               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+           list_filter(list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')),
+                  x -> x <> '') AS words
     FROM documents
 )
 SELECT a.doc_id AS id_a,
@@ -4872,7 +4875,8 @@ SELECT a.doc_id AS id_a,
        round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
              / least(len(a.words), len(b.words)), 4) AS containment
 FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+WHERE len(a.words) > 0 AND len(b.words) > 0
+  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
       / least(len(a.words), len(b.words)) >= 0.9
 """
 
@@ -6969,8 +6973,9 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_MINHASH_ORACLE = r"""
 WITH wx AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(
-               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+           unnest(list_filter(list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')),
+                  x -> x <> '')) AS w
     FROM documents
 ),
 sig AS (
@@ -8287,8 +8292,9 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_DRIFT_ORACLE = r"""
 WITH tok AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(
-               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+           unnest(list_filter(list_distinct(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')),
+                  x -> x <> '')) AS w
     FROM documents
 ),
 halves AS (
@@ -8798,7 +8804,7 @@ WITH sdocs AS (
 ),
 wx AS (
     SELECT doc_id,
-           unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS w
+           unnest(list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), x -> x <> '')) AS w
     FROM sdocs
 ),
 sig AS (
@@ -8824,13 +8830,14 @@ cand AS (
 ),
 wsets AS (
     SELECT doc_id,
-           list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS words
+           list_filter(list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), x -> x <> '') AS words
     FROM sdocs
 ),
 truth AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM wsets a JOIN wsets b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+    WHERE len(a.words) > 0 AND len(b.words) > 0
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
           / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
           >= 0.5
 ),
@@ -8859,13 +8866,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 corpus has 8.9M true pairs — computing them all is the job
     LSH exists to avoid), and a hash-sample keeps the estimate
     reproducible and engine-portable while the audit cost scales with
-    rate². Truth pairs come from the PPJoin prefix-filter path with a
-    constant block (AllPairs — the unblocked-but-not-quadratic exact
-    similarity join that machinery exists for); candidates from the
-    same md5 MinHash(8)/4-band pipeline as ``minhash_lsh_candidates``;
-    the intersection is one pair-keyed semi-join, and the three
-    scalar counts cross-join into a single metrics row. Fully
-    deterministic (md5 everywhere), so recall itself hash-verifies.
+    rate². Truth pairs come from ``jaccard_similar_pairs``'s adaptive
+    dispatch with a constant block (the unblocked-but-not-quadratic
+    exact similarity join that machinery exists for): on THIS corpus
+    (31-word vocabulary) the probe selects the bitset path — ~3 ALU
+    ops per pair — while a real open-vocab corpus dispatches to the
+    PPJoin prefix-filter AllPairs path. Candidates come from the same
+    md5 MinHash(8)/4-band pipeline as ``minhash_lsh_candidates``; the
+    intersection is one pair-keyed semi-join, and the three scalar
+    counts cross-join into a single metrics row. Fully deterministic
+    (md5 everywhere), so recall itself hash-verifies.
     """
     d = sampling.hash_sample(
         read_table(spark, sf_dir, "documents"), "doc_id", 0.1
