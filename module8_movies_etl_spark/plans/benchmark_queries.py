@@ -5935,6 +5935,39 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_over_events(spark, sf_dir)
 
 
+_STREAM_IJ_LEFT_ORACLE = """
+SELECT l.event_id AS click_id,
+       r.event_id AS purchase_id,
+       l.user_id,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) >= epoch_us(l.ts)
+ AND epoch_us(r.ts) < epoch_us(l.ts) + 300000000
+"""
+
+
+@query("stream_interval_join_left", _STREAM_IJ_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming §2.11] LEFT-OUTER stream-stream interval join — the
+    attribution question the inner form cannot answer: which clicks
+    did NOT convert. Outer emission is the distinct state semantics
+    being exercised: a click's NULL completion can only be emitted
+    once the watermark passes its match horizon (before that, "no
+    purchase yet" and "no purchase ever" are indistinguishable), so
+    the unmatched rows surface exactly at state eviction — which is
+    why outer stream-stream joins REQUIRE the event-time condition.
+    Replayed with availableNow (the trailing no-data micro-batch
+    advances the watermark over the final rows, flushing the last
+    NULL completions), the output is hash-verified against the plain
+    batch LEFT JOIN.
+    """
+    from ..streaming.windows import run_interval_join_over_events
+
+    return run_interval_join_over_events(spark, sf_dir, how="leftOuter")
+
+
 _KS_ORACLE = """
 WITH base AS (
     SELECT CAST(value AS DOUBLE) AS v, event_type AS g

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import itertools
 from contextlib import contextmanager
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -168,10 +169,16 @@ def interval_join_streams(
     lower_s: int,
     upper_s: int,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair left and right
     events of the same key with ``right_ts`` in
-    ``[left_ts + lower_s, left_ts + upper_s)``.
+    ``[left_ts + lower_s, left_ts + upper_s)``. ``how`` extends to
+    the watermark-legal outer modes (``leftOuter`` etc.): an outer
+    row's NULL completion is emitted only once the watermark passes
+    its match horizon — "no match YET" and "no match EVER" are
+    distinguishable exactly then, which is why outer stream joins
+    REQUIRE the time-range condition.
 
     State sizing is the whole game for stream-stream joins: BOTH
     sides buffer rows in the state store, and without the time-range
@@ -194,7 +201,7 @@ def interval_join_streams(
         & (rts >= lts + F.expr(f"INTERVAL {lower_s} SECONDS"))
         & (rts < lts + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
-    return l_wm.join(r_wm, cond)
+    return l_wm.join(r_wm, cond, how)
 
 
 _HOP_SEQ = itertools.count()
@@ -301,6 +308,7 @@ def run_interval_join_over_events(
     right_type: str = "purchase",
     lower_s: int = 0,
     upper_s: int = 300,
+    how: str = "inner",
 ) -> DataFrame:
     """Replay the stream-stream interval join over the finite events
     table: clicks joined to same-user purchases within the next
@@ -318,11 +326,33 @@ def run_interval_join_over_events(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     )
+    sentinel_ts = None
+    if how != "inner":
+        # Outer emission happens at state EVICTION: a left row's NULL
+        # completion surfaces only once the global watermark (min over
+        # both sides) passes ts + upper_s. Finite replay under a
+        # no-drop delay D leaves every row in the last D+upper_s of
+        # event time un-evicted — "no match YET" forever. One sentinel
+        # row per side, D + 1h past the real maximum (negative keys,
+        # so it can never join or match), pushes the final watermark
+        # past every REAL horizon; the sentinels' own horizons stay
+        # unreached, so they never emit. (1-row bounded driver fetch.)
+        max_ts = base.agg(F.max("ts")).collect()[0][0]
+        sentinel_ts = max_ts + timedelta(hours=241)
     sides = {}
-    for side, etype in (("l", left_type), ("r", right_type)):
+    for side, etype, skey in (
+        ("l", left_type, -1),
+        ("r", right_type, -2),
+    ):
         scratch = mkscratch(f"stream_ij_{side}_")
         register(scratch)
         part = base.filter(F.col("event_type") == etype).drop("event_type")
+        if sentinel_ts is not None:
+            part = part.unionByName(
+                spark.createDataFrame(
+                    [(skey, skey, sentinel_ts)], part.schema
+                )
+            )
         part.coalesce(1).write.mode("overwrite").parquet(scratch)
         sides[side] = read_event_stream(spark, scratch, schema=part.schema)
     left = sides["l"].select(
@@ -335,7 +365,7 @@ def run_interval_join_over_events(
     )
     joined = interval_join_streams(
         left, right, "user_id", "l_ts", "r_ts", lower_s, upper_s,
-        watermark="240 hours",
+        watermark="240 hours", how=how,
     ).select(
         F.col("l.l_id").alias("click_id"),
         F.col("r.r_id").alias("purchase_id"),
@@ -346,4 +376,11 @@ def run_interval_join_over_events(
     sink = f"stream_ij_{next(_HOP_SEQ)}"
     with scoped_shuffle_partitions(spark, 32):
         run_to_memory(joined, sink, output_mode="append")
-    return spark.table(sink)
+    # The sentinels can never emit (their horizons stay past the final
+    # watermark), but exclude them defensively — and do it on the
+    # MATERIALIZED batch table, never inside the streaming plan: a
+    # user_id predicate there is pushed below the watermark operator
+    # on the preserved side, silently deleting the sentinel before it
+    # can advance the watermark (observed: the outer join reverted to
+    # the un-sentineled 2/3 emission).
+    return spark.table(sink).filter(F.col("user_id") >= 0)

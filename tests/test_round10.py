@@ -124,6 +124,7 @@ def test_khop_empty_graph_seeds_survive(spark):
         "phrase_search_docs",
         "similar_user_paths",
         "lsh_recall_audit",
+        "stream_interval_join_left",
     ],
 )
 def test_new_queries_oracle_parity(spark, sf_dir, name):
