@@ -30,6 +30,7 @@ from ..operators import (
     aggregates,
     asof,
     cdc,
+    clustering,
     curation,
     dedup,
     filters,
@@ -8948,6 +8949,88 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("precision"),
         )
+    )
+
+
+_KMEANS_ORACLE = """
+WITH q AS (
+    SELECT vec_id, pos, CAST(round(x * 10000) AS BIGINT) AS xi
+    FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+seeds AS (
+    SELECT vec_id,
+           row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+    FROM embeddings
+    QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+),
+c0 AS (
+    SELECT s.cidx, q.pos, q.xi AS ci
+    FROM seeds s JOIN q ON q.vec_id = s.vec_id
+),
+d1 AS (
+    SELECT q.vec_id, c.cidx, SUM((q.xi - c.ci) * (q.xi - c.ci)) AS d
+    FROM q JOIN c0 c USING (pos) GROUP BY q.vec_id, c.cidx
+),
+a1 AS (
+    SELECT vec_id, cidx AS cluster
+    FROM d1 QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d, cidx) = 1
+),
+upd AS (
+    SELECT a1.cluster, q.pos, SUM(q.xi) AS s, COUNT(*) AS n
+    FROM a1 JOIN q USING (vec_id) GROUP BY a1.cluster, q.pos
+),
+c1 AS (
+    SELECT c0.cidx, c0.pos,
+           COALESCE(
+               CASE WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+                    ELSE -((2 * -u.s + u.n) // (2 * u.n)) END,
+               c0.ci) AS ci
+    FROM c0 LEFT JOIN upd u ON u.cluster = c0.cidx AND u.pos = c0.pos
+),
+d2 AS (
+    SELECT q.vec_id, c.cidx, SUM((q.xi - c.ci) * (q.xi - c.ci)) AS d
+    FROM q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cidx
+),
+a2 AS (
+    SELECT vec_id, cidx AS cluster, d
+    FROM d2 QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d, cidx) = 1
+)
+SELECT vec_id,
+       CAST(cluster AS INTEGER) AS cluster,
+       CAST(d AS BIGINT) AS dist_q,
+       COUNT(*) OVER (PARTITION BY cluster) AS n_cluster,
+       row_number() OVER (PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS samp_rank,
+       row_number() OVER (PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16 AS is_sampled
+FROM a2
+"""
+
+
+@query("kmeans_diversity_sample", _KMEANS_ORACLE)
+def kmeans_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[clustering / curation, beyond-ref §2.13] Distributed Lloyd's
+    k-means over the full embedding corpus (k=8, 2 assignment rounds,
+    min-md5 deterministic init) feeding a cluster-balanced diversity
+    sample: every row labeled with its cluster, exact fixed-point
+    squared distance, cluster size and a 16-per-cluster keep flag.
+    All arithmetic is integer (components quantized to 1e-4), so the
+    oracle replays both rounds — init, argmin assignment (ties →
+    lowest centroid), half-up-integer-mean update, re-assignment —
+    bit-exactly in SQL. Map-side assignment against a k·dim literal,
+    one grouped aggregate per round, k·dim-int driver payload: the
+    MLlib-KMeans scale shape in DataFrame ops.
+    """
+    return clustering.kmeans_diversity_sample(
+        read_table(spark, sf_dir, "embeddings"),
+        id_col="vec_id", vec_col="embedding",
+        k=8, n_rounds=2, per_cluster=16,
     )
 
 
