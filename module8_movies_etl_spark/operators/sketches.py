@@ -458,3 +458,74 @@ def histogram_sketch_quantiles(
         ).getField("est")
         outs.append(F.round(est, 4).alias(f"est_q{int(q * 100)}"))
     return cum.groupBy(F.col("_k").alias(key_col)).agg(*outs)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over
+    ``key_col``: md5-hash every value, route it to one of ``m``
+    registers by its top byte, and keep per register the maximum
+    ``rho`` = position of the leftmost 1-bit in the next 48 hash
+    bits. Returns the FULL ``m``-row register table (empty registers
+    as 0) — the sketch's mergeable state.
+
+    Unlike KMV (``aggregates.kmv_distinct_sketch``, k · 8 bytes,
+    exactly mergeable by re-min-ing), HLL state is ``m`` 6-bit
+    registers that merge by element-wise MAX — the cheapest mergeable
+    distinct-count state there is, and the one every production
+    engine (Spark's own ``approx_count_distinct`` included) ships.
+    This variant is md5-deterministic so the registers — not just the
+    estimate — hash-verify against any SQL engine.
+
+    Scale shape: NO distinct pre-pass (duplicates can't move a max),
+    one hash aggregate whose map-side partials collapse to ≤ m rows
+    per task before the shuffle; merging day-sketches is a second
+    m-row max. ``m`` must divide 256 so the top-byte route is
+    uniform.
+    """
+    if m < 2 or 256 % m != 0:
+        raise ValueError("hll_registers: m must be >=2 and divide 256")
+    hx = F.md5(F.col(key_col).cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).cast("int")
+    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("int").alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("_mx"))
+    )
+    spine = (
+        df.sparkSession.range(m)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    return spine.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("_mx"), F.lit(0)).alias("reg")
+    )
+
+
+def hll_estimate(regs: DataFrame, m: int = 64) -> DataFrame:
+    """One-row harmonic-mean estimate from an ``hll_registers`` table.
+
+    All-integer accumulation: Z = Σ 2^-reg is scaled by 2^50 so the
+    sum is an exact BIGINT (reg ≤ 49 → terms ≥ 2), making the
+    cross-engine double division deterministic; the linear-counting
+    small-range correction (E ≤ 2.5m with empty registers) uses ln on
+    an exact ratio and is rounded where emitted. alpha_64 = 0.709
+    (Flajolet's constant for m = 64).
+    """
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - reg)")).alias("_s")
+    v = F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("_v")
+    agg = regs.agg(s, v)
+    raw = (F.lit(alpha) * m * m * F.lit(float(1 << 50))) / F.col("_s").cast(
+        "double"
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("_v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double")),
+    ).otherwise(raw)
+    return agg.select(est.alias("hll_raw"))

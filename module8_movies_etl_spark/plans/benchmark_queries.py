@@ -9034,6 +9034,87 @@ def kmeans_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ORACLE = """
+WITH h AS (
+    SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS INTEGER)
+               AS bucket,
+           CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w
+    FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+          FROM events WHERE user_id IS NOT NULL)
+),
+r AS (
+    SELECT bucket,
+           CAST(max(CASE WHEN w > 0 THEN 49 - length(bin(w))
+                         ELSE 49 END) AS INTEGER) AS mx
+    FROM h GROUP BY bucket
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+regs AS (
+    SELECT s.bucket, COALESCE(r.mx, 0) AS reg
+    FROM spine s LEFT JOIN r USING (bucket)
+),
+agg AS (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << (50 - reg)) AS BIGINT) AS s,
+           SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+    FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact
+       FROM events WHERE user_id IS NOT NULL),
+est AS (
+    SELECT CASE WHEN raw <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                ELSE raw END AS e,
+           n_exact
+    FROM (SELECT (((CAST(0.709 AS DOUBLE) * 64.0) * 64.0)
+                  * 1125899906842624.0) / CAST(s AS DOUBLE) AS raw,
+                 v, n_exact
+          FROM agg, ex)
+)
+SELECT regs.bucket AS bucket,
+       regs.reg AS reg,
+       est.n_exact AS n_exact,
+       round(est.e, 4) AS hll_est,
+       round((est.e - CAST(est.n_exact AS DOUBLE))
+             / CAST(est.n_exact AS DOUBLE), 4) AS rel_err
+FROM regs, est
+"""
+
+
+@query("hll_distinct_users", _HLL_ORACLE)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketches, beyond-ref §2.13] HyperLogLog distinct-user count
+    beside its KMV twin (``kmv_distinct_users``): the full 64-register
+    table (the mergeable 6-bit-max state every production engine
+    ships) PLUS the harmonic-mean estimate, exact count and relative
+    error on every row — registers, routing, rho extraction and the
+    scaled-integer Z accumulation all hash-verified against the SQL
+    replay. No distinct pre-pass (duplicates cannot move a register
+    max); one ≤64-group hash aggregate over the raw fact stream.
+    """
+    e = read_table(spark, sf_dir, "events")
+    regs = sketches.hll_registers(e, "user_id", m=64)
+    from ..sources.scratch import snapshot
+
+    regs = snapshot(regs, prefix="hll_regs_")
+    est = sketches.hll_estimate(regs, m=64)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .agg(F.count_distinct(F.col("user_id")).alias("n_exact"))
+    )
+    one = est.crossJoin(exact)
+    return regs.crossJoin(F.broadcast(one)).select(
+        "bucket",
+        "reg",
+        "n_exact",
+        F.round(F.col("hll_raw"), 4).alias("hll_est"),
+        F.round(
+            (F.col("hll_raw") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

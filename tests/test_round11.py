@@ -99,3 +99,62 @@ def test_kmeans_catalog_oracle_parity(spark):
         "kmeans_diversity_sample",
     )
     assert not errs, errs
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketch of a union == element-wise max of the part sketches —
+    the mergeability contract that makes HLL state shippable."""
+    from module8_movies_etl_spark.operators import sketches
+
+    a = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(150, 400)], ["k"])
+    u = a.unionByName(b)
+    ra = {r["bucket"]: r["reg"] for r in sketches.hll_registers(a, "k", m=32).collect()}
+    rb = {r["bucket"]: r["reg"] for r in sketches.hll_registers(b, "k", m=32).collect()}
+    ru = {r["bucket"]: r["reg"] for r in sketches.hll_registers(u, "k", m=32).collect()}
+    assert set(ru) == set(range(32))
+    for bkt in range(32):
+        assert ru[bkt] == max(ra[bkt], rb[bkt])
+
+
+def test_hll_estimate_accuracy_and_dup_invariance(spark):
+    """Estimate within ~3 sigma (1.04/sqrt(64) ~ 13%) of truth, and
+    duplicating every row changes nothing."""
+    from module8_movies_etl_spark.operators import sketches
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], ["k"])
+    regs = sketches.hll_registers(df, "k", m=64)
+    est = sketches.hll_estimate(regs, m=64).collect()[0]["hll_raw"]
+    assert abs(est - n) / n < 0.40  # 3 sigma at m=64
+    doubled = df.unionByName(df)
+    regs2 = sketches.hll_registers(doubled, "k", m=64)
+    est2 = sketches.hll_estimate(regs2, m=64).collect()[0]["hll_raw"]
+    assert est == est2
+
+
+def test_hll_rejects_bad_m(spark):
+    from module8_movies_etl_spark.operators import sketches
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, "k", m=48)
+
+
+def test_hll_catalog_oracle_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    errs = compare(
+        bq.QUERIES["hll_distinct_users"](spark, sf),
+        con,
+        bq.ORACLE["hll_distinct_users"],
+        "hll_distinct_users",
+    )
+    assert not errs, errs
