@@ -9115,6 +9115,61 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adamic_adar_oracle(top_k: int = 100) -> str:
+    cte = _embedding_pairs_cte(threshold=0.2)
+    return f"""
+WITH {cte},
+e AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+mid AS (
+    SELECT e.s, e.t,
+           CAST(round(1.0 / ln(CAST(deg.d AS DOUBLE)), 8)
+                AS DECIMAL(18,8)) AS w
+    FROM e JOIN deg USING (s)
+    WHERE deg.d >= 2 AND deg.d <= 10000
+),
+wedges AS (
+    SELECT w1.t AS a, w2.t AS b, w1.w
+    FROM mid w1 JOIN mid w2 ON w1.s = w2.s AND w1.t < w2.t
+),
+scored AS (
+    SELECT a, b, SUM(w) AS score, COUNT(*) AS nc FROM wedges GROUP BY a, b
+),
+canon AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM pairs)
+SELECT s.a AS id_a, s.b AS id_b,
+       CAST(s.nc AS BIGINT) AS n_common,
+       round(CAST(s.score AS DOUBLE), 6) AS aa_score
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s.a AND c.b = s.b)
+ORDER BY s.score DESC, s.a, s.b
+LIMIT {top_k}
+"""
+
+
+@query("adamic_adar_missing_links", _adamic_adar_oracle())
+def adamic_adar_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/link-prediction, beyond-ref §2.13 — third analytics op
+    over the near-dup graph beside PageRank and triangles] Top-100
+    Adamic-Adar-scored NON-edges of the embedding LSH dup graph: the
+    pairs every common neighbor vouches for but no band emitted — the
+    standard candidate-generator recall audit as a graph query, and
+    the classic co-visitation link predictor. Weights 1/ln(deg) are
+    rounded(8) and summed as DECIMAL so the top-k cut is an exact
+    total order in both engines; hub intermediates cap at deg 10⁴
+    (documented scale trade). One wedge self-join + one anti-join +
+    a distributed TakeOrderedAndProject.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    return graphs.adamic_adar_links(pairs, top_k=100)
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

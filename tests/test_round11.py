@@ -158,3 +158,54 @@ def test_hll_catalog_oracle_parity(spark):
         "hll_distinct_users",
     )
     assert not errs, errs
+
+
+# --- Adamic-Adar link prediction -------------------------------------------
+
+
+def test_adamic_adar_scores_known_graph(spark):
+    """Path graph 1-2-3 plus hub 0 connected to all: hand-checkable
+    wedge weights; existing edges never appear."""
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    from module8_movies_etl_spark.operators import graphs
+
+    out = {(r["id_a"], r["id_b"]): (r["n_common"], r["aa_score"])
+           for r in graphs.adamic_adar_links(df, top_k=10).collect()}
+    # degrees: 0->3, 1->2, 2->2, 3->1
+    # non-edges: (1,3) common {0}; (2,3) common {0}
+    import math
+
+    w0 = round(1.0 / math.log(3.0), 8)
+    assert set(out) == {(1, 3), (2, 3)}
+    assert out[(1, 3)] == (1, round(w0, 6))
+    assert out[(2, 3)] == (1, round(w0, 6))
+    # the existing edge (1,2) has common neighbor 0 but is filtered
+    assert (1, 2) not in out
+
+
+def test_adamic_adar_hub_cap_excludes_center(spark):
+    edges = [(100, i) for i in range(5)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    from module8_movies_etl_spark.operators import graphs
+
+    full = graphs.adamic_adar_links(df, top_k=100).collect()
+    assert len(full) == 10  # C(5,2) leaf pairs via the hub
+    capped = graphs.adamic_adar_links(df, top_k=100, max_hub_degree=4).collect()
+    assert capped == []
+
+
+def test_adamic_adar_catalog_oracle_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    errs = compare(
+        bq.QUERIES["adamic_adar_missing_links"](spark, sf),
+        con,
+        bq.ORACLE["adamic_adar_missing_links"],
+        "adamic_adar_missing_links",
+    )
+    assert not errs, errs
