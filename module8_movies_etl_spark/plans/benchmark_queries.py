@@ -9350,6 +9350,99 @@ def analyze_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_rrf_oracle(k_leg: int = 50, k_out: int = 20, c: float = 60.0) -> str:
+    """RRF fusion oracle: the bm25 and brute-cosine leg oracles embed
+    verbatim as derived tables (nested WITH), so the legs stay single-
+    source-of-truth with their standalone queries; fusion terms are
+    rounded(8) reciprocals summed as DECIMAL — exact, order-free."""
+    lex = _bm25_oracle(k=k_leg)
+    vec = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cp AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+         AND vec_id <> 0)
+SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+FROM (SELECT cp.vec_id,
+             list_dot_product(q.qv, cp.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(cp.cv, cp.cv))) AS sim
+      FROM cp CROSS JOIN q)
+QUALIFY rk <= {k_leg}
+"""
+    return f"""
+WITH lex AS (SELECT * FROM ({lex}) t),
+vec AS (SELECT * FROM ({vec}) t),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+           l.rk AS rank_lex,
+           v.rk AS rank_vec,
+           COALESCE(CAST(round(1.0 / ({c!r} + l.rk), 8) AS DECIMAL(18,8)),
+                    CAST(0 AS DECIMAL(18,8)))
+           + COALESCE(CAST(round(1.0 / ({c!r} + v.rk), 8) AS DECIMAL(18,8)),
+                      CAST(0 AS DECIMAL(18,8))) AS rrf
+    FROM lex l FULL JOIN vec v ON v.vec_id = l.doc_id
+)
+SELECT doc_id, rank_lex, rank_vec,
+       CAST(rrf AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {k_out}
+"""
+
+
+@query("hybrid_search_rrf", _hybrid_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[search, beyond-ref §2.13 — the RAG-retrieval capstone fusing
+    the lexical and vector legs] Reciprocal-rank fusion of BM25
+    top-50 (terms spark/join/window) with brute-cosine top-50 around
+    the vec_id-0 document: score = Σ 1/(60+rank) over the legs a doc
+    appears in — the standard hybrid-retrieval combiner (Cormack et
+    al.), rank-only so the two legs' incomparable score scales never
+    mix. Fusion terms are rounded(8) reciprocals summed as DECIMAL
+    (exact) so the fused order and cut hash-verify; leg ranks ride
+    along (NULL = not in that leg's top-50). Each leg is a
+    distributed TakeOrderedAndProject; fusion is a 50-row full join.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex_scores = curation.bm25_scores(
+        d, "doc_id", "text", terms=("spark", "join", "window")
+    )
+    lex50 = (
+        lex_scores.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    vec50 = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), id_col="vec_id",
+        vec_col="embedding", k=50,
+    ).select(F.col("neighbor_id").alias("vec_id"), F.col("rank").alias("rank_vec"))
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(60.0) + F.col(r)), 8).cast("decimal(18,8)"),
+        F.lit(0).cast("decimal(18,8)"),
+    )
+    fused = lex50.join(vec50, lex50["doc_id"] == vec50["vec_id"], "full").select(
+        F.coalesce(lex50["doc_id"], vec50["vec_id"]).alias("doc_id"),
+        "rank_lex",
+        "rank_vec",
+        (term("rank_lex") + term("rank_vec")).alias("_rrf"),
+    )
+    return (
+        fused.orderBy(F.col("_rrf").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            F.col("_rrf").cast("double").alias("rrf_score"),
+        )
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

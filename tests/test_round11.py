@@ -263,3 +263,37 @@ def test_woe_and_analyze_catalog_parity(spark):
             bq.QUERIES[name](spark, sf), con, bq.ORACLE[name], name
         )
         assert not errs, errs
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """Fused list is deterministic, caps at 20, scores decrease, and
+    every fused doc carries at least one leg rank."""
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    out = bq.QUERIES["hybrid_search_rrf"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= 20
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert r["rank_lex"] is not None or r["rank_vec"] is not None
+        expect = 0.0
+        for rk in (r["rank_lex"], r["rank_vec"]):
+            if rk is not None:
+                expect += round(1.0 / (60.0 + rk), 8)
+        assert abs(r["rrf_score"] - expect) < 1e-9
+
+
+def test_hybrid_rrf_catalog_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    errs = compare(
+        bq.QUERIES["hybrid_search_rrf"](spark, sf),
+        con,
+        bq.ORACLE["hybrid_search_rrf"],
+        "hybrid_search_rrf",
+    )
+    assert not errs, errs
