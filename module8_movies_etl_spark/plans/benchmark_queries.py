@@ -9443,6 +9443,118 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C360_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT c_custkey AS node, c_custkey AS m FROM customer
+    UNION
+    SELECT e.src AS node, r.m FROM reach r JOIN edges e ON e.dst = r.node
+),
+cc AS (SELECT node AS c_custkey, min(m) AS cluster_id FROM reach GROUP BY node),
+oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+mem AS (
+    SELECT cc.cluster_id, c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+           COALESCE(oc.n_orders, 0) AS n_orders
+    FROM cc JOIN customer c USING (c_custkey)
+    LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+),
+agg AS (
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders_total,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS acctbal_total,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM mem GROUP BY cluster_id
+),
+surv AS (
+    SELECT cluster_id, c_custkey AS survivor_custkey, c_name AS survivor_name
+    FROM mem
+    QUALIFY row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_orders DESC, c_custkey) = 1
+)
+SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       s.survivor_custkey, s.survivor_name,
+       CAST(a.n_members AS BIGINT) AS n_members,
+       a.n_orders_total, a.acctbal_total, a.n_segments
+FROM agg a JOIN surv s USING (cluster_id)
+"""
+
+
+@query("customer360_golden", _C360_ORACLE)
+def customer360_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[entity resolution capstone, beyond-ref §2.13 — the MDM
+    "golden record" pipeline end to end] Customers fuzzy-matched on
+    name (Levenshtein ≤ 1, nation-blocked via
+    ``curation.fuzzy_name_matches``'s dictionary-DP path), clustered
+    by iterative min-label connected components (singletons
+    included), then per cluster: survivor selection by activity
+    (most orders, tie → lowest key — one window, not a self-join)
+    and the merged record — member count, total orders, DECIMAL-
+    exact balance roll-up, segment spread. The oracle replays
+    blocking, edit distance, a recursive-CTE closure and the
+    survivorship window. One blocked pair join + CC rounds + two
+    cluster-keyed aggregates; everything else broadcastable.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    pairs = curation.fuzzy_name_matches(
+        c, "c_custkey", "c_name", block_col=F.col("c_nationkey"),
+        max_distance=1,
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs, c, id_col="c_custkey")
+    oc = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("_n_orders")
+    )
+    mem = (
+        cc.join(c, "c_custkey")
+        .join(oc, "c_custkey", "left")
+        .select(
+            "cluster_id", "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            F.coalesce(F.col("_n_orders"), F.lit(0)).alias("_n_orders"),
+        )
+    )
+    from ..sources.scratch import snapshot
+
+    mem = snapshot(mem, prefix="c360_members_")
+    agg = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("_n_orders").alias("n_orders_total"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("acctbal_total"),
+        F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+    )
+    sw = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_n_orders"), F.asc("c_custkey")
+    )
+    surv = (
+        mem.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("survivor_custkey"),
+            F.col("c_name").alias("survivor_name"),
+        )
+    )
+    return agg.join(surv, "cluster_id").select(
+        "cluster_id", "survivor_custkey", "survivor_name",
+        "n_members", "n_orders_total", "acctbal_total", "n_segments",
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

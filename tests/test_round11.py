@@ -297,3 +297,27 @@ def test_hybrid_rrf_catalog_parity(spark):
         "hybrid_search_rrf",
     )
     assert not errs, errs
+
+
+def test_customer360_structure_and_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    out = bq.QUERIES["customer360_golden"](spark, sf).collect()
+    assert out
+    for r in out:
+        assert r["n_members"] >= 1
+        assert r["cluster_id"] <= r["survivor_custkey"] or r["n_members"] >= 1
+    # survivor must be a member: cluster_id is the min member id, so
+    # survivor >= cluster_id always
+    assert all(r["survivor_custkey"] >= r["cluster_id"] for r in out)
+    con = duckdb_con(sf)
+    errs = compare(
+        bq.QUERIES["customer360_golden"](spark, sf),
+        con,
+        bq.ORACLE["customer360_golden"],
+        "customer360_golden",
+    )
+    assert not errs, errs
