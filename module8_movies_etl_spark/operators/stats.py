@@ -770,3 +770,69 @@ def seasonal_robust_anomalies(
             .alias("n_anomalies")
         )
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per stratum over right-censored
+    durations — the time-to-event estimator (time-to-conversion,
+    time-to-churn) that plain averages get WRONG under censoring
+    (dropping censored subjects biases down, counting them as events
+    biases up; KM handles them exactly).
+
+    ``subjects``: one row per subject with a stratum, a duration and
+    an observed flag (1 = event, 0 = censored). At each distinct
+    event time t: S(t) = Π_{t_j ≤ t} (1 − d_j / n_j) with d_j events
+    at t_j and n_j subjects still at risk (duration ≥ t_j).
+
+    Determinism: d and n-at-risk are exact integer aggregates; the
+    product runs as exp(Σ ln(1 − d/n)) over an ordered running
+    window — a sequential fold both engines evaluate identically —
+    with an explicit zero flag once any factor hits 0 (ln(0) is an
+    error under ANSI; the flag keeps the tail exactly 0.0), and the
+    curve rounds(6) on emission.
+
+    Scale shape: one (stratum, duration) hash aggregate collapses
+    subjects to distinct times; totals/cumulatives are windows
+    PARTITIONED BY stratum (no global sort — strata parallelize);
+    output is event-time-grained, not subject-grained.
+    """
+    from pyspark.sql import Window
+
+    g = subjects.groupBy(group_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_n_at"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    wp = Window.partitionBy(group_col)
+    wo = Window.partitionBy(group_col).orderBy(duration_col)
+    g = (
+        g.withColumn("_tot", F.sum("_n_at").over(wp))
+        .withColumn("_cum", F.sum("_n_at").over(wo))
+        .withColumn("n_risk", F.col("_tot") - F.col("_cum") + F.col("_n_at"))
+    )
+    term = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    g = g.withColumn(
+        "_lnt", F.when(term > 0, F.log(term)).otherwise(F.lit(0.0))
+    ).withColumn("_z", F.when(term <= 0, F.lit(1)).otherwise(F.lit(0)))
+    g = g.withColumn("_lsum", F.sum("_lnt").over(wo)).withColumn(
+        "_zany", F.max("_z").over(wo)
+    )
+    surv = F.when(F.col("_zany") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lsum"))
+    )
+    return (
+        g.filter(F.col("n_events") > 0)
+        .select(
+            group_col,
+            duration_col,
+            "n_risk",
+            "n_events",
+            F.round(surv, 6).alias("survival"),
+        )
+    )

@@ -573,3 +573,82 @@ def pmi_collocations(df, lang_col: str, text_col: str, min_count: int = 5, k: in
         .filter(F.col("rk") <= k)
         .select(lang_col, "w1", "w2", "n", "pmi_nats", "rk")
     )
+
+
+def bigram_interp_perplexity(
+    df,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    lam: float = 0.7,
+):
+    """Per-document perplexity under a Jelinek-Mercer interpolated
+    bigram LM fit on the corpus itself — the KenLM-shaped upgrade of
+    ``unigram_perplexity`` (context-aware: shuffled-word salad scores
+    near the unigram model, fluent text scores far better, so the
+    GAP between the two perplexities is itself a fluency signal).
+
+    P(w2|w1) interpolates λ·MLE(bigram)/MLE(prefix) with
+    (1−λ)·MLE(unigram); every scored bigram exists in the LM by
+    construction (the corpus is its own reference), so probabilities
+    are strictly positive rationals of exact counts — no smoothing
+    constant to disagree about, and the double expression replays
+    term-for-term in SQL. ppl = exp(−mean ln p) over the doc's
+    bigrams; docs with <2 tokens surface NULL via one outer join.
+
+    Scale shape mirrors the unigram scorer: one (lang, bigram) hash
+    aggregate (vocabulary-sized), prefix totals as a window over LM
+    rows (never a second fact pass), unigram LM likewise, scoring =
+    two vocabulary-build-side equi-joins + one per-doc aggregate.
+    All JVM codegen.
+    """
+    from pyspark.sql import Window
+
+    bgs = df.select(
+        F.col(id_col), F.col(lang_col),
+        F.explode(bigrams_array(F.col(text_col))).alias("_bg"),
+    )
+    bg_lm = bgs.groupBy(lang_col, "_bg").agg(F.count(F.lit(1)).alias("_cb"))
+    bg_lm = bg_lm.withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
+    pw = Window.partitionBy(lang_col, "_w1")
+    bg_lm = bg_lm.withColumn("_cp", F.sum("_cb").over(pw))
+    toks = df.select(
+        F.col(lang_col), F.explode(tokens_array(F.col(text_col))).alias("_w")
+    )
+    uni = toks.groupBy(lang_col, "_w").agg(F.count(F.lit(1)).alias("_cu"))
+    uni = uni.withColumn(
+        "_nu", F.sum("_cu").over(Window.partitionBy(lang_col))
+    )
+    scored = (
+        bgs.join(bg_lm.select(lang_col, "_bg", "_cb", "_cp"), [lang_col, "_bg"])
+        .withColumn("_w2", F.substring_index(F.col("_bg"), " ", -1))
+        .join(
+            uni.select(lang_col, F.col("_w").alias("_w2"), "_cu", "_nu"),
+            [lang_col, "_w2"],
+        )
+        .withColumn(
+            "_lp",
+            F.log(
+                F.lit(lam)
+                * (F.col("_cb").cast("double") / F.col("_cp").cast("double"))
+                + F.lit(1.0 - lam)
+                * (F.col("_cu").cast("double") / F.col("_nu").cast("double"))
+            ),
+        )
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg("_lp")).alias("_x"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(lang_col))
+        .join(scored, [id_col, lang_col], "left")
+        .select(
+            id_col,
+            lang_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.col("_x"), 4).alias("xent_nats"),
+            F.round(F.exp(F.col("_x")), 4).alias("ppl"),
+        )
+    )

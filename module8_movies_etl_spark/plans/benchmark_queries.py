@@ -9555,6 +9555,171 @@ def customer360_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_ppl_oracle(lam: float = 0.7) -> str:
+    """Interpolated-bigram perplexity oracle. Float literals embed via
+    repr() (1.0 − 0.7 is 0.30000000000000004, not 0.3 — the SQL must
+    parse the IDENTICAL double Spark computes); the phantom ''-token
+    of splitting empty text is filtered from the unigram LM exactly
+    as ``text.tokens_array`` returns an empty array."""
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    return rf"""
+WITH t AS (SELECT doc_id, lang, {_WS_SPLIT_SQL} AS w FROM documents),
+db AS (
+    SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bg, w[i + 1] AS w2
+    FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+),
+bgc AS (SELECT lang, bg, count(*) AS cb FROM db GROUP BY 1, 2),
+bgp AS (
+    SELECT lang, bg, cb,
+           sum(cb) OVER (PARTITION BY lang, split_part(bg, ' ', 1)) AS cp
+    FROM bgc
+),
+flat AS (SELECT lang, unnest(w) AS tok FROM t),
+uni AS (SELECT lang, tok, count(*) AS cu
+        FROM flat WHERE tok <> '' GROUP BY 1, 2),
+unit AS (
+    SELECT lang, tok, cu, sum(cu) OVER (PARTITION BY lang) AS nu FROM uni
+),
+sc AS (
+    SELECT d.doc_id, d.lang,
+           ln({l1} * (CAST(b.cb AS DOUBLE) / CAST(b.cp AS DOUBLE))
+              + {l2} * (CAST(u.cu AS DOUBLE) / CAST(u.nu AS DOUBLE))) AS lp
+    FROM db d
+    JOIN bgp b ON b.lang = d.lang AND b.bg = d.bg
+    JOIN unit u ON u.lang = d.lang AND u.tok = d.w2
+),
+per AS (
+    SELECT doc_id, lang, count(*) AS n_bigrams, -avg(lp) AS x
+    FROM sc GROUP BY 1, 2
+)
+SELECT doc.doc_id, doc.lang,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(per.x, 4) AS xent_nats,
+       round(exp(per.x), 4) AS ppl
+FROM documents doc
+LEFT JOIN per ON per.doc_id = doc.doc_id AND per.lang = doc.lang
+"""
+
+
+@query("doc_perplexity_bigram", _bigram_ppl_oracle())
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation/quality, beyond-ref §2.13 — the context-aware upgrade
+    of ``doc_perplexity_unigram``] Per-document perplexity under a
+    Jelinek-Mercer interpolated bigram LM (λ = 0.7) fit on the corpus
+    itself: the KenLM-shaped fluency signal pretraining filters
+    threshold on — word salad collapses to near the unigram score,
+    fluent text scores far lower, and the unigram/bigram gap is a
+    fluency feature in its own right. Probabilities are strictly
+    positive rationals of exact corpus counts (no smoothing constant
+    to disagree about); LM build is vocabulary-sized aggregates with
+    window totals, scoring two equi-joins + one per-doc aggregate.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return text.bigram_interp_perplexity(d, "doc_id", "text", "lang", lam=0.7)
+
+
+_KM_ORACLE = """
+WITH c AS (
+    SELECT user_id, min(epoch_us(ts)) AS c_us
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+    GROUP BY 1
+),
+m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+s AS (
+    SELECT ((c.c_us // 86400000000) + 4) % 7 AS dow,
+           CASE WHEN p.p_us IS NOT NULL THEN p.p_us - c.c_us
+                ELSE m.max_us - c.c_us END AS duration_us,
+           CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM c LEFT JOIN p USING (user_id) CROSS JOIN m
+),
+g AS (
+    SELECT dow, duration_us, count(*) AS n_at, SUM(ev) AS d
+    FROM s GROUP BY 1, 2
+),
+w AS (
+    SELECT dow, duration_us, n_at, d,
+           SUM(n_at) OVER (PARTITION BY dow) AS tot,
+           SUM(n_at) OVER (PARTITION BY dow ORDER BY duration_us) AS cum
+    FROM g
+),
+t AS (
+    SELECT dow, duration_us, d, tot - cum + n_at AS n_risk,
+           1.0 - CAST(d AS DOUBLE) / CAST(tot - cum + n_at AS DOUBLE) AS term
+    FROM w
+),
+r AS (
+    SELECT dow, duration_us, d, n_risk,
+           SUM(CASE WHEN term > 0 THEN ln(term) ELSE 0.0 END)
+               OVER (PARTITION BY dow ORDER BY duration_us) AS lsum,
+           MAX(CASE WHEN term <= 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY dow ORDER BY duration_us) AS zany
+    FROM t
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CASE WHEN zany = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival
+FROM r WHERE d > 0
+"""
+
+
+@query("km_click_to_purchase", _KM_ORACLE)
+def km_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[survival analysis, beyond-ref §2.13 — the censoring-correct
+    time-to-event readout] Kaplan-Meier curve of time from a user's
+    first click to their first subsequent purchase, right-censored at
+    end-of-observation for users who never convert, stratified by
+    first-click weekday (pure integer epoch-day arithmetic — neither
+    engine's dayofweek convention is trusted). Averages under ~never-
+    converting users are meaningless; KM is the estimator funnels
+    actually need. Exact integer risk sets, ANSI-safe zero-flagged
+    exp-sum-ln product, strata-partitioned windows (no global sort).
+    """
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("c_us"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(clicks, "user_id")
+        .filter(F.col("p_us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    m = e.agg(F.max(us).alias("max_us"))
+    subjects = (
+        clicks.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr("((c_us div 86400000000) + 4) % 7").alias("dow"),
+            F.when(
+                F.col("p_us").isNotNull(), F.col("p_us") - F.col("c_us")
+            )
+            .otherwise(F.col("max_us") - F.col("c_us"))
+            .alias("duration_us"),
+            F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = stats.kaplan_meier(subjects, "dow", "duration_us", "ev")
+    return km.select(
+        F.col("dow").cast("long").alias("dow"),
+        "duration_us",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "survival",
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -321,3 +321,60 @@ def test_customer360_structure_and_parity(spark):
         "customer360_golden",
     )
     assert not errs, errs
+
+
+# --- bigram perplexity + Kaplan-Meier --------------------------------------
+
+
+def test_bigram_ppl_fluent_beats_salad(spark):
+    """A doc made of corpus-frequent bigrams scores lower perplexity
+    than one built from the same words in unseen orders... here:
+    repeated bigram 'a b' everywhere makes 'a b' docs near-certain."""
+    rows = [(1, "a b a b a b", "en"), (5, "a b a c", "en"), (3, "a c", "en"),
+            (4, "", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from module8_movies_etl_spark.operators import text as T
+
+    out = {r["doc_id"]: r for r in
+           T.bigram_interp_perplexity(df, "doc_id", "text", "lang").collect()}
+    assert out[4]["n_bigrams"] == 0 and out[4]["ppl"] is None
+    # after 'a' the corpus continues with 'b' twice as often as 'c',
+    # so the all-'a b' doc must beat the 'a c' doc
+    assert out[1]["ppl"] < out[3]["ppl"]
+    assert out[1]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 1
+    # hand-check doc 3: single bigram 'a c':
+    # p = .7*(2/6) + .3*(2/12); ppl = 1/p
+    import math
+
+    p = 0.7 * (2 / 6) + (1.0 - 0.7) * (2 / 12)
+    assert abs(out[3]["ppl"] - round(1.0 / p, 4)) < 2e-4
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic: durations [1e,2e,3c,4e] (e=event, c=censored):
+    S(1)=3/4, S(2)=(3/4)(2/3)=1/2, S(4)=(1/2)(0/1... n_risk at 4 is 1,
+    d=1 -> S=0."""
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 0), ("g", 4, 1)]
+    df = spark.createDataFrame(rows, ["grp", "dur", "ev"])
+    from module8_movies_etl_spark.operators import stats as S
+
+    out = {r["dur"]: r for r in
+           S.kaplan_meier(df, "grp", "dur", "ev").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["n_risk"] == 4 and out[1]["survival"] == 0.75
+    assert out[2]["n_risk"] == 3 and out[2]["survival"] == 0.5
+    assert out[4]["n_risk"] == 1 and out[4]["survival"] == 0.0
+
+
+def test_km_and_bigram_catalog_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    for name in ("km_click_to_purchase", "doc_perplexity_bigram"):
+        errs = compare(
+            bq.QUERIES[name](spark, sf), con, bq.ORACLE[name], name
+        )
+        assert not errs, errs
