@@ -9448,7 +9448,9 @@ WITH RECURSIVE
 pairs AS (
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
     FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
     WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       AND levenshtein(a.c_name, b.c_name) <= 1
 ),
@@ -9497,8 +9499,10 @@ FROM agg a JOIN surv s USING (cluster_id)
 def customer360_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[entity resolution capstone, beyond-ref §2.13 — the MDM
     "golden record" pipeline end to end] Customers fuzzy-matched on
-    name (Levenshtein ≤ 1, nation-blocked via
-    ``curation.fuzzy_name_matches``'s dictionary-DP path), clustered
+    name (Levenshtein ≤ 1, blocked on nation AND market segment —
+    multi-field agreement is both better ER precision and what keeps
+    match-graph chains short; via ``curation.fuzzy_name_matches``'s
+    dictionary-DP path), clustered
     by iterative min-label connected components (singletons
     included), then per cluster: survivor selection by activity
     (most orders, tie → lowest key — one window, not a self-join)
@@ -9511,7 +9515,10 @@ def customer360_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     pairs = curation.fuzzy_name_matches(
-        c, "c_custkey", "c_name", block_col=F.col("c_nationkey"),
+        c, "c_custkey", "c_name",
+        block_col=F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        ),
         max_distance=1,
     ).select("id_a", "id_b")
     cc = dedup.connected_components(pairs, c, id_col="c_custkey")
