@@ -125,6 +125,8 @@ def kmeans_assign(
         list(r["_q"])
         for r in sorted(seeds.collect(), key=lambda r: (r["_m"], r[id_col]))
     ]
+    if not centroids:
+        raise ValueError("kmeans_assign: empty corpus — nothing to cluster")
     dim = len(centroids[0])
 
     for _ in range(n_rounds - 1):

@@ -254,6 +254,12 @@ def woe_iv_table(
         F.sum("_y").alias("n_pos"),
         F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
     )
+    from ..sources.scratch import snapshot
+
+    # Snapshot the n_bins-row cell table BEFORE deriving totals/terms:
+    # every later consumer (totals, WOE, IV) then reads n_bins rows
+    # instead of re-running the two fact passes per consumer.
+    cells = snapshot(cells, prefix="woe_cells_")
     tot = cells.agg(
         F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
     )
@@ -280,9 +286,6 @@ def woe_iv_table(
         .cast("decimal(18,8)")
         .alias("_term"),
     )
-    from ..sources.scratch import snapshot
-
-    scored = snapshot(scored, prefix="woe_cells_")
     iv = scored.agg(
         F.round(F.sum("_term").cast("double"), 6).alias("iv_total")
     )

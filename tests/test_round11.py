@@ -378,3 +378,19 @@ def test_km_and_bigram_catalog_parity(spark):
             bq.QUERIES[name](spark, sf), con, bq.ORACLE[name], name
         )
         assert not errs, errs
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer-jumping regression pin: a 300-node path (diameter 299)
+    must converge inside the default round budget — plain min-label
+    propagation would need 299 rounds and die."""
+    from module8_movies_etl_spark.operators import dedup
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    out = dedup.connected_components(pairs, nodes, id_col="id").collect()
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {0}
