@@ -394,3 +394,70 @@ def test_connected_components_long_chain_converges(spark):
     out = dedup.connected_components(pairs, nodes, id_col="id").collect()
     assert len(out) == n
     assert {r["cluster_id"] for r in out} == {0}
+
+
+# --- plan pins for the round-5-late operators -------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """The assignment projection must carry the centroid literals —
+    no join, no shuffle between the scan and the argmin: the only
+    exchanges in the final assignment plan are for the output windows
+    (cluster-partitioned), never keyed by vector id."""
+    from module8_movies_etl_spark.operators import clustering
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = clustering.kmeans_assign(emb, k=4, n_rounds=2)
+    plan = _plan(out)
+    assert "Join" not in plan  # centroids are literals, not a table
+    assert "array_position" in plan or "ARRAY_POSITION" in plan.upper()
+
+
+def test_adamic_adar_topk_is_distributed(spark, sf_dir):
+    """The cut must be a TakeOrderedAndProject (distributed top-k),
+    never a global-sort row_number window."""
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    out = bq.QUERIES["adamic_adar_missing_links"](spark, sf_dir)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_analyze_profiler_single_scan(spark, sf_dir):
+    """One stack projection over one orders scan — the oracle's
+    UNION-ALL-per-column shape (6 scans) is what the operator
+    avoids. The snapshot boundary materializes the melt, so the scan
+    count is checked on the pre-snapshot plan."""
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+    from module8_movies_etl_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders")
+    from module8_movies_etl_spark.plans.benchmark_queries import _ANALYZE_COLS
+
+    stack_args = ", ".join(f"'{n}', {e}" for n, e in _ANALYZE_COLS)
+    melted = o.select(
+        F.expr(f"stack({len(_ANALYZE_COLS)}, {stack_args})").alias("col", "val")
+    )
+    plan = _plan(melted)
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_hll_registers_two_aggregates_no_distinct(spark, sf_dir):
+    """HLL needs no distinct pre-pass: the plan is hash aggregates
+    over the raw scan (duplicates cannot move a register max)."""
+    from module8_movies_etl_spark.operators import sketches
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    regs = sketches.hll_registers(e, "user_id", m=64)
+    plan = _plan(regs)
+    assert "HashAggregate" in plan
+    # no distinct/expand on the fact side
+    assert "Expand" not in plan
