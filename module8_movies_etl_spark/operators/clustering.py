@@ -127,6 +127,9 @@ def kmeans_assign(
     ]
     if not centroids:
         raise ValueError("kmeans_assign: empty corpus — nothing to cluster")
+    # fewer rows than k: every row is its own seed — shrink k so the
+    # update step never indexes a centroid that was never seeded
+    k = len(centroids)
     dim = len(centroids[0])
 
     for _ in range(n_rounds - 1):

@@ -460,6 +460,44 @@ def histogram_sketch_quantiles(
     return cum.groupBy(F.col("_k").alias(key_col)).agg(*outs)
 
 
+
+def _hll_alpha(m: int, who: str) -> float:
+    """Validate m and return Flajolet's alpha_m bias constant — the
+    single source of the HLL contract shared by the register builder,
+    the standalone estimator and the grouped NDV profiler."""
+    if m < 2 or 256 % m != 0:
+        raise ValueError(f"{who}: m must be >=2 and divide 256")
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hll_route(key: F.Column, m: int):
+    """(bucket, rho) routing of one value: top md5 byte mod m picks
+    the register, rho = leftmost-1-bit position of the next 48 bits
+    (w = 0 -> 49). Shared verbatim by every HLL surface so the
+    registers stay bit-identical to the SQL oracles' replay."""
+    hx = F.md5(key)
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).cast("int")
+    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = (
+        F.when(w > 0, F.lit(49) - F.length(F.bin(w)))
+        .otherwise(F.lit(49))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def _hll_est_expr(s: F.Column, v: F.Column, m: int, alpha: float) -> F.Column:
+    """Harmonic-mean estimate from the scaled-integer Z sum ``s`` and
+    empty-register count ``v``, with the linear-counting small-range
+    correction — one expression so the 2^50 scale and the correction
+    threshold can never diverge between HLL surfaces."""
+    raw = (F.lit(alpha) * m * m * F.lit(float(1 << 50))) / s.cast("double")
+    return F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -486,15 +524,11 @@ def hll_registers(
     m-row max. ``m`` must divide 256 so the top-byte route is
     uniform.
     """
-    if m < 2 or 256 % m != 0:
-        raise ValueError("hll_registers: m must be >=2 and divide 256")
-    hx = F.md5(F.col(key_col).cast("string"))
-    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).cast("int")
-    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
-    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    _hll_alpha(m, "hll_registers")
+    bucket, rho = _hll_route(F.col(key_col).cast("string"), m)
     regs = (
         df.filter(F.col(key_col).isNotNull())
-        .select(bucket.alias("bucket"), rho.cast("int").alias("_rho"))
+        .select(bucket.alias("bucket"), rho.alias("_rho"))
         .groupBy("bucket")
         .agg(F.max("_rho").alias("_mx"))
     )
@@ -517,17 +551,11 @@ def hll_estimate(regs: DataFrame, m: int = 64) -> DataFrame:
     an exact ratio and is rounded where emitted. alpha_64 = 0.709
     (Flajolet's constant for m = 64).
     """
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    alpha = _hll_alpha(m, "hll_estimate")
     s = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - reg)")).alias("_s")
     v = F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("_v")
     agg = regs.agg(s, v)
-    raw = (F.lit(alpha) * m * m * F.lit(float(1 << 50))) / F.col("_s").cast(
-        "double"
-    )
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("_v") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double")),
-    ).otherwise(raw)
+    est = _hll_est_expr(F.col("_s"), F.col("_v"), m, alpha)
     return agg.select(est.alias("hll_raw"))
 
 
@@ -548,16 +576,11 @@ def hll_ndv_by(
     Same md5 routing and scaled-integer Z as ``hll_registers``, so
     estimates hash-verify cross-engine.
     """
-    if m < 2 or 256 % m != 0:
-        raise ValueError("hll_ndv_by: m must be >=2 and divide 256")
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    hx = F.md5(F.col(value_col))
-    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % m).cast("int")
-    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
-    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    alpha = _hll_alpha(m, "hll_ndv_by")
+    bucket, rho = _hll_route(F.col(value_col), m)
     regs = (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.col(group_col), bucket.alias("_bkt"), rho.cast("int").alias("_rho"))
+        .select(F.col(group_col), bucket.alias("_bkt"), rho.alias("_rho"))
         .groupBy(group_col, "_bkt")
         .agg(F.max("_rho").alias("_reg"))
     )
@@ -566,10 +589,6 @@ def hll_ndv_by(
         F.count(F.lit(1)).alias("_np"),
     )
     s = F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(1 << 50).cast("long")
-    v = (F.lit(m) - F.col("_np")).cast("double")
-    raw = (F.lit(alpha) * m * m * F.lit(float(1 << 50))) / s.cast("double")
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
+    v = F.lit(m) - F.col("_np")
+    est = _hll_est_expr(s, v, m, alpha)
     return per.select(F.col(group_col), F.round(est, 4).alias("ndv_est"))

@@ -309,10 +309,9 @@ def test_customer360_structure_and_parity(spark):
     assert out
     for r in out:
         assert r["n_members"] >= 1
-        assert r["cluster_id"] <= r["survivor_custkey"] or r["n_members"] >= 1
-    # survivor must be a member: cluster_id is the min member id, so
-    # survivor >= cluster_id always
-    assert all(r["survivor_custkey"] >= r["cluster_id"] for r in out)
+        # survivor must be a member: cluster_id is the min member id,
+        # so survivor >= cluster_id always
+        assert r["survivor_custkey"] >= r["cluster_id"]
     con = duckdb_con(sf)
     errs = compare(
         bq.QUERIES["customer360_golden"](spark, sf),
