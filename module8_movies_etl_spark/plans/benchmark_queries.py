@@ -9727,6 +9727,111 @@ def km_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle() -> str | None:
+    """IVF recall@5 audit oracle: the brute-force and IVF leg oracles
+    embed verbatim as derived tables (single source of truth with
+    their standalone queries), the hit set is one pair join, and the
+    three counts fold into a single metrics row."""
+    ivf = _cosine_topk_ivf_oracle()
+    if ivf is None:
+        return None
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_COSINE_ORACLE}) t),
+cand AS (SELECT query_id, neighbor_id FROM ({ivf}) t),
+h AS (
+    SELECT count(*) AS n_hits
+    FROM truth JOIN cand USING (query_id, neighbor_id)
+),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+nc AS (SELECT count(*) AS n_cand FROM cand)
+SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+       CAST(nc.n_cand AS BIGINT) AS n_cand,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(CAST(h.n_hits AS DOUBLE)
+             / CAST(greatest(nt.n_truth, 1) AS DOUBLE), 4) AS recall
+FROM nt, nc, h
+"""
+
+
+@query("ivf_recall_audit", _ivf_recall_oracle())
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup/ANN QA, beyond-ref §2.13 — the IVF twin of
+    ``lsh_recall_audit``] Recall@5 of the IVF index (16 cells,
+    n_probe = 4) against exact brute-force truth for the 8 query
+    vectors: the accuracy/probe-cost trade every ANN deployment
+    monitors, fully deterministic (no-RNG Lloyd centroids) so the
+    recall NUMBER hash-verifies. Truth and candidate legs are the
+    exact standalone pipelines; the audit adds one pair join and a
+    3-count metrics row.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = similarity.cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    cand = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id")
+    from ..sources.scratch import snapshot
+
+    truth = snapshot(truth, prefix="ivf_audit_truth_")
+    cand = snapshot(cand, prefix="ivf_audit_cand_")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_truth"), F.lit(1)).cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+_STREAM_CMS_ORACLE = """
+WITH items AS (
+    SELECT event_type, CAST(user_id AS VARCHAR) AS v
+    FROM events WHERE user_id IS NOT NULL
+),
+fan AS (
+    SELECT event_type, r,
+           CAST(CAST('0x' || substr(md5(v || '#' || CAST(r AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 256 AS INTEGER)
+               AS bucket
+    FROM items, unnest([0, 1, 2, 3]) AS u(r)
+)
+SELECT event_type, CAST(r AS INTEGER) AS grid_row, bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM fan GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_cms_grid", _STREAM_CMS_ORACLE)
+def stream_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming §2.11 × sketches — the frequency twin of
+    ``stream_kmv_distinct``] Count-min grids maintained as CUSTOM
+    per-key streaming state (flat counter array, mergeable by
+    addition) over each event type's user stream, replayed to
+    completion with availableNow and flushed at watermark timeout.
+    The md5 bucket route is the batch ``sketches._bucket`` verbatim,
+    so the final grids equal a batch build cell-for-cell and the
+    whole streaming operator hash-verifies against one batch SQL
+    replay — state transition, fan-out, and flush included.
+    """
+    from ..streaming.stateful import run_cms_over_events
+
+    return run_cms_over_events(spark, sf_dir)
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

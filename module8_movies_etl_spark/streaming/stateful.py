@@ -335,3 +335,130 @@ def run_kmv_over_events(
         "n_exactish",
         F.round("est_raw", 2).alias("kmv_estimate"),
     )
+
+
+CMS_OUT_SCHEMA = "event_type string, grid_row int, bucket int, cnt bigint"
+_CMS_STATE_SCHEMA = "grid array<long>"
+
+
+def _cms_bucket_py(v: str, r: int, width: int) -> int:
+    """Python replica of ``sketches._bucket``: top-60-bit md5 of the
+    '#row'-salted item, mod width — must stay bit-identical to the
+    batch expression so the streaming grid equals the batch grid."""
+    import hashlib
+
+    return int(hashlib.md5(f"{v}#{r}".encode()).hexdigest()[:15], 16) % width
+
+
+def cms_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming count-min sketch as a CUSTOM stateful operator: per
+    key, the state is the depth×width counter grid (a flat
+    ``array<long>`` — constant-size, mergeable by addition), the
+    incremental twin of ``sketches.cms_build``. The THIRD custom
+    streaming sketch beside the KMV distinct state and the dedup
+    state — counters (frequency) where KMV is distinct-count.
+
+    The bucket arithmetic is the batch operator's md5 route verbatim
+    (``_cms_bucket_py`` vs ``sketches._bucket``), so a finite
+    replay's final grid emission EQUALS the batch grid cell for cell
+    and the streaming operator shares a batch-SQL value oracle — the
+    same "strongest statement" contract as ``kmv_stateful``.
+
+    Per micro-batch the Python work is per-DISTINCT-item (one
+    value_counts then depth md5s per distinct item), not per row;
+    emission flushes each key's non-zero cells when the watermark
+    passes its timeout in the terminal no-data batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_cells = depth * width
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kt = key[0]
+        if state.hasTimedOut:
+            (grid,) = state.get
+            state.remove()
+            rows = [
+                (kt, i // width, i % width, int(c))
+                for i, c in enumerate(grid)
+                if c
+            ]
+            yield pd.DataFrame(
+                rows, columns=["event_type", "grid_row", "bucket", "cnt"]
+            )
+            return
+        grid = list(state.get[0]) if state.exists else [0] * n_cells
+        for pdf in pdfs:
+            for v, n in pdf["_v"].dropna().value_counts().items():
+                for r in range(depth):
+                    grid[r * width + _cms_bucket_py(v, r, width)] += int(n)
+        state.update((grid,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(
+            [], columns=["event_type", "grid_row", "bucket", "cnt"]
+        )
+
+    prepared = events.withWatermark("ts", watermark).select(
+        F.col(key_col).alias("_k"),
+        F.col("ts"),
+        F.col(item_col).cast("string").alias("_v"),
+    )
+    return prepared.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_cms_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Replay the finite events table through the streaming CMS
+    (scratch-copy + availableNow + memory-sink mechanics shared with
+    the KMV runner) and return each event type's final non-zero grid
+    cells."""
+    import shutil
+
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch
+
+    if query_name is None:
+        query_name = f"cms_stateful_sink_{next(_SINK_SEQ)}"
+    scratch = mkscratch("cms_stream_")
+    read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    ).coalesce(1).write.mode("overwrite").parquet(scratch)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, user_id long"
+    ).parquet(scratch)
+    grids = cms_stateful(stream, depth=depth, width=width)
+    try:
+        with scoped_shuffle_partitions(spark, 32):
+            q = (
+                grids.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(query_name)

@@ -460,3 +460,43 @@ def test_hll_registers_two_aggregates_no_distinct(spark, sf_dir):
     assert "HashAggregate" in plan
     # no distinct/expand on the fact side
     assert "Expand" not in plan
+
+
+def test_cms_bucket_py_matches_batch_expression(spark):
+    """The Python state-transition bucket must equal the batch
+    sketches._bucket expression for the same items."""
+    from module8_movies_etl_spark.operators.sketches import _bucket
+    from module8_movies_etl_spark.streaming.stateful import _cms_bucket_py
+
+    vals = [str(v) for v in [0, 1, 7, 123456, 999999999]]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    for r in (0, 3):
+        got = [
+            row[0]
+            for row in df.select(_bucket(F.col("v"), r, 256)).collect()
+        ]
+        assert got == [_cms_bucket_py(v, r, 256) for v in vals]
+
+
+def test_stream_cms_and_ivf_audit_catalog_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    for name in ("stream_cms_grid", "ivf_recall_audit"):
+        oracle = bq.ORACLE.get(name)
+        if name == "ivf_recall_audit":
+            # regenerate for sf0.001 (centroids are SF-specific)
+            from module8_movies_etl_spark.plans.benchmark_queries import (
+                _COSINE_ORACLE,
+                _cosine_topk_ivf_oracle,
+            )
+
+            ivf = _cosine_topk_ivf_oracle(sf_dir=sf)
+            oracle = bq.ORACLE[name].replace(
+                bq.ORACLE["cosine_topk_ivf"], ivf
+            )
+        errs = compare(bq.QUERIES[name](spark, sf), con, oracle, name)
+        assert not errs, errs
