@@ -106,14 +106,26 @@ def main() -> int:
         else:
             print(f"{name:32s} {status} rows={len(srows)}  {time.time()-t0:.1f}s")
     spark.stop()
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_local.json",
+    )
     if full_run:
-        out = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_local.json",
-        )
         with open(out, "w") as fh:
             json.dump(results, fh, indent=1)
         print(f"wrote {out} ({len(results)} queries)")
+    elif not failures and os.path.exists(out):
+        # Named runs MERGE their (green) rows into the existing file,
+        # preserving catalog order, so adding/fixing a few queries
+        # keeps the artifact fresh without a 15-minute full sweep.
+        # Failed named runs never touch the artifact.
+        with open(out) as fh:
+            existing = json.load(fh)
+        existing.update(results)
+        merged = {n: existing[n] for n in queries if n in existing}
+        with open(out, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(f"merged {len(results)} rows into {out} ({len(merged)} total)")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
