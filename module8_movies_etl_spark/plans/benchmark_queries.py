@@ -9832,6 +9832,88 @@ def stream_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cms_over_events(spark, sf_dir)
 
 
+_SKEW_ORACLE = """
+WITH f AS (
+    SELECT o_custkey AS k, count(*) AS freq
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(max(freq) AS BIGINT) AS max_freq,
+           CAST(round(quantile_cont(CAST(freq AS DOUBLE), 0.99), 4)
+                AS DOUBLE) AS p99_freq
+    FROM f
+),
+hot AS (
+    SELECT CAST(k AS BIGINT) AS hottest_key FROM f
+    ORDER BY freq DESC, k LIMIT 1
+)
+SELECT s.n_keys, s.n_rows, s.max_freq, s.p99_freq,
+       round(CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE), 4)
+           AS avg_freq,
+       round(CAST(s.max_freq AS DOUBLE)
+             / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)), 4)
+           AS skew_ratio,
+       CAST(greatest(CAST(ceil(
+           CAST(s.max_freq AS DOUBLE)
+           / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))
+       ) AS BIGINT), 1) AS BIGINT) AS recommended_salt,
+       hot.hottest_key
+FROM s, hot
+"""
+
+
+@query("join_skew_advisor", _SKEW_ORACLE)
+def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[optimizer observability, beyond-ref §2.13 — the shuffle-skew
+    pre-flight for the 100 TB story] Key-frequency diagnosis of the
+    orders→customer join key in ONE aggregate over the fact side:
+    key count, max/p99/avg frequency, the max/avg skew ratio, the
+    hottest key, and the salt factor a salted-join rewrite
+    (``operators.joins._salted_bucket_pairs``) would need —
+    ceil(max_freq/avg_freq) buckets equalize the hottest key to the
+    average. Exactly the probe a planner (or an engineer reading a
+    stuck stage) runs before shipping a shuffle at scale; all-integer
+    inputs so every derived double hash-verifies.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from ..sources.scratch import snapshot
+
+    f = snapshot(f, prefix="skew_freq_")
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        F.round(F.percentile(F.col("freq").cast("double"), F.lit(0.99)), 4)
+        .alias("p99_freq"),
+    )
+    hot = (
+        f.orderBy(F.desc("freq"), "k")
+        .limit(1)
+        .select(F.col("k").alias("hottest_key"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return s.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p99_freq",
+        F.round(avg, 4).alias("avg_freq"),
+        F.round(F.col("max_freq").cast("double") / avg, 4).alias("skew_ratio"),
+        F.greatest(
+            F.ceil(F.col("max_freq").cast("double") / avg).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("recommended_salt"),
+        "hottest_key",
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
