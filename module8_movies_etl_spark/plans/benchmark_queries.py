@@ -9731,8 +9731,11 @@ def _ivf_recall_oracle() -> str | None:
     """IVF recall@5 audit oracle: the brute-force and IVF leg oracles
     embed verbatim as derived tables (single source of truth with
     their standalone queries), the hit set is one pair join, and the
-    three counts fold into a single metrics row."""
-    ivf = _cosine_topk_ivf_oracle()
+    three counts fold into a single metrics row. The IVF leg is the
+    ALREADY-REGISTERED oracle string — rebuilding it would re-run the
+    import-time DuckDB sample read + Lloyd training a second time
+    for byte-identical output."""
+    ivf = ORACLE.get("cosine_topk_ivf")
     if ivf is None:
         return None
     return f"""

@@ -139,6 +139,68 @@ def sessionize_stateful(
 _SINK_SEQ = __import__("itertools").count()
 
 
+
+def _replay_events_stream(spark, sf_dir, select_cols, schema, transform, prefix, query_name):
+    """Shared finite-replay mechanics for every custom stateful
+    operator runner (sessionize / KMV / CMS): rewrite the events
+    table once to a µs-timestamp single-file scratch copy, stream it
+    with an EXPLICIT schema, run ``transform``'s stateful plan to
+    completion with availableNow into a memory sink, and return the
+    materialized table.
+
+    Why each piece is the way it is (fixes here apply to ALL
+    runners — that is the point of sharing them):
+
+    - The raw file is TIMESTAMP(NANOS) parquet, which the batch
+      reader shims per-read (readers.read_table) — but a streaming
+      source re-resolves the file on every micro-batch, so the
+      save/restore shim would race the stream; hence the one-time
+      scratch rewrite.
+    - ``coalesce(1)`` keeps replay to ONE data micro-batch: with a
+      0-second watermark, a multi-batch replay would drop any event
+      that sorts behind an earlier batch's maximum as late data —
+      single-batch replay is what makes the finite-input result
+      equal the batch twin (the production posture for live data is
+      a real watermark delay, not 0 seconds).
+    - Explicit ``schema``: a vanilla session (inferTimestampNTZ on)
+      would infer the rewritten column as TIMESTAMP_NTZ, which
+      watermarks reject — the declared TIMESTAMP type decodes the
+      same micros.
+    - ``scoped_shuffle_partitions(32)``: a stateful stream
+      materializes one state-store partition per shuffle partition
+      PER micro-batch; under a default-conf session (200) that is
+      400 store commits for this replay — measured 6x slower than
+      the data warrants. The conf is read at query start, so it is
+      scoped to the stream and restored after.
+    """
+    import shutil
+
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch
+
+    scratch = mkscratch(prefix)
+    read_table(spark, sf_dir, "events").select(*select_cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(scratch)
+    stream = spark.readStream.schema(schema).parquet(scratch)
+    out = transform(stream)
+    try:
+        with scoped_shuffle_partitions(spark, 32):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # The memory sink holds the result rows; the events copy is
+        # dead the moment the stream terminates.
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(query_name)
+
+
 def run_sessionize_over_events(
     spark: SparkSession,
     sf_dir: str,
@@ -151,56 +213,20 @@ def run_sessionize_over_events(
 
     This is real Structured Streaming execution — state store,
     watermark, micro-batches — driven to completion over fixed input,
-    which is what makes the operator oracle-checkable.
-
-    The raw file is TIMESTAMP(NANOS) parquet, which the batch reader
-    shims per-read (readers.read_table) — but a streaming source
-    re-resolves the file on every micro-batch, so the save/restore shim
-    would race the stream. Instead the events are rewritten once to a
-    µs-timestamp single-file copy in a scratch dir and streamed from
-    there. ``coalesce(1)`` keeps replay to ONE data micro-batch: with a
-    0-second watermark, a multi-batch replay would drop any event that
-    sorts behind an earlier batch's maximum as late data — single-batch
-    replay is what makes the finite-input result equal the batch
-    sessionizer's (the production posture for live data is a real
-    watermark delay, not 0 seconds).
+    which is what makes the operator oracle-checkable. The replay
+    mechanics (scratch rewrite, explicit schema, single-batch
+    coalesce, scoped shuffle partitions) and their rationale live in
+    ``_replay_events_stream``, shared with the KMV and CMS runners.
     """
-    from ..sources.readers import read_table
-    from ..sources.scratch import mkscratch
-
     if query_name is None:
         query_name = f"sessionize_stateful_sink_{next(_SINK_SEQ)}"
-    scratch = mkscratch("sessionize_stream_")
-    read_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts")
-    ).coalesce(1).write.mode("overwrite").parquet(scratch)
-    # Explicit schema: a vanilla session (inferTimestampNTZ on) would
-    # infer the rewritten column as TIMESTAMP_NTZ, which watermarks
-    # reject — the declared TIMESTAMP type decodes the same micros.
-    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(scratch)
-    sessions = sessionize_stateful(stream, gap_s=gap_s)
-    # A stateful stream materializes one state-store partition per
-    # shuffle partition PER micro-batch; under a default-conf session
-    # (200) that is 400 store commits for this two-batch replay —
-    # measured 6x slower than the data warrants. The conf is read at
-    # query start, so scope it to the stream and restore after.
-    try:
-        with scoped_shuffle_partitions(spark, 32):
-            q = (
-                sessions.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        # The memory sink holds the result rows; the events copy is
-        # dead the moment the stream terminates.
-        import shutil
-
-        shutil.rmtree(scratch, ignore_errors=True)
-    return spark.table(query_name)
+    return _replay_events_stream(
+        spark, sf_dir,
+        ["user_id", F.col("ts").cast("timestamp").alias("ts")],
+        "user_id long, ts timestamp",
+        lambda stream: sessionize_stateful(stream, gap_s=gap_s),
+        "sessionize_stream_", query_name,
+    )
 
 
 KMV_OUT_SCHEMA = "event_type string, n_exactish bigint, est_raw double"
@@ -303,34 +329,16 @@ def run_kmv_over_events(
     ``run_sessionize_over_events``) and return the final per-key
     estimates, rounded like the batch query so the BATCH oracle
     applies verbatim."""
-    import shutil
-
-    from ..sources.readers import read_table
-    from ..sources.scratch import mkscratch
-
     if query_name is None:
         query_name = f"kmv_stateful_sink_{next(_SINK_SEQ)}"
-    scratch = mkscratch("kmv_stream_")
-    read_table(spark, sf_dir, "events").select(
-        "event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"
-    ).coalesce(1).write.mode("overwrite").parquet(scratch)
-    stream = spark.readStream.schema(
-        "event_type string, ts timestamp, user_id long"
-    ).parquet(scratch)
-    sketches = kmv_stateful(stream, k=k)
-    try:
-        with scoped_shuffle_partitions(spark, 32):
-            q = (
-                sketches.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-    return spark.table(query_name).select(
+    result = _replay_events_stream(
+        spark, sf_dir,
+        ["event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"],
+        "event_type string, ts timestamp, user_id long",
+        lambda stream: kmv_stateful(stream, k=k),
+        "kmv_stream_", query_name,
+    )
+    return result.select(
         "event_type",
         "n_exactish",
         F.round("est_raw", 2).alias("kmv_estimate"),
@@ -434,31 +442,12 @@ def run_cms_over_events(
     (scratch-copy + availableNow + memory-sink mechanics shared with
     the KMV runner) and return each event type's final non-zero grid
     cells."""
-    import shutil
-
-    from ..sources.readers import read_table
-    from ..sources.scratch import mkscratch
-
     if query_name is None:
         query_name = f"cms_stateful_sink_{next(_SINK_SEQ)}"
-    scratch = mkscratch("cms_stream_")
-    read_table(spark, sf_dir, "events").select(
-        "event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"
-    ).coalesce(1).write.mode("overwrite").parquet(scratch)
-    stream = spark.readStream.schema(
-        "event_type string, ts timestamp, user_id long"
-    ).parquet(scratch)
-    grids = cms_stateful(stream, depth=depth, width=width)
-    try:
-        with scoped_shuffle_partitions(spark, 32):
-            q = (
-                grids.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-    return spark.table(query_name)
+    return _replay_events_stream(
+        spark, sf_dir,
+        ["event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id"],
+        "event_type string, ts timestamp, user_id long",
+        lambda stream: cms_stateful(stream, depth=depth, width=width),
+        "cms_stream_", query_name,
+    )

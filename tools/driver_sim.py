@@ -114,11 +114,18 @@ def main() -> int:
         with open(out, "w") as fh:
             json.dump(results, fh, indent=1)
         print(f"wrote {out} ({len(results)} queries)")
-    elif not failures and os.path.exists(out):
+    elif (
+        not failures
+        and os.path.exists(out)
+        and sf == "/root/testdata/sf0.01"
+    ):
         # Named runs MERGE their (green) rows into the existing file,
         # preserving catalog order, so adding/fixing a few queries
         # keeps the artifact fresh without a 15-minute full sweep.
-        # Failed named runs never touch the artifact.
+        # Failed named runs never touch the artifact, and neither do
+        # runs at a non-default SPARK_GRAFT_SF_DIR — the artifact is
+        # an sf0.01 snapshot and mixed-scale rows would corrupt it
+        # (the same clobber class bench.py has with BENCH_DETAIL).
         with open(out) as fh:
             existing = json.load(fh)
         existing.update(results)
