@@ -836,3 +836,100 @@ def kaplan_meier(
             F.round(surv, 6).alias("survival"),
         )
     )
+
+
+def fd_strength(
+    df: DataFrame,
+    candidates: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Functional-dependency strength profile: for each candidate
+    X→Y, the normalized information dependency
+    1 − H(Y|X)/H(Y) — 1.0 for an exact FD, ~0 for independent
+    columns; the number schema-discovery tools rank candidate keys
+    and denormalization opportunities by (complements
+    ``fk_discovery_profile``'s containment check with an
+    information-theoretic one that grades PARTIAL dependencies).
+
+    ``candidates`` is a list of (name, x_col, y_col). ALL candidates
+    are profiled in ONE fact scan: the pairs melt through a single
+    explode-of-structs projection, then one (fd, x, y) count
+    aggregate feeds both entropy sums. Determinism: entropies are
+    Σ n·ln(ratio) over exact integer counts with each term
+    rounded(6) and summed as DECIMAL (order-free), divided by N only
+    at the end; H(Y|X) uses the chain form
+    (1/N)·Σ_xy n_xy·ln(n_x/n_xy).
+
+    Returns (fd, h_y, h_y_given_x, strength), all rounded(6);
+    degenerate Y (H(Y) = 0, a constant column) reports strength 1.0
+    — a constant is trivially determined by anything.
+    """
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("fd"),
+                        F.col(x).cast("string").alias("_x"),
+                        F.col(y).cast("string").alias("_y"),
+                    )
+                    for name, x, y in candidates
+                ]
+            )
+        ).alias("c")
+    ).select("c.fd", "c._x", "c._y")
+    from ..sources.scratch import snapshot
+
+    cells = snapshot(
+        melted.groupBy("fd", "_x", "_y").agg(F.count(F.lit(1)).alias("_nxy")),
+        prefix="fd_cells_",
+    )
+    wx = Window.partitionBy("fd", "_x")
+    wy = Window.partitionBy("fd", "_y")
+    wn = Window.partitionBy("fd")
+    terms = cells.select(
+        "fd",
+        "_nxy",
+        F.sum("_nxy").over(wx).alias("_nx"),
+        F.sum("_nxy").over(wy).alias("_ny"),
+        F.sum("_nxy").over(wn).alias("_n"),
+    )
+    t_cond = F.round(
+        F.col("_nxy").cast("double")
+        * F.log(F.col("_nx").cast("double") / F.col("_nxy").cast("double")),
+        6,
+    ).cast("decimal(28,6)")
+    per = terms.groupBy("fd").agg(
+        F.sum(t_cond).alias("_sc"),
+        F.max("_n").alias("_n"),
+    )
+    # H(Y) needs per-(fd, y) marginals — a second tiny aggregate over
+    # the SNAPSHOTTED cells, never a second fact scan.
+    ymarg = (
+        cells.groupBy("fd", "_y")
+        .agg(F.sum("_nxy").alias("_ny"))
+        .withColumn("_n", F.sum("_ny").over(Window.partitionBy("fd")))
+        .select(
+            "fd",
+            F.round(
+                F.col("_ny").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("_ny").cast("double")),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("_ty"),
+        )
+        .groupBy("fd")
+        .agg(F.sum("_ty").alias("_sy"))
+    )
+    hy = F.col("_sy").cast("double") / F.col("_n").cast("double")
+    hyx = F.col("_sc").cast("double") / F.col("_n").cast("double")
+    return per.join(ymarg, "fd").select(
+        "fd",
+        F.round(hy, 6).alias("h_y"),
+        F.round(hyx, 6).alias("h_y_given_x"),
+        F.round(
+            F.when(hy > 0, F.lit(1.0) - hyx / hy).otherwise(F.lit(1.0)), 6
+        ).alias("strength"),
+    )

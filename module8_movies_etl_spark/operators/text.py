@@ -652,3 +652,73 @@ def bigram_interp_perplexity(
             F.round(F.exp(F.col("_x")), 4).alias("ppl"),
         )
     )
+
+
+def zipf_fit(
+    df,
+    text_col: str,
+    lang_col: str,
+    top_k: int = 500,
+):
+    """Zipf-law fit per language: OLS of ln(frequency) on ln(rank)
+    over the top ``top_k`` tokens — natural text slopes near −1,
+    while template spam, boilerplate floods and synthetic gibberish
+    bend the curve (flat head = copy-paste domination, steep tail =
+    tiny effective vocabulary). The corpus-QA scalar that summarizes
+    the whole frequency curve in one number per language.
+
+    Determinism: ranks come from exact counts (ties → token order);
+    each OLS moment term is rounded(8) and summed as DECIMAL, so the
+    co-moments — and therefore slope/intercept/R² — are
+    order-independent and replay exactly in SQL. Shape: one (lang,
+    token) aggregate (vocabulary-sized), a lang-partitioned
+    WindowGroupLimit for the top-k, and a 5-moment aggregate per
+    language.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(lang_col), F.explode(tokens_array(F.col(text_col))).alias("_w")
+    )
+    counts = toks.groupBy(lang_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("_c"), F.asc("_w"))
+    ranked = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+    )
+    x = F.log(F.col("_rk").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+
+    def t(expr):
+        return F.round(expr, 8).cast("decimal(28,8)")
+
+    m = ranked.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(t(x)).alias("_sx"),
+        F.sum(t(y)).alias("_sy"),
+        F.sum(t(x * x)).alias("_sxx"),
+        F.sum(t(x * y)).alias("_sxy"),
+        F.sum(t(y * y)).alias("_syy"),
+    )
+    k = F.col("_k").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = k * sxy - sx * sy
+    varx = k * sxx - sx * sx
+    vary = k * syy - sy * sy
+    slope = cov / varx
+    return m.select(
+        lang_col,
+        F.col("_k").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / k, 4).alias("intercept"),
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+            ).otherwise(F.lit(None).cast("double")),
+            4,
+        ).alias("r2"),
+    )

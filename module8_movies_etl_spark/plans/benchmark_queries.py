@@ -9917,6 +9917,153 @@ def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FD_ORACLE = """
+WITH melted AS (
+    SELECT 'orderkey->status' AS fd, CAST(o_orderkey AS STRING) AS x,
+           o_orderstatus AS y
+    FROM orders
+    UNION ALL
+    SELECT 'custkey->priority', CAST(o_custkey AS STRING), o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT 'priority->status', o_orderpriority, o_orderstatus FROM orders
+),
+cells AS (SELECT fd, x, y, count(*) AS nxy FROM melted GROUP BY 1, 2, 3),
+t AS (
+    SELECT fd, nxy,
+           sum(nxy) OVER (PARTITION BY fd, x) AS nx,
+           sum(nxy) OVER (PARTITION BY fd) AS n
+    FROM cells
+),
+per AS (
+    SELECT fd,
+           SUM(CAST(round(CAST(nxy AS DOUBLE)
+                          * ln(CAST(nx AS DOUBLE) / CAST(nxy AS DOUBLE)), 6)
+                    AS DECIMAL(28,6))) AS sc,
+           MAX(n) AS n
+    FROM t GROUP BY fd
+),
+ym AS (
+    SELECT fd,
+           SUM(CAST(round(CAST(ny AS DOUBLE)
+                          * ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE)), 6)
+                    AS DECIMAL(28,6))) AS sy
+    FROM (SELECT fd, y, sum(nxy) AS ny,
+                 sum(sum(nxy)) OVER (PARTITION BY fd) AS n
+          FROM cells GROUP BY fd, y)
+    GROUP BY fd
+)
+SELECT per.fd,
+       round(CAST(ym.sy AS DOUBLE) / CAST(per.n AS DOUBLE), 6) AS h_y,
+       round(CAST(per.sc AS DOUBLE) / CAST(per.n AS DOUBLE), 6)
+           AS h_y_given_x,
+       round(CASE WHEN CAST(ym.sy AS DOUBLE) / CAST(per.n AS DOUBLE) > 0
+                  THEN 1.0 - (CAST(per.sc AS DOUBLE) / CAST(per.n AS DOUBLE))
+                             / (CAST(ym.sy AS DOUBLE) / CAST(per.n AS DOUBLE))
+                  ELSE 1.0 END, 6) AS strength
+FROM per JOIN ym USING (fd)
+"""
+
+
+@query("fd_strength_orders", _FD_ORACLE)
+def fd_strength_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[profiling, beyond-ref §2.13 — the information-theoretic twin
+    of ``fk_discovery_profile``] Functional-dependency strength
+    1 − H(Y|X)/H(Y) for three candidate FDs over orders, all from ONE
+    fact scan (explode-of-structs melt → one cell aggregate → window
+    marginals): the unique key scores exactly 1.0, the
+    customer→priority dependency scores by how much knowing the
+    customer narrows priorities, independent columns score ≈0 —
+    the ranking schema-discovery tools actually use. Entropy terms
+    are rounded(6)·DECIMAL sums of exact counts, so the profile
+    hash-verifies.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return stats.fd_strength(
+        o,
+        [
+            ("orderkey->status", "o_orderkey", "o_orderstatus"),
+            ("custkey->priority", "o_custkey", "o_orderpriority"),
+            ("priority->status", "o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
+_ZIPF_ORACLE = rf"""
+WITH flat AS (
+    SELECT lang, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+),
+counts AS (
+    SELECT lang, w, count(*) AS c
+    FROM flat WHERE w <> '' GROUP BY 1, 2
+),
+ranked AS (
+    SELECT lang, c,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+    FROM counts
+    QUALIFY rk <= 500
+),
+xy AS (
+    SELECT lang,
+           ln(CAST(rk AS DOUBLE)) AS x,
+           ln(CAST(c AS DOUBLE)) AS y
+    FROM ranked
+),
+m AS (
+    SELECT lang,
+           count(*) AS k,
+           SUM(CAST(round(x, 8) AS DECIMAL(28,8))) AS sx,
+           SUM(CAST(round(y, 8) AS DECIMAL(28,8))) AS sy,
+           SUM(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS sxx,
+           SUM(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS sxy,
+           SUM(CAST(round(y * y, 8) AS DECIMAL(28,8))) AS syy
+    FROM xy GROUP BY lang
+)
+SELECT lang,
+       CAST(k AS BIGINT) AS n_ranks,
+       round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+           AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 4) AS intercept,
+       round(CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       / ((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  ELSE NULL END, 4) AS r2
+FROM m
+"""
+
+
+@query("zipf_fit_by_lang", _ZIPF_ORACLE)
+def zipf_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus QA, beyond-ref §2.13 — the frequency-curve summary
+    beside hapax rate and token entropy] Per-language OLS fit of
+    ln(freq) on ln(rank) over the top-500 tokens: natural text slopes
+    near −1; boilerplate floods and synthetic vocabularies bend the
+    slope and R². Ranks from exact counts (ties → token order),
+    OLS moments as rounded(8)·DECIMAL sums — slope, intercept and R²
+    hash-verify. One vocabulary-sized aggregate, a lang-partitioned
+    top-k, a 5-moment aggregate.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return text.zipf_fit(d, "text", "lang", top_k=500)
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

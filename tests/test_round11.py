@@ -500,3 +500,64 @@ def test_stream_cms_and_ivf_audit_catalog_parity(spark):
             )
         errs = compare(bq.QUERIES[name](spark, sf), con, oracle, name)
         assert not errs, errs
+
+
+# --- FD strength + Zipf fit ------------------------------------------------
+
+
+def test_fd_strength_exact_and_independent(spark):
+    """A key column determines everything (1.0); a constant X gives
+    H(Y|X)=H(Y) -> strength 0; a constant Y reports 1.0."""
+    from module8_movies_etl_spark.operators import stats as S
+
+    rows = [(i, "a" if i % 2 == 0 else "b", "k") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "parity", "const"])
+    out = {r["fd"]: r for r in S.fd_strength(
+        df,
+        [
+            ("id->parity", "id", "parity"),
+            ("const->parity", "const", "parity"),
+            ("parity->const", "parity", "const"),
+        ],
+    ).collect()}
+    assert out["id->parity"]["strength"] == 1.0
+    assert out["const->parity"]["strength"] == 0.0
+    assert out["parity->const"]["strength"] == 1.0  # constant Y
+    # H(Y) for a fair binary split is ln 2
+    import math
+
+    assert abs(out["id->parity"]["h_y"] - round(math.log(2), 6)) < 1e-5
+
+
+def test_zipf_fit_pure_power_law(spark):
+    """Tokens with freq proportional to 1/rank must fit slope ~ -1
+    with r2 ~ 1."""
+    from module8_movies_etl_spark.operators import text as T
+
+    # exact power law: freq = round(1000/rank)
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * round(1000 / rank)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en")], ["doc_id", "text", "lang"]
+    )
+    out = T.zipf_fit(df, "text", "lang", top_k=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ranks"] == 20
+    assert abs(r["zipf_slope"] + 1.0) < 0.02  # rounding of 1000/rank
+    assert r["r2"] > 0.999
+
+
+def test_fd_and_zipf_catalog_parity(spark):
+    from module8_movies_etl_spark.plans import benchmark_queries as bq
+
+    from .oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_con(sf)
+    for name in ("fd_strength_orders", "zipf_fit_by_lang"):
+        errs = compare(
+            bq.QUERIES[name](spark, sf), con, bq.ORACLE[name], name
+        )
+        assert not errs, errs
