@@ -38,6 +38,14 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
         oracle = _cosine_topk_ivf_oracle(sf_dir=sf_dir)
+    if name == "ivf_recall_audit":
+        # Embeds the IVF leg's oracle, whose centroids are trained
+        # from the SF's own sample — regenerate for THIS sf_dir
+        from module8_movies_etl_spark.plans.benchmark_queries import (
+            _ivf_recall_oracle,
+        )
+
+        oracle = _ivf_recall_oracle(sf_dir=sf_dir)
     if name == "cosine_topk_pq":
         # PQ codebooks are likewise trained from the SF's own sample
         from module8_movies_etl_spark.plans.benchmark_queries import (
