@@ -10070,6 +10070,256 @@ def zipf_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(d, "text", "lang", top_k=500)
 
 
+_KANON_ORACLE = """
+WITH qi AS (
+    SELECT c.c_nationkey, c.c_mktsegment,
+           year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
+           o.o_orderpriority, count(*) AS k
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3, 4, 5
+),
+b AS (
+    SELECT CASE WHEN k = 1 THEN '1'
+                WHEN k <= 4 THEN '2-4'
+                WHEN k <= 9 THEN '5-9'
+                ELSE '10+' END AS k_bucket,
+           k
+    FROM qi
+),
+tot AS (SELECT sum(k) AS n FROM qi)
+SELECT k_bucket,
+       count(*) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(k) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS pct_rows,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM b CROSS JOIN tot
+GROUP BY k_bucket, tot.n
+"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[governance, beyond-ref §2.13 — the re-identification-risk
+    readout every training-data release review asks for] k-anonymity
+    profile of the order fact under the quasi-identifier
+    (nation, market segment, order year+month, priority): every row
+    falls in an equivalence class of size k, and the k=1 / k≤4 mass
+    is the re-identification risk a release gate thresholds on.
+    Output is the k-bucket histogram — groups, rows, row share, k
+    range per bucket.
+
+    Scale shape: the dimension join is an explicit broadcast
+    (customer is the dim side), the QI rollup is the single fact
+    shuffle, and the bucket histogram re-aggregates the GROUP-level
+    rows (|QI classes|, not |fact|). Share denominator via a
+    broadcast one-row aggregate — no second fact scan, no collect.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_orderpriority",
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    qi = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    b = qi.select(
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+        .alias("k_bucket"),
+        "k",
+    )
+    tot = qi.agg(F.sum("k").alias("_n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("k_bucket", "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "k_bucket",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("pct_rows"),
+            "min_k",
+            "max_k",
+        )
+    )
+
+
+def _corpus_topics_oracle() -> str:
+    """Replays the full capstone in SQL: the k-means assignment CTE is
+    the REGISTERED kmeans oracle embedded as a derived table (single
+    source of truth — same trick as ``ivf_recall_audit``), then the
+    same whitespace tokenization, cluster-level term counts, rational
+    BM25 idf (no libm), and per-cluster top-5."""
+    return f"""
+WITH km AS (SELECT vec_id, cluster FROM ({_KMEANS_ORACLE}) t),
+tagged AS (
+    SELECT km.cluster, d.text
+    FROM km JOIN documents d ON d.doc_id = km.vec_id
+),
+flat AS (
+    SELECT cluster, unnest({_WS_SPLIT_SQL}) AS w FROM tagged
+),
+wc AS (
+    SELECT cluster, w, count(*) AS tf
+    FROM flat WHERE w <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+ncl AS (SELECT count(DISTINCT cluster) AS kcl FROM wc),
+sizes AS (SELECT cluster, count(*) AS n_docs FROM tagged GROUP BY 1),
+scored AS (
+    SELECT wc.cluster, wc.w, wc.tf,
+           (CAST(wc.tf AS DOUBLE) * (ncl.kcl - dfreq.df + 0.5))
+               / (dfreq.df + 0.5) AS score
+    FROM wc JOIN dfreq USING (w) CROSS JOIN ncl
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(sizes.n_docs AS BIGINT) AS n_docs,
+       w AS term, rk, CAST(tf AS BIGINT) AS tf,
+       round(score, 4) AS tfidf
+FROM (
+    SELECT cluster, w, tf, score,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY score DESC, w) AS rk
+    FROM scored
+) s JOIN sizes USING (cluster)
+WHERE rk <= 5
+"""
+
+
+@query("corpus_topics_capstone", _corpus_topics_oracle())
+def corpus_topics_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone, beyond-ref §2.13 — unsupervised corpus cartography:
+    what IS in the training mix] Clusters the embedding corpus with
+    the integer-exact distributed k-means (k=8, 2 rounds, min-md5
+    init), joins cluster labels onto the documents, and labels each
+    cluster with its top-5 keywords by cluster-level TF-IDF (the
+    cluster is the "document"; idf is the rational BM25 form over
+    occupied clusters — no libm, so scores and ranks replay
+    bit-for-bit in SQL). The standard corpus-exploration readout:
+    cluster id, size, and the terms that name it.
+
+    Scale shape: k-means is map-side assignment + one (cluster, pos)
+    aggregate per round (k·dim-int driver payload); the label join is
+    id-keyed; term counting is one explode + (cluster, word)
+    aggregate; df is a word-keyed rollup of THOSE counts (|vocab|
+    rows, not |corpus|); top-5 per cluster is a WindowGroupLimit.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    assign = clustering.kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=8, n_rounds=2
+    ).select(F.col("vec_id").alias("doc_id"), "cluster")
+    tagged = docs.join(assign, "doc_id").select("cluster", "text")
+    wc = curation.word_counts(tagged, "cluster", "text").withColumnRenamed(
+        "c", "tf"
+    )
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    ncl = wc.agg(F.count_distinct("cluster").alias("_kcl"))
+    sizes = tagged.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(dfreq, "w")
+        .crossJoin(F.broadcast(ncl))
+        .withColumn(
+            "_score",
+            (
+                F.col("tf").cast("double")
+                * (F.col("_kcl") - F.col("_df") + F.lit(0.5))
+            )
+            / (F.col("_df") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_score"), F.col("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .join(sizes, "cluster")
+        .select(
+            "cluster",
+            "n_docs",
+            F.col("w").alias("term"),
+            "rk",
+            "tf",
+            F.round("_score", 4).alias("tfidf"),
+        )
+    )
+
+
+_PATH_TRIGRAM_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS b,
+           lead(event_type, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS c
+    FROM events
+),
+paths AS (
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n, rk
+FROM (
+    SELECT path, n,
+           row_number() OVER (ORDER BY n DESC, path) AS rk
+    FROM paths
+) WHERE rk <= 10
+"""
+
+
+@query("path_trigram_topk", _PATH_TRIGRAM_ORACLE)
+def path_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sequence mining, beyond-ref §2.13 — the frequent-pattern
+    readout beside ``event_transition_counts`` (bigrams) and
+    ``similar_user_paths``] Top-10 most frequent event-type TRIGRAMS
+    across all user timelines — the "what three-step journeys
+    dominate" question behind funnel design and CEP rule mining.
+    Sequences are per-user (ts, event_id)-ordered (event_id breaks
+    equal-timestamp ties deterministically), trigrams via two leads,
+    ranked by count with path as the tiebreak.
+
+    Scale shape: ONE user-keyed shuffle for the sequence windows
+    (both leads share it), a map-side-combining (path) count over a
+    tiny key space (|event types|³ ≤ 125 here), and the final top-10
+    is a TakeOrderedAndProject on that key space — the rank window
+    runs on ≤125 grouped rows, never on the fact.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.col("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n", "rk")
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
