@@ -84,6 +84,6 @@ def run_dedup_over_events(
     # more time on store commits than on data (same scoping as
     # streaming.stateful). The conf is read at query start — scope it.
     sink = f"stream_dedup_events_{next(_SINK_SEQ)}"
-    with scoped_shuffle_partitions(spark, 32):
+    with scoped_shuffle_partitions(spark, 16):
         run_to_memory(deduped, sink, output_mode="append")
     return spark.table(sink).select(*[F.col(k) for k in keys])

@@ -84,6 +84,6 @@ def run_enrich_over_events(
     )
 
     sink = f"stream_enrich_events_{next(_SINK_SEQ)}"
-    with scoped_shuffle_partitions(spark, 32):
+    with scoped_shuffle_partitions(spark, 16):
         run_to_memory(enriched, sink, output_mode="append")
     return spark.table(sink)

@@ -185,7 +185,7 @@ def _replay_events_stream(spark, sf_dir, select_cols, schema, transform, prefix,
     stream = spark.readStream.schema(schema).parquet(scratch)
     out = transform(stream)
     try:
-        with scoped_shuffle_partitions(spark, 32):
+        with scoped_shuffle_partitions(spark, 16):
             q = (
                 out.writeStream.format("memory")
                 .queryName(query_name)

@@ -25,10 +25,16 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int = 32):
     Stateful streams commit one state-store partition per shuffle
     partition per micro-batch; under a default-conf session (200)
     store-commit overhead dwarfs the data (measured 6× on a two-batch
-    replay). The conf is read at query START, so it must wrap the
-    whole run and restore after — unset if it was unset, not blindly
-    re-set. This is the ONE implementation of that save/set/restore
-    discipline for every streaming runner in the package.
+    replay). Every runner in the package passes 16: on the sf0.1
+    replays the six single-store stateful queries total 15.0 s at 32
+    vs 11.3 s at 16 (warm session), and the stream-stream joins —
+    FOUR stores per partition — drop 15.6 s → 12.0 s; 8 is flat vs
+    16, so 16 keeps the parallelism headroom. Production sizes this
+    to input rate; the replay's bound is store commits, not rows. The
+    conf is read at query START, so it must wrap the whole run and
+    restore after — unset if it was unset, not blindly re-set. This
+    is the ONE implementation of that save/set/restore discipline for
+    every streaming runner in the package.
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)
@@ -250,7 +256,7 @@ def run_hopping_over_events(
         )
     )
     sink = f"stream_hopping_{next(_HOP_SEQ)}"
-    with scoped_shuffle_partitions(spark, 32):
+    with scoped_shuffle_partitions(spark, 16):
         run_to_memory(agg, sink, output_mode="complete")
     return spark.table(sink)
 
@@ -296,7 +302,7 @@ def run_session_windows_over_events(
         )
     )
     sink = f"stream_sessions_{next(_HOP_SEQ)}"
-    with scoped_shuffle_partitions(spark, 32):
+    with scoped_shuffle_partitions(spark, 16):
         run_to_memory(agg, sink, output_mode="complete")
     return spark.table(sink)
 
@@ -374,7 +380,15 @@ def run_interval_join_over_events(
         .alias("delta_us"),
     )
     sink = f"stream_ij_{next(_HOP_SEQ)}"
-    with scoped_shuffle_partitions(spark, 32):
+    # 16, not the package-wide 32: a stream-stream join commits FOUR
+    # state stores per shuffle partition per micro-batch (keyed +
+    # key-with-index on each side), so partition count multiplies
+    # commit overhead twice over. Measured on the sf0.1 replay
+    # (leftOuter, warm session): 32 → 15.6 s, 16 → 12.0 s, 8 → 12.3 s
+    # — 16 keeps half the parallelism for the data while shedding the
+    # per-store fixed cost. Production sizes this to input rate; the
+    # replay's bound is store commits, not rows.
+    with scoped_shuffle_partitions(spark, 16):
         run_to_memory(joined, sink, output_mode="append")
     # The sentinels can never emit (their horizons stay past the final
     # watermark), but exclude them defensively — and do it on the
