@@ -10160,6 +10160,160 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_ORACLE = """
+WITH cls AS (
+    SELECT c.c_nationkey, c.c_mktsegment,
+           year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
+           o.o_orderpriority,
+           count(*) AS k,
+           count(DISTINCT o.o_orderstatus) AS l
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3, 4, 5
+),
+tot AS (SELECT sum(k) AS n FROM cls)
+SELECT CAST(l AS INTEGER) AS l,
+       count(*) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(k) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS pct_rows
+FROM cls CROSS JOIN tot
+GROUP BY l, tot.n
+"""
+
+
+@query("l_diversity_audit", _LDIV_ORACLE)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[governance, beyond-ref §2.13 — ``k_anonymity_audit``'s
+    attribute-disclosure companion] l-diversity of the sensitive
+    column (order status) within each quasi-identifier class (same QI
+    as the k-anonymity audit): a class where every row shares one
+    status leaks the attribute even when k is large — the classic
+    homogeneity attack k-anonymity alone misses. Output: per
+    distinct-sensitive-count l, how many classes and what row share
+    sit there (the l=1 row IS the disclosure risk).
+
+    Scale shape: identical to the k-audit — one broadcast dim join,
+    one fact shuffle on the QI (count distinct over a 3-value status
+    is an exact grouped aggregate, no expansion), then a re-aggregate
+    over |QI classes| rows.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cls = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count_distinct("o_orderstatus").cast("int").alias("l"),
+        )
+    )
+    tot = cls.agg(F.sum("k").alias("_n"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("l", "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            "l",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("pct_rows"),
+        )
+    )
+
+
+_EMB_AUDIT_ORACLE = """
+WITH q AS (
+    SELECT pos, CAST(round(x * 1000000) AS BIGINT) AS xi
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+),
+agg AS (
+    SELECT pos, count(*) AS n, sum(xi) AS s, sum(xi * xi) AS ss,
+           min(xi) AS mn, max(xi) AS mx,
+           sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS nz
+    FROM q GROUP BY pos
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / n / 1000000000000.0, 6) AS var_pop,
+       CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+       CAST(mx AS DOUBLE) / 1000000.0 AS max_v,
+       CAST(nz AS BIGINT) AS n_zero
+FROM agg
+"""
+
+
+@query("embedding_stats_audit", _EMB_AUDIT_ORACLE)
+def embedding_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[embedding QA, beyond-ref §2.13 — the per-dimension health
+    check run before any ANN index or k-means build] Per-dimension
+    count, mean, population variance, min/max and zero count over the
+    embedding corpus: dead dimensions (var≈0), clipped ranges, and
+    mean drift are the standard embedding-pipeline defects, and each
+    is visible only in this per-dimension unpivot. Components are
+    quantized to 1e-6 fixed-point BIGINTs, so the sums are exact
+    integers (order-independent) and both engines derive mean and
+    variance from the SAME integers with an identical IEEE op chain
+    — the readout hash-verifies.
+
+    Scale shape: one posexplode + one (pos) aggregate — dim·|corpus|
+    rows into dim output rows, map-side partial combine doing almost
+    all the work; no window, no join. (Exact integer sums cap the
+    safe corpus at n·(1e6·|x|)² < 2⁶³ per dimension — beyond that,
+    per-partition partial sums into DECIMAL(38,0) is the same plan
+    with a wider accumulator.)
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos0", "xi")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "xi")
+    agg = q.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).alias("ss"),
+        F.min("xi").alias("mn"),
+        F.max("xi").alias("mx"),
+        F.sum(F.when(F.col("xi") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    return agg.select(
+        "pos",
+        "n",
+        F.round(sd / nd / F.lit(1_000_000.0), 6).alias("mean"),
+        F.round(
+            (F.col("ss").cast("double") - sd * sd / nd)
+            / nd
+            / F.lit(1_000_000_000_000.0),
+            6,
+        ).alias("var_pop"),
+        (F.col("mn").cast("double") / F.lit(1_000_000.0)).alias("min_v"),
+        (F.col("mx").cast("double") / F.lit(1_000_000.0)).alias("max_v"),
+        "n_zero",
+    )
+
+
 def _corpus_topics_oracle() -> str:
     """Replays the full capstone in SQL: the k-means assignment CTE is
     the REGISTERED kmeans oracle embedded as a derived table (single
