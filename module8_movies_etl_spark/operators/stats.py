@@ -933,3 +933,93 @@ def fd_strength(
             F.when(hy > 0, F.lit(1.0) - hyx / hy).otherwise(F.lit(1.0)), 6
         ).alias("strength"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key: S = Σ_{i<j}
+    sign(v_j − v_i) over the ``order_col`` sequence, the
+    tie-corrected variance, and the normal-approximation z — the
+    nonparametric "is this series drifting" test run on metric
+    rollups (no distributional assumption, robust to outliers, the
+    standard pick for environmental/ops monitoring series).
+
+    Determinism: ``value_col`` must be integer-exact (quantize
+    upstream); S is then an exact integer sum of ±1/0, the tie term
+    Σ t(t−1)(2t+5) is exact, and z = (S∓1)/sqrt(var) is one IEEE
+    division after a correctly-rounded sqrt — both engines agree
+    bit-for-bit, rounded(6) in the output.
+
+    Scale shape: the O(n²) pair join runs on the AGGREGATED series
+    (|keys|·n rows, n = points per key), never the fact — callers
+    roll up first (daily buckets → n≈365/year). The join is
+    key-partitioned, so pairs never cross keys; ties and counts are
+    two more aggregates of the same tiny input.
+
+    Returns (key, n, s_stat, var_s, z, trend) with trend ∈
+    {increasing, decreasing, no trend} at ``z_crit`` (default: the
+    two-sided 5% point, a plan-time literal so both engines compare
+    the same constant).
+    """
+    a = df.select(
+        F.col(key_col),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    b = a.select(
+        F.col(key_col), F.col("_o").alias("_o2"), F.col("_v").alias("_v2")
+    )
+    s = (
+        a.join(b, key_col)
+        .filter(F.col("_o") < F.col("_o2"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.signum((F.col("_v2") - F.col("_v")).cast("double")).cast(
+                    "long"
+                )
+            ).alias("s_stat")
+        )
+    )
+    n = a.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        a.groupBy(key_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("_tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(var_s <= 0, F.lit(0.0))
+        .when(sd > 0, (sd - 1) / F.sqrt(var_s))
+        .when(sd < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, key_col)
+        .join(ties, key_col)
+        .select(
+            F.col(key_col),
+            "n",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("z"),
+            F.when(z > F.lit(z_crit), F.lit("increasing"))
+            .when(z < F.lit(-z_crit), F.lit("decreasing"))
+            .otherwise(F.lit("no trend"))
+            .alias("trend"),
+        )
+    )

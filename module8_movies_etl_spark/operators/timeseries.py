@@ -708,3 +708,97 @@ def trending_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def best_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Best single changepoint per key by SSE reduction (binary
+    segmentation, depth 1): the split position k that minimizes
+    SSE(left) + SSE(right) over the ``order_col`` sequence — the
+    level-shift detector behind "when did this metric change"
+    dashboards (CUSUM flags THAT a drift happened; this names the
+    point with the largest explained variance).
+
+    Determinism: ``value_col`` must be integer-exact (quantize
+    upstream). Prefix count/sum/sum-of-squares are exact BIGINT
+    window folds; each candidate's SSE is the closed form
+    Σv² − (Σv)²/n evaluated in one fixed IEEE op chain from those
+    exact integers, so every candidate's score is the identical
+    double in both engines and the argmin (ties → earliest split)
+    replays in SQL. (Exactness bound: n·v² < 2⁶³ per key — beyond
+    that, the same plan with DECIMAL accumulators.)
+
+    Scale shape: one key-partitioned ordered window produces all
+    prefix moments (single shuffle on the key, series already
+    aggregated — callers roll up the fact first); totals come from
+    the SAME aggregate re-keyed, and the argmin is a
+    row_number-over-(score, order) pick on |keys|·n candidate rows.
+
+    Returns (key, n, split_o — the last ``order_col`` value of the
+    left segment, var_total, var_best — the per-point variances
+    SSE/n before/after the split, rounded(4) — and gain_pct, the
+    variance share the split explains, rounded(6)). Per-point
+    variances, not raw SSEs: an SSE grows with n·v² and quickly
+    passes the magnitude where a 6-dp round exceeds double
+    resolution — there Spark's exact-BigDecimal round and a
+    multiply-based round() disagree by an ulp (observed at 1e10),
+    so the REPORTED numbers are kept at bounded magnitude instead.
+    """
+    a = df.select(
+        F.col(key_col),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy(key_col).orderBy("_o")
+    pre = a.select(
+        F.col(key_col),
+        "_o",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_v").over(w).alias("_cs"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).alias("_css"),
+    )
+    tot = a.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_ts"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_tss"),
+    )
+    cand = pre.join(tot, key_col).filter(F.col("_k") < F.col("_n"))
+    kd = F.col("_k").cast("double")
+    nd = F.col("_n").cast("double")
+    csd, cssd = F.col("_cs").cast("double"), F.col("_css").cast("double")
+    tsd, tssd = F.col("_ts").cast("double"), F.col("_tss").cast("double")
+    sse_l = cssd - csd * csd / kd
+    sse_r = (tssd - cssd) - (tsd - csd) * (tsd - csd) / (nd - kd)
+    sse_tot = tssd - tsd * tsd / nd
+    scored = cand.select(
+        F.col(key_col),
+        F.col("_n").alias("n"),
+        F.col("_o").alias("split_o"),
+        sse_tot.alias("_sse_tot"),
+        (sse_l + sse_r).alias("_sse_best"),
+    )
+    wr = Window.partitionBy(key_col).orderBy("_sse_best", "split_o")
+    npts = F.col("n").cast("double")
+    return (
+        scored.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(key_col),
+            "n",
+            "split_o",
+            F.round(F.col("_sse_tot") / npts, 4).alias("var_total"),
+            F.round(F.col("_sse_best") / npts, 4).alias("var_best"),
+            F.round(
+                F.when(
+                    F.col("_sse_tot") > 0,
+                    (F.col("_sse_tot") - F.col("_sse_best"))
+                    / F.col("_sse_tot"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("gain_pct"),
+        )
+    )

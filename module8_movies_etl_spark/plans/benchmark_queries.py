@@ -10160,6 +10160,156 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_CENTS_SQL = """
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+"""
+
+_MK_ORACLE = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+s AS (
+    SELECT a.event_type,
+           sum(CAST(sign(b.v - a.v) AS BIGINT)) AS s_stat
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY 1
+),
+n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+ties AS (
+    SELECT event_type,
+           sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+    FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2)
+    GROUP BY 1
+),
+j AS (
+    SELECT n.event_type, n.n, s.s_stat,
+           (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1)
+            * (2 * CAST(n.n AS DOUBLE) + 5)
+            - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+),
+z AS (
+    SELECT *,
+           CASE WHEN var_s <= 0 THEN 0.0
+                WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                ELSE 0.0 END AS zv
+    FROM j
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
+       round(var_s, 6) AS var_s, round(zv, 6) AS z,
+       CASE WHEN zv > 1.959964 THEN 'increasing'
+            WHEN zv < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM z
+"""
+
+
+@query("mann_kendall_daily", _MK_ORACLE)
+def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series diagnostics, beyond-ref §2.13 — the
+    distribution-free drift test beside CUSUM and the seasonal
+    baseline] Mann-Kendall monotonic-trend test of each event type's
+    daily value total: exact integer S over all day pairs,
+    tie-corrected variance, normal z and the 5% verdict. Daily totals
+    are per-event cents (exact integer sums), so S, ties and the one
+    sqrt+divide z replay bit-for-bit in SQL.
+
+    Scale shape: the fact collapses to |types|·|days| rows FIRST; the
+    O(days²) pair join runs on that rollup only (435 pairs per key
+    here; a year is ~66k — still nothing), key-partitioned.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("v")
+        )
+    )
+    return stats.mann_kendall(daily, "event_type", "d", "v")
+
+
+_CPT_ORACLE = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+pre AS (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS k,
+           sum(v) OVER (PARTITION BY event_type ORDER BY d) AS cs,
+           sum(v * v) OVER (PARTITION BY event_type ORDER BY d) AS css
+    FROM daily
+),
+tot AS (
+    SELECT event_type, count(*) AS n, sum(v) AS ts, sum(v * v) AS tss
+    FROM daily GROUP BY 1
+),
+cand AS (
+    SELECT pre.event_type, tot.n, pre.d AS split_o,
+           CAST(tot.tss AS DOUBLE)
+               - CAST(tot.ts AS DOUBLE) * CAST(tot.ts AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE) AS sse_tot,
+           (CAST(pre.css AS DOUBLE)
+               - CAST(pre.cs AS DOUBLE) * CAST(pre.cs AS DOUBLE)
+                 / CAST(pre.k AS DOUBLE))
+           + ((CAST(tot.tss AS DOUBLE) - CAST(pre.css AS DOUBLE))
+               - (CAST(tot.ts AS DOUBLE) - CAST(pre.cs AS DOUBLE))
+                 * (CAST(tot.ts AS DOUBLE) - CAST(pre.cs AS DOUBLE))
+                 / (CAST(tot.n AS DOUBLE) - CAST(pre.k AS DOUBLE)))
+               AS sse_best
+    FROM pre JOIN tot USING (event_type)
+    WHERE pre.k < tot.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(split_o AS BIGINT) AS split_o,
+       round(sse_tot / CAST(n AS DOUBLE), 4) AS var_total,
+       round(sse_best / CAST(n AS DOUBLE), 4) AS var_best,
+       round(CASE WHEN sse_tot > 0
+                  THEN (sse_tot - sse_best) / sse_tot
+                  ELSE 0.0 END, 6) AS gain_pct
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY sse_best, split_o) AS r
+    FROM cand
+) WHERE r = 1
+"""
+
+
+@query("changepoint_daily_value", _CPT_ORACLE)
+def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series diagnostics, beyond-ref §2.13 — names the point
+    CUSUM only flags] Best single changepoint of each event type's
+    daily value total by SSE reduction (binary segmentation, depth
+    1): exact BIGINT prefix moments over the per-type daily series,
+    each candidate split scored with the closed-form Σv² − (Σv)²/n in
+    a fixed IEEE chain, argmin with earliest-day tie-break — the
+    whole search replays in SQL and hash-verifies.
+
+    Scale shape: fact → |types|·|days| rollup first; ONE ordered
+    window per type yields every candidate's score (no per-split
+    rescan), and the pick is a row_number-over-(score, day) filter.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("v")
+        )
+    )
+    return timeseries.best_changepoint(daily, "event_type", "d", "v")
+
+
 _LDIV_ORACLE = """
 WITH cls AS (
     SELECT c.c_nationkey, c.c_mktsegment,
