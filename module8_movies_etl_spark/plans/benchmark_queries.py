@@ -7003,6 +7003,28 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_kmv_over_events(spark, sf_dir, k=64)
 
 
+@query("stream_kmv_multibatch", _KMV_ORACLE)
+def stream_kmv_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming-stateful × sketch, beyond-ref §2.11/§2.13 — the
+    state-EVOLUTION proof beside ``stream_kmv_distinct``'s
+    single-batch replay] The same streaming KMV sketch driven through
+    THREE real micro-batches (events split into contiguous time-range
+    files, ``maxFilesPerTrigger=1``): per-key state is loaded,
+    merged, and committed back to the state store once per batch, and
+    the terminal flush must still equal the batch sketch — KMV's
+    set-union + k-min merge is associative and commutative, so
+    incremental maintenance provably loses nothing, and the batch
+    oracle verifies exactly that. Time-ordered batches keep the
+    0-second watermark from late-dropping anything
+    (``streaming.stateful.run_kmv_multibatch_over_events``).
+    """
+    from ..streaming.stateful import run_kmv_multibatch_over_events
+
+    # 3 batches prove the evolution as well as 6 and cost half the
+    # per-batch store/commit overhead (~0.8 s/batch at sf0.1)
+    return run_kmv_multibatch_over_events(spark, sf_dir, k=64, n_batches=3)
+
+
 
 _INCR_MINHASH_ORACLE = r"""
 WITH wx AS (

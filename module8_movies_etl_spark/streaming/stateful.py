@@ -451,3 +451,103 @@ def run_cms_over_events(
         lambda stream: cms_stateful(stream, depth=depth, width=width),
         "cms_stream_", query_name,
     )
+
+
+def run_kmv_multibatch_over_events(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    n_batches: int = 6,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Replay the events table through the streaming KMV sketch in
+    ``n_batches`` REAL micro-batches — the state-evolution proof the
+    single-batch replay can't give: per-key state is loaded from the
+    store, merged with a batch's hashes, and committed back
+    ``n_batches`` times, and the final emission must STILL equal the
+    batch sketch (KMV merge is a set-union + k-min — associative,
+    commutative, so incremental maintenance provably loses nothing).
+
+    Mechanics: events are split into ``n_batches`` contiguous
+    EVENT-TIME ranges written as one parquet file each, named in
+    time order (``b00.parquet``…), and streamed with
+    ``maxFilesPerTrigger=1``. Time-ordered batches are what make the
+    0-second watermark safe: the watermark after batch i is batch
+    i's max event time, and batch i+1 starts strictly later (day
+    boundaries), so no row is ever late-dropped. Each key must
+    appear in every batch (true for the 5 event types over any
+    day range at the catalog's scales) — a silent batch would fire
+    the key's event-time timeout mid-stream; the hash-verification
+    against the batch oracle would catch it.
+
+    One bounded driver fetch (min/max day — a 1-row boundary
+    aggregate) sizes the ranges.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch
+
+    if query_name is None:
+        query_name = f"kmv_multibatch_sink_{next(_SINK_SEQ)}"
+    base = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.unix_date(F.to_date(F.col("ts"))).alias("_d"),
+    )
+    lo, hi = base.agg(F.min("_d"), F.max("_d")).collect()[0]
+    n_days = int(hi) - int(lo) + 1
+    n_batches = max(1, min(n_batches, n_days))
+    per = -(-n_days // n_batches)  # ceil
+    scratch = mkscratch("kmv_multibatch_")
+    tmp = mkscratch("kmv_multibatch_tmp_")
+    try:
+        # ONE scan writes every range: bucket → partitionBy directory,
+        # single task per bucket (repartition(1) upstream), then the
+        # lone part file of each directory is renamed into time order
+        # — ordered names = ordered processing (the file source
+        # batches its initial snapshot in path order).
+        (
+            base.withColumn(
+                "_b",
+                ((F.col("_d") - F.lit(int(lo))) / per).cast("int"),
+            )
+            .drop("_d")
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(tmp)
+        )
+        for i in range(n_batches):
+            (part_file,) = glob.glob(
+                os.path.join(tmp, f"_b={i}", "part-*.parquet")
+            )
+            shutil.move(part_file, os.path.join(scratch, f"b{i:02d}.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, user_id long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(scratch)
+        )
+        out = kmv_stateful(stream, k=k)
+        with scoped_shuffle_partitions(spark, 16):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(query_name).select(
+        "event_type",
+        "n_exactish",
+        F.round("est_raw", 2).alias("kmv_estimate"),
+    )
