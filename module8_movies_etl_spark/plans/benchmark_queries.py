@@ -10182,6 +10182,172 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _release_gate_oracle() -> str:
+    """Replays every gate leg in SQL: the contamination and
+    repetition legs embed their standalone oracles verbatim (single
+    source of truth), the flag leg mirrors the PII patterns and the
+    normalized-md5 fingerprint, and the verdict compares the SAME
+    unrounded doubles."""
+    from ..operators.text import PII_PATTERNS
+
+    pii_pred = " OR ".join(
+        f"regexp_matches(text, '{pat}')" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH leg1 AS (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5({_norm_sql('text')})) AS n_uniq,
+           sum(CASE WHEN {pii_pred} THEN 1 ELSE 0 END) AS n_pii,
+           sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short,
+           sum(CASE WHEN doc_id % 25 <> 0 THEN 1 ELSE 0 END) AS n_corpus
+    FROM documents
+),
+lang AS (
+    SELECT max(c) AS mx, sum(c) AS tot
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+cont AS (SELECT count(*) AS n_cont FROM ({_DECONTAMINATE_ORACLE}) t),
+rep AS (
+    SELECT count(*) AS n_rep, sum(1 - keep) AS n_fail
+    FROM ({_REPETITION_ORACLE}) t
+),
+m AS (
+    SELECT CAST(n_docs AS DOUBLE) AS n_docs,
+           1.0 - CAST(n_uniq AS DOUBLE) / n_docs AS dup_rate,
+           CAST(n_pii AS DOUBLE) / n_docs AS pii_doc_rate,
+           CAST(n_short AS DOUBLE) / n_docs AS short_doc_rate,
+           CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_lang_share,
+           CAST(n_cont AS DOUBLE) / CAST(n_corpus AS DOUBLE)
+               AS contaminated_rate,
+           CAST(n_fail AS DOUBLE) / CAST(n_rep AS DOUBLE)
+               AS repetition_fail_rate
+    FROM leg1 CROSS JOIN lang CROSS JOIN cont CROSS JOIN rep
+)
+SELECT 'n_docs' AS metric, round(n_docs, 6) AS value FROM m
+UNION ALL SELECT 'dup_rate', round(dup_rate, 6) FROM m
+UNION ALL SELECT 'pii_doc_rate', round(pii_doc_rate, 6) FROM m
+UNION ALL SELECT 'short_doc_rate', round(short_doc_rate, 6) FROM m
+UNION ALL SELECT 'top_lang_share', round(top_lang_share, 6) FROM m
+UNION ALL SELECT 'contaminated_rate', round(contaminated_rate, 6) FROM m
+UNION ALL SELECT 'repetition_fail_rate', round(repetition_fail_rate, 6)
+    FROM m
+UNION ALL SELECT 'gate_pass',
+    CASE WHEN dup_rate <= 0.2 AND contaminated_rate <= 0.2
+              AND pii_doc_rate <= 0.5 AND short_doc_rate <= 0.5
+              AND top_lang_share <= 0.8 AND repetition_fail_rate <= 0.6
+         THEN 1.0 ELSE 0.0 END FROM m
+"""
+
+
+@query("release_gate_capstone", _release_gate_oracle())
+def release_gate_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone × governance, beyond-ref §2.13 — the pre-release
+    checklist a training corpus must clear, as ONE metrics table]
+    Exact-duplicate rate (normalized-md5 fingerprints), PII document
+    rate (the engine-portable email/phone/IP patterns), short-doc
+    rate, language-dominance share, benchmark-contamination rate
+    (4-gram shingles vs the held-out slice), Gopher repetition fail
+    rate — and a thresholded pass/fail verdict computed from the SAME
+    unrounded doubles in both engines.
+
+    Scale shape: the row-local flags AND the global distinct
+    fingerprint fold into ONE documents aggregate; language dominance
+    re-aggregates a |langs|-row rollup; contamination and repetition
+    reuse their standalone operators (each one scan — at 100 TB the
+    four text passes are the job, and each is projection-pruned to
+    the columns it reads). All legs meet in a 1-row crossJoin, and
+    the metric rows fan out via an inline explode — no collect.
+    """
+    from functools import reduce as _reduce
+
+    from ..operators.text import PII_PATTERNS
+
+    d = read_table(spark, sf_dir, "documents")
+    pii_any = _reduce(
+        lambda a, b: a | b,
+        [F.col("text").rlike(pat) for _, pat, _ in PII_PATTERNS],
+    )
+    leg1 = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(text.fingerprint(F.col("text"))).alias("n_uniq"),
+        F.sum(pii_any.cast("long")).alias("n_pii"),
+        F.sum((F.col("n_chars") < 200).cast("long")).alias("n_short"),
+        F.sum((F.col("doc_id") % 25 != 0).cast("long")).alias("n_corpus"),
+    )
+    lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    cont = curation.contamination_hits(
+        corpus, bench, "doc_id", "text", ngram=4
+    ).agg(F.count(F.lit(1)).alias("n_cont"))
+    rep = curation.repetition_stats(d, "doc_id", "text").agg(
+        F.count(F.lit(1)).alias("n_rep"),
+        F.sum(F.lit(1) - F.col("keep")).alias("n_fail"),
+    )
+    nd = F.col("n_docs").cast("double")
+    m = (
+        leg1.crossJoin(F.broadcast(lang))
+        .crossJoin(F.broadcast(cont))
+        .crossJoin(F.broadcast(rep))
+        .select(
+            nd.alias("n_docs"),
+            (F.lit(1.0) - F.col("n_uniq").cast("double") / nd).alias(
+                "dup_rate"
+            ),
+            (F.col("n_pii").cast("double") / nd).alias("pii_doc_rate"),
+            (F.col("n_short").cast("double") / nd).alias("short_doc_rate"),
+            (F.col("mx").cast("double") / F.col("tot").cast("double")).alias(
+                "top_lang_share"
+            ),
+            (
+                F.col("n_cont").cast("double")
+                / F.col("n_corpus").cast("double")
+            ).alias("contaminated_rate"),
+            (
+                F.col("n_fail").cast("double") / F.col("n_rep").cast("double")
+            ).alias("repetition_fail_rate"),
+        )
+    )
+    gate = (
+        (F.col("dup_rate") <= 0.2)
+        & (F.col("contaminated_rate") <= 0.2)
+        & (F.col("pii_doc_rate") <= 0.5)
+        & (F.col("short_doc_rate") <= 0.5)
+        & (F.col("top_lang_share") <= 0.8)
+        & (F.col("repetition_fail_rate") <= 0.6)
+    )
+    metrics = [
+        "n_docs",
+        "dup_rate",
+        "pii_doc_rate",
+        "short_doc_rate",
+        "top_lang_share",
+        "contaminated_rate",
+        "repetition_fail_rate",
+    ]
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("metric"),
+                        F.round(F.col(k), 6).alias("value"),
+                    )
+                    for k in metrics
+                ],
+                F.struct(
+                    F.lit("gate_pass").alias("metric"),
+                    F.when(gate, 1.0).otherwise(0.0).alias("value"),
+                ),
+            )
+        ).alias("_m")
+    ).select("_m.metric", "_m.value")
+
+
 _DAILY_CENTS_SQL = """
     SELECT event_type,
            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
