@@ -10108,15 +10108,19 @@ b AS (
            k
     FROM qi
 ),
-tot AS (SELECT sum(k) AS n FROM qi)
+agg AS (
+    SELECT k_bucket, count(*) AS n_groups, sum(k) AS n_rows,
+           min(k) AS min_k, max(k) AS max_k
+    FROM b GROUP BY k_bucket
+)
 SELECT k_bucket,
-       count(*) AS n_groups,
-       CAST(sum(k) AS BIGINT) AS n_rows,
-       round(CAST(sum(k) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS pct_rows,
-       CAST(min(k) AS BIGINT) AS min_k,
-       CAST(max(k) AS BIGINT) AS max_k
-FROM b CROSS JOIN tot
-GROUP BY k_bucket, tot.n
+       n_groups,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE)
+             / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS pct_rows,
+       CAST(min_k AS BIGINT) AS min_k,
+       CAST(max_k AS BIGINT) AS max_k
+FROM agg
 """
 
 
@@ -10134,8 +10138,10 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the dimension join is an explicit broadcast
     (customer is the dim side), the QI rollup is the single fact
     shuffle, and the bucket histogram re-aggregates the GROUP-level
-    rows (|QI classes|, not |fact|). Share denominator via a
-    broadcast one-row aggregate — no second fact scan, no collect.
+    rows (|QI classes|, not |fact|). The share denominator is a
+    window over the ≤4-row bucket rollup — ONE fact scan total (a
+    one-row cross-joined aggregate would recompute the QI leg, i.e.
+    scan the fact twice).
     """
     o = read_table(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -10159,26 +10165,26 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k_bucket"),
         "k",
     )
-    tot = qi.agg(F.sum("k").alias("_n"))
-    return (
-        b.crossJoin(F.broadcast(tot))
-        .groupBy("k_bucket", "_n")
-        .agg(
-            F.count(F.lit(1)).alias("n_groups"),
-            F.sum("k").alias("n_rows"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-        .select(
-            "k_bucket",
-            "n_groups",
-            "n_rows",
-            F.round(
-                F.col("n_rows").cast("double") / F.col("_n").cast("double"), 6
-            ).alias("pct_rows"),
-            "min_k",
-            "max_k",
-        )
+    agg = b.groupBy("k_bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+    # denominator over the ≤4-row bucket rollup (the single-partition
+    # window is post-aggregate — it never sees fact rows)
+    wall = Window.partitionBy()
+    return agg.select(
+        "k_bucket",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(wall).cast("double"),
+            6,
+        ).alias("pct_rows"),
+        "min_k",
+        "max_k",
     )
 
 
@@ -10508,13 +10514,16 @@ WITH cls AS (
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2, 3, 4, 5
 ),
-tot AS (SELECT sum(k) AS n FROM cls)
+agg AS (
+    SELECT l, count(*) AS n_groups, sum(k) AS n_rows
+    FROM cls GROUP BY l
+)
 SELECT CAST(l AS INTEGER) AS l,
-       count(*) AS n_groups,
-       CAST(sum(k) AS BIGINT) AS n_rows,
-       round(CAST(sum(k) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS pct_rows
-FROM cls CROSS JOIN tot
-GROUP BY l, tot.n
+       n_groups,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE)
+             / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS pct_rows
+FROM agg
 """
 
 
@@ -10552,22 +10561,22 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_orderstatus").cast("int").alias("l"),
         )
     )
-    tot = cls.agg(F.sum("k").alias("_n"))
-    return (
-        cls.crossJoin(F.broadcast(tot))
-        .groupBy("l", "_n")
-        .agg(
-            F.count(F.lit(1)).alias("n_groups"),
-            F.sum("k").alias("n_rows"),
-        )
-        .select(
-            "l",
-            "n_groups",
-            "n_rows",
-            F.round(
-                F.col("n_rows").cast("double") / F.col("_n").cast("double"), 6
-            ).alias("pct_rows"),
-        )
+    agg = cls.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+    )
+    # denominator over the ≤|statuses|-row rollup — one fact scan
+    # (same shape rationale as k_anonymity_audit)
+    wall = Window.partitionBy()
+    return agg.select(
+        "l",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(wall).cast("double"),
+            6,
+        ).alias("pct_rows"),
     )
 
 
