@@ -802,3 +802,79 @@ def best_changepoint(
             ).alias("gain_pct"),
         )
     )
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per key, lags 1..``max_lag``, over the
+    ``order_col`` sequence — the periodicity readout beside the trend
+    (Mann-Kendall) and level-shift (changepoint) diagnostics: a
+    weekly-seasonal metric shows an ACF spike at lag 7.
+
+    Exactness: with integer-exact values the mean-centered series is
+    made integer by scaling — y_t = n·x_t − Σx (n times the
+    deviation) — and ACF(h) = Σ y_t·y_{t+h} / Σ y_t² exactly (the n²
+    cancels). Products and sums run in DECIMAL(38,0) (exact at any
+    realistic magnitude; DuckDB's HUGEINT mirrors it), and the single
+    final divide of two exactly-represented sums is one IEEE op,
+    rounded(6) — the estimator replays bit-for-bit.
+
+    Scale shape: the series is the caller's ROLLUP (|keys|·n rows);
+    one key window computes positions and the centering sums, the
+    lag fan-out is a ``sequence(1, max_lag)`` explode joined back on
+    (key, t+h) — |keys|·n·max_lag rows, never the fact.
+
+    Lags with no pairs (h ≥ n) are absent; a zero-variance series
+    reports NULL acf (0/0 has no defined correlation).
+    """
+    w = Window.partitionBy(key_col)
+    wo = w.orderBy(F.col(order_col))
+    a = df.select(
+        F.col(key_col),
+        F.row_number().over(wo).alias("_t"),
+        (
+            F.count(F.lit(1)).over(w) * F.col(value_col).cast("long")
+            - F.sum(F.col(value_col).cast("long")).over(w)
+        )
+        .cast("decimal(38,0)")
+        .alias("_y"),
+    )
+    den = a.groupBy(key_col).agg(
+        F.sum(F.col("_y") * F.col("_y")).alias("_den"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = a.select(
+        F.col(key_col),
+        "_t",
+        "_y",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+    )
+    b = a.select(
+        F.col(key_col), F.col("_t").alias("_t2"), F.col("_y").alias("_y2")
+    )
+    num = (
+        lags.join(
+            b,
+            (lags[key_col] == b[key_col])
+            & (lags["_t"] + lags["lag"] == b["_t2"]),
+        )
+        .groupBy(lags[key_col], "lag")
+        .agg(F.sum(F.col("_y") * F.col("_y2")).alias("_num"))
+    )
+    return num.join(den, key_col).select(
+        F.col(key_col),
+        "n",
+        F.col("lag").cast("int").alias("lag"),
+        F.round(
+            F.when(
+                F.col("_den") > 0,
+                F.col("_num").cast("double") / F.col("_den").cast("double"),
+            ),
+            6,
+        ).alias("acf"),
+    )

@@ -10504,6 +10504,65 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_ACF_ORACLE = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+a AS (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+           count(*) OVER (PARTITION BY event_type) * v
+               - sum(v) OVER (PARTITION BY event_type) AS y
+    FROM daily
+),
+den AS (
+    SELECT event_type, sum(y * y) AS den, count(*) AS n
+    FROM a GROUP BY 1
+),
+num AS (
+    SELECT a.event_type, l.lag, sum(a.y * b.y) AS num
+    FROM a
+    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+    JOIN a b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+    GROUP BY 1, 2
+)
+SELECT num.event_type,
+       CAST(den.n AS BIGINT) AS n,
+       CAST(num.lag AS INTEGER) AS lag,
+       round(CASE WHEN den.den > 0
+                  THEN CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+             END, 6) AS acf
+FROM num JOIN den USING (event_type)
+"""
+
+
+@query("acf_daily_by_type", _ACF_ORACLE)
+def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series diagnostics, beyond-ref §2.13 — the periodicity
+    readout completing the trend (Mann-Kendall) / level-shift
+    (changepoint) trio] Autocorrelation of each event type's daily
+    value total at lags 1-7 — weekly seasonality shows as a lag-7
+    spike. The mean-centered series is made integer by scaling
+    (y = n·x − Σx), so ACF(h) = Σy·y₊ₕ / Σy² is a ratio of EXACT
+    DECIMAL sums and the single divide replays bit-for-bit.
+
+    Scale shape: fact → |types|·|days| rollup first; one key window
+    for positions and centering, a sequence(1,7) explode joined on
+    (type, t+lag) — |types|·|days|·7 rows, never the fact.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("v")
+        )
+    )
+    return timeseries.acf_by_key(daily, "event_type", "d", "v", max_lag=7)
+
+
 _LDIV_ORACLE = """
 WITH cls AS (
     SELECT c.c_nationkey, c.c_mktsegment,
