@@ -10504,6 +10504,52 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_MANIFEST_SINK_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(('0x' || substr(md5({_norm_sql('text')}), 1, 15))::BIGINT)
+                 AS HUGEINT) % 1152921504606846976 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+@query("pyds_manifest_sink", _MANIFEST_SINK_ORACLE)
+def pyds_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 extension surface — the WRITER half of the Python
+    DataSource API, beside ``pyds_graftgen_scan``'s reader half] The
+    documents table written through a custom Python sink that follows
+    the two-phase-commit shape every real connector uses: each task
+    counts and exactly checksums its partition (arbitrary-precision
+    Python ints — the merge is order-free) and returns a commit
+    message; only the driver's ``commit`` writes the single manifest.
+    The query returns the manifest's (n_rows, checksum), and the
+    oracle recomputes both from the table directly — if any task's
+    rows were lost, duplicated, or corrupted in the sink protocol,
+    the checksum hash-mismatches.
+
+    Scale shape: the sink sees one Python worker per partition (the
+    connector escape hatch, not a bulk path — bulk data belongs in
+    the JVM parquet writers); the manifest is O(1).
+    """
+    import os
+
+    from ..sources import pyds
+    from ..sources.scratch import mkscratch, register
+
+    pyds.register_sink(spark)
+    scratch = mkscratch("manifest_sink_")
+    register(scratch)
+    out = os.path.join(scratch, "out")
+    d = read_table(spark, sf_dir, "documents").select(
+        text.fingerprint(F.col("text")).alias("f")
+    )
+    d.write.format("graftsink").option("path", out).mode("append").save()
+    m = spark.read.json(os.path.join(out, "manifest.json"))
+    return m.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("checksum").cast("long").alias("checksum"),
+    )
+
+
 _ACF_ORACLE = f"""
 WITH daily AS ({_DAILY_CENTS_SQL}),
 a AS (

@@ -26,7 +26,13 @@ the JVM scans.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -85,3 +91,86 @@ class GraftGenDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(GraftGenDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER — the sink half of the §2.12 connector
+# surface (the reader half is graftgen above).
+# ---------------------------------------------------------------------------
+
+
+class _ManifestCommit(WriterCommitMessage):
+    """Per-task commit payload: row count and an exact integer
+    checksum (Python ints — arbitrary precision, so the driver-side
+    merge is order-free)."""
+
+    def __init__(self, n_rows: int, checksum: int):
+        self.n_rows = n_rows
+        self.checksum = checksum
+
+
+class ManifestWriter(DataSourceWriter):
+    """Counts and checksums each partition's rows, then commits ONE
+    manifest JSON from the driver — the two-phase-commit shape every
+    real sink (JDBC batches, object-store multipart, Iceberg
+    manifests) follows: tasks do idempotent work and return a
+    message; only the driver's ``commit`` makes results visible, and
+    ``abort`` leaves nothing behind.
+
+    Expects rows with a ``f`` (hex fingerprint) column; the checksum
+    is Σ int(f[:15], 16) mod 2⁶⁰ — the same fold the observability
+    snapshot uses, replayable in any engine.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: D102 - interface method
+        n = 0
+        acc = 0
+        for row in iterator:
+            n += 1
+            acc += int(row["f"][:15], 16)
+        return _ManifestCommit(n, acc)
+
+    def commit(self, messages):  # noqa: D102
+        import json
+        import os
+
+        total = sum(m.n_rows for m in messages if m is not None)
+        checksum = sum(m.checksum for m in messages if m is not None) % (
+            1 << 60
+        )
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_rows": total,
+                    "checksum": checksum,
+                    "n_tasks": len(messages),
+                },
+                fh,
+            )
+
+    def abort(self, messages):  # noqa: D102
+        import os
+        import shutil
+
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
+
+
+class ManifestSinkDataSource(DataSource):
+    """``df.write.format("graftsink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:  # noqa: D102
+        return "graftsink"
+
+    def writer(self, schema: StructType, overwrite: bool):  # noqa: D102
+        return ManifestWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotently register the sink on a session."""
+    spark.dataSource.register(ManifestSinkDataSource)
