@@ -10504,6 +10504,133 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_CUPED_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d <  b.mid THEN v ELSE 0 END) AS x,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END) AS y
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+mom AS (
+    SELECT count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx
+    FROM u
+),
+th AS (
+    SELECT n, sx,
+           CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                ELSE 0.0 END AS theta
+    FROM mom
+),
+arm AS (
+    SELECT user_id % 2 AS arm, count(*) AS n_arm,
+           sum(x) AS sxa, sum(y) AS sya
+    FROM u GROUP BY 1
+)
+SELECT CAST(arm.arm AS INTEGER) AS arm,
+       CAST(arm.n_arm AS BIGINT) AS n,
+       round(CAST(arm.sya AS DOUBLE) / arm.n_arm, 6) AS mean_y,
+       round(CAST(arm.sxa AS DOUBLE) / arm.n_arm, 6) AS mean_x,
+       round(th.theta, 6) AS theta,
+       round(CAST(arm.sya AS DOUBLE) / arm.n_arm
+             - th.theta * (CAST(arm.sxa AS DOUBLE) / arm.n_arm
+                           - CAST(th.sx AS DOUBLE) / th.n), 6)
+           AS mean_y_adj
+FROM arm CROSS JOIN th
+"""
+
+
+@query("cuped_adjusted_ab", _CUPED_ORACLE)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[experimentation, beyond-ref §2.13 — the variance-reduction
+    step beside ``abtest_conversion_z``] CUPED-adjusted A/B readout:
+    each user's post-period spend (last half of the observation
+    window, exact cents) is adjusted by their PRE-period spend via
+    the pooled regression coefficient θ = cov(X,Y)/var(X) — the
+    standard trick that removes between-user variance an experiment
+    didn't cause. Arms are the deterministic user_id parity split;
+    output is per-arm n, raw and adjusted means, and θ.
+
+    Exactness: X/Y are exact integer cents; θ's numerator and
+    denominator are exact HUGEINT/DECIMAL moment sums, so θ and the
+    adjusted means are fixed IEEE chains over identical integers,
+    rounded(6).
+
+    Scale shape: ONE fact scan → (user, day) rollup; the pre/post
+    boundary comes from a broadcast 1-row aggregate of that rollup
+    (no second scan); user totals, pooled moments, and arm rollups
+    are all |users|-grain or smaller.
+    """
+    e = read_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    bounds = ud.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
+    )
+    u = (
+        ud.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    den = dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
+    num = dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")
+    th = mom.select(
+        "n",
+        "sx",
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    arm = u.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    mean_y = F.col("sya").cast("double") / F.col("n_arm")
+    mean_x = F.col("sxa").cast("double") / F.col("n_arm")
+    xbar = F.col("sx").cast("double") / F.col("n")
+    return arm.crossJoin(F.broadcast(th)).select(
+        F.col("arm").cast("int").alias("arm"),
+        F.col("n_arm").alias("n"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_x, 6).alias("mean_x"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(mean_y - F.col("theta") * (mean_x - xbar), 6).alias(
+            "mean_y_adj"
+        ),
+    )
+
+
 _MANIFEST_SINK_ORACLE = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(CAST(sum(('0x' || substr(md5({_norm_sql('text')}), 1, 15))::BIGINT)
