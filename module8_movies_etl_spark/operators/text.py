@@ -722,3 +722,182 @@ def zipf_fit(
             4,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning — the tokenizer-training step.
+# --------------------------------------------------------------------------
+
+
+def bpe_merges_py(
+    word_freqs: list[tuple[str, int]], n_merges: int = 12
+) -> list[tuple[int, str, str, str, int]]:
+    """Pure-Python BPE merge learning over a (word, freq) vocabulary —
+    the SHARED routine: the DuckDB oracle replays it at import time
+    (same pattern as ``similarity.lloyd_spherical`` for IVF), and the
+    unit tests pin the Spark loop against it.
+
+    Classic Sennrich BPE without the end-of-word marker: per round,
+    score every adjacent symbol pair by Σ freq over all positions
+    (overlapping positions count), merge the argmax — ties break by
+    (lhs, rhs) string order — replacing occurrences left-to-right
+    non-overlapping, and repeat. Returns (rank, lhs, rhs, merged,
+    score); stops early when no adjacent pair remains.
+    """
+    segs = [(list(w), int(f)) for w, f in word_freqs]
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        scores: dict[tuple[str, str], int] = {}
+        for syms, f in segs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                scores[p] = scores.get(p, 0) + f
+        if not scores:
+            break
+        # argmax by score, ties to the LOWEST (lhs, rhs) pair
+        best_pair, best_score = None, None
+        for p, s in scores.items():
+            if (
+                best_pair is None
+                or s > best_score
+                or (s == best_score and p < best_pair)
+            ):
+                best_pair, best_score = p, s
+        a, b = best_pair
+        merged = a + b
+        out.append((rank, a, b, merged, best_score))
+        nxt = []
+        for syms, f in segs:
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, f))
+        segs = nxt
+    return out
+
+
+def bpe_learn(
+    df,
+    text_col: str,
+    top_words: int = 200,
+    n_merges: int = 12,
+):
+    """Distributed BPE merge learning: word frequencies come from one
+    corpus scan (the only fact-sized stage), the working set is the
+    top-``top_words`` vocabulary slice (TakeOrderedAndProject — a
+    distributed top-k, deterministic (freq desc, word) order), and
+    each round is ONE vocab-grain aggregate: explode adjacent symbol
+    pairs weighted by word frequency, argmax by (score, lhs, rhs).
+    Only the per-round argmax row is fetched (the kmeans-update
+    pattern: a bounded driver payload, never the table); the merge is
+    applied in-plan with a left-to-right non-overlapping
+    ``F.aggregate`` fold over the symbol arrays, and the segmentation
+    snapshots per round (the connected-components discipline —
+    re-deriving round r from round 0 would recompute r nested folds).
+
+    At real scale the vocabulary table is millions of rows: every
+    per-round stage here is vocab-grain and shuffle-light, which is
+    exactly how distributed BPE trainers decompose the problem.
+
+    Returns the learned merge table (rank, lhs, rhs, merged, score)
+    built from the fetched argmax rows; stops early when no pair
+    remains. Semantics pinned against ``bpe_merges_py`` by tests and
+    by the catalog oracle.
+    """
+    from ..sources.scratch import snapshot
+    from ..streaming.windows import scoped_shuffle_partitions
+
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(tokens_array(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = snapshot(
+        wf.orderBy(F.desc("n"), F.asc("w"))
+        .limit(int(top_words))
+        .select("w", "n", F.split(F.col("w"), "").alias("syms")),
+        prefix="bpe_seg_",
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    # The loop's jobs all run on the top_words-row working set — at
+    # the session's fact-scale shuffle width each round pays ~30 idle
+    # tasks of pure scheduling overhead (measured 2× the whole loop).
+    # Scope the rounds narrow; the fact-sized word count above already
+    # ran at full width.
+    with scoped_shuffle_partitions(spark, 2):
+        merges = _bpe_rounds(spark, seg, n_merges, snapshot)
+    return spark.createDataFrame(
+        merges or [],
+        "rank int, lhs string, rhs string, merged string, score bigint",
+    )
+
+
+def _bpe_rounds(spark, seg, n_merges: int, snapshot):
+    """The per-round argmax + in-plan merge loop of ``bpe_learn``."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = seg.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.col("syms")[i].alias("l"),
+                        F.col("syms")[i + 1].alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("score"))
+            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, score = best[0]["l"], best[0]["r"], int(best[0]["score"])
+        merged = a + b
+        merges.append((rank, a, b, merged, score))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        seg = snapshot(
+            seg.select(
+                "w",
+                "n",
+                F.aggregate(
+                    "syms",
+                    F.struct(
+                        F.array().cast("array<string>").alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                    lambda acc, s: F.when(
+                        (acc["pend"] == la) & (s == lb),
+                        F.struct(
+                            F.concat(acc["out"], F.array(lm)).alias("out"),
+                            F.lit(None).cast("string").alias("pend"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            F.when(acc["pend"].isNull(), acc["out"])
+                            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                            .alias("out"),
+                            s.alias("pend"),
+                        )
+                    ),
+                    lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                        F.concat(acc["out"], F.array(acc["pend"]))
+                    ),
+                ).alias("syms"),
+            ),
+            prefix="bpe_seg_",
+        )
+    return merges

@@ -10504,6 +10504,77 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+def _bpe_oracle(
+    sf_dir: str = "/root/testdata/sf0.01",
+    top_words: int = 200,
+    n_merges: int = 12,
+) -> str | None:
+    """Replays the BPE learning with the SHARED pure-Python routine
+    (``text.bpe_merges_py``) over word frequencies read from the same
+    parquet — the lloyd_spherical/IVF oracle pattern: deterministic
+    training replayed at import, result embedded as VALUES literals.
+    The word-frequency read uses the same whitespace tokenization and
+    the same (freq desc, word) top-k order as the Spark loop.
+    Returns None (→ rows-only) if the table is unavailable."""
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return None
+    import duckdb
+
+    from ..operators.text import bpe_merges_py
+
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+            FROM '{sf_dir}/documents.parquet'
+        ) WHERE w <> '' GROUP BY w
+        ORDER BY n DESC, w LIMIT {int(top_words)}
+        """
+    ).fetchall()
+    merges = bpe_merges_py([(w, n) for w, n in wf], n_merges=n_merges)
+    if not merges:
+        return "SELECT 1 AS rank WHERE FALSE"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        f"({r}, {q(a)}, {q(b)}, {q(m)}, {s})" for r, a, b, m, s in merges
+    )
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, merged,
+       CAST(score AS BIGINT) AS score
+FROM (VALUES {rows}) AS t(rank, lhs, rhs, merged, score)
+"""
+
+
+@query("bpe_learn_merges", _bpe_oracle(n_merges=8))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[tokenizer training, beyond-ref §2.13 — the step between the
+    BPE-regex pre-token accounting and ``tokenize_documents``] Learns
+    the first 12 BPE merges over the corpus's top-200 words: word
+    frequencies from one corpus scan, then per round ONE vocab-grain
+    aggregate scores every adjacent symbol pair (freq-weighted,
+    overlapping positions) and only the argmax row is fetched — the
+    kmeans-update driver payload, never the table. The merge applies
+    in-plan as a left-to-right non-overlapping ``F.aggregate`` fold
+    over the symbol arrays, with per-round snapshots. Tie-breaks
+    (score desc, lhs, rhs) are exact-integer and string-ordered, so
+    the learned table equals the shared pure-Python replay the oracle
+    embeds (``text.bpe_merges_py`` — same pattern as the IVF
+    centroids).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    # 8 rounds: each costs ~0.5 s of plan-compile + two tiny jobs
+    # at replay scale (amortized at real vocab scale where the
+    # pair aggregate dominates)
+    return text.bpe_learn(d, "text", top_words=200, n_merges=8)
+
+
 _CUPED_ORACLE = """
 WITH ud AS (
     SELECT user_id,

@@ -46,6 +46,14 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
         oracle = _ivf_recall_oracle(sf_dir=sf_dir)
+    if name == "bpe_learn_merges":
+        # Merges are learned from the SF's own word frequencies —
+        # regenerate the replay for THIS sf_dir
+        from module8_movies_etl_spark.plans.benchmark_queries import (
+            _bpe_oracle,
+        )
+
+        oracle = _bpe_oracle(sf_dir=sf_dir, n_merges=8)
     if name == "cosine_topk_pq":
         # PQ codebooks are likewise trained from the SF's own sample
         from module8_movies_etl_spark.plans.benchmark_queries import (
