@@ -149,3 +149,44 @@ def test_changepoint_segment_means_explain_gain(spark, vals):
     else:
         assert row["gain_pct"] == 1.0
         assert row["split_o"] == len(vals) - 1
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=20,
+    ),
+    n_merges=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_bpe_learn_matches_python_replay(spark, words, n_merges):
+    from module8_movies_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                                 ["doc_id", "text"])
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["score"])
+        for r in text_ops.bpe_learn(
+            docs, "text", top_words=50, n_merges=n_merges
+        ).collect()
+    ]
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    wf = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(got) == sorted(text_ops.bpe_merges_py(wf, n_merges))
+
+
+def test_bpe_merge_fold_overlap(spark):
+    """'aaa' under merge (a,a): left-to-right non-overlapping → the
+    first pair merges, the trailing 'a' survives — and round 2's top
+    pair is then ('aa','a')."""
+    docs = spark.createDataFrame([(0, "aaa")], ["doc_id", "text"])
+    from module8_movies_etl_spark.operators import text as text_ops
+
+    rows = text_ops.bpe_learn(docs, "text", n_merges=2).collect()
+    assert [(r["rank"], r["lhs"], r["rhs"]) for r in rows] == [
+        (1, "a", "a"),
+        (2, "aa", "a"),
+    ]
