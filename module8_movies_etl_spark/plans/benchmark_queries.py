@@ -10504,6 +10504,202 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_SRM_ORACLE = """
+WITH arms AS (
+    SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
+    FROM events GROUP BY 1
+),
+s1 AS (
+    SELECT arm, n, CAST(sum(n) OVER () AS DOUBLE) AS total FROM arms
+),
+w AS (
+    SELECT arm, n, total,
+           sum((CAST(n AS DOUBLE) - total / 2)
+               * (CAST(n AS DOUBLE) - total / 2)
+               / (total / 2)) OVER () AS chi2
+    FROM s1
+)
+SELECT CAST(arm AS INTEGER) AS arm,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(chi2, 6) AS chi2,
+       chi2 > 3.841459 AS srm_flag
+FROM w
+"""
+
+
+@query("srm_check_ab", _SRM_ORACLE)
+def srm_check_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[experimentation QA, beyond-ref §2.13 — the guardrail run
+    BEFORE reading any A/B metric] Sample-ratio-mismatch check of the
+    user parity split: distinct users per arm, their share, and the
+    1-df chi-square against the designed 50/50 allocation with the 5%
+    critical value (a plan-time literal). A flagged SRM invalidates
+    the experiment no matter what the metrics say — assignment
+    itself is broken.
+
+    Scale shape: one distinct-user aggregate (map-side partial on
+    (arm, user)); everything after is windows over the 2-row arm
+    table — one fact scan total (the k_anonymity_audit discipline).
+    """
+    e = read_table(spark, sf_dir, "events")
+    arms = e.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm")).agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    wall = Window.partitionBy()
+    # two select stages: a window expression cannot nest inside
+    # another window aggregate's argument
+    staged = arms.select(
+        "arm",
+        "n",
+        F.sum("n").over(wall).cast("double").alias("_total"),
+    )
+    dev = F.col("n").cast("double") - F.col("_total") / 2
+    staged = staged.select(
+        "arm",
+        "n",
+        "_total",
+        F.sum(dev * dev / (F.col("_total") / 2)).over(wall).alias("_chi2"),
+    )
+    return staged.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+        F.round(F.col("_chi2"), 6).alias("chi2"),
+        (F.col("_chi2") > F.lit(3.841459)).alias("srm_flag"),
+    )
+
+
+_SRC_COHERENCE_ORACLE = """
+WITH q AS (
+    SELECT d.source, e.vec_id, pos,
+           CAST(round(x * 1000000) AS BIGINT) AS xi
+    FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) e
+    JOIN documents d ON d.doc_id = e.vec_id
+),
+s AS (SELECT source, pos, sum(xi) AS sd FROM q GROUP BY 1, 2),
+sn AS (
+    SELECT source, sum(CAST(sd AS HUGEINT) * sd) AS s2 FROM s GROUP BY 1
+),
+m AS (
+    SELECT q.source, q.vec_id,
+           sum(CAST(q.xi AS HUGEINT) * s.sd) AS dot,
+           sum(CAST(q.xi AS HUGEINT) * q.xi) AS x2
+    FROM q JOIN s ON s.source = q.source AND s.pos = q.pos
+    GROUP BY 1, 2
+),
+cosm AS (
+    SELECT m.source,
+           CASE WHEN m.x2 > 0 AND sn.s2 > 0
+                THEN round(CAST(m.dot AS DOUBLE)
+                           / (sqrt(CAST(m.x2 AS DOUBLE))
+                              * sqrt(CAST(sn.s2 AS DOUBLE))), 6)
+           END AS c,
+           sn.s2
+    FROM m JOIN sn USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sqrt(CAST(max(s2) AS DOUBLE)) / count(*) / 1000000.0, 6)
+           AS centroid_norm,
+       round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS avg_cos,
+       min(c) AS min_cos
+FROM cosm GROUP BY source
+"""
+
+
+@query("source_centroid_coherence", _SRC_COHERENCE_ORACLE)
+def source_centroid_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[embedding QA, beyond-ref §2.13 — the per-SOURCE companion to
+    ``embedding_stats_audit``'s per-dimension view] For each ingest
+    source: the centroid norm of its embeddings and each member's
+    cosine to that centroid (average and worst) — the coherence
+    readout that flags a crawl source whose vectors scatter (mixed
+    content, encoder drift) before they poison an ANN index or a
+    clustering run. cos(x, centroid) = cos(x, Σx): the 1/n scaling
+    cancels, so the centroid never needs a division — members score
+    against the exact integer SUM vector.
+
+    Exactness: fixed-point components; dots and norms are exact
+    integer sums; each member cosine is two correctly-rounded sqrts
+    and one divide (identical IEEE in both engines), rounded(6); the
+    per-source average sums those ROUNDED cosines as DECIMAL
+    (order-free) before the final divide.
+
+    Scale shape: one embeddings scan exploded to (source, vec, pos)
+    grain; the sum-vector table is |sources|·dim rows (broadcast);
+    member scoring re-aggregates to |vectors| rows; the readout is
+    |sources| rows. No window on fact-grain, no collect.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    q = (
+        emb.join(docs, "vec_id")
+        .select(
+            "source",
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                        "long"
+                    ),
+                )
+            ).alias("pos", "xi"),
+        )
+    )
+    s = q.groupBy("source", "pos").agg(F.sum("xi").alias("sd"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sn = s.groupBy("source").agg(
+        F.sum(dec(F.col("sd")) * F.col("sd")).alias("s2")
+    )
+    m = (
+        q.join(F.broadcast(s), ["source", "pos"])
+        .groupBy("source", "vec_id")
+        .agg(
+            F.sum(dec(F.col("xi")) * F.col("sd")).alias("dot"),
+            F.sum(dec(F.col("xi")) * F.col("xi")).alias("x2"),
+        )
+    )
+    cosm = m.join(F.broadcast(sn), "source").select(
+        "source",
+        F.when(
+            (F.col("x2") > 0) & (F.col("s2") > 0),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("x2").cast("double"))
+                    * F.sqrt(F.col("s2").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("c"),
+        "s2",
+    )
+    return cosm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sqrt(F.max("s2").cast("double"))
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("centroid_norm"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+        F.min("c").alias("min_cos"),
+    )
+
+
 def _bpe_oracle(
     sf_dir: str = "/root/testdata/sf0.01",
     top_words: int = 200,
