@@ -10504,6 +10504,82 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_SCHEMA_EVO_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS INTEGER) AS era,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_priority,
+       round(CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                          THEN CAST(o_totalprice AS DECIMAL(28,2))
+                          ELSE 0 END) AS DOUBLE)
+             / count(*), 2) AS priced_share_value
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("schema_evolution_read", _SCHEMA_EVO_ORACLE)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sources / lakehouse, beyond-ref §2.9 neighborhood — the
+    schema-DRIFT read path every long-lived table hits] Two file
+    "eras" of the orders table land in one directory — era 0 written
+    BEFORE a column existed (orderkey, price, era), era 1 after
+    (plus ``o_orderpriority``) — and one ``mergeSchema`` read unions
+    them: old files surface the new column as NULL, which is exactly
+    the per-era null accounting this query then verifies against the
+    source table. The write uses era-split scratch files; the READ
+    is the operator under test.
+
+    Determinism: eras split on orderkey parity; the value leg sums
+    era-1 prices as DECIMAL (order-free) so the readout
+    hash-verifies.
+
+    Scale shape: at 100 TB this is the default state of any
+    append-only parquet/lakehouse table after a schema change —
+    mergeSchema resolves the union ONCE at planning from file
+    footers; per-row cost is nil, and the null accounting is one
+    grouped aggregate over the merged scan.
+    """
+    import os
+
+    from ..sources.scratch import mkscratch, register
+
+    scratch = mkscratch("schema_evo_")
+    register(scratch)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("era"),
+    )
+    o.filter(F.col("era") == 0).drop("o_orderpriority").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(scratch, "era=0__files"))
+    o.filter(F.col("era") == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(scratch, "era=1__files")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(scratch, "era=0__files"),
+        os.path.join(scratch, "era=1__files"),
+    )
+    return merged.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+            "n_with_priority"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isNotNull(),
+                    F.col("o_totalprice").cast("decimal(28,2)"),
+                ).otherwise(F.lit(0).cast("decimal(28,2)"))
+            ).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("priced_share_value"),
+    )
+
+
 _SRM_ORACLE = """
 WITH arms AS (
     SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
