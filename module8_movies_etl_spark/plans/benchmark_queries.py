@@ -10580,6 +10580,153 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RATIO_DELTA_ORACLE = """
+WITH u AS (
+    SELECT user_id % 2 AS arm,
+           count(DISTINCT CAST(ts AS DATE)) AS x,
+           sum(CAST(round(value * 100) AS BIGINT)) AS y
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM u GROUP BY arm
+),
+r AS (
+    SELECT arm, n,
+           CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS ratio,
+           CAST(sx AS DOUBLE) / n AS xbar,
+           CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vxx,
+           CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy,
+           CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vyy
+    FROM mom
+),
+se AS (
+    SELECT arm, n, ratio,
+           sqrt((vyy - 2 * ratio * vxy + ratio * ratio * vxx)
+                / n / (xbar * xbar)) AS s
+    FROM r
+),
+z AS (
+    SELECT arm, n, ratio, s,
+           (max(CASE WHEN arm = 1 THEN ratio END) OVER ()
+            - max(CASE WHEN arm = 0 THEN ratio END) OVER ())
+           / sqrt(max(CASE WHEN arm = 1 THEN s * s END) OVER ()
+                  + max(CASE WHEN arm = 0 THEN s * s END) OVER ()) AS zstat
+    FROM se
+)
+SELECT CAST(arm AS INTEGER) AS arm, CAST(n AS BIGINT) AS n,
+       round(ratio, 6) AS ratio, round(s, 6) AS se,
+       round(zstat, 6) AS z,
+       abs(zstat) > 1.959964 AS significant
+FROM z
+"""
+
+
+@query("ratio_metric_delta_ab", _RATIO_DELTA_ORACLE)
+def ratio_metric_delta_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[experimentation, beyond-ref §2.13 — the inference step for
+    RATIO metrics, completing the SRM → CUPED → readout trio] Value
+    per active day as a ratio-of-sums per arm, with the delta-method
+    standard error — the correct treatment when the denominator is
+    itself random (a naive per-user mean of ratios is biased, and a
+    t-test on it answers a different question). Per arm: R = Σy/Σx
+    over users, var(R) ≈ (σ_yy − 2Rσ_xy + R²σ_xx)/(n·x̄²) from exact
+    integer moment sums (population σ, documented), and the two-arm
+    z on the same rows via a 2-row window.
+
+    Exactness: x (active days) and y (cents) are exact integers per
+    user; all five moment sums are exact DECIMAL; R, the σs, the
+    sqrt and the z are fixed IEEE chains over identical integers —
+    rounded(6), the whole readout hash-verifies.
+
+    Scale shape: ONE fact scan → per-user aggregate; moments are one
+    |users|-grain aggregate per arm; everything after runs on 2
+    rows.
+    """
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count_distinct(F.to_date("ts")).alias("x"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "x", "y"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = mom.select(
+        "arm",
+        "n",
+        (syd / sxd).alias("ratio"),
+        (sxd / nd).alias("xbar"),
+        (F.col("sxx").cast("double") / nd - (sxd / nd) * (sxd / nd)).alias(
+            "vxx"
+        ),
+        (F.col("sxy").cast("double") / nd - (sxd / nd) * (syd / nd)).alias(
+            "vxy"
+        ),
+        (F.col("syy").cast("double") / nd - (syd / nd) * (syd / nd)).alias(
+            "vyy"
+        ),
+    )
+    se = r.select(
+        "arm",
+        "n",
+        "ratio",
+        F.sqrt(
+            (
+                F.col("vyy")
+                - 2 * F.col("ratio") * F.col("vxy")
+                + F.col("ratio") * F.col("ratio") * F.col("vxx")
+            )
+            / F.col("n")
+            / (F.col("xbar") * F.col("xbar"))
+        ).alias("s"),
+    )
+    wall = Window.partitionBy()
+    z = se.select(
+        "arm",
+        "n",
+        "ratio",
+        "s",
+        (
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("ratio"))).over(wall)
+                - F.max(F.when(F.col("arm") == 0, F.col("ratio"))).over(wall)
+            )
+            / F.sqrt(
+                F.max(
+                    F.when(F.col("arm") == 1, F.col("s") * F.col("s"))
+                ).over(wall)
+                + F.max(
+                    F.when(F.col("arm") == 0, F.col("s") * F.col("s"))
+                ).over(wall)
+            )
+        ).alias("zstat"),
+    )
+    return z.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("s", 6).alias("se"),
+        F.round("zstat", 6).alias("z"),
+        (F.abs(F.col("zstat")) > F.lit(1.959964)).alias("significant"),
+    )
+
+
 _SRM_ORACLE = """
 WITH arms AS (
     SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
