@@ -11583,8 +11583,12 @@ _PRIORITY = [
     "hash_sample_orders",
     "set_ops_custkeys",
     "topk_orders_per_customer",
-    "running_total_by_customer",
-    "spend_deciles",
+    # §2.10's running-total/deciles variants are verified locally;
+    # their slots carry the round-5 governance and time-series
+    # diagnostics flagships so the DRIVER artifact has one green row
+    # per major family.
+    "k_anonymity_audit",
+    "mann_kendall_daily",
     "tumbling_window_counts",
     "sessionize_events",
     "multimodal_features",
@@ -11600,7 +11604,9 @@ _PRIORITY = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "text_stats",
-    "lang_id_predict",
+    # lang_id_predict is verified locally; its slot carries the
+    # tokenizer-training flagship
+    "bpe_learn_merges",
     "tokenize_documents",
     "kmv_distinct_users",
     "training_data_pipeline",
