@@ -135,9 +135,18 @@ def main() -> None:
         # lang_confusion_matrix 0.7, spearman_value_props 1.5,
         # dup_rate_by_source 0.8, pmi_collocations_lang 2.1).
         # SPARK_GRAFT_BENCH_WARM=1 records the steady-state pass.
+        # Late round 5 also observed HOST-level speed drift: the same
+        # isolated warm query (minhash_lsh_candidates, sf0.1) measured
+        # 3.9-4.1 s early-session and 4.9-5.9 s after ~30 min of
+        # sustained 32-core benching, with catalog totals drifting
+        # 300 -> 363 -> 466 s across consecutive identical runs on an
+        # otherwise idle VM — compare totals only against a same-epoch
+        # re-run, never across hours.
         "notes": "per-query cold swings are first-execution codegen/JIT "
-                 "placement in the shared session; see source comment "
-                 "for round-5 isolated measurements",
+                 "placement in the shared session; whole-catalog totals "
+                 "also drift with host speed (same binary re-measured "
+                 "300/363/466 s back-to-back late round 5) — see source "
+                 "comments for isolated measurements",
     }
     if do_warm:
         detail["queries_warm"] = warm
