@@ -1009,8 +1009,13 @@ def mann_kendall(
         .otherwise(F.lit(0.0))
     )
     return (
-        n.join(s, key_col)
+        # LEFT join: a single-point series produces no pair rows, but
+        # the key must still be REPORTED (n=1, S=0, no trend) — a
+        # silent drop reads as "no data" where the truth is
+        # "insufficient data"
+        n.join(s, key_col, "left")
         .join(ties, key_col)
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
         .select(
             F.col(key_col),
             "n",

@@ -10092,12 +10092,43 @@ def zipf_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(d, "text", "lang", top_k=500)
 
 
-_KANON_ORACLE = """
-WITH qi AS (
+def _qi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance audits' shared quasi-identifier frame: order
+    fact joined to the broadcast customer dim, projected to the QI
+    columns plus the sensitive status — ONE definition, so the
+    k-anonymity and l-diversity readouts always grade the same
+    classes (mirrors ``_QI_BASE_SQL``)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+# One definition of the quasi-identifier per engine: the two
+# governance audits (k-anonymity, l-diversity) MUST grade the same
+# classes or their readouts are incomparable.
+_QI_BASE_SQL = """
     SELECT c.c_nationkey, c.c_mktsegment,
            year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
-           o.o_orderpriority, count(*) AS k
+           o.o_orderpriority, o.o_orderstatus
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+    SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,
+           count(*) AS k
+    FROM ({_QI_BASE_SQL}) b0
     GROUP BY 1, 2, 3, 4, 5
 ),
 b AS (
@@ -10143,17 +10174,8 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row cross-joined aggregate would recompute the QI leg, i.e.
     scan the fact twice).
     """
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        "o_orderpriority",
-    )
-    c = read_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
-    )
     qi = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        _qi_base(spark, sf_dir)
         .groupBy("c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("k"))
     )
@@ -10361,6 +10383,16 @@ _DAILY_CENTS_SQL = """
     FROM events GROUP BY 1, 2
 """
 
+
+def _daily_cents(e: DataFrame) -> DataFrame:
+    """Per-(event_type, epoch day) exact cents totals — the shared
+    rollup the time-series diagnostics run on; mirrors
+    ``_DAILY_CENTS_SQL`` exactly (one definition per engine)."""
+    return e.groupBy(
+        "event_type",
+        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+
 _MK_ORACLE = f"""
 WITH daily AS ({_DAILY_CENTS_SQL}),
 s AS (
@@ -10378,11 +10410,13 @@ ties AS (
     GROUP BY 1
 ),
 j AS (
-    SELECT n.event_type, n.n, s.s_stat,
+    -- LEFT join + coalesce: single-point keys have no pair rows but
+    -- must be reported (n=1, S=0, no trend), mirroring the operator
+    SELECT n.event_type, n.n, coalesce(s.s_stat, 0) AS s_stat,
            (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1)
             * (2 * CAST(n.n AS DOUBLE) + 5)
             - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
-    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    FROM n LEFT JOIN s USING (event_type) JOIN ties USING (event_type)
 ),
 z AS (
     SELECT *,
@@ -10418,17 +10452,7 @@ def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; a year is ~66k — still nothing), key-partitioned.
     """
     e = read_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type",
-            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-        )
-        .agg(
-            F.sum(
-                F.round(F.col("value") * 100, 0).cast("long")
-            ).alias("v")
-        )
-    )
+    daily = _daily_cents(e)
     return stats.mann_kendall(daily, "event_type", "d", "v")
 
 
@@ -10490,17 +10514,7 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan), and the pick is a row_number-over-(score, day) filter.
     """
     e = read_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type",
-            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-        )
-        .agg(
-            F.sum(
-                F.round(F.col("value") * 100, 0).cast("long")
-            ).alias("v")
-        )
-    )
+    daily = _daily_cents(e)
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
@@ -11212,28 +11226,16 @@ def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, t+lag) — |types|·|days|·7 rows, never the fact.
     """
     e = read_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type",
-            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-        )
-        .agg(
-            F.sum(
-                F.round(F.col("value") * 100, 0).cast("long")
-            ).alias("v")
-        )
-    )
+    daily = _daily_cents(e)
     return timeseries.acf_by_key(daily, "event_type", "d", "v", max_lag=7)
 
 
-_LDIV_ORACLE = """
+_LDIV_ORACLE = f"""
 WITH cls AS (
-    SELECT c.c_nationkey, c.c_mktsegment,
-           year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo,
-           o.o_orderpriority,
+    SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,
            count(*) AS k,
-           count(DISTINCT o.o_orderstatus) AS l
-    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           count(DISTINCT o_orderstatus) AS l
+    FROM ({_QI_BASE_SQL}) b0
     GROUP BY 1, 2, 3, 4, 5
 ),
 agg AS (
@@ -11265,18 +11267,8 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact grouped aggregate, no expansion), then a re-aggregate
     over |QI classes| rows.
     """
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        "o_orderpriority",
-        "o_orderstatus",
-    )
-    c = read_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
-    )
     cls = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        _qi_base(spark, sf_dir)
         .groupBy("c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("k"),

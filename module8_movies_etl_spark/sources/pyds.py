@@ -137,17 +137,16 @@ class ManifestWriter(DataSourceWriter):
         import json
         import os
 
-        total = sum(m.n_rows for m in messages if m is not None)
-        checksum = sum(m.checksum for m in messages if m is not None) % (
-            1 << 60
-        )
+        done = [m for m in messages if m is not None]
+        total = sum(m.n_rows for m in done)
+        checksum = sum(m.checksum for m in done) % (1 << 60)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "manifest.json"), "w") as fh:
             json.dump(
                 {
                     "n_rows": total,
                     "checksum": checksum,
-                    "n_tasks": len(messages),
+                    "n_tasks": len(done),
                 },
                 fh,
             )

@@ -521,11 +521,23 @@ def run_kmv_multibatch_over_events(
             .partitionBy("_b")
             .parquet(tmp)
         )
+        n_written = 0
         for i in range(n_batches):
-            (part_file,) = glob.glob(
-                os.path.join(tmp, f"_b={i}", "part-*.parquet")
+            found = glob.glob(os.path.join(tmp, f"_b={i}", "part-*.parquet"))
+            if not found:
+                # an empty time range (ceil-sized trailing bucket, or a
+                # day gap) writes no directory — skip it; the surviving
+                # files keep their time order under the renumbering
+                continue
+            (part_file,) = found
+            shutil.move(
+                part_file, os.path.join(scratch, f"b{n_written:02d}.parquet")
             )
-            shutil.move(part_file, os.path.join(scratch, f"b{i:02d}.parquet"))
+            n_written += 1
+        if n_written == 0:
+            raise ValueError(
+                "run_kmv_multibatch_over_events: no events to replay"
+            )
         stream = (
             spark.readStream.schema(
                 "event_type string, ts timestamp, user_id long"

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def scoped_shuffle_partitions(spark: SparkSession, n: int = 32):
+def scoped_shuffle_partitions(spark: SparkSession, n: int = 16):
     """Scope ``spark.sql.shuffle.partitions`` around a streaming run.
 
     Stateful streams commit one state-store partition per shuffle
@@ -380,14 +380,12 @@ def run_interval_join_over_events(
         .alias("delta_us"),
     )
     sink = f"stream_ij_{next(_HOP_SEQ)}"
-    # 16, not the package-wide 32: a stream-stream join commits FOUR
-    # state stores per shuffle partition per micro-batch (keyed +
-    # key-with-index on each side), so partition count multiplies
-    # commit overhead twice over. Measured on the sf0.1 replay
-    # (leftOuter, warm session): 32 → 15.6 s, 16 → 12.0 s, 8 → 12.3 s
-    # — 16 keeps half the parallelism for the data while shedding the
-    # per-store fixed cost. Production sizes this to input rate; the
-    # replay's bound is store commits, not rows.
+    # A stream-stream join commits FOUR state stores per shuffle
+    # partition per micro-batch (keyed + key-with-index on each
+    # side), so partition count multiplies commit overhead twice
+    # over. Measured on the sf0.1 replay (leftOuter, warm session):
+    # 32 partitions → 15.6 s, 16 → 12.0 s, 8 → 12.3 s — hence the
+    # package-wide 16 (see scoped_shuffle_partitions).
     with scoped_shuffle_partitions(spark, 16):
         run_to_memory(joined, sink, output_mode="append")
     # The sentinels can never emit (their horizons stay past the final

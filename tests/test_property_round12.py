@@ -54,9 +54,11 @@ def _py_mann_kendall(vals):
     return n, s, round(var, 6), round(z, 6)
 
 
-@given(vals=SERIES)
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40))
 @settings(**SETTINGS)
 def test_mann_kendall_matches_bruteforce(spark, vals):
+    # min_size=1: a single-point series must be REPORTED (n=1, S=0,
+    # no trend), not silently dropped by the pair join
     df = spark.createDataFrame(_rows(vals), ["k", "o", "v"])
     (row,) = stats.mann_kendall(df, "k", "o", "v").collect()
     n, s, var, z = _py_mann_kendall(vals)
