@@ -868,36 +868,62 @@ def _bpe_rounds(spark, seg, n_merges: int, snapshot):
         a, b, score = best[0]["l"], best[0]["r"], int(best[0]["score"])
         merged = a + b
         merges.append((rank, a, b, merged, score))
-        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
         seg = snapshot(
             seg.select(
-                "w",
-                "n",
-                F.aggregate(
-                    "syms",
-                    F.struct(
-                        F.array().cast("array<string>").alias("out"),
-                        F.lit(None).cast("string").alias("pend"),
-                    ),
-                    lambda acc, s: F.when(
-                        (acc["pend"] == la) & (s == lb),
-                        F.struct(
-                            F.concat(acc["out"], F.array(lm)).alias("out"),
-                            F.lit(None).cast("string").alias("pend"),
-                        ),
-                    ).otherwise(
-                        F.struct(
-                            F.when(acc["pend"].isNull(), acc["out"])
-                            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
-                            .alias("out"),
-                            s.alias("pend"),
-                        )
-                    ),
-                    lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
-                        F.concat(acc["out"], F.array(acc["pend"]))
-                    ),
-                ).alias("syms"),
+                "w", "n", apply_bpe_merge(F.col("syms"), a, b).alias("syms")
             ),
             prefix="bpe_seg_",
         )
     return merges
+
+
+def apply_bpe_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE merge rule (a, b) → a+b to a symbol-array column:
+    left-to-right, non-overlapping — the classic BPE replacement pass
+    as an in-plan ``F.aggregate`` fold (accumulator = emitted symbols
+    + one pending symbol). Shared by the learning loop and the
+    corpus-wide application, and mirrored step-for-step by the Python
+    replay (``bpe_merges_py`` / ``bpe_segment_py``)."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            (acc["pend"] == la) & (s == lb),
+            F.struct(
+                F.concat(acc["out"], F.array(lm)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["pend"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                .alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def bpe_segment_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python twin of chaining ``apply_bpe_merge`` over the merge
+    list — used by the compression oracle and the property tests."""
+    syms = list(word)
+    for a, b in merges:
+        res: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms

@@ -10985,6 +10985,122 @@ FROM (VALUES {rows}) AS t(rank, lhs, rhs, merged, score)
 """
 
 
+def _bpe_compress_oracle(
+    sf_dir: str = "/root/testdata/sf0.01",
+    top_words: int = 200,
+    n_merges: int = 8,
+) -> str | None:
+    """Replays the corpus-wide merge application in Python: merges
+    from the shared learner over the top-``top_words`` vocabulary,
+    then ``text.bpe_segment_py`` over EVERY (lang, word) with
+    multiplicity — aggregated per language and embedded as VALUES
+    literals (the IVF/bpe_learn oracle pattern)."""
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return None
+    import duckdb
+
+    from ..operators.text import bpe_merges_py, bpe_segment_py
+
+    con = duckdb.connect()
+    base = f"""
+        SELECT lang, w, count(*) AS c FROM (
+            SELECT lang, unnest(regexp_split_to_array(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+            FROM '{sf_dir}/documents.parquet'
+        ) WHERE w <> '' GROUP BY lang, w
+    """
+    wf = con.execute(
+        f"SELECT w, CAST(sum(c) AS BIGINT) FROM ({base}) g "
+        f"GROUP BY w ORDER BY 2 DESC, w LIMIT {int(top_words)}"
+    ).fetchall()
+    merges = [
+        (a, b)
+        for _, a, b, _, _ in bpe_merges_py(
+            [(w, n) for w, n in wf], n_merges=n_merges
+        )
+    ]
+    agg: dict[str, list[int]] = {}
+    for lang, w, c in con.execute(base).fetchall():
+        before = len(w)
+        after = len(bpe_segment_py(w, merges))
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += before * c
+        a[2] += after * c
+    if not agg:
+        return "SELECT 1 AS lang WHERE FALSE"
+
+    # ratio is rounded by DuckDB (SQL half-away semantics, matching
+    # Spark's F.round) — a Python round() here would be banker's
+    rows = ",\n".join(
+        f"('{lang}', {n}, {sb}, {sa})"
+        for lang, (n, sb, sa) in sorted(agg.items())
+    )
+    return f"""
+SELECT lang, CAST(n_word_types AS BIGINT) AS n_word_types,
+       CAST(syms_before AS BIGINT) AS syms_before,
+       CAST(syms_after AS BIGINT) AS syms_after,
+       round(CAST(syms_after AS DOUBLE) / syms_before, 6) AS ratio
+FROM (VALUES {rows}) AS t(lang, n_word_types, syms_before, syms_after)
+"""
+
+
+@query("bpe_compression_by_lang", _bpe_compress_oracle())
+def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[tokenizer training, beyond-ref §2.13 — the APPLICATION half of
+    ``bpe_learn_merges``] The 8 learned merges applied to the WHOLE
+    vocabulary (every (lang, word) with multiplicity, not just the
+    training slice), reporting per-language symbol counts before and
+    after and the compression ratio — the readout that tells you
+    whose text a tokenizer trained on this corpus will serve well and
+    whose it will fragment.
+
+    Scale shape: learning is ``bpe_learn`` (vocab-grain aggregates,
+    8-row driver fetch); application chains the same in-plan fold
+    once per merge over the DISTINCT (lang, word) table — corpus size
+    enters only through the one word-count scan, and the folds run at
+    vocabulary grain with the counts as weights.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    merge_rows = text.bpe_learn(
+        d, "text", top_words=200, n_merges=8
+    ).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in merge_rows]
+    wc = (
+        d.select(
+            "lang", F.explode(text.tokens_array(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    syms = F.split(F.col("w"), "")
+    for a, b in merges:
+        syms = text.apply_bpe_merge(syms, a, b)
+    seg = wc.select(
+        "lang",
+        "c",
+        F.length("w").alias("_before"),
+        F.size(syms).alias("_after"),
+    )
+    return seg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum(F.col("_before").cast("long") * F.col("c")).alias(
+            "syms_before"
+        ),
+        F.sum(F.col("_after").cast("long") * F.col("c")).alias("syms_after"),
+        F.round(
+            F.sum(F.col("_after").cast("long") * F.col("c")).cast("double")
+            / F.sum(F.col("_before").cast("long") * F.col("c")).cast(
+                "double"
+            ),
+            6,
+        ).alias("ratio"),
+    )
+
+
 @query("bpe_learn_merges", _bpe_oracle(n_merges=8))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[tokenizer training, beyond-ref §2.13 — the step between the

@@ -54,6 +54,12 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
         oracle = _bpe_oracle(sf_dir=sf_dir, n_merges=8)
+    if name == "bpe_compression_by_lang":
+        from module8_movies_etl_spark.plans.benchmark_queries import (
+            _bpe_compress_oracle,
+        )
+
+        oracle = _bpe_compress_oracle(sf_dir=sf_dir, n_merges=8)
     if name == "cosine_topk_pq":
         # PQ codebooks are likewise trained from the SF's own sample
         from module8_movies_etl_spark.plans.benchmark_queries import (
