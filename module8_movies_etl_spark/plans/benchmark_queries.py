@@ -10518,6 +10518,78 @@ def changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.best_changepoint(daily, "event_type", "d", "v")
 
 
+_CORRUPT_AUDIT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey
+                     ELSE 0 END) AS BIGINT) AS parsed_key_sum,
+       round(CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS corrupt_rate
+FROM orders
+"""
+
+
+@query("json_corrupt_audit", _CORRUPT_AUDIT_ORACLE)
+def json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sources / ingest QA, beyond-ref §2.1 (S1's error surface)] The
+    PERMISSIVE-mode dead-letter accounting every JSON ingest needs:
+    a JSONL copy of the orders table is written with every tenth
+    record deterministically malformed (closing brace dropped), read
+    back with ``columnNameOfCorruptRecord``, and the audit reports
+    line/corrupt/parsed counts, an exact key checksum over the
+    PARSED rows, and the corrupt rate — proving bad records quarantine
+    into the corrupt column instead of failing the job (FAILFAST) or
+    vanishing (DROPMALFORMED), and that they never contaminate the
+    parsed aggregates.
+
+    Scale shape: the corrupt column is populated per-record at parse
+    time — the audit is one aggregate over the scan; at 100 TB the
+    same query IS the ingest health dashboard (quarantined rows
+    re-routed by a filter on the corrupt column).
+    """
+    import os
+
+    from ..sources.scratch import mkscratch, register
+
+    scratch = mkscratch("json_corrupt_")
+    register(scratch)
+    path = os.path.join(scratch, "lines")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    js = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    line = F.when(
+        F.pmod(F.col("o_orderkey"), F.lit(10)) == 0,
+        F.substring(js, 1, F.length(js) - F.lit(1)),
+    ).otherwise(js)
+    o.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        path
+    )
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    is_corrupt = F.col("_corrupt").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(is_corrupt.cast("long")).alias("n_corrupt"),
+        F.sum((~is_corrupt).cast("long")).alias("n_parsed"),
+        F.sum(
+            F.when(~is_corrupt, F.col("o_orderkey")).otherwise(0)
+        ).alias("parsed_key_sum"),
+        F.round(
+            F.sum(is_corrupt.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("corrupt_rate"),
+    )
+
+
 _SCHEMA_EVO_ORACLE = """
 SELECT CAST(o_orderkey % 2 AS INTEGER) AS era,
        CAST(count(*) AS BIGINT) AS n_rows,
