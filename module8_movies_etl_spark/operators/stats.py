@@ -524,11 +524,19 @@ def mannwhitney_u(
     are exact integers (the ``spearman_by_key`` trick), so the rank
     sum, U, and the tie-correction term Σ(t³−t) all accumulate
     exactly; the normal-approximation z (tie-corrected variance)
-    is then one identical double expression per engine. Shape: ranks
-    need one global-order window — run over the combined sample
-    directly when it fits, or reduce to (value, group) counts first
-    like the KS operator when the value domain is bounded; here the
-    two-group filter is the reduction. One shuffle, two aggregates.
+    is then one identical double expression per engine.
+
+    Scale shape — the KS reduction (``ks_two_sample`` above): the
+    raw rows reduce to one (value, count_a, count_b) row per DISTINCT
+    value first, and the doubled average rank is pure count
+    arithmetic over that grain — for value v with t_v total ties and
+    cum(<v) rows strictly below, r2(v) = 2·cum(<v) + t_v + 1, and the
+    rank sum of group a is Σ count_a(v)·r2(v)/2. The single-partition
+    global-order window therefore walks the bounded value DOMAIN
+    (e.g. 2-decimal telemetry: ≤ range×100 rows), never the 100 TB of
+    observations; tie correction falls out of the same grain. One
+    shuffle (the value-grain groupBy), one bounded window, one
+    aggregate.
 
     Returns one row (n_a, n_b, u_a, z_score).
     """
@@ -538,28 +546,31 @@ def mannwhitney_u(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         v.alias("_v"), F.col(group_col).alias("_g")
     )
-    w = Window.orderBy("_v")
-    cv = Window.partitionBy("_v")
-    r2 = (F.rank().over(w) * 2 + F.count(F.lit(1)).over(cv) - 1).cast(
-        "decimal(18,0)"
+    counts = base.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
     )
-    ranked = base.select("_g", "_v", r2.alias("_r2"))
-    ties = (
-        ranked.groupBy("_v")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .agg(
-            F.sum(
-                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-            ).alias("_tie3")
-        )
+    wlt = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("_g") == group_a, F.lit(1)).otherwise(F.lit(0)))
-        .alias("na"),
-        F.sum(F.when(F.col("_g") == group_b, F.lit(1)).otherwise(F.lit(0)))
-        .alias("nb"),
-        F.sum(F.when(F.col("_g") == group_a, F.col("_r2"))).alias("sr2a"),
-    ).crossJoin(F.broadcast(ties))
+    t = F.col("_ca") + F.col("_cb")
+    cum_lt = F.coalesce(F.sum(t).over(wlt), F.lit(0).cast("long"))
+    # Doubled average rank of value v — exact integer; the per-value
+    # contribution count_a(v)·r2(v) accumulates in DECIMAL(38,0) so
+    # the sum is order-independent and overflow-free.
+    r2 = (cum_lt * 2 + t + 1).cast("decimal(38,0)")
+    staged = counts.select(
+        "_ca",
+        "_cb",
+        (F.col("_ca").cast("decimal(38,0)") * r2).alias("_r2a"),
+        (t * t * t - t).alias("_t3"),
+    )
+    agg = staged.agg(
+        F.sum("_ca").alias("na"),
+        F.sum("_cb").alias("nb"),
+        F.sum("_r2a").alias("sr2a"),
+        F.sum("_t3").alias("_tie3"),
+    )
     na = F.col("na").cast("double")
     nb = F.col("nb").cast("double")
     n = na + nb

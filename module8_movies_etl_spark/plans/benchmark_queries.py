@@ -9615,8 +9615,17 @@ def customer360_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
+    # Blocking contract: a NULL quasi-identifier blocks with NOTHING
+    # (the oracle's equality join never matches NULLs; concat_ws
+    # would silently map NULL→'' and let two NULL-nation customers
+    # block-match). Explicit filter, not data-dependent luck — the
+    # dropped rows still surface as singletons via CC's full-id
+    # universe.
+    blockable = c.filter(
+        F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
     pairs = curation.fuzzy_name_matches(
-        c, "c_custkey", "c_name",
+        blockable, "c_custkey", "c_name",
         block_col=F.concat_ws(
             "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
         ),
@@ -10747,7 +10756,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RATIO_DELTA_ORACLE = """
 WITH u AS (
-    SELECT user_id % 2 AS arm,
+    SELECT ((user_id % 2) + 2) % 2 AS arm,
            count(DISTINCT CAST(ts AS DATE)) AS x,
            sum(CAST(round(value * 100) AS BIGINT)) AS y
     FROM events GROUP BY user_id
@@ -10894,7 +10903,7 @@ def ratio_metric_delta_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRM_ORACLE = """
 WITH arms AS (
-    SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n
+    SELECT ((user_id % 2) + 2) % 2 AS arm, count(DISTINCT user_id) AS n
     FROM events GROUP BY 1
 ),
 s1 AS (
@@ -11256,7 +11265,7 @@ def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[tokenizer training, beyond-ref §2.13 — the step between the
     BPE-regex pre-token accounting and ``tokenize_documents``] Learns
-    the first 12 BPE merges over the corpus's top-200 words: word
+    the first 8 BPE merges over the corpus's top-200 words: word
     frequencies from one corpus scan, then per round ONE vocab-grain
     aggregate scores every adjacent symbol pair (freq-weighted,
     overlapping positions) and only the argmax row is fetched — the
@@ -11305,7 +11314,7 @@ th AS (
     FROM mom
 ),
 arm AS (
-    SELECT user_id % 2 AS arm, count(*) AS n_arm,
+    SELECT ((user_id % 2) + 2) % 2 AS arm, count(*) AS n_arm,
            sum(x) AS sxa, sum(y) AS sya
     FROM u GROUP BY 1
 )
@@ -11458,11 +11467,11 @@ a AS (
     FROM daily
 ),
 den AS (
-    SELECT event_type, sum(y * y) AS den, count(*) AS n
+    SELECT event_type, sum(CAST(y AS HUGEINT) * y) AS den, count(*) AS n
     FROM a GROUP BY 1
 ),
 num AS (
-    SELECT a.event_type, l.lag, sum(a.y * b.y) AS num
+    SELECT a.event_type, l.lag, sum(CAST(a.y AS HUGEINT) * b.y) AS num
     FROM a
     CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
     JOIN a b ON b.event_type = a.event_type AND b.t = a.t + l.lag

@@ -212,6 +212,12 @@ def interval_join_streams(
 
 _HOP_SEQ = itertools.count()
 
+# No-drop watermark delay (hours) shared by the finite-replay
+# stream-stream interval joins: large enough that no real event in
+# the test tables' time span is ever dropped, and the single source
+# of truth for the outer-join sentinel horizon derivation below.
+_IJ_WATERMARK_HOURS = 240
+
 
 def run_hopping_over_events(
     spark: SparkSession,
@@ -343,8 +349,18 @@ def run_interval_join_over_events(
         # so it can never join or match), pushes the final watermark
         # past every REAL horizon; the sentinels' own horizons stay
         # unreached, so they never emit. (1-row bounded driver fetch.)
+        # Derive the sentinel horizon from the join parameters: the
+        # last REAL left row's eviction point is max_ts + upper_s, and
+        # the watermark lags the observed maximum by the no-drop delay
+        # D (the "240 hours" passed to interval_join_streams below).
+        # A sentinel at max_ts + D + upper_s + 1s advances the final
+        # watermark to max_ts + upper_s + 1s — strictly past every
+        # real horizon — for ANY upper_s, where a fixed "+241h" pad
+        # only covered upper_s < 3600.
         max_ts = base.agg(F.max("ts")).collect()[0][0]
-        sentinel_ts = max_ts + timedelta(hours=241)
+        sentinel_ts = max_ts + timedelta(
+            hours=_IJ_WATERMARK_HOURS, seconds=upper_s + 1
+        )
     sides = {}
     for side, etype, skey in (
         ("l", left_type, -1),
@@ -371,7 +387,7 @@ def run_interval_join_over_events(
     )
     joined = interval_join_streams(
         left, right, "user_id", "l_ts", "r_ts", lower_s, upper_s,
-        watermark="240 hours", how=how,
+        watermark=f"{_IJ_WATERMARK_HOURS} hours", how=how,
     ).select(
         F.col("l.l_id").alias("click_id"),
         F.col("r.r_id").alias("purchase_id"),
