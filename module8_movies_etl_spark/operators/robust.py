@@ -66,6 +66,7 @@ def quantile_buckets(
     tie_col: str,
     n: int = 10,
     out_col: str = "bucket",
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Assign each row an ``NTILE(n)`` bucket over a deterministic
     total order (``value_col`` desc, ``tie_col`` asc — the tie column
@@ -73,11 +74,24 @@ def quantile_buckets(
 
     NTILE is rank arithmetic, not value interpolation — floor-based
     group sizes per the SQL standard, identical across engines. The
-    global order is a single-axis sort; at scale the input to this is
-    an already-aggregated entity table (customers, domains), orders of
-    magnitude smaller than the fact table that produced it, so the one
-    range-partitioned sort is bounded.
+    global order is a single-axis sort; its safety argument is that
+    the input is an already-aggregated ENTITY table (customers,
+    domains), orders of magnitude smaller than the fact table that
+    produced it — and that precondition is ENFORCED, not assumed: a
+    short-circuiting ``limit(max_rows+1).count()`` probe (LocalLimit
+    stops the scan, never a full count) raises when a fact-grain
+    table leaks in, instead of silently moving 100 TB through one
+    partition. Callers with a genuinely large pre-sorted entity space
+    must raise ``max_rows`` explicitly and own the sort cost.
     """
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"quantile_buckets: input exceeds max_rows={max_rows}; "
+            "the global-order NTILE window would single-partition "
+            "sort it. Pre-aggregate to entity grain or raise "
+            "max_rows explicitly."
+        )
     w = Window.orderBy(F.desc(value_col), F.asc(tie_col))
     return df.withColumn(out_col, F.ntile(n).over(w).cast("long"))
 

@@ -441,6 +441,32 @@ def spearman_by_key(
     )
 
 
+def _assert_bounded_value_domain(
+    base: DataFrame, op_name: str, max_values: int
+) -> None:
+    """Enforce — not assume — the "bounded value domain" precondition
+    behind the rank-statistic operators' single-partition ECDF/rank
+    windows (the ``mad_outlier_counts`` guard pattern, stats.py:121):
+    one ``approx_count_distinct`` pass over the already-filtered
+    two-group subset raises with a diagnostic when the distinct-value
+    cardinality exceeds ``max_values``, instead of silently range-
+    sorting an unbounded domain through one partition. HLL error
+    (~2%) is fine for a safety rail; callers with a genuinely huge
+    discrete domain should quantize (round/bucket) the value first —
+    which is also what makes the test statistic meaningful there."""
+    n_vals = base.agg(
+        F.approx_count_distinct("_v").alias("n")
+    ).collect()[0]["n"]
+    if n_vals > max_values:
+        raise ValueError(
+            f"{op_name}: ~{n_vals} distinct values exceeds "
+            f"max_values={max_values}; the value-domain window would "
+            "single-partition sort an unbounded domain. Quantize the "
+            "value column (round/bucket) or raise max_values "
+            "explicitly."
+        )
+
+
 def ks_two_sample(
     df: DataFrame,
     group_col: str,
@@ -448,6 +474,7 @@ def ks_two_sample(
     group_a: str,
     group_b: str,
     alpha_c: float = 1.358,
+    max_values: int = 2_000_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test between two groups' value
     distributions: D = sup |ECDF_a - ECDF_b| — the continuous
@@ -473,6 +500,7 @@ def ks_two_sample(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         v.alias("_v"), F.col(group_col).alias("_g")
     )
+    _assert_bounded_value_domain(base, "ks_two_sample", max_values)
     counts = base.groupBy("_v").agg(
         F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
         F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
@@ -514,6 +542,7 @@ def mannwhitney_u(
     value_col: str,
     group_a: str,
     group_b: str,
+    max_values: int = 2_000_000,
 ) -> DataFrame:
     """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: does group
     a's value distribution sit HIGHER than group b's — the rank-based
@@ -546,6 +575,7 @@ def mannwhitney_u(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         v.alias("_v"), F.col(group_col).alias("_g")
     )
+    _assert_bounded_value_domain(base, "mannwhitney_u", max_values)
     counts = base.groupBy("_v").agg(
         F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
         F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),

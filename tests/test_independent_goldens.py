@@ -1,0 +1,166 @@
+"""Independently-derived goldens for the replay-seeded families, plus
+the precondition guards on the bounded global-order windows.
+
+The catalog verifies BPE and k-means by replaying the SAME Python
+routine (``text.bpe_merges_py`` / centroid literals) inside the DuckDB
+oracle — parity, not independence: a bug shared by the Spark loop and
+the Python routine would pass (exactly how the round-4 histogram-
+quantile defect survived until audited). These tests close that hole
+with goldens derived OUTSIDE both implementations:
+
+- BPE: the textbook Sennrich (2016, §3) corpus {low:5, lower:2,
+  newest:6, widest:3}, adapted to this package's documented semantics
+  (no end-of-word marker, overlapping pair counts, ties to the lowest
+  (lhs, rhs) pair). The 8-merge sequence below was computed BY HAND
+  from those rules — every round's pair-score table written out on
+  paper — and is embedded as a literal, never produced by the code
+  under test.
+- k-means: 12 points in two well-separated planar clusters, k=2,
+  n_rounds=2. Seed order (smallest md5(str(id))) comes from hashlib,
+  the centroid update from hand integer arithmetic: sum=1000, n=6 →
+  (2·1000+6)//12 = 167 and sum=601000, n=6 → 100167, so the final
+  centroids are (167,167) and (100167,100167) and every expected
+  dist_q below is a hand-squared literal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.operators import clustering, robust, stats, text
+
+# Hand-computed merge table for {low:5, lower:2, newest:6, widest:3}
+# under no-marker/overlapping/lowest-pair-tie semantics:
+#   round 1: (e,s)=9 ties (s,t)=9 -> lowest pair 'e','s'
+#   round 2: (es,t)=9
+#   round 3: (l,o)=7 ties (o,w)=7 -> 'l','o'
+#   round 4: (lo,w)=7
+#   round 5: (n,e)=(e,w)=(w,est)=6 -> 'e','w'
+#   round 6: (ew,est)=6 ties (n,ew)=6 -> 'ew','est' ('ew' < 'n')
+#   round 7: (n,ewest)=6
+#   round 8: (d,est)=(i,d)=(w,i)=3 -> 'd','est'
+SENNRICH_FREQS = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+SENNRICH_MERGES = [
+    (1, "e", "s", "es", 9),
+    (2, "es", "t", "est", 9),
+    (3, "l", "o", "lo", 7),
+    (4, "lo", "w", "low", 7),
+    (5, "e", "w", "ew", 6),
+    (6, "ew", "est", "ewest", 6),
+    (7, "n", "ewest", "newest", 6),
+    (8, "d", "est", "dest", 3),
+]
+
+
+def test_bpe_python_replay_matches_sennrich_hand_golden():
+    assert text.bpe_merges_py(SENNRICH_FREQS, n_merges=8) == SENNRICH_MERGES
+
+
+def test_bpe_spark_loop_matches_sennrich_hand_golden(spark):
+    rows = [(w,) for w, n in SENNRICH_FREQS for _ in range(n)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["score"])
+        for r in text.bpe_learn(df, "text", top_words=10, n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == SENNRICH_MERGES
+
+
+def test_bpe_segment_matches_hand_golden():
+    merges = [(a, b) for _, a, b, _, _ in SENNRICH_MERGES]
+    assert text.bpe_segment_py("newest", merges) == ["newest"]
+    assert text.bpe_segment_py("lowest", merges) == ["low", "est"]
+    assert text.bpe_segment_py("slower", merges) == ["s", "low", "e", "r"]
+    assert text.bpe_segment_py("wildest", merges) == ["w", "i", "l", "dest"]
+
+
+# --------------------------------------------------------------- k-means
+
+# ids 1-6 cluster near the origin, 7-12 near (10, 10); quantization is
+# round(x * 10^4).
+KMEANS_POINTS = {
+    1: (0.0, 0.0),
+    2: (0.1, 0.0),
+    3: (0.0, 0.1),
+    4: (0.1, 0.1),
+    5: (-0.1, 0.0),
+    6: (0.0, -0.1),
+    7: (10.0, 10.0),
+    8: (10.1, 10.0),
+    9: (10.0, 10.1),
+    10: (9.9, 10.0),
+    11: (10.0, 9.9),
+    12: (10.1, 10.1),
+}
+# Final centroids by hand: (167, 167) and (100167, 100167); per-point
+# squared distances are literal integer arithmetic.
+KMEANS_EXPECTED = {
+    1: (0, 167**2 * 2),                    # 55778
+    2: (0, 833**2 + 167**2),               # 721778
+    3: (0, 167**2 + 833**2),
+    4: (0, 833**2 * 2),                    # 1387778
+    5: (0, 1167**2 + 167**2),              # 1389778
+    6: (0, 167**2 + 1167**2),
+    7: (1, 167**2 * 2),
+    8: (1, 833**2 + 167**2),
+    9: (1, 167**2 + 833**2),
+    10: (1, 1167**2 + 167**2),
+    11: (1, 167**2 + 1167**2),
+    12: (1, 833**2 * 2),
+}
+
+
+def test_kmeans_seed_order_assumption():
+    # The hand derivation assumes the two smallest-md5 ids are 6 (a
+    # cluster-A point, seed index 0) and 9 (cluster-B, seed index 1);
+    # pin that with hashlib so a fixture edit can't silently invalidate
+    # the golden.
+    order = sorted(
+        KMEANS_POINTS, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    assert order[:2] == [6, 9]
+
+
+def test_kmeans_matches_hand_golden(spark):
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in KMEANS_POINTS.items()],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in clustering.kmeans_assign(df, k=2, n_rounds=2).collect()
+    }
+    assert got == KMEANS_EXPECTED
+
+
+# ------------------------------------------------- precondition guards
+
+
+def test_quantile_buckets_guard_raises_on_fact_grain(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        robust.quantile_buckets(df, "v", "k", n=4, max_rows=10)
+    out = robust.quantile_buckets(df, "v", "k", n=5, max_rows=50)
+    assert out.count() == 50
+
+
+def test_rank_stat_guards_raise_on_unbounded_value_domain(spark):
+    df = spark.range(500).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("g"),
+        (F.col("id").cast("double") / 7.0).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_values"):
+        stats.mannwhitney_u(df, "g", "v", "a", "b", max_values=100)
+    with pytest.raises(ValueError, match="max_values"):
+        stats.ks_two_sample(df, "g", "v", "a", "b", max_values=100)
+    # under the bound both still compute
+    assert stats.mannwhitney_u(df, "g", "v", "a", "b").count() == 1
+    assert stats.ks_two_sample(df, "g", "v", "a", "b").count() == 1
