@@ -218,6 +218,9 @@ _HOP_SEQ = itertools.count()
 # of truth for the outer-join sentinel horizon derivation below.
 _IJ_WATERMARK_HOURS = 240
 
+# (sf_dir, left_type, right_type, upper_s) -> {side: (scratch, schema)}
+_IJ_SCRATCH_CACHE: dict = {}
+
 
 def run_hopping_over_events(
     spark: SparkSession,
@@ -338,45 +341,60 @@ def run_interval_join_over_events(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    sentinel_ts = None
-    if how != "inner":
-        # Outer emission happens at state EVICTION: a left row's NULL
-        # completion surfaces only once the global watermark (min over
-        # both sides) passes ts + upper_s. Finite replay under a
-        # no-drop delay D leaves every row in the last D+upper_s of
-        # event time un-evicted — "no match YET" forever. One sentinel
-        # row per side, D + 1h past the real maximum (negative keys,
-        # so it can never join or match), pushes the final watermark
-        # past every REAL horizon; the sentinels' own horizons stay
-        # unreached, so they never emit. (1-row bounded driver fetch.)
-        # Derive the sentinel horizon from the join parameters: the
-        # last REAL left row's eviction point is max_ts + upper_s, and
-        # the watermark lags the observed maximum by the no-drop delay
-        # D (the "240 hours" passed to interval_join_streams below).
-        # A sentinel at max_ts + D + upper_s + 1s advances the final
-        # watermark to max_ts + upper_s + 1s — strictly past every
-        # real horizon — for ANY upper_s, where a fixed "+241h" pad
-        # only covered upper_s < 3600.
+    # One scratch pair per (dir, types, bounds) PER PROCESS: the inner
+    # and leftOuter catalog entries consume identical side streams, so
+    # the second caller reuses the first's parquet scratches and skips
+    # the max_ts fetch + two writes (~2-4 s at sf0.1). Sentinels are
+    # written UNCONDITIONALLY to make the scratches mode-agnostic —
+    # under an inner join they are inert (negative user_ids, distinct
+    # per side, so the equality can never match), and the outer mode
+    # needs them:
+    # Outer emission happens at state EVICTION: a left row's NULL
+    # completion surfaces only once the global watermark (min over
+    # both sides) passes ts + upper_s. Finite replay under a
+    # no-drop delay D leaves every row in the last D+upper_s of
+    # event time un-evicted — "no match YET" forever. One sentinel
+    # row per side, past every real horizon (negative keys, so it
+    # can never join or match), pushes the final watermark past
+    # every REAL horizon; the sentinels' own horizons stay
+    # unreached, so they never emit. (1-row bounded driver fetch.)
+    # The horizon derives from the join parameters: the last REAL
+    # left row's eviction point is max_ts + upper_s, and the
+    # watermark lags the observed maximum by the no-drop delay D
+    # (_IJ_WATERMARK_HOURS, passed to interval_join_streams below).
+    # A sentinel at max_ts + D + upper_s + 1s advances the final
+    # watermark to max_ts + upper_s + 1s — strictly past every real
+    # horizon — for ANY upper_s, where a fixed "+241h" pad only
+    # covered upper_s < 3600.
+    cache_key = (sf_dir, left_type, right_type, upper_s)
+    entry = _IJ_SCRATCH_CACHE.get(cache_key)
+    if entry is None:
         max_ts = base.agg(F.max("ts")).collect()[0][0]
         sentinel_ts = max_ts + timedelta(
             hours=_IJ_WATERMARK_HOURS, seconds=upper_s + 1
         )
-    sides = {}
-    for side, etype, skey in (
-        ("l", left_type, -1),
-        ("r", right_type, -2),
-    ):
-        scratch = mkscratch(f"stream_ij_{side}_")
-        register(scratch)
-        part = base.filter(F.col("event_type") == etype).drop("event_type")
-        if sentinel_ts is not None:
+        entry = {}
+        for side, etype, skey in (
+            ("l", left_type, -1),
+            ("r", right_type, -2),
+        ):
+            scratch = mkscratch(f"stream_ij_{side}_")
+            register(scratch)
+            part = base.filter(
+                F.col("event_type") == etype
+            ).drop("event_type")
             part = part.unionByName(
                 spark.createDataFrame(
                     [(skey, skey, sentinel_ts)], part.schema
                 )
             )
-        part.coalesce(1).write.mode("overwrite").parquet(scratch)
-        sides[side] = read_event_stream(spark, scratch, schema=part.schema)
+            part.coalesce(1).write.mode("overwrite").parquet(scratch)
+            entry[side] = (scratch, part.schema)
+        _IJ_SCRATCH_CACHE[cache_key] = entry
+    sides = {
+        side: read_event_stream(spark, scratch, schema=schema)
+        for side, (scratch, schema) in entry.items()
+    }
     left = sides["l"].select(
         F.col("event_id").alias("l_id"), "user_id",
         F.col("ts").alias("l_ts"),

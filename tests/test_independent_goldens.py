@@ -164,3 +164,50 @@ def test_rank_stat_guards_raise_on_unbounded_value_domain(spark):
     # under the bound both still compute
     assert stats.mannwhitney_u(df, "g", "v", "a", "b").count() == 1
     assert stats.ks_two_sample(df, "g", "v", "a", "b").count() == 1
+
+
+# ------------------------------------------ SymSpell d=1 path equivalence
+
+
+def test_fuzzy_name_matches_d1_equals_quadratic_reference(spark):
+    """The SymSpell deletion-neighborhood path (max_distance=1) must
+    emit EXACTLY the pairs of the block-quadratic DP it replaces —
+    verified against an in-test reference built from a plain blocked
+    cross join + levenshtein, on names exercising substitution,
+    insertion, deletion, equal-name id pairs and the ab/ba false-
+    positive that the verify step must kill."""
+    from module8_movies_etl_spark.operators import curation
+
+    rows = [
+        (1, "cold widget"),
+        (2, "bold widget"),   # substitution
+        (3, "cold widgets"),  # insertion at end
+        (4, "old widget"),    # deletion at front of first token
+        (5, "cold widget"),   # duplicate spelling of id 1
+        (6, "ab widget"),
+        (7, "ba widget"),     # shares deletion keys with ab, distance 2
+        (8, "cold bolt"),     # other block
+    ]
+    df = spark.createDataFrame(rows, ["pid", "name"])
+    blk = F.regexp_extract("name", r"(\S+)$", 1)
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in curation.fuzzy_name_matches(
+            df, "pid", "name", block_col=blk, max_distance=1
+        ).collect()
+    }
+    side = df.select("pid", "name", blk.alias("b"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["d"]
+        for r in side.alias("x")
+        .join(side.alias("y"), "b")
+        .select(
+            F.col("x.pid").alias("id_a"),
+            F.col("y.pid").alias("id_b"),
+            F.levenshtein("x.name", "y.name").alias("d"),
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("d") <= 1))
+        .collect()
+    }
+    assert got == ref
+    assert (6, 7) not in got and (1, 5) in got
