@@ -620,21 +620,23 @@ def mannwhitney_u(
     )
 
 
-# Poisson(1) inverse-CDF thresholds as 15-hex-char literals: the
-# boundary P(X<=n)·2^60 for n = 0..3, rendered in the same domain as
+# Poisson(1) inverse-CDF thresholds as 7-hex-char literals: the
+# boundary P(X<=n)·2^28 for n = 0..3, rendered in the same domain as
 # the md5 substring itself. For fixed-width lowercase hex,
-# LEXICOGRAPHIC order IS numeric order, so ``substr(md5, 1, 15) <
-# threshold`` classifies the draw with ONE string compare — no
-# hex→decimal conversion in the 15M-row hot path (``conv`` measured
-# +2.4 s at sf0.1 inside the fan-out stage). Counts beyond 4 are
-# truncated to 4 (P ≈ 0.37% of rows, bias negligible against
+# LEXICOGRAPHIC order IS numeric order, so ``substr(md5(id#chunk),
+# 7·slot+1, 7) < threshold`` classifies the draw with ONE string
+# compare — no hex→decimal conversion in the 15M-draw hot path
+# (``conv`` measured +2.4 s at sf0.1 inside the fan-out stage). 28
+# bits per draw lets ONE digest feed 4 replicates (see
+# ``bootstrap_mean_ci``), quartering the md5 count. Counts beyond 4
+# are truncated to 4 (P ≈ 0.37% of rows, bias negligible against
 # bootstrap noise; the truncation is part of the pinned definition,
 # not an approximation the oracle can disagree with).
 _POISSON1_HEX = (
-    "5e2d58d8b3bce00",  # P(0) = 1/e
-    "bc5ab1b16779c00",  # P(<=1)
-    "eb715e1dc158300",  # P(<=2)
-    "fb23979734a2500",  # P(<=3)
+    "5e2d58d",  # P(0) = 1/e
+    "bc5ab1b",  # P(<=1)
+    "eb715e1",  # P(<=2)
+    "fb23979",  # P(<=3)
 )
 
 
@@ -653,9 +655,10 @@ def bootstrap_mean_ci(
     in one distributed pass: instead of drawing n rows with
     replacement (which needs global coordination), each row enters
     replicate b with an independent Poisson(1) multiplicity, derived
-    HERE from md5(id, b) → U(0,1) → inverse CDF, so the "randomness"
-    is deterministic, partition-invariant, and replayable in any
-    engine with md5.
+    HERE from a 28-bit slice of md5(id, b//4) → U(0,1) → inverse CDF
+    (four replicate draws per digest), so the "randomness" is
+    deterministic, partition-invariant, and replayable in any engine
+    with md5.
 
     Per (key, replicate): mean_b = Σ w·x / Σ w with the numerator in
     DECIMAL (w is a small int, so w·x is exact) — order-independent
@@ -670,18 +673,27 @@ def bootstrap_mean_ci(
 
     Returns (key, n_rows, mean_full, ci_lo, ci_hi).
     """
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_bi")
-    h = F.substring(
-        F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.col("_bi"))),
-        1,
-        15,
-    )
+    # ONE md5 per (row, chunk-of-4-replicates): the digest has 32 hex
+    # chars, each replicate draw needs only 28 bits of uniformity, so
+    # four 7-hex slices per digest cut the dominant cost — the string
+    # build + md5 — 4×. Measured at sf0.1 (15M draws, isolated warm):
+    # 9.1 s per-replicate md5 → 3.3 s chunked. The draw for replicate
+    # b = 4·chunk + slot is substr(md5(id#chunk), 7·slot+1, 7);
+    # fixed-width lowercase hex compares numerically as a string, so
+    # the inverse CDF stays a 4-way when-chain against 7-hex literals
+    # (28-bit thresholds — the scheme IS the pinned definition, and
+    # the oracle replays it digest-for-digest; conv() to integers
+    # measured +2.4 s, rejected).
+    n_chunks = (n_replicates + 3) // 4
+    ck = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("_ci")
+    sl = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_si")
+    hs = F.substring(F.col("_h"), F.col("_si") * 7 + 1, F.lit(7))
     c0, c1, c2, c3 = _POISSON1_HEX
     w = (
-        F.when(h < c0, 0)
-        .when(h < c1, 1)
-        .when(h < c2, 2)
-        .when(h < c3, 3)
+        F.when(hs < c0, 0)
+        .when(hs < c1, 1)
+        .when(hs < c2, 2)
+        .when(hs < c3, 3)
         .otherwise(4)
     )
     # 4-decimal values as scaled LONGS: w·x and Σ are exact 64-bit
@@ -703,9 +715,24 @@ def bootstrap_mean_ci(
     narrow = df.select(
         F.col(key_col).alias("_k"), x.alias("_x"), F.col(id_col)
     ).repartition(F.col(id_col))
-    fan = narrow.select("_k", "_x", F.col(id_col), b)
+    hashed = narrow.select("_k", "_x", F.col(id_col), ck).select(
+        "_k",
+        "_x",
+        "_ci",
+        F.md5(
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("_ci"))
+        ).alias("_h"),
+    )
+    fan = hashed.select("_k", "_x", "_ci", "_h", sl).filter(
+        F.col("_ci") * 4 + F.col("_si") < F.lit(n_replicates)
+    )
     rep = (
-        fan.withColumn("_w", w)
+        fan.select(
+            "_k",
+            (F.col("_ci") * 4 + F.col("_si")).alias("_bi"),
+            "_x",
+            w.alias("_w"),
+        )
         .groupBy("_k", "_bi")
         .agg(
             F.sum(F.col("_x") * F.col("_w")).alias("_wx"),

@@ -6644,26 +6644,27 @@ def rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BOOTSTRAP_ORACLE = """
-WITH fan AS (
+WITH hashed AS (
+    -- one digest per (row, chunk of 4 replicates): replicate
+    -- b = 4*ci + si draws its 28 bits from substr(h, 7*si+1, 7)
     SELECT o_orderstatus AS k,
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
-           o_orderkey AS id, i AS bi
-    FROM orders, UNNEST(range(0, 100)) AS t(i)
+           ci,
+           md5(CAST(o_orderkey AS VARCHAR) || '#' ||
+               CAST(ci AS VARCHAR)) AS h
+    FROM orders, UNNEST(range(0, 25)) AS t(ci)
     WHERE o_totalprice IS NOT NULL
 ),
 wtab AS (
     -- fixed-width lowercase hex compares numerically as a string:
-    -- thresholds are P(X<=n)*2^60 for Poisson(1), n = 0..3
-    SELECT k, bi, x,
-           CASE WHEN h < '5e2d58d8b3bce00' THEN 0
-                WHEN h < 'bc5ab1b16779c00' THEN 1
-                WHEN h < 'eb715e1dc158300' THEN 2
-                WHEN h < 'fb23979734a2500' THEN 3
+    -- thresholds are P(X<=n)*2^28 for Poisson(1), n = 0..3
+    SELECT k, ci * 4 + si AS bi, x,
+           CASE WHEN substr(h, si * 7 + 1, 7) < '5e2d58d' THEN 0
+                WHEN substr(h, si * 7 + 1, 7) < 'bc5ab1b' THEN 1
+                WHEN substr(h, si * 7 + 1, 7) < 'eb715e1' THEN 2
+                WHEN substr(h, si * 7 + 1, 7) < 'fb23979' THEN 3
                 ELSE 4 END AS w
-    FROM (SELECT k, bi, x,
-                 substr(md5(CAST(id AS VARCHAR) || '#' ||
-                            CAST(bi AS VARCHAR)), 1, 15) AS h
-          FROM fan)
+    FROM hashed, UNNEST(range(0, 4)) AS s(si)
 ),
 rep AS (
     -- replicates whose Poisson weights are all zero resample nothing

@@ -201,8 +201,10 @@ def test_bootstrap_ci_model(spark):
 
 
 def test_bootstrap_weights_match_hex_thresholds(spark):
-    """The engine's hex-literal compares implement the documented md5 →
-    U(0,1) → Poisson(1) inverse CDF."""
+    """The engine's hex-literal compares implement the documented
+    md5(id#chunk) → four 28-bit slices → U(0,1) → Poisson(1) inverse
+    CDF (replicate b = 4·chunk + slot draws hex chars
+    [7·slot, 7·slot+7))."""
     from module8_movies_etl_spark.operators.stats import _POISSON1_HEX
 
     cdf = (
@@ -212,14 +214,16 @@ def test_bootstrap_weights_match_hex_thresholds(spark):
         0.9810118431238462,
     )
     for c, hx in zip(cdf, _POISSON1_HEX):
-        assert int(c * (1 << 60)) == int(hx, 16)
-    # spot-check classification parity on real md5 draws
-    for i in range(200):
-        h = hashlib.md5(f"{i}#0".encode()).hexdigest()[:15]
-        u = int(h, 16) / (1 << 60)
-        w_hex = sum(1 for hx in _POISSON1_HEX if h >= hx)
-        w_u = sum(1 for c in cdf if u >= c)
-        assert w_hex == w_u, (i, h)
+        assert int(c * (1 << 28)) == int(hx, 16)
+    # spot-check classification parity on real md5 draws, all 4 slots
+    for i in range(50):
+        digest = hashlib.md5(f"{i}#0".encode()).hexdigest()
+        for slot in range(4):
+            h = digest[slot * 7:slot * 7 + 7]
+            u = int(h, 16) / (1 << 28)
+            w_hex = sum(1 for hx in _POISSON1_HEX if h >= hx)
+            w_u = sum(1 for c in cdf if u >= c)
+            assert w_hex == w_u, (i, slot, h)
 
 
 # ---------------------------------------------------------- python ds api
