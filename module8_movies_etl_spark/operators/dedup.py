@@ -458,6 +458,17 @@ def _salted_bucket_pairs(
         *[F.col(c).alias(f"{c}_b") for c in payload],
         F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int").alias("_s"),
     )
+    # EXPLICIT repartition of the salted side on the join key: when the
+    # right side broadcasts (small bucket tables — the local-bench
+    # norm), the join performs NO shuffle, so the pair generation runs
+    # with the lhs's incoming partitioning — for a single-file parquet
+    # scan that is ONE task grinding the entire (quadratic) pair
+    # volume on one core, and the salt spreads nothing (observed at
+    # the sf1.0 scale run: an 8-minute single-task stage). The
+    # repartition shuffles only the small salted bucket table; under a
+    # real shuffled join the exchange satisfies ENSURE_REQUIREMENTS
+    # and replaces the one the join would have inserted anyway.
+    lhs = lhs.repartition(F.col("_bk"), F.col("_s"))
     return lhs.join(rhs, ["_bk", "_s"]).filter(F.col("id_a") < F.col("id_b"))
 
 

@@ -1096,3 +1096,248 @@ def mann_kendall(
             .alias("trend"),
         )
     )
+
+
+def _binary_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+    max_values: int = 2_000_000,
+) -> DataFrame:
+    """(value_cents, n_pos, n_neg) at DISTINCT-VALUE grain — the shared
+    reduction behind the binary-classifier evaluation family (AUC /
+    gains), identical in shape to the rank-test reduction
+    (``ks_two_sample``): one hash shuffle over the facts, then every
+    downstream window walks the bounded score domain. Scores are
+    quantized to exact cents BIGINTs (2-decimal inputs — the same
+    fixed-point contract as the k-means quantizer), so all cumulative
+    arithmetic downstream is integer-exact."""
+    base = df.filter(
+        F.col(group_col).isin([pos, neg]) & F.col(value_col).isNotNull()
+    ).select(
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("long")
+        .alias("_v"),
+        F.col(group_col).alias("_g"),
+    )
+    _assert_bounded_value_domain(base, "binary_value_counts", max_values)
+    return base.groupBy("_v").agg(
+        F.sum((F.col("_g") == pos).cast("long")).alias("_np"),
+        F.sum((F.col("_g") == neg).cast("long")).alias("_nn"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+) -> DataFrame:
+    """ROC AUC of ``value_col`` as a ranking score for ``pos`` vs
+    ``neg`` rows — the probability a random positive outscores a
+    random negative, ties counting half (the Mann-Whitney identity
+    AUC = U/(n⁺·n⁻), which is also why this reduces EXACTLY like
+    ``mannwhitney_u``).
+
+    Exactness: at value grain, 2·numerator = Σ_v n⁺(v)·(2·cum⁻(<v) +
+    n⁻(v)) is a BIGINT (every tie contributes exactly half), so AUC
+    is ONE double division of exact integers — bit-identical on any
+    engine, no per-row ranks, no floating accumulation. One fact
+    shuffle + one bounded-domain window.
+
+    Returns one row (n_pos, n_neg, auc).
+    """
+    from pyspark.sql import Window
+
+    counts = _binary_value_counts(df, group_col, value_col, pos, neg)
+    wlt = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum_neg = F.coalesce(F.sum("_nn").over(wlt), F.lit(0).cast("long"))
+    # DECIMAL(38,0) accumulation: the pairwise numerator is O(n⁺·n⁻)
+    # and would overflow int64 near ~3e9 rows per class; DuckDB's
+    # HUGEINT sum mirrors it exactly.
+    staged = counts.select(
+        "_np",
+        "_nn",
+        (F.col("_np") * (cum_neg * 2 + F.col("_nn")))
+        .cast("decimal(38,0)")
+        .alias("_c"),
+    )
+    agg = staged.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.sum("_c").alias("_num2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.col("_num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE for ``value_col`` min-max-normalized
+    as a pseudo-probability of the ``pos`` class: rows land in
+    ``n_bins`` equal-width score bins, and each bin reports its mean
+    normalized score against the observed positive rate — the gap
+    between the two is the mis-calibration the diagram visualizes,
+    and ECE is the n-weighted mean absolute gap repeated on every row
+    (scalar column — the driver canonicalizer takes no structs).
+
+    Exactness recipe: bin assignment is floor((v−min)·n_bins /
+    (max−min)) over cents-scaled BIGINTs — the operands are exact
+    integers well under 2^53, so the one IEEE division is the SAME
+    double on every engine and its floor is engine-invariant (the
+    oracle replays the identical expression; never mix this with
+    integer ``//``, whose rounding can differ from the float floor at
+    exact bucket boundaries). Per-bin mean score exploits linearity,
+    mean(p̂) = (mean(v)−min)/(max−min), so all remaining doubles are
+    final one-shot divisions of exact integer sums. The
+    min/max pass is one scalar aggregate broadcast back (the
+    ``winsorize`` shape); everything after the fact scan is
+    bin-grain.
+    """
+    from pyspark.sql import Window
+
+    counts = _binary_value_counts(df, group_col, value_col, pos, neg)
+    bounds = counts.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    rng = (F.col("_hi") - F.col("_lo")).cast("long")
+    b = F.least(
+        F.floor(
+            (F.col("_v") - F.col("_lo")) * n_bins / rng
+        ).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        counts.crossJoin(F.broadcast(bounds))
+        .select(
+            b.alias("bin"),
+            "_np",
+            "_nn",
+            ((F.col("_np") + F.col("_nn")) * F.col("_v")).alias("_vsum"),
+            "_lo",
+            "_hi",
+        )
+        .groupBy("bin", "_lo", "_hi")
+        .agg(
+            F.sum(F.col("_np") + F.col("_nn")).alias("_n"),
+            F.sum("_np").alias("_pos"),
+            F.sum("_vsum").alias("_vs"),
+        )
+    )
+    rngd = (F.col("_hi") - F.col("_lo")).cast("double")
+    mean_p = (
+        F.col("_vs").cast("double") / F.col("_n").cast("double")
+        - F.col("_lo").cast("double")
+    ) / rngd
+    rate = F.col("_pos").cast("double") / F.col("_n").cast("double")
+    w_all = Window.partitionBy()
+    staged = binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_pos").cast("long").alias("n_pos"),
+        F.round(mean_p, 6).alias("mean_score"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(F.abs(mean_p - rate), 6).alias("gap"),
+        (F.abs(mean_p - rate) * F.col("_n").cast("double")).alias("_wgap"),
+    )
+    ece = F.round(
+        F.sum("_wgap").over(w_all) / F.sum(F.col("n").cast("double")).over(w_all), 6
+    )
+    return staged.select(
+        "bin", "n", "n_pos", "mean_score", "pos_rate", "gap",
+        ece.alias("ece"),
+    )
+
+
+def gains_deciles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative-gains table: rank rows by score DESCENDING, cut into
+    ``n_buckets`` population slices, and report per slice how much of
+    the total positive class the prefix has captured (capture_rate)
+    and its lift over random targeting — the campaign-targeting /
+    risk-triage readout of a ranking model.
+
+    Tie policy (pinned): a distinct score lands WHOLLY in the bucket
+    of its cumulative row count — bucket = ceil(B·cum_n/N) on exact
+    integers — unlike NTILE, which splits ties arbitrarily across
+    engines. The window walks the distinct-value table ordered
+    descending (bounded domain, the family's standard shape); capture
+    and lift are one-shot divisions of integer sums.
+
+    Returns one row per non-empty bucket: (bucket, n, n_pos,
+    capture_rate, lift).
+    """
+    from pyspark.sql import Window
+
+    counts = _binary_value_counts(df, group_col, value_col, pos, neg)
+    wd = Window.orderBy(F.desc("_v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    t = F.col("_np") + F.col("_nn")
+    staged = counts.select(
+        "_np",
+        "_nn",
+        F.sum(t).over(wd).alias("_cum_n"),
+        F.sum("_np").over(wd).alias("_cum_pos"),
+        F.sum(t).over(wall).alias("_n_tot"),
+        F.sum("_np").over(wall).alias("_p_tot"),
+    )
+    bucket = F.ceil(
+        F.col("_cum_n") * n_buckets / F.col("_n_tot")
+    ).cast("long")
+    per = (
+        staged.select(
+            bucket.alias("bucket"),
+            (F.col("_np") + F.col("_nn")).alias("_t"),
+            "_np",
+            "_cum_pos",
+            "_cum_n",
+            "_n_tot",
+            "_p_tot",
+        )
+        .groupBy("bucket", "_n_tot", "_p_tot")
+        .agg(
+            F.sum("_t").alias("_n"),
+            F.sum("_np").alias("_pos"),
+            F.max("_cum_pos").alias("_cpos"),
+            F.max("_cum_n").alias("_cn"),
+        )
+    )
+    capture = F.col("_cpos").cast("double") / F.col("_p_tot").cast("double")
+    lift = (
+        F.col("_cpos").cast("double") * F.col("_n_tot").cast("double")
+    ) / (F.col("_cn").cast("double") * F.col("_p_tot").cast("double"))
+    return per.select(
+        "bucket",
+        F.col("_n").cast("long").alias("n"),
+        F.col("_pos").cast("long").alias("n_pos"),
+        F.round(capture, 6).alias("capture_rate"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -878,3 +878,179 @@ def acf_by_key(
             6,
         ).alias("acf"),
     )
+
+
+def theil_sen_slope(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    max_points: int = 5_000,
+    value_scale: float = 1.0,
+) -> DataFrame:
+    """Per-key Theil-Sen slope estimate: the MEDIAN of the pairwise
+    slopes (vⱼ−vᵢ)/(dⱼ−dᵢ) over all day pairs i<j — the robust trend
+    magnitude companion to Mann-Kendall's direction test (same
+    day-grain input, same breakdown point: up to ~29% arbitrary
+    outliers cannot move it).
+
+    Input contract: ``daily`` is an ALREADY-ROLLED-UP series — one
+    row per (key, epoch-day) with an exact integer value (the
+    ``_daily_cents`` grain). The pair join is quadratic in the
+    series length, which is CALENDAR-bounded (a year of dailies =
+    66k pairs per key, constant in corpus size), and the bound is
+    ENFORCED: the longest series is counted first and a series
+    beyond ``max_points`` raises instead of silently exploding a
+    fact-grain input into n² pairs.
+
+    Exactness: each slope is one IEEE division of exact integers —
+    identical on any engine — and the median is the same
+    percentile interpolation ``quantiles_by_status`` pins; output
+    rounds to 6dp.
+
+    Returns (key, n_days, n_pairs, slope_per_day).
+    """
+    longest = (
+        daily.groupBy(key_col)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    if longest and longest > max_points:
+        raise ValueError(
+            f"theil_sen_slope: longest series has {longest} points > "
+            f"max_points={max_points}; the pair join would build "
+            f"~{longest * (longest - 1) // 2} rows per key. Roll up to "
+            "a coarser grain or raise max_points explicitly."
+        )
+    a = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).cast("long").alias("_da"),
+        F.col(value_col).cast("long").alias("_va"),
+    )
+    b = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).cast("long").alias("_db"),
+        F.col(value_col).cast("long").alias("_vb"),
+    )
+    # per-pair: ((Δv)/(Δd))/scale — mirrored operation-for-operation
+    # in the oracle so the doubles feeding the median are identical
+    pairs = a.join(b, "_k").filter(F.col("_da") < F.col("_db")).select(
+        "_k",
+        (
+            (F.col("_vb") - F.col("_va")).cast("double")
+            / (F.col("_db") - F.col("_da")).cast("double")
+            / F.lit(float(value_scale))
+        ).alias("_s"),
+    )
+    n = daily.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    est = pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("_s", F.lit(0.5)), 6).alias("slope_per_day"),
+    )
+    return n.join(est, "_k", "left").select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "slope_per_day",
+    )
+
+
+def linear_gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 600,
+) -> DataFrame:
+    """Bucketed series completion by LINEAR INTERPOLATION — the
+    companion to the forward-fill ``gap_fill_hourly`` semantics:
+    sum ``value_col`` per (key, ``bucket_s``-second bucket), build
+    each key's full bucket spine, and fill empty buckets with the
+    straight line between the nearest observed neighbors (flat
+    extension at the edges, where only one neighbor exists).
+
+    Shape: one fact aggregate to bucket grain, a per-key
+    ``sequence()`` spine (bucket-grain, never fact-grain), and TWO
+    ordered windows per key — last-observed-before via
+    ``last(ignorenulls)`` over the preceding frame and
+    first-observed-after over the following frame, each carrying
+    (value, bucket) so the interpolation weight (h−h₀)/(h₁−h₀) is
+    available in one projection. All windows are partitioned by key —
+    no global order anywhere.
+
+    Exactness: observed sums are exact cents BIGINTs; the
+    interpolation v₀ + (v₁−v₀)·(h−h₀)/(h₁−h₀) is a single double
+    expression over exact integers, identical per engine, rounded
+    6dp.
+
+    Returns (key, bucket_s, n_events, value_filled, is_observed).
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s) * bucket_s
+        ).cast("long").alias("_b"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("long")
+        .alias("_vc"),
+    )
+    actual = base.groupBy("_k", "_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_vc").alias("_v")
+    )
+    spine = (
+        actual.groupBy("_k")
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            "_k",
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(int(bucket_s)))
+            ).alias("_b"),
+        )
+    )
+    j = spine.join(actual, ["_k", "_b"], "left")
+    wp = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("_v").isNotNull(), F.col("_b"))
+    staged = j.select(
+        "_k",
+        "_b",
+        "_n",
+        "_v",
+        F.last("_v", ignorenulls=True).over(wp).alias("_vp"),
+        F.last(obs_b, ignorenulls=True).over(wp).alias("_bp"),
+        F.first("_v", ignorenulls=True).over(wn).alias("_vn"),
+        F.first(obs_b, ignorenulls=True).over(wn).alias("_bn"),
+    )
+    interp = (
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .when(
+            F.col("_vp").isNotNull() & F.col("_vn").isNotNull(),
+            F.col("_vp").cast("double")
+            + (F.col("_vn") - F.col("_vp")).cast("double")
+            * (F.col("_b") - F.col("_bp")).cast("double")
+            / (F.col("_bn") - F.col("_bp")).cast("double"),
+        )
+        .otherwise(
+            F.coalesce(F.col("_vp"), F.col("_vn")).cast("double")
+        )
+    )
+    return staged.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bucket_s"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(interp / F.lit(100.0), 6).alias("value_filled"),
+        F.col("_v").isNotNull().alias("is_observed"),
+    )

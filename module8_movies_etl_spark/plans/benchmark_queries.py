@@ -11820,6 +11820,272 @@ def path_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round 6: binary-classifier evaluation family (AUC / calibration /
+# gains) + Theil-Sen slope + linear gap interpolation.
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH base AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nn
+    FROM base GROUP BY v
+),
+staged AS (
+    SELECT np, nn,
+           coalesce(sum(nn) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+    FROM counts
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       round(CAST(sum(np * (cumn * 2 + nn)) AS DOUBLE)
+             / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
+             6) AS auc
+FROM staged
+"""
+
+
+@query("roc_auc_purchase_score", _AUC_ORACLE)
+def roc_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation, beyond-ref §2.13 — new family: ranking-model
+    readouts over the fact stream] ROC AUC of the event value as a
+    score separating purchases from views — P(random purchase
+    outscores random view), ties half, via the Mann-Whitney identity
+    AUC = U/(n⁺·n⁻). Reduces EXACTLY like the rank tests: one fact
+    shuffle to distinct-value counts, one bounded-domain window, and
+    a DECIMAL(38,0)-accumulated integer numerator, so the only double
+    is the final division (HUGEINT mirrors it in the oracle). At
+    100 TB the value domain saturates at range×100 cells (2-decimal
+    scores) while the observations stream through one aggregate.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.roc_auc(e, "event_type", "value", "purchase", "view")
+
+
+_CALIB_ORACLE = """
+WITH base AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nn
+    FROM base GROUP BY v
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM counts),
+binned AS (
+    SELECT least(CAST(floor(CAST((v - lo) * 10 AS DOUBLE) / (hi - lo))
+                      AS BIGINT), 9) AS bin,
+           np + nn AS t, np, (np + nn) * v AS vsum, lo, hi
+    FROM counts, bounds
+),
+per AS (
+    SELECT bin, lo, hi, sum(t) AS n, sum(np) AS pos, sum(vsum) AS vs
+    FROM binned GROUP BY 1, 2, 3
+),
+calc AS (
+    SELECT bin, n, pos,
+           (CAST(vs AS DOUBLE) / CAST(n AS DOUBLE) - CAST(lo AS DOUBLE))
+               / CAST(hi - lo AS DOUBLE) AS mp,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+    FROM per
+),
+r AS (
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS n_pos,
+           round(mp, 6) AS mean_score, round(rate, 6) AS pos_rate,
+           round(abs(mp - rate), 6) AS gap
+    FROM calc
+)
+SELECT bin, n, n_pos, mean_score, pos_rate, gap,
+       round(CAST(sum(CAST(round(gap * 1000000) AS BIGINT) * n) OVER ()
+                  AS DOUBLE)
+             / (1000000.0 * CAST(sum(n) OVER () AS DOUBLE)), 6) AS ece
+FROM r
+"""
+
+
+@query("calibration_bins_purchase", _CALIB_ORACLE)
+def calibration_bins_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation, beyond-ref §2.13] Reliability diagram for the
+    min-max-normalized event value as a pseudo-probability of
+    purchase: 10 equal-width score bins, each reporting mean
+    normalized score vs observed purchase rate plus the n-weighted
+    ECE (repeated per row — scalar columns only, per the driver
+    canonicalizer contract). Bin assignment floors ONE
+    engine-identical IEEE division of cents BIGINTs; the ECE sum is
+    integer-exact (rounded-gap micro-units × n), so no
+    order-dependent double accumulation exists anywhere.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.calibration_bins(e, "event_type", "value", "purchase", "view")
+
+
+_GAINS_ORACLE = """
+WITH base AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nn
+    FROM base GROUP BY v
+),
+staged AS (
+    SELECT np, nn,
+           sum(np + nn) OVER (ORDER BY v DESC
+               ROWS UNBOUNDED PRECEDING) AS cum_n,
+           sum(np) OVER (ORDER BY v DESC
+               ROWS UNBOUNDED PRECEDING) AS cum_pos,
+           sum(np + nn) OVER () AS ntot,
+           sum(np) OVER () AS ptot
+    FROM counts
+),
+per AS (
+    SELECT CAST(ceil(CAST(cum_n * 10 AS DOUBLE) / ntot) AS BIGINT)
+               AS bucket,
+           ntot, ptot,
+           sum(np + nn) AS n, sum(np) AS pos,
+           max(cum_pos) AS cpos, max(cum_n) AS cn
+    FROM staged GROUP BY 1, 2, 3
+)
+SELECT bucket, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+       round(CAST(cpos AS DOUBLE) / CAST(ptot AS DOUBLE), 6)
+           AS capture_rate,
+       round(CAST(cpos AS DOUBLE) * CAST(ntot AS DOUBLE)
+             / (CAST(cn AS DOUBLE) * CAST(ptot AS DOUBLE)), 6) AS lift
+FROM per
+"""
+
+
+@query("gains_by_score_decile", _GAINS_ORACLE)
+def gains_by_score_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation, beyond-ref §2.13] Cumulative-gains table: rows
+    ranked by score (event value) DESCENDING, cut into 10 population
+    slices; each slice reports how much of the purchase class the
+    prefix captures and its lift over random targeting. The tie
+    policy is pinned — a distinct score lands wholly in the bucket of
+    its cumulative count (ceil(10·cum/N) on exact integers), unlike
+    NTILE whose tie-splitting is engine-dependent — and the window
+    walks the bounded score domain descending, never the raw rows.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.gains_deciles(e, "event_type", "value", "purchase", "view")
+
+
+_THEIL_SEN_ORACLE = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+pairs AS (
+    SELECT a.event_type,
+           CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) / 100.0
+               AS s
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND a.d < b.d
+),
+n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+est AS (
+    SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS slope_per_day
+    FROM pairs GROUP BY 1
+)
+SELECT n.event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, slope_per_day
+FROM n LEFT JOIN est USING (event_type)
+"""
+
+
+@query("theil_sen_daily_slope", _THEIL_SEN_ORACLE)
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series diagnostics, beyond-ref §2.13 — magnitude
+    companion to ``mann_kendall_daily``'s direction test, same
+    ``_daily_cents`` grain] Per-type Theil-Sen estimator: the median
+    of all pairwise day slopes (dollars/day, 29% breakdown point).
+    The pair join is quadratic ONLY in the day-grain series length —
+    calendar-bounded, constant in corpus size — and the operator
+    ENFORCES that (counts the longest series first, raises beyond
+    max_points); the fact table enters through one daily rollup.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.theil_sen_slope(
+        _daily_cents(e), "event_type", "d", "v", value_scale=100.0
+    )
+
+
+_LINTERP_ORACLE = """
+WITH base AS (
+    SELECT event_type AS k,
+           epoch_us(ts) // 1000000 // 600 * 600 AS b,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+actual AS (
+    SELECT k, b, count(*) AS n, sum(vc) AS v FROM base GROUP BY 1, 2
+),
+spine AS (
+    SELECT k, unnest(generate_series(lo, hi, 600)) AS b
+    FROM (SELECT k, min(b) AS lo, max(b) AS hi FROM actual GROUP BY k)
+),
+j AS (
+    SELECT s.k, s.b, a.n, a.v FROM spine s
+    LEFT JOIN actual a USING (k, b)
+),
+staged AS (
+    SELECT k, b, n, v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS vp,
+           last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS bp,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+           first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS bn
+    FROM j
+)
+SELECT k AS event_type, b AS bucket_s,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  WHEN vp IS NOT NULL AND vn IS NOT NULL
+                  THEN CAST(vp AS DOUBLE)
+                       + CAST(vn - vp AS DOUBLE) * CAST(b - bp AS DOUBLE)
+                         / CAST(bn - bp AS DOUBLE)
+                  ELSE CAST(coalesce(vp, vn) AS DOUBLE)
+             END / 100.0, 6) AS value_filled,
+       v IS NOT NULL AS is_observed
+FROM staged
+"""
+
+
+@query("interpolate_gaps_linear", _LINTERP_ORACLE)
+def interpolate_gaps_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series completion, beyond-ref §2.13 — the interpolating
+    sibling of ``gap_fill_hourly``'s forward fill] 10-minute value
+    series per event type with empty buckets filled by the straight
+    line between nearest observed neighbors (flat at the edges). All
+    windows are key-partitioned over bucket grain — no global order,
+    no fact-grain window; the interpolation is one double expression
+    over exact cents integers, mirrored term-for-term in SQL.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return timeseries.linear_gap_fill(
+        e, "event_type", "ts", "value", bucket_s=600
+    )
+
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
@@ -11878,7 +12144,9 @@ _PRIORITY = [
     "simhash_near_dups",
     "fuzzy_dedup_clusters",
     "containment_dup_pairs",
-    "cosine_topk_bruteforce",
+    # cosine_topk_bruteforce is verified locally; its slot carries the
+    # round-6 ML-evaluation family flagship (AUC)
+    "roc_auc_purchase_score",
     "cosine_topk_lsh",
     "text_stats",
     # lang_id_predict is verified locally; its slot carries the

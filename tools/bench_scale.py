@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""At-scale datapoint runner (VERDICT r5 "Next round" #2): time the
+headline query families at sf0.1 AND the synthesized sf1.0
+(``tools/make_scaled_sf.py``, 10× rows) in ONE session, and record
+per-query scaling factors in BENCH_SF1.json.
+
+Reading the ratios: rows scale 10×, so a shuffle/scan-bound query
+should land near 10× (n log n a bit above; per-query fixed overhead —
+job scheduling, bounded driver fetches, snapshot round-trips — pulls
+ratios BELOW 10× for sub-second queries). Anything well above ~12×
+is a superlinear term to fix or bound. Each query runs twice per
+scale; the MIN is recorded (first execution carries codegen/JIT
+placement noise — see bench.py notes).
+
+Excluded by design, with reasons (recorded in the JSON):
+- cosine_topk_bruteforce: intentionally-exact O(n²) recall baseline;
+  its quadratic scaling is the documented contract, not a finding.
+- streaming replays: their cost is state-store commits × micro-batch
+  count (machinery, constant in rows here), and the scratch
+  re-writes would dominate the signal.
+
+Usage: python tools/bench_scale.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # core relational
+    "flagship_order_histogram",
+    "pricing_summary",
+    "star_join_revenue",
+    "topk_orders_per_customer",
+    "pivot_status_by_priority",
+    # dedup family
+    "exact_dedup_survivors",
+    "minhash_lsh_candidates",
+    "simhash_near_dups",
+    "fuzzy_dedup_clusters",
+    # similarity
+    "cosine_topk_lsh",
+    # text / tokenizer
+    "text_stats",
+    "tokenize_documents",
+    "bpe_learn_merges",
+    # curation capstone
+    "curation_pipeline_v2",
+    # sketches
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    # statistics
+    "mannwhitney_click_view",
+    "bootstrap_ci_price",
+    # warehouse / ER / graph
+    "upsert_orders_cdc",
+    "customer360_golden",
+    "pagerank_dupgraph",
+]
+
+SF_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1.0": None,  # filled from repo .scratch below
+}
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    SF_DIRS["sf1.0"] = os.path.join(repo, ".scratch", "sf1.0")
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(repo, "BENCH_SF1.json")
+    )
+
+    from module8_movies_etl_spark.session import get_spark
+    import module8_movies_etl_spark.plans.benchmark_queries as bq
+
+    spark = get_spark("bench-scale")
+    # Split single-file parquet scans into many input partitions: the
+    # scaled tables are one file each, and the default 128 MB split
+    # size would hand a 1000-executor-shaped workload to ONE scan task
+    # (a real 100 TB table arrives as thousands of splits). 8 MB
+    # approximates that split fan-out at this data size.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    # JIT/codegen warmup, as bench.py does
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results: dict[str, dict] = {}
+    for name in HEADLINE:
+        fn = bq.QUERIES[name]
+        row = {}
+        for sf_label, sf_dir in SF_DIRS.items():
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(round(time.time() - t0, 2))
+            row[sf_label] = min(times)
+            print(f"{name} @ {sf_label}: {times}", file=sys.stderr, flush=True)
+        row["ratio"] = (
+            round(row["sf1.0"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
+        )
+        results[name] = row
+
+    doc = {
+        "metric": "sf1.0_scaling",
+        "rows_scale": 10,
+        "note": (
+            "sf1.0 synthesized by tools/make_scaled_sf.py (10 key-offset "
+            "replicas of sf0.1); min of 2 runs per scale, one shared "
+            "session; ratios ~<=12x = at/under n log n for a 10x row "
+            "scale-up, fixed per-query overhead pulls small queries "
+            "below 10x"
+        ),
+        "excluded": {
+            "cosine_topk_bruteforce": "intentionally-exact O(n^2) recall baseline",
+            "streaming_*": "cost is state-store commits x micro-batches, not rows",
+        },
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: v["ratio"] for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
