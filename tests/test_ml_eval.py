@@ -1,0 +1,154 @@
+"""Model-free goldens for the round-6 ML-evaluation and
+series-completion operators: every expected value below is computed
+by an in-test brute-force reference (or by hand), never by the code
+under test."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from module8_movies_etl_spark.operators import stats, timeseries
+
+
+def _mk_scores(spark, pos, neg):
+    rows = [("p", v) for v in pos] + [("n", v) for v in neg]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_roc_auc_matches_pairwise_bruteforce(spark):
+    pos = [3.0, 5.0, 5.0, 9.0, 2.0]
+    neg = [1.0, 5.0, 4.0, 2.0, 8.0, 3.0]
+    df = _mk_scores(spark, pos, neg)
+    [r] = stats.roc_auc(df, "g", "v", "p", "n").collect()
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    assert (r["n_pos"], r["n_neg"]) == (5, 6)
+    assert r["auc"] == round(wins / (len(pos) * len(neg)), 6)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    df = _mk_scores(spark, [10.0, 11.0], [1.0, 2.0])
+    assert stats.roc_auc(df, "g", "v", "p", "n").collect()[0]["auc"] == 1.0
+    assert stats.roc_auc(df, "g", "v", "n", "p").collect()[0]["auc"] == 0.0
+
+
+def test_calibration_bins_hand_golden(spark):
+    # scores 0.00..0.99 in cents = 0..99; min=0, max=99 -> bin
+    # = floor(v*10/99) capped at 9; make bin b have positive rate b/10
+    rows = []
+    for b in range(10):
+        lo_cent = math.ceil(b * 99 / 10)
+        v = (lo_cent + 1) / 100.0  # safely inside bin b
+        for i in range(10):
+            rows.append(("p" if i < b else "n", v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["bin"]: r
+        for r in stats.calibration_bins(df, "g", "v", "p", "n").collect()
+    }
+    assert set(out) == set(range(10))
+    for b, r in out.items():
+        assert r["n"] == 10
+        assert r["pos_rate"] == round(b / 10, 6)
+    # ECE identical on every row and equals the n-weighted mean gap
+    eces = {r["ece"] for r in out.values()}
+    assert len(eces) == 1
+    mean_gap = sum(r["gap"] * r["n"] for r in out.values()) / 100
+    assert abs(eces.pop() - mean_gap) < 2e-6
+
+
+def test_gains_deciles_whole_group_ties(spark):
+    # 100 rows, 10 distinct scores x 10 rows; positives concentrated
+    # at high scores -> capture by construction
+    rows = []
+    for d in range(10):  # score 10-d, decile d+1
+        v = float(10 - d)
+        for i in range(10):
+            rows.append(("p" if (d == 0 and i < 8) or (d == 1 and i < 2)
+                         else "n", v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["bucket"]: r
+        for r in stats.gains_deciles(df, "g", "v", "p", "n").collect()
+    }
+    assert out[1]["n_pos"] == 8 and out[1]["capture_rate"] == 0.8
+    assert out[2]["n_pos"] == 2 and out[2]["capture_rate"] == 1.0
+    assert out[10]["capture_rate"] == 1.0
+    # lift of the top decile: 0.8 captured with 0.1 of population
+    assert out[1]["lift"] == 8.0
+
+
+def test_theil_sen_matches_bruteforce_median(spark):
+    pts = [(0, 10), (1, 12), (2, 11), (3, 19), (5, 16), (8, 30)]
+    df = spark.createDataFrame(
+        [("k", d, v) for d, v in pts], "g string, d int, v long"
+    )
+    [r] = timeseries.theil_sen_slope(df, "g", "d", "v").collect()
+    slopes = sorted(
+        (v2 - v1) / (d2 - d1)
+        for i, (d1, v1) in enumerate(pts)
+        for d2, v2 in pts[i + 1:]
+    )
+    n = len(slopes)
+    med = (
+        slopes[n // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    )
+    assert r["n_days"] == 6 and r["n_pairs"] == 15
+    assert r["slope_per_day"] == round(med, 6)
+
+
+def test_theil_sen_guard_and_single_point(spark):
+    df = spark.createDataFrame(
+        [("a", d, d * 2) for d in range(30)] + [("solo", 1, 5)],
+        "g string, d int, v long",
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        timeseries.theil_sen_slope(df, "g", "d", "v", max_points=10)
+    out = {
+        r["g"]: r for r in timeseries.theil_sen_slope(df, "g", "d", "v")
+        .collect()
+    }
+    assert out["a"]["slope_per_day"] == 2.0
+    # single-point series is reported, not dropped
+    assert out["solo"]["n_pairs"] == 0
+    assert out["solo"]["slope_per_day"] is None
+
+
+def test_linear_gap_fill_hand_golden(spark):
+    # one key, buckets at t=0 (v=1.00) and t=3000 (v=4.00); 600s
+    # buckets -> spine 0,600,...,3000; interior linearly interpolated
+    rows = [
+        ("k", "1970-01-01 00:00:00", 1.0),
+        ("k", "1970-01-01 00:50:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        r["bucket_s"]: r
+        for r in timeseries.linear_gap_fill(df, "g", "ts", "v").collect()
+    }
+    assert sorted(out) == [0, 600, 1200, 1800, 2400, 3000]
+    assert out[0]["value_filled"] == 1.0 and out[0]["is_observed"]
+    assert out[3000]["value_filled"] == 4.0
+    for i, b in enumerate([600, 1200, 1800, 2400], start=1):
+        assert not out[b]["is_observed"]
+        assert out[b]["n_events"] == 0
+        assert out[b]["value_filled"] == round(1.0 + 3.0 * b / 3000, 6)
+
+
+def test_linear_gap_fill_edge_extension(spark):
+    # leading/trailing gaps inside one key's span don't exist (spine
+    # starts/ends at observed buckets), so edges only matter with a
+    # single observation: flat fill
+    df = spark.createDataFrame(
+        [("k", "1970-01-01 00:00:00", 2.5)], "g string, ts string, v double"
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = timeseries.linear_gap_fill(df, "g", "ts", "v").collect()
+    assert len(out) == 1 and out[0]["value_filled"] == 2.5
