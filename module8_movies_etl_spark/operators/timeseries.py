@@ -983,8 +983,13 @@ def linear_gap_fill(
 
     Exactness: observed sums are exact cents BIGINTs; the
     interpolation v₀ + (v₁−v₀)·(h−h₀)/(h₁−h₀) is a single double
-    expression over exact integers, identical per engine, rounded
-    6dp.
+    expression over exact integers, identical per engine, then
+    TRUNCATED to 6dp (floor, not round: the interpolation weights are
+    small rationals, so exact x.xxxxxx5 ties are common, and
+    round-half behavior differs between Spark's BigDecimal and
+    DuckDB's multiply-based round — floor of the identical double is
+    engine-invariant; observed 3 tie flips at sf0.001 before the
+    switch).
 
     Returns (key, bucket_s, n_events, value_filled, is_observed).
     """
@@ -1051,6 +1056,9 @@ def linear_gap_fill(
         F.col("_k").alias(key_col),
         F.col("_b").alias("bucket_s"),
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
-        F.round(interp / F.lit(100.0), 6).alias("value_filled"),
+        (
+            F.floor(interp / F.lit(100.0) * F.lit(1000000.0))
+            / F.lit(1000000.0)
+        ).alias("value_filled"),
         F.col("_v").isNotNull().alias("is_observed"),
     )

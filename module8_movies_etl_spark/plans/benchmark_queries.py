@@ -12057,13 +12057,13 @@ staged AS (
 )
 SELECT k AS event_type, b AS bucket_s,
        CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+       floor(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
                   WHEN vp IS NOT NULL AND vn IS NOT NULL
                   THEN CAST(vp AS DOUBLE)
                        + CAST(vn - vp AS DOUBLE) * CAST(b - bp AS DOUBLE)
                          / CAST(bn - bp AS DOUBLE)
                   ELSE CAST(coalesce(vp, vn) AS DOUBLE)
-             END / 100.0, 6) AS value_filled,
+             END / 100.0 * 1000000.0) / 1000000.0 AS value_filled,
        v IS NOT NULL AS is_observed
 FROM staged
 """
