@@ -441,30 +441,37 @@ def spearman_by_key(
     )
 
 
-def _assert_bounded_value_domain(
-    base: DataFrame, op_name: str, max_values: int
-) -> None:
+def _bounded_value_counts(
+    counts: DataFrame, op_name: str, max_values: int
+) -> DataFrame:
     """Enforce — not assume — the "bounded value domain" precondition
     behind the rank-statistic operators' single-partition ECDF/rank
-    windows (the ``mad_outlier_counts`` guard pattern, stats.py:121):
-    one ``approx_count_distinct`` pass over the already-filtered
-    two-group subset raises with a diagnostic when the distinct-value
-    cardinality exceeds ``max_values``, instead of silently range-
-    sorting an unbounded domain through one partition. HLL error
-    (~2%) is fine for a safety rail; callers with a genuinely huge
-    discrete domain should quantize (round/bucket) the value first —
-    which is also what makes the test statistic meaningful there."""
-    n_vals = base.agg(
-        F.approx_count_distinct("_v").alias("n")
-    ).collect()[0]["n"]
-    if n_vals > max_values:
+    windows, WITHOUT a second fact pass: the value-grain counts table
+    (the one reduction every operator in this family starts from) is
+    SNAPSHOT to scratch, a short-circuiting ``limit(max+1).count()``
+    probe over the materialized rows raises with a diagnostic when
+    the distinct-value cardinality exceeds ``max_values``, and the
+    snapshot is returned for the window/aggregate stages to reuse —
+    so the facts are scanned exactly once, the guard is exact (not
+    HLL-approximate), and nothing downstream re-derives the
+    reduction. Construction is deliberately eager (the
+    ``mad_outlier_counts`` precedent): a raised error beats a silent
+    single-partition sort of an unbounded domain. Callers with a
+    genuinely huge discrete domain should quantize (round/bucket)
+    the value first — which is also what makes the statistic
+    meaningful there."""
+    from ..sources.scratch import snapshot
+
+    snap = snapshot(counts, prefix=f"{op_name}_vc_")
+    probe = snap.limit(max_values + 1).count()
+    if probe > max_values:
         raise ValueError(
-            f"{op_name}: ~{n_vals} distinct values exceeds "
-            f"max_values={max_values}; the value-domain window would "
-            "single-partition sort an unbounded domain. Quantize the "
-            "value column (round/bucket) or raise max_values "
-            "explicitly."
+            f"{op_name}: more than max_values={max_values} distinct "
+            "values; the value-domain window would single-partition "
+            "sort an unbounded domain. Quantize the value column "
+            "(round/bucket) or raise max_values explicitly."
         )
+    return snap
 
 
 def ks_two_sample(
@@ -500,10 +507,13 @@ def ks_two_sample(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         v.alias("_v"), F.col(group_col).alias("_g")
     )
-    _assert_bounded_value_domain(base, "ks_two_sample", max_values)
-    counts = base.groupBy("_v").agg(
-        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
-        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    counts = _bounded_value_counts(
+        base.groupBy("_v").agg(
+            F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+            F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+        ),
+        "ks_two_sample",
+        max_values,
     )
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     wn = Window.partitionBy()
@@ -575,10 +585,13 @@ def mannwhitney_u(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         v.alias("_v"), F.col(group_col).alias("_g")
     )
-    _assert_bounded_value_domain(base, "mannwhitney_u", max_values)
-    counts = base.groupBy("_v").agg(
-        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
-        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    counts = _bounded_value_counts(
+        base.groupBy("_v").agg(
+            F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+            F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+        ),
+        "mannwhitney_u",
+        max_values,
     )
     wlt = Window.orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
@@ -593,7 +606,9 @@ def mannwhitney_u(
         "_ca",
         "_cb",
         (F.col("_ca").cast("decimal(38,0)") * r2).alias("_r2a"),
-        (t * t * t - t).alias("_t3"),
+        # tie term in DECIMAL too: t³ passes int64 at ~2.1M ties on a
+        # single value, well inside the guard's distinct-value bound
+        (t.cast("decimal(38,0)") * t * t - t).alias("_t3"),
     )
     agg = staged.agg(
         F.sum("_ca").alias("na"),
@@ -1122,10 +1137,13 @@ def _binary_value_counts(
         .alias("_v"),
         F.col(group_col).alias("_g"),
     )
-    _assert_bounded_value_domain(base, "binary_value_counts", max_values)
-    return base.groupBy("_v").agg(
-        F.sum((F.col("_g") == pos).cast("long")).alias("_np"),
-        F.sum((F.col("_g") == neg).cast("long")).alias("_nn"),
+    return _bounded_value_counts(
+        base.groupBy("_v").agg(
+            F.sum((F.col("_g") == pos).cast("long")).alias("_np"),
+            F.sum((F.col("_g") == neg).cast("long")).alias("_nn"),
+        ),
+        "binary_value_counts",
+        max_values,
     )
 
 
@@ -1155,15 +1173,17 @@ def roc_auc(
     counts = _binary_value_counts(df, group_col, value_col, pos, neg)
     wlt = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
     cum_neg = F.coalesce(F.sum("_nn").over(wlt), F.lit(0).cast("long"))
-    # DECIMAL(38,0) accumulation: the pairwise numerator is O(n⁺·n⁻)
-    # and would overflow int64 near ~3e9 rows per class; DuckDB's
-    # HUGEINT sum mirrors it exactly.
+    # DECIMAL(38,0) BEFORE the multiply: the pairwise numerator is
+    # O(n⁺·n⁻) and the per-value PRODUCT itself passes int64 near
+    # ~3e9 rows per class (casting only the product would overflow
+    # first and then cast garbage); DuckDB's HUGEINT sum mirrors it.
     staged = counts.select(
         "_np",
         "_nn",
-        (F.col("_np") * (cum_neg * 2 + F.col("_nn")))
-        .cast("decimal(38,0)")
-        .alias("_c"),
+        (
+            F.col("_np").cast("decimal(38,0)")
+            * (cum_neg * 2 + F.col("_nn")).cast("decimal(38,0)")
+        ).alias("_c"),
     )
     agg = staged.agg(
         F.sum("_np").alias("n_pos"),
@@ -1208,48 +1228,60 @@ def calibration_bins(
     oracle replays the identical expression; never mix this with
     integer ``//``, whose rounding can differ from the float floor at
     exact bucket boundaries). Per-bin mean score exploits linearity,
-    mean(p̂) = (mean(v)−min)/(max−min), so all remaining doubles are
-    final one-shot divisions of exact integer sums. The
-    min/max pass is one scalar aggregate broadcast back (the
-    ``winsorize`` shape); everything after the fact scan is
-    bin-grain.
+    mean(p̂) = (mean(v)−min)/(max−min), and the ECE sum is
+    INTEGER-exact — rounded-gap micro-units × n, mirroring the
+    oracle term-for-term — so no order-dependent double accumulation
+    exists on either engine. The min/max bounds are a 2-value driver
+    fetch off the value-grain snapshot (embedded as literals — the
+    statistics-driven pattern), which also lets a DEGENERATE range
+    (single distinct score) raise a clear error instead of emitting
+    engine-dependent 0/0 NaNs.
     """
     from pyspark.sql import Window
 
     counts = _binary_value_counts(df, group_col, value_col, pos, neg)
-    bounds = counts.agg(
-        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
-    )
-    rng = (F.col("_hi") - F.col("_lo")).cast("long")
+    [bounds] = counts.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    ).collect()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError(
+            "calibration_bins: no rows in either class after filtering"
+        )
+    if lo == hi:
+        raise ValueError(
+            "calibration_bins: all scores share one value — the "
+            "min-max normalization is degenerate (0/0); a constant "
+            "score cannot be calibrated"
+        )
     b = F.least(
         F.floor(
-            (F.col("_v") - F.col("_lo")) * n_bins / rng
+            (F.col("_v") - F.lit(lo)) * n_bins / F.lit(hi - lo)
         ).cast("long"),
         F.lit(n_bins - 1),
     )
+    t = F.col("_np") + F.col("_nn")
     binned = (
-        counts.crossJoin(F.broadcast(bounds))
-        .select(
+        counts.select(
             b.alias("bin"),
             "_np",
             "_nn",
-            ((F.col("_np") + F.col("_nn")) * F.col("_v")).alias("_vsum"),
-            "_lo",
-            "_hi",
+            # DECIMAL: Σ count·cents passes int64 around 9e18
+            (t.cast("decimal(38,0)") * F.col("_v")).alias("_vsum"),
         )
-        .groupBy("bin", "_lo", "_hi")
+        .groupBy("bin")
         .agg(
             F.sum(F.col("_np") + F.col("_nn")).alias("_n"),
             F.sum("_np").alias("_pos"),
             F.sum("_vsum").alias("_vs"),
         )
     )
-    rngd = (F.col("_hi") - F.col("_lo")).cast("double")
     mean_p = (
         F.col("_vs").cast("double") / F.col("_n").cast("double")
-        - F.col("_lo").cast("double")
-    ) / rngd
+        - F.lit(float(lo))
+    ) / F.lit(float(hi - lo))
     rate = F.col("_pos").cast("double") / F.col("_n").cast("double")
+    gap = F.round(F.abs(mean_p - rate), 6)
     w_all = Window.partitionBy()
     staged = binned.select(
         F.col("bin").cast("long").alias("bin"),
@@ -1257,11 +1289,16 @@ def calibration_bins(
         F.col("_pos").cast("long").alias("n_pos"),
         F.round(mean_p, 6).alias("mean_score"),
         F.round(rate, 6).alias("pos_rate"),
-        F.round(F.abs(mean_p - rate), 6).alias("gap"),
-        (F.abs(mean_p - rate) * F.col("_n").cast("double")).alias("_wgap"),
+        gap.alias("gap"),
+        # micro-unit integer weight: exact, order-free sum
+        (
+            F.round(gap * 1000000, 0).cast("long") * F.col("_n")
+        ).alias("_wgap_u"),
     )
     ece = F.round(
-        F.sum("_wgap").over(w_all) / F.sum(F.col("n").cast("double")).over(w_all), 6
+        F.sum("_wgap_u").over(w_all).cast("double")
+        / (F.lit(1000000.0) * F.sum("n").over(w_all).cast("double")),
+        6,
     )
     return staged.select(
         "bin", "n", "n_pos", "mean_score", "pos_rate", "gap",

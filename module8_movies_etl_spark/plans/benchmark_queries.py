@@ -12016,9 +12016,14 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENFORCES that (counts the longest series first, raises beyond
     max_points); the fact table enters through one daily rollup.
     """
+    from ..sources.scratch import snapshot
+
     e = read_table(spark, sf_dir, "events")
+    # snapshot the day-grain rollup: the operator's bound probe and
+    # the pair join then share ONE fact pass
+    daily = snapshot(_daily_cents(e), prefix="theil_daily_")
     return timeseries.theil_sen_slope(
-        _daily_cents(e), "event_type", "d", "v", value_scale=100.0
+        daily, "event_type", "d", "v", value_scale=100.0
     )
 
 

@@ -11,6 +11,7 @@ aggregation's state grows forever.
 from __future__ import annotations
 
 import itertools
+import os
 from contextlib import contextmanager
 from datetime import timedelta
 
@@ -368,6 +369,13 @@ def run_interval_join_over_events(
     # covered upper_s < 3600.
     cache_key = (sf_dir, left_type, right_type, upper_s)
     entry = _IJ_SCRATCH_CACHE.get(cache_key)
+    if entry is not None and not all(
+        os.path.isdir(scratch) for scratch, _ in entry.values()
+    ):
+        # a scratch.release() (or external cleanup) deleted the dirs
+        # out from under the cache — rebuild instead of streaming a
+        # missing path
+        entry = None
     if entry is None:
         max_ts = base.agg(F.max("ts")).collect()[0][0]
         sentinel_ts = max_ts + timedelta(

@@ -152,3 +152,9 @@ def test_linear_gap_fill_edge_extension(spark):
     ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
     out = timeseries.linear_gap_fill(df, "g", "ts", "v").collect()
     assert len(out) == 1 and out[0]["value_filled"] == 2.5
+
+
+def test_calibration_bins_degenerate_range_raises(spark):
+    df = _mk_scores(spark, [1.0, 1.0], [1.0])
+    with pytest.raises(ValueError, match="cannot be calibrated"):
+        stats.calibration_bins(df, "g", "v", "p", "n")
