@@ -59,6 +59,21 @@ HEADLINE = [
     "upsert_orders_cdc",
     "customer360_golden",
     "pagerank_dupgraph",
+    # second wave: one more representative per family
+    "jaccard_near_dup_pairs",
+    "containment_dup_pairs",
+    "winnow_fingerprint_pairs",
+    "decontaminate_ngram",
+    "sessionize_events",
+    "k_anonymity_audit",
+    "mann_kendall_daily",
+    "woe_iv_totalprice",
+    "roc_auc_purchase_score",
+    "interpolate_gaps_linear",
+    "theil_sen_daily_slope",
+    "training_data_pipeline",
+    "bm25_keyword_search",
+    "cohort_retention",
 ]
 
 SF_DIRS = {
@@ -126,8 +141,19 @@ def main() -> None:
         },
         "queries": results,
     }
+    # Preserve the hand-written driving-cardinality analysis across
+    # re-runs (it is maintained manually after each measurement pass).
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if "analysis" in prior:
+                doc["analysis"] = prior["analysis"]
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
+        f.write("\n")
     print(json.dumps({k: v["ratio"] for k, v in results.items()}))
 
 
