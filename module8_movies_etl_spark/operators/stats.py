@@ -1120,6 +1120,7 @@ def _binary_value_counts(
     pos: str,
     neg: str,
     max_values: int = 2_000_000,
+    scale: int = 100,
 ) -> DataFrame:
     """(value_cents, n_pos, n_neg) at DISTINCT-VALUE grain — the shared
     reduction behind the binary-classifier evaluation family (AUC /
@@ -1132,7 +1133,7 @@ def _binary_value_counts(
     base = df.filter(
         F.col(group_col).isin([pos, neg]) & F.col(value_col).isNotNull()
     ).select(
-        F.round(F.col(value_col).cast("double") * 100, 0)
+        F.round(F.col(value_col).cast("double") * scale, 0)
         .cast("long")
         .alias("_v"),
         F.col(group_col).alias("_g"),
@@ -1377,4 +1378,265 @@ def gains_deciles(
         F.col("_pos").cast("long").alias("n_pos"),
         F.round(capture, 6).alias("capture_rate"),
         F.round(lift, 6).alias("lift"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+    max_values: int = 2_000_000,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve,
+    sklearn's ``average_precision_score`` definition): thresholds
+    sweep the DISTINCT scores descending, each contributing
+    ΔRecall·Precision — the ranking readout that stays informative
+    under class imbalance where ROC AUC (``roc_auc``) saturates.
+
+    Exactness: at value grain, tp/fp at each threshold are exact
+    cumulative BIGINTs; each term (n⁺_v/P)·(tp/(tp+fp)) is a fixed
+    two-division IEEE chain over those integers — identical on any
+    engine — and the cross-threshold sum is made ORDER-FREE by
+    floor-truncating every term to integer micro-units first (the
+    repo's per-term-quantize pattern; terms are ≤1 so the 1e12 scale
+    keeps the sum far under 2^63 at any corpus size).
+
+    Scale shape: one fact shuffle to (value, n⁺, n⁻) counts, one
+    bounded-domain cumulative window, one scalar aggregate. Returns
+    one row (n_pos, n_neg, ap).
+    """
+    from pyspark.sql import Window
+
+    counts = _binary_value_counts(
+        df, group_col, value_col, pos, neg, max_values
+    )
+    wge = Window.orderBy(F.desc("_v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy()
+    staged = counts.select(
+        "_np",
+        F.sum("_np").over(wge).alias("_tp"),
+        F.sum("_nn").over(wge).alias("_fp"),
+        F.sum("_np").over(wn).alias("_p"),
+        F.sum("_nn").over(wn).alias("_n"),
+    )
+    term = (
+        F.col("_np").cast("double") / F.col("_p").cast("double")
+    ) * (
+        F.col("_tp").cast("double")
+        / (F.col("_tp") + F.col("_fp")).cast("double")
+    )
+    agg = staged.groupBy("_p", "_n").agg(
+        F.sum(F.floor(term * F.lit(1000000000000.0)).cast("long")).alias(
+            "_ap_micro"
+        )
+    )
+    return agg.select(
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+        F.round(
+            F.col("_ap_micro").cast("double") / F.lit(1000000000000.0), 6
+        ).alias("ap"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pos: str,
+    neg: str,
+    max_values: int = 8192,
+    scale: int = 100,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the score →
+    P(pos) mapping — the non-parametric calibrator beside the binned
+    reliability diagram (``calibration_bins``), fit here via the
+    MINIMAX characterization of isotonic regression:
+
+        iso(v_i) = max_{j≤i} min_{k≥j} mean(y over scores v_j..v_k)
+
+    which is a closed-form, ORDER-FREE formula over the distinct-score
+    grain — no sequential pool-adjacent-violators state, so both the
+    engine and the (fully independent) SQL oracle compute it from
+    joins and windows alone. The classic PAV sweep is O(n) against
+    this formulation's O(n²) pairs, but n is the DISTINCT quantized
+    score count (cents — bounded by the score range, not the corpus),
+    the pair join streams straight into a per-j min aggregate
+    (nothing materializes), and the closed form is what keeps the
+    oracle from replaying engine code — the repo's independence rule
+    for verification. ``max_values`` (default 8192 ⇒ ≤67M pairs)
+    enforces the boundedness; ``scale`` sets the fixed-point
+    quantization (100 = cents) — drop it to coarsen the domain when
+    the score range grows (the calibrator's resolution, not the
+    corpus, is what it bounds).
+
+    Exactness: segment means are single IEEE divisions of exact
+    cumulative BIGINTs; min/max over identical doubles are exact
+    comparisons (no accumulation), so every fitted probability is
+    bit-identical across engines, round(6) only at output.
+
+    Returns one row per distinct score: (score_fp = value·scale, n,
+    n_pos, emp_rate, iso_p) — iso_p non-decreasing in score_fp.
+    """
+    from pyspark.sql import Window
+
+    counts = _binary_value_counts(
+        df, group_col, value_col, pos, neg, max_values, scale
+    )
+    wle = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_v",
+        "_np",
+        "_nn",
+        F.sum("_np").over(wle).alias("_cp"),
+        (F.sum("_np").over(wle) + F.sum("_nn").over(wle)).alias("_ct"),
+    )
+    j = cum.select(
+        F.col("_v").alias("_jv"),
+        F.col("_np").alias("_jnp"),
+        (F.col("_np") + F.col("_nn")).alias("_jt"),
+        F.col("_cp").alias("_jcp"),
+        F.col("_ct").alias("_jct"),
+    )
+    k = cum.select(
+        F.col("_v").alias("_kv"),
+        F.col("_cp").alias("_kcp"),
+        F.col("_ct").alias("_kct"),
+    )
+    seg_mean = (
+        (F.col("_kcp") - F.col("_jcp") + F.col("_jnp")).cast("double")
+        / (F.col("_kct") - F.col("_jct") + F.col("_jt")).cast("double")
+    )
+    mins = (
+        j.join(k, F.col("_jv") <= F.col("_kv"))
+        .groupBy("_jv")
+        .agg(F.min(seg_mean).alias("_mj"))
+    )
+    wmax = Window.orderBy("_jv").rowsBetween(Window.unboundedPreceding, 0)
+    iso = mins.select(
+        F.col("_jv").alias("_v"), F.max("_mj").over(wmax).alias("_iso")
+    )
+    return (
+        counts.join(iso, "_v")
+        .select(
+            F.col("_v").alias("score_fp"),
+            (F.col("_np") + F.col("_nn")).cast("long").alias("n"),
+            F.col("_np").cast("long").alias("n_pos"),
+            F.round(
+                F.col("_np").cast("double")
+                / (F.col("_np") + F.col("_nn")).cast("double"),
+                6,
+            ).alias("emp_rate"),
+            F.round(F.col("_iso"), 6).alias("iso_p"),
+        )
+    )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group, with their
+    empirical coverage on a held-out half — the distribution-free
+    uncertainty readout modern eval stacks attach to any point
+    predictor. Rows split deterministically (md5 of the row id) into
+    a CALIBRATION half (fits the per-group mean predictor and the
+    nonconformity quantile) and a TEST half (measures how often the
+    interval actually covers); finite-sample theory puts coverage at
+    ≥ coverage_pct for exchangeable data.
+
+    Exactness — the whole procedure is INTEGER arithmetic: with
+    values as cents v and the calibration sums (n, S), the
+    nonconformity score |v − S/n| ranks identically to the integer
+    |v·n − S|, so the conformal quantile is the k-th ORDER STATISTIC
+    of integers, k = ceil((n+1)·pct/100) computed integrally, found
+    as the first distinct score whose cumulative count reaches k
+    (the sketches' first-qualifying-bin pattern); the coverage test
+    |v·n − S| ≤ q compares integers. No doubles exist until the two
+    round(6) output ratios. k > n (tiny calibration sets) yields the
+    infinite interval — q NULL, everything covered — on both engines.
+
+    Scale shape: one fact scan → broadcast of per-group (n, S) (one
+    row per group); the quantile window is PARTITIONED by group and
+    walks distinct scores (bounded by the value domain, not the
+    corpus); coverage is a plain grouped aggregate.
+
+    Returns one row per group: (group, n_cal, n_test, q_halfwidth,
+    coverage).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("conf:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("long")
+        .alias("_v"),
+        (h % 2 == 0).alias("_cal"),
+    )
+    cal_stats = (
+        base.filter(F.col("_cal"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_ncal"), F.sum("_v").alias("_s"))
+    )
+    joined = base.join(F.broadcast(cal_stats), "_g")
+    score = F.abs(F.col("_v") * F.col("_ncal") - F.col("_s"))
+    k = F.floor(
+        ((F.col("_ncal") + 1) * F.lit(coverage_pct) + 99) / F.lit(100.0)
+    ).cast("long")
+    cal_counts = (
+        joined.filter(F.col("_cal"))
+        .groupBy("_g", "_ncal", score.alias("_sc"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("_g").orderBy("_sc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = (
+        cal_counts.withColumn("_cum", F.sum("_c").over(wcum))
+        .groupBy("_g")
+        .agg(
+            F.min(F.when(F.col("_cum") >= k, F.col("_sc"))).alias("_q")
+        )
+    )
+    test = (
+        joined.filter(~F.col("_cal"))
+        .join(F.broadcast(q), "_g")
+        .groupBy("_g", "_ncal", "_q")
+        .agg(
+            F.count(F.lit(1)).alias("_ntest"),
+            F.sum(
+                F.when(F.col("_q").isNull(), 1)
+                .when(score <= F.col("_q"), 1)
+                .otherwise(0)
+            ).alias("_cov"),
+        )
+    )
+    return test.select(
+        F.col("_g").alias(group_col),
+        F.col("_ncal").cast("long").alias("n_cal"),
+        F.col("_ntest").cast("long").alias("n_test"),
+        F.round(
+            F.col("_q").cast("double")
+            / (F.lit(100.0) * F.col("_ncal").cast("double")),
+            6,
+        ).alias("q_halfwidth"),
+        F.round(
+            F.col("_cov").cast("double") / F.col("_ntest").cast("double"), 6
+        ).alias("coverage"),
     )

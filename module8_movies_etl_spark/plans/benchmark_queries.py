@@ -12091,6 +12091,637 @@ def interpolate_gaps_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --------------------------------------------------------------------------
+# Round 6 wave 2: counterfactual evaluation — offline policy value
+# (IPS/SNIPS replay), difference-in-differences, propensity-stratified
+# ATT. The RLHF-adjacent half of the experimentation family: measuring
+# a TARGET policy / treatment effect from logged data without
+# re-serving it.
+# --------------------------------------------------------------------------
+
+_IPS_ACTIONS = ("click", "view", "purchase", "signup", "error")
+
+# 12 / w for w in 1..4 — the LCM trick that keeps every importance
+# weight 12·W/w an exact integer (w | 12 for all logged weights).
+_IPS_INV = {1: 12, 2: 6, 3: 4, 4: 3}
+
+_IPS_ORACLE = """
+WITH base AS (
+    SELECT md5('ips:' || CAST(user_id AS VARCHAR)) AS h,
+           event_type,
+           CAST(round(value * 100) AS BIGINT) AS r
+    FROM events
+),
+sliced AS (
+    SELECT r, event_type,
+           {w_exprs},
+           {s_exprs}
+    FROM base
+),
+expanded AS (
+    SELECT r,
+           (w0 + w1 + w2 + w3 + w4) AS bigw,
+           CASE event_type {w_case} END AS w_own,
+           greatest(s0, s1, s2, s3, s4) AS s_max,
+           CASE event_type {s_case} END AS s_own
+    FROM sliced
+),
+weighted AS (
+    SELECT r,
+           CASE WHEN s_own = s_max
+                THEN bigw * (CASE w_own WHEN 1 THEN 12 WHEN 2 THEN 6
+                                        WHEN 3 THEN 4 ELSE 3 END)
+                ELSE 0 END AS ir
+    FROM expanded
+),
+agg AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN ir > 0 THEN 1 ELSE 0 END) AS n_match,
+           sum(CAST(ir AS HUGEINT)) AS sw,
+           sum(CAST(ir AS HUGEINT) * r) AS swr,
+           sum(CAST(ir AS HUGEINT) * ir) AS sw2
+    FROM weighted
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_match AS BIGINT) AS n_match,
+       round(CAST(swr AS DOUBLE) / (12.0 * n), 6) AS ips_cents,
+       round(CASE WHEN sw > 0 THEN CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE)
+                  ELSE 0.0 END, 6) AS snips_cents,
+       round(CASE WHEN sw2 > 0
+                  THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(sw2 AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ess
+FROM agg
+""".format(
+    w_exprs=",\n           ".join(
+        f"1 + CAST('0x' || substr(h, {i + 1}, 1) AS BIGINT) % 4 AS w{i}"
+        for i in range(5)
+    ),
+    s_exprs=",\n           ".join(
+        f"CAST('0x' || substr(h, {6 + 5 * i}, 5) AS BIGINT) AS s{i}"
+        for i in range(5)
+    ),
+    w_case=" ".join(
+        f"WHEN '{a}' THEN w{i}" for i, a in enumerate(_IPS_ACTIONS)
+    ),
+    s_case=" ".join(
+        f"WHEN '{a}' THEN s{i}" for i, a in enumerate(_IPS_ACTIONS)
+    ),
+)
+
+
+@query("ips_policy_value", _IPS_ORACLE)
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[counterfactual evaluation, beyond-ref §2.13] Offline policy
+    evaluation by importance sampling: the events log is treated as
+    bandit feedback (context = user, action = event_type, reward =
+    value in cents) with a RECORDED logging propensity, and the value
+    of a deterministic greedy TARGET policy is estimated without
+    serving it — IPS (inverse-propensity-scored mean reward), the
+    self-normalized SNIPS estimator, and Kish's effective sample size
+    for the weight distribution. This is the standard
+    counterfactual-readout shape for recommender / RLHF data reuse
+    (Horvitz-Thompson estimation on logged exploration data).
+
+    Determinism & exactness: ONE md5 per row — all per-action draws
+    are hex slices of md5('ips:'user): logging weight w_a = 1 +
+    (hex digit a) mod 4 ∈ {1..4} (propensity p(a|u) = w_a/W, W = Σw ≤
+    20), target score s_a = 20-bit slice, target action = argmax_a
+    s_a (a tie at the max — ~C(5,2)/2^20 per user — makes BOTH
+    actions "chosen"; both engines evaluate the same integer equality
+    so the match set is still identical). Each matched row's
+    importance weight 1/p = W/w is scaled by 12 = lcm(1..4) into an
+    exact integer 12·W/w, so Σw, Σw·r, Σw² are exact DECIMAL/HUGEINT
+    sums (order-free); the three readouts are single IEEE divisions
+    of those integers, round(6).
+
+    Scale shape: ONE narrow scan of the fact table — one md5 + ten
+    hex-slice convs per row, all in whole-stage codegen; the
+    aggregate is a 5-value partial-agg, so nothing shuffles more than
+    one row per partition. At 100 TB this is scan-bound, the best
+    possible shape.
+    """
+    e = read_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("ips:"), F.col("user_id").cast("string")))
+    w_cols = {
+        a: F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long") % 4 + 1
+        for i, a in enumerate(_IPS_ACTIONS)
+    }
+    s_cols = {
+        a: F.conv(F.substring(h, 6 + 5 * i, 5), 16, 10).cast("long")
+        for i, a in enumerate(_IPS_ACTIONS)
+    }
+    bigw = sum(w_cols.values(), F.lit(0))
+    w_own = F.lit(None).cast("long")
+    s_own = F.lit(None).cast("long")
+    for a in _IPS_ACTIONS:
+        w_own = F.when(F.col("event_type") == a, w_cols[a]).otherwise(w_own)
+        s_own = F.when(F.col("event_type") == a, s_cols[a]).otherwise(s_own)
+    s_max = F.greatest(*s_cols.values())
+    inv = F.when(w_own == 1, 12).when(w_own == 2, 6).when(w_own == 3, 4).otherwise(3)
+    ir = F.when(s_own == s_max, bigw * inv).otherwise(F.lit(0)).cast("long")
+    rows = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("r"),
+        ir.alias("ir"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ir") > 0, 1).otherwise(0)).alias("n_match"),
+        F.sum(dec(F.col("ir"))).alias("sw"),
+        F.sum(dec(F.col("ir")) * F.col("r")).alias("swr"),
+        F.sum(dec(F.col("ir")) * F.col("ir")).alias("sw2"),
+    )
+    swd = F.col("sw").cast("double")
+    return agg.select(
+        F.col("n"),
+        F.col("n_match"),
+        F.round(F.col("swr").cast("double") / (F.lit(12.0) * F.col("n")), 6).alias(
+            "ips_cents"
+        ),
+        F.round(
+            F.when(
+                F.col("sw") > 0, F.col("swr").cast("double") / swd
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("snips_cents"),
+        F.round(
+            F.when(
+                F.col("sw2") > 0, swd * swd / F.col("sw2").cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ess"),
+    )
+
+
+_DID_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END)
+               - sum(CASE WHEN d < b.mid THEN v ELSE 0 END) AS dd
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+agg AS (
+    SELECT sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN dd ELSE 0 END) AS sd1,
+           sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN dd ELSE 0 END) AS sd0,
+           sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1
+                    THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS sq1,
+           sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+                    THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS sq0
+    FROM u
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       round(CAST(sd1 AS DOUBLE) / n1, 6) AS mean_diff_treat,
+       round(CAST(sd0 AS DOUBLE) / n0, 6) AS mean_diff_ctrl,
+       round(CAST(sd1 AS DOUBLE) / n1 - CAST(sd0 AS DOUBLE) / n0, 6)
+           AS did_cents,
+       round(CASE WHEN n1 > 1 AND n0 > 1 THEN sqrt(
+           CAST(n1 * sq1 - CAST(sd1 AS HUGEINT) * sd1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * CAST(n1 - 1 AS DOUBLE))
+           + CAST(n0 * sq0 - CAST(sd0 AS HUGEINT) * sd0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                  * CAST(n0 - 1 AS DOUBLE))
+       ) ELSE 0.0 END, 6) AS se_cents
+FROM agg
+"""
+
+
+@query("diff_in_diff_spend", _DID_ORACLE)
+def diff_in_diff_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[causal inference, beyond-ref §2.13 — beside
+    ``cuped_adjusted_ab``] Difference-in-differences: per-user spend
+    change from the pre- to the post-period (same deterministic
+    mid-date split as CUPED, exact cents), compared between the
+    user-parity arms. DiD = (Δ̄ treat − Δ̄ control) with its two-sample
+    standard error from the per-user change variances — the panel-data
+    estimator for rollouts where randomization happened at a cutover,
+    not per-request.
+
+    Exactness: per-user changes are exact integer cents; Σd and Σd²
+    accumulate in DECIMAL(38,0)/HUGEINT (order-free), so the means,
+    DiD, and the variance numerators n·Σd² − (Σd)² are exact integers;
+    the readout is a fixed chain of IEEE divisions / one sqrt
+    (correctly rounded in both engines), round(6).
+
+    Scale shape: ONE fact scan → (user, day) rollup; broadcast 1-row
+    boundary; user-grain change table; single 6-value partial-agg.
+    No global sort anywhere.
+    """
+    e = read_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    bounds = ud.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
+    )
+    u = (
+        ud.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
+                )
+                - F.sum(
+                    F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
+                )
+            ).alias("dd")
+        )
+    )
+    t = F.pmod(F.col("user_id"), F.lit(2))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = u.agg(
+        F.sum(F.when(t == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(t == 1, F.col("dd")).otherwise(0)).alias("sd1"),
+        F.sum(F.when(t == 0, F.col("dd")).otherwise(0)).alias("sd0"),
+        F.sum(F.when(t == 1, dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
+            "sq1"
+        ),
+        F.sum(F.when(t == 0, dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
+            "sq0"
+        ),
+    )
+
+    def _var_over_n(n, sd, sq):
+        num = (
+            dec(F.col(n)) * F.col(sq) - dec(F.col(sd)) * F.col(sd)
+        ).cast("double")
+        den = (
+            F.col(n).cast("double")
+            * F.col(n).cast("double")
+            * (F.col(n) - 1).cast("double")
+        )
+        return num / den
+
+    m1 = F.col("sd1").cast("double") / F.col("n1")
+    m0 = F.col("sd0").cast("double") / F.col("n0")
+    return agg.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round(m1, 6).alias("mean_diff_treat"),
+        F.round(m0, 6).alias("mean_diff_ctrl"),
+        F.round(m1 - m0, 6).alias("did_cents"),
+        F.round(
+            F.when(
+                (F.col("n1") > 1) & (F.col("n0") > 1),
+                F.sqrt(
+                    _var_over_n("n1", "sd1", "sq1")
+                    + _var_over_n("n0", "sd0", "sq0")
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("se_cents"),
+    )
+
+
+_PSM_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d <  b.mid THEN v ELSE 0 END) AS x,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END) AS y,
+           CAST('0x' || substr(md5('psm:' || CAST(user_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2 AS treat
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+strat AS (
+    SELECT treat, y,
+           ntile(5) OVER (ORDER BY x DESC, user_id) AS stratum
+    FROM u
+),
+cells AS (
+    SELECT stratum,
+           sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS n_t,
+           sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS n_c,
+           sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS sy_t,
+           sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS sy_c
+    FROM strat GROUP BY stratum
+),
+contrib AS (
+    SELECT sum(n_t) AS tot_t,
+           sum(CAST(floor((CAST(n_t AS DOUBLE) / t.tt)
+                          * (CAST(sy_t AS DOUBLE) / n_t
+                             - CAST(sy_c AS DOUBLE) / n_c)
+                          * 1000000.0) AS BIGINT)) AS att_micro
+    FROM cells
+    CROSS JOIN (SELECT sum(n_t) AS tt FROM cells WHERE n_t > 0 AND n_c > 0) t
+    WHERE n_t > 0 AND n_c > 0
+)
+SELECT CAST(c.stratum AS BIGINT) AS stratum,
+       CAST(c.n_t AS BIGINT) AS n_treat,
+       CAST(c.n_c AS BIGINT) AS n_ctrl,
+       round(CASE WHEN c.n_t > 0 THEN CAST(c.sy_t AS DOUBLE) / c.n_t
+                  ELSE 0.0 END, 6) AS mean_y_treat,
+       round(CASE WHEN c.n_c > 0 THEN CAST(c.sy_c AS DOUBLE) / c.n_c
+                  ELSE 0.0 END, 6) AS mean_y_ctrl,
+       round(CASE WHEN c.n_t > 0 AND c.n_c > 0
+                  THEN CAST(c.sy_t AS DOUBLE) / c.n_t
+                       - CAST(c.sy_c AS DOUBLE) / c.n_c
+                  ELSE 0.0 END, 6) AS diff_cents,
+       CAST(k.att_micro AS DOUBLE) / 1000000.0 AS att_cents
+FROM cells c CROSS JOIN contrib k
+"""
+
+
+@query("psm_att_strata", _PSM_ORACLE)
+def psm_att_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[causal inference, beyond-ref §2.13 — the observational-data
+    sibling of ``diff_in_diff_spend``] Propensity-stratified treatment
+    effect: users are scored by their pre-period spend (the propensity
+    proxy), cut into 5 strata over a deterministic total order
+    (NTILE via ``robust.quantile_buckets`` — desc score, user_id tie
+    break, max_rows precondition ENFORCED), and the post-period spend
+    of deterministically "treated" users (md5 parity — as-if random)
+    is compared to controls WITHIN each stratum. ATT = Σ_s
+    (n_treat_s / Σ n_treat) · diff_s over strata where both arms are
+    present — subclassification on the propensity score
+    (Rosenbaum-Rubin), the workhorse estimator when randomization
+    isn't available.
+
+    Exactness: cents are exact integers, cell sums exact; per-stratum
+    means/diffs are single IEEE divisions, round(6). The ATT fold
+    sums 5 per-stratum terms — each term is floor-truncated to exact
+    integer micro-cents first, so the cross-stratum sum is order-free
+    integer addition (the repo's per-term-quantize pattern for
+    order-dependent double folds).
+
+    Scale shape: fact scan → (user, day) → user grain; the NTILE
+    window runs on the bounded user-entity table (guarded, not
+    assumed); cells are a 5-row aggregate; ATT is a broadcast 1-row
+    cross join back onto 5 rows.
+    """
+    e = read_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    bounds = ud.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
+    )
+    u = (
+        ud.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "treat",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("psm:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    strat = robust.quantile_buckets(u, "x", "user_id", n=5, out_col="stratum")
+    cells = strat.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0)).alias("sy_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0)).alias("sy_c"),
+    )
+    both = (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    mean_t = F.col("sy_t").cast("double") / F.col("n_t")
+    mean_c = F.col("sy_c").cast("double") / F.col("n_c")
+    tot = cells.where(both).agg(F.sum("n_t").alias("tt"))
+    att = (
+        cells.where(both)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("n_t").cast("double") / F.col("tt"))
+                * (mean_t - mean_c)
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("att_micro"))
+    )
+    return cells.crossJoin(F.broadcast(att)).select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.round(F.when(F.col("n_t") > 0, mean_t).otherwise(F.lit(0.0)), 6).alias(
+            "mean_y_treat"
+        ),
+        F.round(F.when(F.col("n_c") > 0, mean_c).otherwise(F.lit(0.0)), 6).alias(
+            "mean_y_ctrl"
+        ),
+        F.round(F.when(both, mean_t - mean_c).otherwise(F.lit(0.0)), 6).alias(
+            "diff_cents"
+        ),
+        (F.col("att_micro").cast("double") / F.lit(1000000.0)).alias("att_cents"),
+    )
+
+
+_AP_ORACLE = """
+WITH base AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type AS g
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nn
+    FROM base GROUP BY v
+),
+staged AS (
+    SELECT np,
+           sum(np) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           sum(nn) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+           sum(np) OVER () AS p,
+           sum(nn) OVER () AS nneg
+    FROM counts
+)
+SELECT CAST(max(p) AS BIGINT) AS n_pos,
+       CAST(max(nneg) AS BIGINT) AS n_neg,
+       round(CAST(sum(CAST(floor((CAST(np AS DOUBLE) / CAST(p AS DOUBLE))
+                                 * (CAST(tp AS DOUBLE)
+                                    / CAST(tp + fp AS DOUBLE))
+                                 * 1000000000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000000000.0, 6) AS ap
+FROM staged
+"""
+
+
+@query("average_precision_purchase", _AP_ORACLE)
+def average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation, beyond-ref §2.13 — beside
+    ``roc_auc_purchase_score``] Average precision (area under the
+    precision-recall curve, sklearn's step-wise definition) of the
+    event value ranking purchases against views — the
+    imbalance-robust companion to ROC AUC: when positives are rare
+    (the usual case for conversion / toxicity / dup labels at
+    100 TB), AUC saturates near 1 while AP still moves. Same
+    distinct-value-grain reduction as the rank tests; the
+    cross-threshold sum is floor-quantized per term to integer
+    micro-units so no order-dependent double accumulation exists.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.average_precision(e, "event_type", "value", "purchase", "view")
+
+
+_ISO_ORACLE = """
+WITH base AS (
+    SELECT CAST(round(value * 10) AS BIGINT) AS v, event_type AS g
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+counts AS (
+    SELECT v,
+           sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nn
+    FROM base GROUP BY v
+),
+cum AS (
+    SELECT v, np, nn, np + nn AS t,
+           sum(np) OVER (ORDER BY v) AS cp,
+           sum(np + nn) OVER (ORDER BY v) AS ct
+    FROM counts
+),
+mins AS (
+    SELECT j.v AS jv,
+           min(CAST(k.cp - j.cp + j.np AS DOUBLE)
+               / CAST(k.ct - j.ct + j.t AS DOUBLE)) AS mj
+    FROM cum j JOIN cum k ON j.v <= k.v
+    GROUP BY j.v
+),
+iso AS (
+    SELECT jv AS v, max(mj) OVER (ORDER BY jv) AS isop
+    FROM mins
+)
+SELECT CAST(c.v AS BIGINT) AS score_fp,
+       CAST(c.np + c.nn AS BIGINT) AS n,
+       CAST(c.np AS BIGINT) AS n_pos,
+       round(CAST(c.np AS DOUBLE) / CAST(c.np + c.nn AS DOUBLE), 6)
+           AS emp_rate,
+       round(i.isop, 6) AS iso_p
+FROM counts c JOIN iso i ON c.v = i.v
+"""
+
+
+@query("isotonic_calibration_score", _ISO_ORACLE)
+def isotonic_calibration_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation, beyond-ref §2.13 — beside
+    ``calibration_bins_purchase``] Isotonic calibration of the event
+    value as a purchase-probability score: the monotone
+    non-decreasing fit (the OTHER standard calibrator next to
+    binning), computed by the closed-form minimax characterization
+    iso(v_i) = max_{j≤i} min_{k≥j} segmentmean(j,k) at distinct-score
+    grain — order-free joins and windows, no sequential PAV state, so
+    the DuckDB oracle is fully independent SQL rather than a replay
+    of engine code. The score is quantized to 10ths (scale=10) so the
+    distinct-score domain stays bounded by the score RANGE — ~5k
+    cells here and at any corpus size — well inside the operator's
+    enforced pair budget. Output is the fitted step function itself
+    (score → iso_p, non-decreasing), verified pointwise — stronger
+    than any single scalar metric of it.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.isotonic_calibration(
+        e, "event_type", "value", "purchase", "view", scale=10
+    )
+
+
+_CONFORMAL_ORACLE = """
+WITH base AS (
+    SELECT event_type AS g,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           CAST('0x' || substr(md5('conf:' || CAST(event_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 2 = 0 AS cal
+    FROM events
+    WHERE value IS NOT NULL
+),
+cal_stats AS (
+    SELECT g, count(*) AS ncal, sum(v) AS s
+    FROM base WHERE cal GROUP BY g
+),
+joined AS (
+    SELECT b.g, b.cal,
+           abs(b.v * c.ncal - c.s) AS sc,
+           c.ncal,
+           CAST(floor(((c.ncal + 1) * 90 + 99) / 100.0) AS BIGINT) AS k
+    FROM base b JOIN cal_stats c ON b.g = c.g
+),
+cal_counts AS (
+    SELECT g, ncal, k, sc, count(*) AS c
+    FROM joined WHERE cal GROUP BY g, ncal, k, sc
+),
+q AS (
+    SELECT g,
+           min(CASE WHEN cum >= k THEN sc END) AS q
+    FROM (
+        SELECT g, k, sc,
+               sum(c) OVER (PARTITION BY g ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cal_counts
+    )
+    GROUP BY g
+)
+SELECT j.g AS event_type,
+       CAST(max(j.ncal) AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(CAST(max(q.q) AS DOUBLE)
+             / (100.0 * CAST(max(j.ncal) AS DOUBLE)), 6) AS q_halfwidth,
+       round(CAST(sum(CASE WHEN q.q IS NULL THEN 1
+                           WHEN j.sc <= q.q THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM joined j JOIN q ON j.g = q.g
+WHERE NOT j.cal
+GROUP BY j.g
+"""
+
+
+@query("conformal_interval_events", _CONFORMAL_ORACLE)
+def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ML evaluation / uncertainty, beyond-ref §2.13] Split-conformal
+    prediction intervals for the event value per event type
+    (``stats.conformal_interval``): a deterministic md5 split fits the
+    per-type mean + 90% nonconformity quantile on one half and
+    measures empirical coverage on the other — the distribution-free
+    uncertainty wrapper (Vovk; Lei et al.) any point predictor at
+    100 TB can afford, because it is one scan, one broadcast of
+    per-group moments, and one partitioned distinct-score window.
+    Everything down to the coverage comparison is integer arithmetic
+    (|v·n − S| order statistics), so the hash parity is exact.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return stats.conformal_interval(e, "event_type", "value", "event_id")
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
@@ -12119,10 +12750,15 @@ _PRIORITY = [
     "coalesce_variants",
     "order_limit_top5",
     # L1's slice/tail variants are verified locally; their two prefix
-    # slots go to the round-5 flagship families (clustering, HLL) so
-    # the DRIVER artifact carries one green row per major family.
+    # slots go to the round-5/6 flagship families (clustering,
+    # counterfactual evaluation) so the DRIVER artifact carries one
+    # green row per major family. hll_distinct_users moved to local
+    # verification in round 6 (its sketch sibling kmv_distinct_users
+    # keeps the family's driver row) to free the slot for
+    # ips_policy_value — the experimentation/counterfactual family
+    # previously had NO driver-verified row.
     "kmeans_diversity_sample",
-    "hll_distinct_users",
+    "ips_policy_value",
     # random_sample_orders is no-oracle by design (engine RNG) — it
     # lives AFTER the driver's 50-entry verified prefix; its
     # deterministic md5 twin hash_sample_orders holds the L2 slot here

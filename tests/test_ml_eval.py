@@ -158,3 +158,103 @@ def test_calibration_bins_degenerate_range_raises(spark):
     df = _mk_scores(spark, [1.0, 1.0], [1.0])
     with pytest.raises(ValueError, match="cannot be calibrated"):
         stats.calibration_bins(df, "g", "v", "p", "n")
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    # AP = sum over descending distinct thresholds of dR * P, ties
+    # grouped — brute-force reference computed in-test.
+    pos = [9.0, 7.0, 7.0, 3.0, 1.0]
+    neg = [8.0, 7.0, 4.0, 2.0, 2.0, 1.0]
+    df = _mk_scores(spark, pos, neg)
+    [r] = stats.average_precision(df, "g", "v", "p", "n").collect()
+    thresholds = sorted({*pos, *neg}, reverse=True)
+    P = len(pos)
+    ap, prev_r = 0.0, 0.0
+    for t in thresholds:
+        tp = sum(1 for p in pos if p >= t)
+        fp = sum(1 for n in neg if n >= t)
+        rec = tp / P
+        ap += (rec - prev_r) * (tp / (tp + fp))
+        prev_r = rec
+    assert (r["n_pos"], r["n_neg"]) == (5, 6)
+    assert abs(r["ap"] - ap) < 2e-6
+
+
+def test_average_precision_perfect_ranking_is_one(spark):
+    df = _mk_scores(spark, [10.0, 9.0], [1.0, 2.0, 3.0])
+    assert stats.average_precision(df, "g", "v", "p", "n").collect()[0][
+        "ap"
+    ] == 1.0
+
+
+def test_isotonic_matches_pav_bruteforce(spark):
+    # weighted PAV reference implemented independently in-test
+    data = [  # (score_cents, n_pos, n_neg)
+        (1, 3, 1), (2, 0, 2), (3, 1, 1), (5, 4, 0), (8, 1, 3), (9, 2, 0),
+    ]
+    rows = []
+    for v, np_, nn in data:
+        rows += [("p", v / 100.0)] * np_ + [("n", v / 100.0)] * nn
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["score_fp"]: r["iso_p"]
+        for r in stats.isotonic_calibration(
+            df, "g", "v", "p", "n"
+        ).collect()
+    }
+    # PAV: pool adjacent violators over ascending scores
+    blocks = [[v, np_, np_ + nn] for v, np_, nn in data]  # [vs, pos, tot]
+    i = 0
+    merged = []
+    for b in blocks:
+        merged.append(b[:])
+        while len(merged) > 1 and (
+            merged[-2][1] * merged[-1][2] >= merged[-1][1] * merged[-2][2]
+        ):
+            last = merged.pop()
+            merged[-1][1] += last[1]
+            merged[-1][2] += last[2]
+    # assign each input score its block's pooled rate
+    fit = {}
+    di = 0
+    for blk in merged:
+        remaining = blk[2]
+        while remaining > 0:
+            v, np_, nn = data[di]
+            fit[v] = blk[1] / blk[2]
+            remaining -= np_ + nn
+            di += 1
+    assert set(out) == set(fit)
+    for v in fit:
+        assert abs(out[v] - fit[v]) < 2e-6, (v, out[v], fit[v])
+    vals = [out[v] for v in sorted(out)]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_conformal_interval_exact_quantile_and_coverage(spark):
+    # One group, ids chosen so the md5 split is known; verify against
+    # an in-test replay of the integer order-statistic definition.
+    import hashlib
+
+    rows = [(i, float(i % 17) + 0.25) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, v double").withColumn(
+        "g", F.lit("only")
+    )
+    [r] = stats.conformal_interval(df, "g", "v", "event_id").collect()
+
+    def is_cal(i):
+        h = int(hashlib.md5(f"conf:{i}".encode()).hexdigest()[:15], 16)
+        return h % 2 == 0
+
+    cal = [(round(v * 100)) for i, v in rows if is_cal(i)]
+    test = [(round(v * 100)) for i, v in rows if not is_cal(i)]
+    n, S = len(cal), sum(cal)
+    scores = sorted(abs(v * n - S) for v in cal)
+    k = ((n + 1) * 90 + 99) // 100
+    q = scores[k - 1] if k <= n else None
+    covered = sum(
+        1 for v in test if q is None or abs(v * n - S) <= q
+    )
+    assert (r["n_cal"], r["n_test"]) == (n, len(test))
+    assert r["q_halfwidth"] == round(q / (100.0 * n), 6)
+    assert r["coverage"] == round(covered / len(test), 6)

@@ -74,6 +74,12 @@ HEADLINE = [
     "training_data_pipeline",
     "bm25_keyword_search",
     "cohort_retention",
+    # third wave: counterfactual evaluation + ML-eval additions
+    "ips_policy_value",
+    "diff_in_diff_spend",
+    "psm_att_strata",
+    "average_precision_purchase",
+    "isotonic_calibration_score",
 ]
 
 SF_DIRS = {
