@@ -1429,16 +1429,27 @@ def average_precision(
         F.col("_tp").cast("double")
         / (F.col("_tp") + F.col("_fp")).cast("double")
     )
-    agg = staged.groupBy("_p", "_n").agg(
-        F.sum(F.floor(term * F.lit(1000000000000.0)).cast("long")).alias(
-            "_ap_micro"
-        )
+    # agg (not groupBy) keeps the roc_auc siblings' single-row shape
+    # on empty input, and the np>0 gate skips the 0/0 NaN a
+    # zero-positive slice would otherwise feed ANSI floor/cast
+    # (np=0 thresholds contribute exactly 0 to AP anyway).
+    agg = staged.agg(
+        F.max("_p").alias("_p"),
+        F.max("_n").alias("_n"),
+        F.sum(
+            F.when(
+                F.col("_np") > 0,
+                F.floor(term * F.lit(1000000000000.0)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("_ap_micro"),
     )
     return agg.select(
-        F.col("_p").cast("long").alias("n_pos"),
-        F.col("_n").cast("long").alias("n_neg"),
+        F.coalesce(F.col("_p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_neg"),
         F.round(
-            F.col("_ap_micro").cast("double") / F.lit(1000000000000.0), 6
+            F.coalesce(F.col("_ap_micro"), F.lit(0)).cast("double")
+            / F.lit(1000000000000.0),
+            6,
         ).alias("ap"),
     )
 
@@ -1536,12 +1547,34 @@ def isotonic_calibration(
     )
 
 
+def _bounded_conformal_counts(counts: DataFrame, max_values: int) -> DataFrame:
+    """Enforce — not assume — the bounded distinct-score precondition
+    behind ``conformal_interval``'s per-group quantile window, the
+    same snapshot + short-circuiting limit-probe contract as
+    ``_bounded_value_counts`` (the grain differs: (group, score)
+    cells across ALL groups, since every group's window walks its own
+    score domain)."""
+    from ..sources.scratch import snapshot
+
+    snap = snapshot(counts, prefix="conformal_vc_")
+    probe = snap.limit(max_values + 1).count()
+    if probe > max_values:
+        raise ValueError(
+            f"conformal_interval: more than max_values={max_values} "
+            "distinct (group, score) cells; the per-group quantile "
+            "window would sort an unbounded score domain. Quantize "
+            "the value column or raise max_values explicitly."
+        )
+    return snap
+
+
 def conformal_interval(
     df: DataFrame,
     group_col: str,
     value_col: str,
     id_col: str,
     coverage_pct: int = 90,
+    max_values: int = 2_000_000,
 ) -> DataFrame:
     """Split-conformal prediction intervals per group, with their
     empirical coverage on a held-out half — the distribution-free
@@ -1566,7 +1599,9 @@ def conformal_interval(
     Scale shape: one fact scan → broadcast of per-group (n, S) (one
     row per group); the quantile window is PARTITIONED by group and
     walks distinct scores (bounded by the value domain, not the
-    corpus); coverage is a plain grouped aggregate.
+    corpus — and ENFORCED by a snapshot + limit-probe guard, the
+    ``_bounded_value_counts`` contract); coverage is a plain grouped
+    aggregate.
 
     Returns one row per group: (group, n_cal, n_test, q_halfwidth,
     coverage).
@@ -1599,10 +1634,11 @@ def conformal_interval(
     k = F.floor(
         ((F.col("_ncal") + 1) * F.lit(coverage_pct) + 99) / F.lit(100.0)
     ).cast("long")
-    cal_counts = (
+    cal_counts = _bounded_conformal_counts(
         joined.filter(F.col("_cal"))
         .groupBy("_g", "_ncal", score.alias("_sc"))
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_c")),
+        max_values,
     )
     wcum = Window.partitionBy("_g").orderBy("_sc").rowsBetween(
         Window.unboundedPreceding, 0

@@ -11293,6 +11293,38 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn(d, "text", top_words=200, n_merges=8)
 
 
+def _user_prepost_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derivation for the experimentation/causal family
+    (CUPED, DiD, PSM): per-user PRE- and POST-period spend in exact
+    integer cents, split at the deterministic mid-date of the
+    observation window. ONE fact scan → (user, day) rollup; the
+    boundary is a broadcast 1-row aggregate of that rollup (no second
+    scan); output is user-grain (user_id, x=pre cents, y=post cents).
+    The convention — mid = (min_day + max_day + 1) // 2, day >= mid
+    is POST — lives HERE only; the DuckDB oracles repeat it by design
+    (they must stay independent SQL)."""
+    e = read_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    bounds = ud.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
+    )
+    return (
+        ud.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+
+
 _CUPED_ORACLE = """
 WITH ud AS (
     SELECT user_id,
@@ -11361,26 +11393,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no second scan); user totals, pooled moments, and arm rollups
     are all |users|-grain or smaller.
     """
-    e = read_table(spark, sf_dir, "events")
-    ud = e.groupBy(
-        "user_id",
-        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
-    bounds = ud.agg(
-        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
-    )
-    u = (
-        ud.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
-            ).alias("x"),
-            F.sum(
-                F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
-            ).alias("y"),
-        )
-    )
+    u = _user_prepost_spend(spark, sf_dir)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -12101,9 +12114,9 @@ def interpolate_gaps_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IPS_ACTIONS = ("click", "view", "purchase", "signup", "error")
 
-# 12 / w for w in 1..4 — the LCM trick that keeps every importance
-# weight 12·W/w an exact integer (w | 12 for all logged weights).
-_IPS_INV = {1: 12, 2: 6, 3: 4, 4: 3}
+# The engine's when-chain and the oracle's CASE both map the logged
+# weight w ∈ {1..4} to 12/w ∈ {12,6,4,3} — the LCM trick that keeps
+# every importance weight 12·W/w an exact integer (w | 12).
 
 _IPS_ORACLE = """
 WITH base AS (
@@ -12318,27 +12331,8 @@ def diff_in_diff_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary; user-grain change table; single 6-value partial-agg.
     No global sort anywhere.
     """
-    e = read_table(spark, sf_dir, "events")
-    ud = e.groupBy(
-        "user_id",
-        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
-    bounds = ud.agg(
-        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
-    )
-    u = (
-        ud.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
-                )
-                - F.sum(
-                    F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
-                )
-            ).alias("dd")
-        )
+    u = _user_prepost_spend(spark, sf_dir).select(
+        "user_id", (F.col("y") - F.col("x")).alias("dd")
     )
     t = F.pmod(F.col("user_id"), F.lit(2))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -12469,25 +12463,8 @@ def psm_att_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed); cells are a 5-row aggregate; ATT is a broadcast 1-row
     cross join back onto 5 rows.
     """
-    e = read_table(spark, sf_dir, "events")
-    ud = e.groupBy(
-        "user_id",
-        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
-    bounds = ud.agg(
-        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
-    )
     u = (
-        ud.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("d") < F.col("mid"), F.col("v")).otherwise(0)
-            ).alias("x"),
-            F.sum(
-                F.when(F.col("d") >= F.col("mid"), F.col("v")).otherwise(0)
-            ).alias("y"),
-        )
+        _user_prepost_spend(spark, sf_dir)
         .withColumn(
             "treat",
             F.conv(
@@ -12566,12 +12543,14 @@ staged AS (
            sum(nn) OVER () AS nneg
     FROM counts
 )
-SELECT CAST(max(p) AS BIGINT) AS n_pos,
-       CAST(max(nneg) AS BIGINT) AS n_neg,
-       round(CAST(sum(CAST(floor((CAST(np AS DOUBLE) / CAST(p AS DOUBLE))
-                                 * (CAST(tp AS DOUBLE)
-                                    / CAST(tp + fp AS DOUBLE))
-                                 * 1000000000000.0) AS BIGINT))
+SELECT CAST(coalesce(max(p), 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(max(nneg), 0) AS BIGINT) AS n_neg,
+       round(CAST(coalesce(sum(CASE WHEN np > 0
+                  THEN CAST(floor((CAST(np AS DOUBLE) / CAST(p AS DOUBLE))
+                                  * (CAST(tp AS DOUBLE)
+                                     / CAST(tp + fp AS DOUBLE))
+                                  * 1000000000000.0) AS BIGINT)
+                  ELSE 0 END), 0)
                   AS DOUBLE) / 1000000000000.0, 6) AS ap
 FROM staged
 """

@@ -258,3 +258,17 @@ def test_conformal_interval_exact_quantile_and_coverage(spark):
     assert (r["n_cal"], r["n_test"]) == (n, len(test))
     assert r["q_halfwidth"] == round(q / (100.0 * n), 6)
     assert r["coverage"] == round(covered / len(test), 6)
+
+
+def test_average_precision_zero_positives_is_defined(spark):
+    # no positive rows: AP must be a well-defined 0.0 single row, not
+    # an empty frame or an ANSI NaN-cast throw
+    df = _mk_scores(spark, [], [1.0, 2.0])
+    [r] = stats.average_precision(df, "g", "v", "p", "n").collect()
+    assert (r["n_pos"], r["n_neg"], r["ap"]) == (0, 2, 0.0)
+
+
+def test_average_precision_empty_input_single_row(spark):
+    df = spark.createDataFrame([], "g string, v double")
+    [r] = stats.average_precision(df, "g", "v", "p", "n").collect()
+    assert (r["n_pos"], r["n_neg"], r["ap"]) == (0, 0, 0.0)

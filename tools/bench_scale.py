@@ -80,6 +80,7 @@ HEADLINE = [
     "psm_att_strata",
     "average_precision_purchase",
     "isotonic_calibration_score",
+    "conformal_interval_events",
 ]
 
 SF_DIRS = {
