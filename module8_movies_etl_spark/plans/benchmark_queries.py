@@ -12701,6 +12701,418 @@ def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.conformal_interval(e, "event_type", "value", "event_id")
 
 
+_POWER_ORACLE = """
+WITH u AS (
+    SELECT ((user_id % 2) + 2) % 2 AS arm,
+           sum(CAST(round(value * 100) AS BIGINT)) AS y
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT arm, count(*) AS n, sum(y) AS sy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM u GROUP BY arm
+),
+wide AS (
+    SELECT max(CASE WHEN arm = 1 THEN n END) AS n1,
+           max(CASE WHEN arm = 0 THEN n END) AS n0,
+           max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+           max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+           max(CASE WHEN arm = 1 THEN syy END) AS syy1,
+           max(CASE WHEN arm = 0 THEN syy END) AS syy0
+    FROM mom
+),
+calc AS (
+    SELECT n1, n0,
+           CAST(sy0 AS DOUBLE) / n0 AS mean_ctrl,
+           (CAST(n1 * syy1 - CAST(sy1 AS HUGEINT) * sy1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+                * CAST(n1 - 1 AS DOUBLE)
+            + CAST(n0 * syy0 - CAST(sy0 AS HUGEINT) * sy0 AS DOUBLE)
+                / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+                * CAST(n0 - 1 AS DOUBLE))
+           / CAST(n1 + n0 - 2 AS DOUBLE) AS sp2
+    FROM wide
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       round(mean_ctrl, 6) AS mean_ctrl,
+       round(sqrt(sp2), 6) AS sd_pooled,
+       round(2.801585 * sqrt(sp2 * (1.0 / n1 + 1.0 / n0)), 6) AS mde_cents,
+       round(2.801585 * sqrt(sp2 * (1.0 / n1 + 1.0 / n0)) / mean_ctrl, 6)
+           AS mde_rel
+FROM calc
+"""
+
+
+@query("ab_power_mde", _POWER_ORACLE)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[experiment design, beyond-ref §2.13 — the PLANNING readout
+    beside the inference trio] Minimum detectable effect of the
+    standard two-sample test at 80% power / 5% two-sided α, from the
+    observed per-user spend variance: MDE = (z_{0.975} + z_{0.80}) ·
+    √(s²_pooled·(1/n₁+1/n₀)) with the z-sum 1.959964 + 0.841621 =
+    2.801585 embedded as one literal on both engines. This is the
+    question asked BEFORE every experiment — "how small an effect
+    could this traffic even see?" — and it needs only the moment
+    sums the readout queries already collect.
+
+    Exactness: per-user cents are exact; n·Σy² − (Σy)² per arm is an
+    exact DECIMAL/HUGEINT integer; the pooled variance, sqrt, and
+    ratios are one fixed IEEE chain over those integers, round(6).
+
+    Scale shape: one fact scan → user grain → one 2-row arm
+    aggregate; everything after is constant-size.
+    """
+    u = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    wide = mom.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("arm") == 1, F.col("syy"))).alias("syy1"),
+        F.max(F.when(F.col("arm") == 0, F.col("syy"))).alias("syy0"),
+    )
+
+    def _ss(n, sy, syy):
+        num = (dec(F.col(n)) * F.col(syy) - dec(F.col(sy)) * F.col(sy)).cast(
+            "double"
+        )
+        return (
+            num
+            / (F.col(n).cast("double") * (F.col(n) - 1).cast("double"))
+            * (F.col(n) - 1).cast("double")
+        )
+
+    sp2 = (_ss("n1", "sy1", "syy1") + _ss("n0", "sy0", "syy0")) / (
+        F.col("n1") + F.col("n0") - 2
+    ).cast("double")
+    mean_ctrl = F.col("sy0").cast("double") / F.col("n0")
+    mde = F.lit(2.801585) * F.sqrt(
+        sp2
+        * (
+            F.lit(1.0) / F.col("n1")
+            + F.lit(1.0) / F.col("n0")
+        )
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round(mean_ctrl, 6).alias("mean_ctrl"),
+        F.round(F.sqrt(sp2), 6).alias("sd_pooled"),
+        F.round(mde, 6).alias("mde_cents"),
+        F.round(mde / mean_ctrl, 6).alias("mde_rel"),
+    )
+
+
+_JACKKNIFE_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           count(DISTINCT CAST(ts AS DATE)) AS x,
+           sum(CAST(round(value * 100) AS BIGINT)) AS y
+    FROM events GROUP BY user_id
+),
+b AS (
+    SELECT CAST('0x' || substr(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 50 AS bkt,
+           sum(x) AS xb, sum(y) AS yb, count(*) AS nb
+    FROM u GROUP BY 1
+),
+tot AS (SELECT sum(xb) AS xt, sum(yb) AS yt, sum(nb) AS nu FROM b),
+est AS (
+    SELECT CAST(floor(CAST(t.yt - b.yb AS DOUBLE)
+                      / CAST(t.xt - b.xb AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS e
+    FROM b CROSS JOIN tot t
+),
+jk AS (
+    SELECT count(*) AS beff,
+           sum(CAST(e AS HUGEINT)) AS m,
+           sum(CAST(e AS HUGEINT) * e) AS s2
+    FROM est
+),
+mom AS (
+    SELECT t.nu, t.xt, t.yt, j.beff, j.m, j.s2,
+           CAST(t.yt AS DOUBLE) / CAST(t.xt AS DOUBLE) AS ratio
+    FROM tot t CROSS JOIN jk j
+),
+u2 AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM u
+)
+SELECT CAST(mom.nu AS BIGINT) AS n_users,
+       CAST(mom.beff AS BIGINT) AS n_buckets,
+       round(mom.ratio, 6) AS ratio,
+       round(sqrt((CAST(u2.syy AS DOUBLE) / u2.n
+                   - (CAST(u2.sy AS DOUBLE) / u2.n)
+                     * (CAST(u2.sy AS DOUBLE) / u2.n)
+                   - 2 * mom.ratio
+                     * (CAST(u2.sxy AS DOUBLE) / u2.n
+                        - (CAST(u2.sx AS DOUBLE) / u2.n)
+                          * (CAST(u2.sy AS DOUBLE) / u2.n))
+                   + mom.ratio * mom.ratio
+                     * (CAST(u2.sxx AS DOUBLE) / u2.n
+                        - (CAST(u2.sx AS DOUBLE) / u2.n)
+                          * (CAST(u2.sx AS DOUBLE) / u2.n)))
+                  / u2.n
+                  / ((CAST(u2.sx AS DOUBLE) / u2.n)
+                     * (CAST(u2.sx AS DOUBLE) / u2.n))), 6) AS se_delta,
+       round(sqrt(CAST(mom.beff - 1 AS DOUBLE) / mom.beff
+                  * CAST(mom.beff * mom.s2 - mom.m * mom.m AS DOUBLE)
+                  / CAST(mom.beff AS DOUBLE)
+                  / 1000000000000.0), 6) AS se_jackknife
+FROM mom CROSS JOIN u2
+"""
+
+
+@query("jackknife_ratio_variance", _JACKKNIFE_ORACLE)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[resampling inference / audit, beyond-ref §2.13 — the
+    model-free CHECK on ``ratio_metric_delta_ab``'s linearization]
+    Delete-a-group jackknife standard error for the value-per-
+    active-day ratio: users hash into 50 buckets, each replicate
+    recomputes the ratio with one bucket removed (leave-one-out on
+    GROUPS — the only jackknife that scales: B replicates from B
+    partial sums, never n), and the replicate spread estimates the
+    SE. Reported beside the delta-method SE on the SAME rows, so the
+    two independent derivations audit each other — the sketch-audit
+    pattern (lsh/ivf recall, quantile error bound) applied to
+    inference.
+
+    Exactness: bucket partial sums are exact integers; each
+    replicate estimate is one IEEE division floor-quantized to
+    integer micro-units, so the across-replicate mean/variance use
+    the exact-integer identity B·Σe² − (Σe)² (DECIMAL/HUGEINT) —
+    no order-dependent double folds anywhere; empty hash buckets
+    simply don't appear and B_eff is the observed bucket count.
+
+    Scale shape: one fact scan → user grain → 50-row bucket grain;
+    replicates are arithmetic on those 50 rows against a broadcast
+    1-row total.
+    """
+    u = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct(F.to_date("ts")).alias("x"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = u.groupBy(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jk:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 50
+        ).alias("bkt")
+    ).agg(
+        F.sum("x").alias("xb"),
+        F.sum("y").alias("yb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    tot = b.agg(
+        F.sum("xb").alias("xt"),
+        F.sum("yb").alias("yt"),
+        F.sum("nb").alias("nu"),
+    )
+    est = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("yt") - F.col("yb")).cast("double")
+                / (F.col("xt") - F.col("xb")).cast("double")
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("e")
+        )
+    )
+    jk = est.agg(
+        F.count(F.lit(1)).alias("beff"),
+        F.sum(dec(F.col("e"))).alias("m"),
+        F.sum(dec(F.col("e")) * F.col("e")).alias("s2"),
+    )
+    mom2 = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    wide = (
+        tot.crossJoin(F.broadcast(jk)).crossJoin(F.broadcast(mom2))
+    )
+    ratio = F.col("yt").cast("double") / F.col("xt").cast("double")
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    ybar = F.col("sy").cast("double") / nd
+    vxx = F.col("sxx").cast("double") / nd - xbar * xbar
+    vxy = F.col("sxy").cast("double") / nd - xbar * ybar
+    vyy = F.col("syy").cast("double") / nd - ybar * ybar
+    se_delta = F.sqrt(
+        (vyy - 2 * ratio * vxy + ratio * ratio * vxx)
+        / F.col("n")
+        / (xbar * xbar)
+    )
+    bd = F.col("beff").cast("double")
+    # Σ(e−ē)² = (B·Σe² − M²)/B — ONE factor of B (a shared /B² slip
+    # here shrank the SE by √B until the plain-Python ground-truth
+    # check in tests caught it; see test_jackknife_agrees_with_delta)
+    se_jk = F.sqrt(
+        (F.col("beff") - 1).cast("double")
+        / F.col("beff")
+        * (dec(F.col("beff")) * F.col("s2") - F.col("m") * F.col("m")).cast(
+            "double"
+        )
+        / bd
+        / F.lit(1000000000000.0)
+    )
+    return wide.select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("beff").cast("long").alias("n_buckets"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se_delta, 6).alias("se_delta"),
+        F.round(se_jk, 6).alias("se_jackknife"),
+    )
+
+
+_POSTSTRAT_ORACLE = """
+WITH pop AS (
+    SELECT c_mktsegment AS seg, count(*) AS pop_n
+    FROM customer GROUP BY 1
+),
+popt AS (SELECT sum(pop_n) AS pop_tot FROM pop),
+sample AS (
+    SELECT c.c_mktsegment AS seg,
+           count(*) AS n,
+           sum(CAST(round(e.value * 100) AS BIGINT)) AS s
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n_all, sum(s) AS s_all FROM sample),
+terms AS (
+    SELECT CAST(floor((CAST(p.pop_n AS DOUBLE) / CAST(t.pop_tot AS DOUBLE))
+                      * (CAST(sm.s AS DOUBLE) / CAST(sm.n AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS term,
+           p.pop_n
+    FROM sample sm
+    JOIN pop p ON sm.seg = p.seg
+    CROSS JOIN popt t
+)
+SELECT CAST(t.n_all AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_strata,
+       round(CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE), 6)
+           AS naive_cents,
+       round(CAST(sum(CAST(term AS HUGEINT)) AS DOUBLE) / 1000000.0
+             / (CAST(sum(pop_n) AS DOUBLE)
+                / CAST(max(pt.pop_tot) AS DOUBLE)), 6) AS poststrat_cents
+FROM terms CROSS JOIN tot t CROSS JOIN popt pt
+GROUP BY t.n_all, t.s_all
+"""
+
+
+@query("poststrat_mean_value", _POSTSTRAT_ORACLE)
+def poststrat_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[survey calibration, beyond-ref §2.13] Post-stratified mean
+    event value: the naive sample mean is reweighted to the
+    POPULATION market-segment shares from the customer dimension —
+    the survey-statistics correction for a sample whose segment mix
+    drifted from the population it should represent (the same
+    arithmetic pattern as importance-weighted corpus rebalancing).
+    Strata observed in the sample are renormalized over their own
+    population mass, so missing-in-sample segments shift the weights
+    rather than silently deflating the estimate.
+
+    Exactness: per-stratum sums are exact integer cents; each
+    weighted term is a fixed IEEE chain floor-quantized to micro-
+    units, so the cross-stratum sum is order-free; the final
+    renormalization divides by the covered population share.
+
+    Scale shape: one fact scan joined to the broadcast customer
+    dimension (dimension-sized, not fact-sized), one segment-grain
+    aggregate (≤ |segments| rows), constant-size arithmetic after.
+    """
+    e = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pop = cust.groupBy("seg").agg(F.count(F.lit(1)).alias("pop_n"))
+    popt = pop.agg(F.sum("pop_n").alias("pop_tot"))
+    sample = (
+        e.join(F.broadcast(cust), "user_id")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+        )
+    )
+    tot = sample.agg(F.sum("n").alias("n_all"), F.sum("s").alias("s_all"))
+    terms = (
+        sample.join(F.broadcast(pop), "seg")
+        .crossJoin(F.broadcast(popt))
+        .select(
+            F.floor(
+                (F.col("pop_n").cast("double") / F.col("pop_tot").cast("double"))
+                * (F.col("s").cast("double") / F.col("n").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("term"),
+            "pop_n",
+            "pop_tot",
+        )
+    )
+    agg = terms.groupBy("pop_tot").agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("tsum"),
+        F.sum("pop_n").alias("cov_pop"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n_all").cast("long").alias("n_events"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.round(
+            F.col("s_all").cast("double") / F.col("n_all").cast("double"), 6
+        ).alias("naive_cents"),
+        F.round(
+            F.col("tsum").cast("double")
+            / F.lit(1000000.0)
+            / (
+                F.col("cov_pop").cast("double")
+                / F.col("pop_tot").cast("double")
+            ),
+            6,
+        ).alias("poststrat_cents"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -272,3 +272,52 @@ def test_average_precision_empty_input_single_row(spark):
     df = spark.createDataFrame([], "g string, v double")
     [r] = stats.average_precision(df, "g", "v", "p", "n").collect()
     assert (r["n_pos"], r["n_neg"], r["ap"]) == (0, 0, 0.0)
+
+
+def test_jackknife_agrees_with_delta_and_python_reference(spark, sf_dir):
+    # Independent plain-Python replay of BOTH standard errors from the
+    # same per-user rollup — closes the shared-formula failure mode
+    # (a /B² slip once shrank the jackknife SE by sqrt(B); engine and
+    # oracle agreed on the wrong number until this check).
+    import hashlib
+    import math
+
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    [r] = QUERIES["jackknife_ratio_variance"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct(F.to_date("ts")).alias("x"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    X = sum(row["x"] for row in rows)
+    Y = sum(row["y"] for row in rows)
+    B = 50
+    bx, by = [0] * B, [0] * B
+    for row in rows:
+        b = (
+            int(
+                hashlib.md5(f"jk:{row['user_id']}".encode()).hexdigest()[:15],
+                16,
+            )
+            % B
+        )
+        bx[b] += row["x"]
+        by[b] += row["y"]
+    present = [b for b in range(B) if bx[b] or by[b]]
+    ests = [
+        math.floor((Y - by[b]) / (X - bx[b]) * 1e6) / 1e6 for b in present
+    ]
+    beff = len(present)
+    m = sum(ests) / beff
+    se_ref = math.sqrt(
+        (beff - 1) / beff * sum((e - m) ** 2 for e in ests)
+    )
+    assert r["n_buckets"] == beff
+    assert abs(r["se_jackknife"] - se_ref) < max(1e-4, 1e-4 * se_ref)
+    # the two independent derivations must agree to resampling noise
+    assert 0.5 < r["se_jackknife"] / r["se_delta"] < 2.0
