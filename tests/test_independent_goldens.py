@@ -211,3 +211,30 @@ def test_fuzzy_name_matches_d1_equals_quadratic_reference(spark):
     }
     assert got == ref
     assert (6, 7) not in got and (1, 5) in got
+
+
+def test_lloyd_l2_matches_hand_golden():
+    # PQ sub-codebook trainer (similarity.lloyd_l2): 6 points, k=2.
+    # Init is every floor(n/k)-th sample: c0=[0,0], c1=[10,10]. Both
+    # iterations assign {first 3} -> c0, {last 3} -> c1, so the hand
+    # centroids are the two cluster means: [1/3, 1] and [31/3, 11].
+    from module8_movies_etl_spark.operators.similarity import lloyd_l2
+
+    pts = [[0.0, 0.0], [0.0, 2.0], [1.0, 1.0],
+           [10.0, 10.0], [10.0, 12.0], [11.0, 11.0]]
+    got = lloyd_l2(pts, 2, iters=2)
+    want = [[1.0 / 3.0, 1.0], [31.0 / 3.0, 11.0]]
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            assert abs(a - b) < 1e-12, (got, want)
+
+
+def test_lloyd_l2_tie_breaks_to_lowest_index():
+    # point [1] is equidistant from centroids [0] and [2]; the
+    # documented stable-argmin contract sends it to index 0, so the
+    # fit is [[0.5], [2.0]] — a different tie rule would give
+    # [[0.0], [1.5]] and break Spark/oracle codebook parity.
+    from module8_movies_etl_spark.operators.similarity import lloyd_l2
+
+    got = lloyd_l2([[0.0], [2.0], [1.0]], 2, iters=1)
+    assert got == [[0.5], [2.0]], got

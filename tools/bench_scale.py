@@ -81,6 +81,9 @@ HEADLINE = [
     "average_precision_purchase",
     "isotonic_calibration_score",
     "conformal_interval_events",
+    "ab_power_mde",
+    "jackknife_ratio_variance",
+    "poststrat_mean_value",
 ]
 
 SF_DIRS = {
