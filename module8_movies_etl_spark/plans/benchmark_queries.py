@@ -13113,6 +13113,286 @@ def poststrat_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DR_ORACLE = """
+WITH base AS (
+    SELECT md5('ips:' || CAST(user_id AS VARCHAR)) AS h,
+           event_type,
+           CAST(round(value * 100) AS BIGINT) AS r
+    FROM events
+),
+am AS (
+    SELECT event_type AS a, count(*) AS na, sum(r) AS sa
+    FROM base GROUP BY 1
+),
+sliced AS (
+    SELECT r, event_type,
+           {w_exprs},
+           {s_exprs}
+    FROM base
+),
+expanded AS (
+    SELECT r, event_type,
+           (w0 + w1 + w2 + w3 + w4) AS bigw,
+           CASE event_type {w_case} END AS w_own,
+           greatest(s0, s1, s2, s3, s4) AS s_max,
+           CASE event_type {s_case} END AS s_own,
+           CASE
+               WHEN s0 = greatest(s0, s1, s2, s3, s4) THEN '{a0}'
+               WHEN s1 = greatest(s0, s1, s2, s3, s4) THEN '{a1}'
+               WHEN s2 = greatest(s0, s1, s2, s3, s4) THEN '{a2}'
+               WHEN s3 = greatest(s0, s1, s2, s3, s4) THEN '{a3}'
+               ELSE '{a4}' END AS pi_a
+    FROM sliced
+),
+terms AS (
+    SELECT CAST(floor((CAST(mp.sa AS DOUBLE) / CAST(mp.na AS DOUBLE)
+                       + CASE WHEN e.pi_a = e.event_type
+                              THEN (CAST(e.r AS DOUBLE)
+                                    - CAST(ma.sa AS DOUBLE)
+                                      / CAST(ma.na AS DOUBLE))
+                                   * (CAST(e.bigw AS DOUBLE) / e.w_own)
+                              ELSE 0.0 END)
+                      * 1000000.0) AS BIGINT) AS t
+    FROM expanded e
+    JOIN am mp ON e.pi_a = mp.a
+    JOIN am ma ON e.event_type = ma.a
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(t AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS dr_cents
+FROM terms
+"""
+
+
+@query(
+    "dr_policy_value",
+    _DR_ORACLE.format(
+        w_exprs=",\n           ".join(
+            f"1 + CAST('0x' || substr(h, {i + 1}, 1) AS BIGINT) % 4 AS w{i}"
+            for i in range(5)
+        ),
+        s_exprs=",\n           ".join(
+            f"CAST('0x' || substr(h, {6 + 5 * i}, 5) AS BIGINT) AS s{i}"
+            for i in range(5)
+        ),
+        w_case=" ".join(
+            f"WHEN '{a}' THEN w{i}" for i, a in enumerate(_IPS_ACTIONS)
+        ),
+        s_case=" ".join(
+            f"WHEN '{a}' THEN s{i}" for i, a in enumerate(_IPS_ACTIONS)
+        ),
+        a0=_IPS_ACTIONS[0],
+        a1=_IPS_ACTIONS[1],
+        a2=_IPS_ACTIONS[2],
+        a3=_IPS_ACTIONS[3],
+        a4=_IPS_ACTIONS[4],
+    ),
+)
+def dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[counterfactual evaluation, beyond-ref §2.13 — completes the
+    IPS → SNIPS → DR estimator trio beside ``ips_policy_value``]
+    Doubly-robust offline policy value: each logged row contributes
+    the outcome model's prediction for the TARGET action, m(π(u)),
+    plus the importance-weighted residual 1{a=π(u)}·(r − m(a))·(1/p)
+    — unbiased if EITHER the outcome model or the propensities are
+    right, and far lower-variance than IPS when the model is decent
+    (Dudík-Langford-Li). The outcome model here is the per-action
+    mean reward fit on the log itself (simple direct method,
+    documented; the estimator's structure, not the model's
+    sophistication, is what this operator contributes).
+
+    Determinism & exactness: same single-md5 hex-slice propensities
+    and argmax target policy as ``ips_policy_value`` (ties make both
+    engines choose the FIRST max slice — the CASE walks s0..s4 in
+    the same order Spark's when-chain does). Per-action means are
+    exact-integer ratios; each row's term is one fixed IEEE chain
+    floor-quantized to micro-cents, so the fact-wide sum is
+    order-free integer addition (DECIMAL/HUGEINT).
+
+    Scale shape: one narrow scan computes the 5-row action-mean
+    table (broadcast back), a second codegen pass computes terms —
+    two scans total, no shuffle wider than the 5-row broadcast, at
+    100 TB scan-bound like its IPS sibling.
+    """
+    e = read_table(spark, sf_dir, "events")
+    am = (
+        e.groupBy(F.col("event_type").alias("a"))
+        .agg(
+            F.count(F.lit(1)).alias("na"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sa"),
+        )
+    )
+    h = F.md5(F.concat(F.lit("ips:"), F.col("user_id").cast("string")))
+    w_cols = {
+        a: F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long") % 4 + 1
+        for i, a in enumerate(_IPS_ACTIONS)
+    }
+    s_cols = {
+        a: F.conv(F.substring(h, 6 + 5 * i, 5), 16, 10).cast("long")
+        for i, a in enumerate(_IPS_ACTIONS)
+    }
+    bigw = sum(w_cols.values(), F.lit(0))
+    s_max = F.greatest(*s_cols.values())
+    w_own = F.lit(None).cast("long")
+    for a in _IPS_ACTIONS:
+        w_own = F.when(F.col("event_type") == a, w_cols[a]).otherwise(w_own)
+    pi_a = F.lit(_IPS_ACTIONS[-1])
+    for a in reversed(_IPS_ACTIONS[:-1]):
+        pi_a = F.when(s_cols[a] == s_max, F.lit(a)).otherwise(pi_a)
+    rows = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("r"),
+        F.col("event_type").alias("a_log"),
+        pi_a.alias("pi_a"),
+        bigw.alias("bigw"),
+        w_own.alias("w_own"),
+        (pi_a == F.col("event_type")).alias("match"),
+    )
+    mp = am.select(
+        F.col("a").alias("pi_a"),
+        (F.col("sa").cast("double") / F.col("na").cast("double")).alias(
+            "m_pi"
+        ),
+    )
+    ma = am.select(
+        F.col("a").alias("a_log"),
+        (F.col("sa").cast("double") / F.col("na").cast("double")).alias(
+            "m_a"
+        ),
+    )
+    terms = (
+        rows.join(F.broadcast(mp), "pi_a")
+        .join(F.broadcast(ma), "a_log")
+        .select(
+            F.floor(
+                (
+                    F.col("m_pi")
+                    + F.when(
+                        F.col("match"),
+                        (F.col("r").cast("double") - F.col("m_a"))
+                        * (
+                            F.col("bigw").cast("double")
+                            / F.col("w_own")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("ts"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("ts").cast("double") / F.lit(1000000.0) / F.col("n"), 6
+        ).alias("dr_cents"),
+    )
+
+
+_QTE_ORACLE = """
+WITH base AS (
+    SELECT ((user_id % 2) + 2) % 2 AS arm,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+counts AS (
+    SELECT arm, v, count(*) AS c FROM base GROUP BY arm, v
+),
+tot AS (SELECT arm, sum(c) AS n FROM counts GROUP BY arm),
+cum AS (
+    SELECT c.arm, c.v, t.n,
+           sum(c.c) OVER (PARTITION BY c.arm ORDER BY c.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+    FROM counts c JOIN tot t ON c.arm = t.arm
+),
+qs AS (
+    SELECT p.p, cum.arm,
+           min(CASE WHEN cum.cc * 10 >= p.p * cum.n THEN cum.v END) AS q
+    FROM cum CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+        AS p(p)
+    GROUP BY p.p, cum.arm
+)
+SELECT CAST(p AS BIGINT) AS decile,
+       round(CAST(max(CASE WHEN arm = 1 THEN q END) AS DOUBLE) / 100.0, 6)
+           AS q_treat,
+       round(CAST(max(CASE WHEN arm = 0 THEN q END) AS DOUBLE) / 100.0, 6)
+           AS q_ctrl,
+       round((CAST(max(CASE WHEN arm = 1 THEN q END) AS DOUBLE)
+              - CAST(max(CASE WHEN arm = 0 THEN q END) AS DOUBLE)) / 100.0,
+             6) AS qte
+FROM qs
+GROUP BY p
+"""
+
+
+@query("qte_deciles", _QTE_ORACLE)
+def qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[causal inference, beyond-ref §2.13 — the DISTRIBUTIONAL
+    companion to the mean-effect readouts] Quantile treatment
+    effects: the per-arm value distribution's exact lower deciles
+    (type-1 order statistics: first value whose scaled cumulative
+    count reaches p·n/10 — integer comparisons only, the
+    first-qualifying-bin pattern) and their treat−control gaps. A
+    treatment that moves the tail but not the mean is invisible to
+    the DiD/CUPED means and obvious here.
+
+    Scale shape: one fact shuffle to per-(arm, value) counts, one
+    arm-partitioned cumulative window over the bounded value domain,
+    a 9-row constant decile grid joined in, min-aggregates after.
+    Everything before the two final round(6) divisions is integer.
+    """
+    e = read_table(spark, sf_dir, "events")
+    counts = (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("arm", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("arm").agg(F.sum("c").alias("n"))
+    wcum = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        counts.join(tot, "arm")
+        .withColumn("cc", F.sum("c").over(wcum))
+    )
+    grid = cum.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("p")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("p", "arm")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") * 10 >= F.col("p") * F.col("n"), F.col("v")
+                )
+            ).alias("q")
+        )
+    )
+    wide = qs.groupBy("p").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("arm") == 0, F.col("q"))).alias("q0"),
+    )
+    return wide.select(
+        F.col("p").cast("long").alias("decile"),
+        F.round(F.col("q1").cast("double") / 100.0, 6).alias("q_treat"),
+        F.round(F.col("q0").cast("double") / 100.0, 6).alias("q_ctrl"),
+        F.round(
+            (F.col("q1").cast("double") - F.col("q0").cast("double"))
+            / 100.0,
+            6,
+        ).alias("qte"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

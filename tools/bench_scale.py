@@ -84,6 +84,8 @@ HEADLINE = [
     "ab_power_mde",
     "jackknife_ratio_variance",
     "poststrat_mean_value",
+    "dr_policy_value",
+    "qte_deciles",
 ]
 
 SF_DIRS = {
