@@ -13393,6 +13393,217 @@ def qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPCAP_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d <  b.mid THEN v ELSE 0 END) AS x,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END) AS y
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+mom AS (
+    SELECT ((user_id % 2) + 2) % 2 AS arm,
+           count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM u GROUP BY 1
+),
+wide AS (
+    SELECT max(CASE WHEN arm = 1 THEN n END) AS n1,
+           max(CASE WHEN arm = 0 THEN n END) AS n0,
+           max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+           max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+           max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+           max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+           max(CASE WHEN arm = 1 THEN sxx END) AS sxx1,
+           max(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+           max(CASE WHEN arm = 1 THEN sxy END) AS sxy1,
+           max(CASE WHEN arm = 0 THEN sxy END) AS sxy0,
+           max(CASE WHEN arm = 1 THEN syy END) AS syy1,
+           max(CASE WHEN arm = 0 THEN syy END) AS syy0
+    FROM mom
+),
+calc AS (
+    SELECT n1, n0, sx1, sx0, sy1, sy0,
+           CAST(n1 + n0 AS DOUBLE) AS td,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n0 AS DOUBLE) AS n0d,
+           CASE WHEN (n1 + n0) * (sxx1 + sxx0)
+                     - CAST(sx1 + sx0 AS HUGEINT) * (sx1 + sx0) > 0
+                THEN CAST((n1 + n0) * (sxy1 + sxy0)
+                          - CAST(sx1 + sx0 AS HUGEINT) * (sy1 + sy0)
+                          AS DOUBLE)
+                     / CAST((n1 + n0) * (sxx1 + sxx0)
+                            - CAST(sx1 + sx0 AS HUGEINT) * (sx1 + sx0)
+                            AS DOUBLE)
+                ELSE 0.0 END AS theta,
+           CAST(sx1 + sx0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS xbar,
+           CAST(n1 * (syy1 - 2 * sxy1 + sxx1)
+                - CAST(sy1 - sx1 AS HUGEINT) * (sy1 - sx1) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * CAST(n1 - 1 AS DOUBLE)) AS vd1,
+           CAST(n0 * (syy0 - 2 * sxy0 + sxx0)
+                - CAST(sy0 - sx0 AS HUGEINT) * (sy0 - sx0) AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                  * CAST(n0 - 1 AS DOUBLE)) AS vd0,
+           (CAST(n1 * syy1 - CAST(sy1 AS HUGEINT) * sy1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+                * CAST(n1 - 1 AS DOUBLE)
+            + CAST(n0 * syy0 - CAST(sy0 AS HUGEINT) * sy0 AS DOUBLE)
+                / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+                * CAST(n0 - 1 AS DOUBLE))
+           / CAST(n1 + n0 - 2 AS DOUBLE) AS sp2
+    FROM wide
+),
+r AS (
+    SELECT n1, n0,
+           ((n1d - td / 2) * (n1d - td / 2)
+            + (n0d - td / 2) * (n0d - td / 2)) / (td / 2) AS chi2,
+           theta,
+           CAST(sy1 AS DOUBLE) / n1d
+               - theta * (CAST(sx1 AS DOUBLE) / n1d - xbar) AS adj1,
+           CAST(sy0 AS DOUBLE) / n0d
+               - theta * (CAST(sx0 AS DOUBLE) / n0d - xbar) AS adj0,
+           CAST(sy1 - sx1 AS DOUBLE) / n1d
+               - CAST(sy0 - sx0 AS DOUBLE) / n0d AS did,
+           sqrt(vd1 + vd0) AS did_se,
+           2.801585 * sqrt(sp2 * (1.0 / n1 + 1.0 / n0)) AS mde
+    FROM calc
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       round(chi2, 6) AS srm_chi2,
+       chi2 <= 3.841459 AS srm_pass,
+       round(theta, 6) AS theta,
+       round(adj1, 6) AS cuped_mean_treat,
+       round(adj0, 6) AS cuped_mean_ctrl,
+       round(adj1 - adj0, 6) AS cuped_diff,
+       round(did, 6) AS did_cents,
+       round(did_se, 6) AS did_se,
+       round(mde, 6) AS mde_cents,
+       abs(adj1 - adj0) > mde AS detectable
+FROM r
+"""
+
+
+@query("experiment_readout_capstone", _EXPCAP_ORACLE)
+def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[capstone × experimentation, beyond-ref §2.13] The COMPLETE
+    A/B readout as one row from ONE fact scan: SRM guardrail (1-df
+    χ² of the arm split), pooled CUPED θ and variance-adjusted
+    per-arm means with their difference, the DiD estimate with its
+    standard error, the MDE at 80% power, and the composed verdicts
+    (srm_pass; detectable = |CUPED diff| > MDE). The structural point
+    this capstone pins: EVERY estimator in the family is arithmetic
+    over the same six per-arm moments (n, Σx, Σy, Σx², Σxy, Σy²) —
+    Σd and Σd² fold out of them algebraically (Σ(y−x)² = Σy² − 2Σxy
+    + Σx²) — so the whole dashboard costs one user-grain shuffle and
+    one 2-row aggregate, at 100 TB exactly as at sf0.01.
+
+    Exactness: all six moments are exact DECIMAL/HUGEINT integer
+    sums over exact cents; θ, the χ², both SEs, and the MDE are
+    fixed IEEE chains over those integers, round(6); the two
+    booleans compare the same unrounded doubles on both engines.
+    """
+    u = _user_prepost_spend(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = u.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    names = ["n", "sx", "sy", "sxx", "sxy", "syy"]
+    wide = mom.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for c in names
+            for a in (1, 0)
+        ]
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    td = (F.col("n1") + F.col("n0")).cast("double")
+    # pooled theta from summed moments (exact integers)
+    den = dec(F.col("n1") + F.col("n0")) * (F.col("sxx1") + F.col("sxx0")) - dec(
+        F.col("sx1") + F.col("sx0")
+    ) * (F.col("sx1") + F.col("sx0"))
+    num = dec(F.col("n1") + F.col("n0")) * (F.col("sxy1") + F.col("sxy0")) - dec(
+        F.col("sx1") + F.col("sx0")
+    ) * (F.col("sy1") + F.col("sy0"))
+    theta = F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    xbar = (F.col("sx1") + F.col("sx0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+
+    def _vd(n, sx, sy, sxx, sxy, syy):
+        sdd = F.col(syy) - 2 * F.col(sxy) + F.col(sxx)
+        sd = F.col(sy) - F.col(sx)
+        num_ = (dec(F.col(n)) * sdd - dec(sd) * sd).cast("double")
+        return num_ / (
+            F.col(n).cast("double")
+            * F.col(n).cast("double")
+            * (F.col(n) - 1).cast("double")
+        )
+
+    def _ss(n, sy, syy):
+        num_ = (dec(F.col(n)) * F.col(syy) - dec(F.col(sy)) * F.col(sy)).cast(
+            "double"
+        )
+        return (
+            num_
+            / (F.col(n).cast("double") * (F.col(n) - 1).cast("double"))
+            * (F.col(n) - 1).cast("double")
+        )
+
+    sp2 = (_ss("n1", "sy1", "syy1") + _ss("n0", "sy0", "syy0")) / (
+        F.col("n1") + F.col("n0") - 2
+    ).cast("double")
+    chi2 = (
+        (n1d - td / 2) * (n1d - td / 2) + (n0d - td / 2) * (n0d - td / 2)
+    ) / (td / 2)
+    adj1 = F.col("sy1").cast("double") / n1d - theta * (
+        F.col("sx1").cast("double") / n1d - xbar
+    )
+    adj0 = F.col("sy0").cast("double") / n0d - theta * (
+        F.col("sx0").cast("double") / n0d - xbar
+    )
+    did = (F.col("sy1") - F.col("sx1")).cast("double") / n1d - (
+        F.col("sy0") - F.col("sx0")
+    ).cast("double") / n0d
+    did_se = F.sqrt(
+        _vd("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")
+        + _vd("n0", "sx0", "sy0", "sxx0", "sxy0", "syy0")
+    )
+    mde = F.lit(2.801585) * F.sqrt(
+        sp2 * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n0"))
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 <= F.lit(3.841459)).alias("srm_pass"),
+        F.round(theta, 6).alias("theta"),
+        F.round(adj1, 6).alias("cuped_mean_treat"),
+        F.round(adj0, 6).alias("cuped_mean_ctrl"),
+        F.round(adj1 - adj0, 6).alias("cuped_diff"),
+        F.round(did, 6).alias("did_cents"),
+        F.round(did_se, 6).alias("did_se"),
+        F.round(mde, 6).alias("mde_cents"),
+        (F.abs(adj1 - adj0) > mde).alias("detectable"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -321,3 +321,19 @@ def test_jackknife_agrees_with_delta_and_python_reference(spark, sf_dir):
     assert abs(r["se_jackknife"] - se_ref) < max(1e-4, 1e-4 * se_ref)
     # the two independent derivations must agree to resampling noise
     assert 0.5 < r["se_jackknife"] / r["se_delta"] < 2.0
+
+
+def test_capstone_reproduces_standalone_did(spark, sf_dir):
+    # The capstone folds sum(d^2) algebraically (syy - 2*sxy + sxx)
+    # instead of aggregating d = y - x directly; both derivations
+    # must agree exactly through round(6).
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    [cap] = QUERIES["experiment_readout_capstone"](spark, sf_dir).collect()
+    [did] = QUERIES["diff_in_diff_spend"](spark, sf_dir).collect()
+    assert cap["did_cents"] == did["did_cents"]
+    assert cap["did_se"] == did["se_cents"]
+    assert (cap["n_treat"], cap["n_ctrl"]) == (
+        did["n_treat"],
+        did["n_ctrl"],
+    )

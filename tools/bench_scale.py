@@ -86,6 +86,7 @@ HEADLINE = [
     "poststrat_mean_value",
     "dr_policy_value",
     "qte_deciles",
+    "experiment_readout_capstone",
 ]
 
 SF_DIRS = {
