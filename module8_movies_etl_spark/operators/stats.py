@@ -1596,8 +1596,12 @@ def conformal_interval(
     round(6) output ratios. k > n (tiny calibration sets) yields the
     infinite interval — q NULL, everything covered — on both engines.
 
-    Scale shape: one fact scan → broadcast of per-group (n, S) (one
-    row per group); the quantile window is PARTITIONED by group and
+    Scale shape: three COLUMN-PRUNED fact scans (the calibration
+    stats, the calibration scores, the test evaluation — Spark has
+    no subplan reuse below the exchange, and materializing the
+    fact-grain split to avoid two extra pruned scans would cost more
+    than it saves at 100 TB); per-group (n, S) is a broadcast of one
+    row per group; the quantile window is PARTITIONED by group and
     walks distinct scores (bounded by the value domain, not the
     corpus — and ENFORCED by a snapshot + limit-probe guard, the
     ``_bounded_value_counts`` contract); coverage is a plain grouped

@@ -11302,12 +11302,25 @@ def _user_prepost_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); output is user-grain (user_id, x=pre cents, y=post cents).
     The convention — mid = (min_day + max_day + 1) // 2, day >= mid
     is POST — lives HERE only; the DuckDB oracles repeat it by design
-    (they must stay independent SQL)."""
+    (they must stay independent SQL).
+
+    The rollup is SNAPSHOT to scratch before fanning out to its two
+    consumers (the 1-row boundary aggregate and the per-user split):
+    Spark has no common-subplan reuse below the exchange level, so
+    without the snapshot each consumer re-scans the fact table — the
+    plan audit showed exactly that (2 parquet scans; 1 after)."""
+    from ..sources.scratch import snapshot
+
     e = read_table(spark, sf_dir, "events")
-    ud = e.groupBy(
-        "user_id",
-        F.unix_date(F.to_date("ts")).cast("long").alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    ud = snapshot(
+        e.groupBy(
+            "user_id",
+            F.unix_date(F.to_date("ts")).cast("long").alias("d"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        ),
+        prefix="prepost_ud_",
+    )
     bounds = ud.agg(
         ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
     )
