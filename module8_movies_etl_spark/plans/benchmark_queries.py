@@ -13617,6 +13617,178 @@ def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OLS3_ORACLE = """
+WITH base AS (
+    SELECT CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS BIGINT) AS x1,
+           CAST((epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS BIGINT) AS x2,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+),
+mom AS (
+    SELECT count(*) AS n,
+           sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+           sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM base
+),
+dets AS (
+    SELECT n, sy, s1y, s2y, syy,
+           CAST(n AS HUGEINT) * (s11 * s22 - s12 * s12)
+               - CAST(s1 AS HUGEINT) * (s1 * s22 - s12 * s2)
+               + CAST(s2 AS HUGEINT) * (s1 * s12 - s11 * s2) AS det,
+           CAST(sy AS HUGEINT) * (s11 * s22 - s12 * s12)
+               - CAST(s1y AS HUGEINT) * (s1 * s22 - s2 * s12)
+               + CAST(s2y AS HUGEINT) * (s1 * s12 - s2 * s11) AS det0,
+           CAST(n AS HUGEINT) * (s1y * s22 - s12 * s2y)
+               - CAST(s1 AS HUGEINT) * (sy * s22 - s2 * s2y)
+               + CAST(s2 AS HUGEINT) * (sy * s12 - s2 * s1y) AS det1,
+           CAST(n AS HUGEINT) * (s11 * s2y - s1y * s12)
+               - CAST(s1 AS HUGEINT) * (s1 * s2y - sy * s12)
+               + CAST(s2 AS HUGEINT) * (s1 * s1y - sy * s11) AS det2
+    FROM mom
+),
+beta AS (
+    SELECT n, sy, s1y, s2y, syy,
+           CASE WHEN det != 0 THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)
+                ELSE 0.0 END AS b0,
+           CASE WHEN det != 0 THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
+                ELSE 0.0 END AS b1,
+           CASE WHEN det != 0 THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
+                ELSE 0.0 END AS b2
+    FROM dets
+),
+fit AS (
+    SELECT n, b0, b1, b2,
+           CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+               - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE) AS sse,
+           CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS sst
+    FROM beta
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS beta0,
+       round(b1, 6) AS beta_hod,
+       round(b2, 6) AS beta_dow,
+       round(CASE WHEN sst > 0 THEN 1.0 - sse / sst ELSE 0.0 END, 6) AS r2
+FROM fit
+"""
+
+
+@query("ols_value_by_time", _OLS3_ORACLE)
+def ols_value_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistics / feature engineering, beyond-ref §2.13 — the
+    MULTIPLE-regression step beyond the simple OLS of
+    ``trend_slope_by_type``] Value-in-cents regressed on hour-of-day
+    and day-of-week (both epoch-derived integers — timezone-free) by
+    the closed-form normal equations: β = (XᵀX)⁻¹Xᵀy solved with
+    Cramer's rule, where every 3×3 determinant is a polynomial in
+    the nine EXACT integer moment sums (n, Σx₁, Σx₂, Σx₁², Σx₂²,
+    Σx₁x₂, Σy, Σx₁y, Σx₂y). No iterative fitting, no matrix library:
+    the determinants are exact DECIMAL/HUGEINT integers — expansion
+    order is irrelevant to exact arithmetic, so cross-engine parity
+    is structural, not a rounding accident — and the only doubles
+    are the three β divisions and the R² chain (SSE = Σy² − β·Xᵀy
+    from the same moments). Determinant magnitude bounds int-width:
+    ~n³·(max x)⁴ stays inside 38 digits up to ~1e11 rows for these
+    bounded regressors (documented; wider regressors need centering
+    first).
+
+    Scale shape: ONE narrow fact scan → a 10-value partial-agg; all
+    linear algebra happens on one row. The best possible shape for
+    any closed-form model at 100 TB.
+    """
+    e = read_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    base = e.filter(F.col("value").isNotNull()).select(
+        ((epoch / 3600).cast("long") % 24).alias("x1"),
+        (((epoch / 86400).cast("long") + 4) % 7).alias("x2"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x1")) * F.col("x1")).alias("s11"),
+        F.sum(dec(F.col("x2")) * F.col("x2")).alias("s22"),
+        F.sum(dec(F.col("x1")) * F.col("x2")).alias("s12"),
+        F.sum(dec(F.col("x1")) * F.col("y")).alias("s1y"),
+        F.sum(dec(F.col("x2")) * F.col("y")).alias("s2y"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    c = F.col
+    det = (
+        dec(c("n")) * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - dec(c("s1")) * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + dec(c("s2")) * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    det0 = (
+        dec(c("sy")) * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - dec(c("s1y")) * (c("s1") * c("s22") - c("s2") * c("s12"))
+        + dec(c("s2y")) * (c("s1") * c("s12") - c("s2") * c("s11"))
+    )
+    det1 = (
+        dec(c("n")) * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - dec(c("s1")) * (c("sy") * c("s22") - c("s2") * c("s2y"))
+        + dec(c("s2")) * (c("sy") * c("s12") - c("s2") * c("s1y"))
+    )
+    det2 = (
+        dec(c("n")) * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - dec(c("s1")) * (c("s1") * c("s2y") - c("sy") * c("s12"))
+        + dec(c("s2")) * (c("s1") * c("s1y") - c("sy") * c("s11"))
+    )
+    staged = mom.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+
+    def _b(d):
+        return F.when(
+            c("det") != 0, c(d).cast("double") / c("det").cast("double")
+        ).otherwise(F.lit(0.0))
+
+    beta = staged.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        _b("det0").alias("b0"),
+        _b("det1").alias("b1"),
+        _b("det2").alias("b2"),
+    )
+    sse = (
+        c("syy").cast("double")
+        - c("b0") * c("sy").cast("double")
+        - c("b1") * c("s1y").cast("double")
+        - c("b2") * c("s2y").cast("double")
+    )
+    sst = c("syy").cast("double") - c("sy").cast("double") * c("sy").cast(
+        "double"
+    ) / c("n")
+    return beta.select(
+        c("n").cast("long").alias("n"),
+        F.round(c("b0"), 6).alias("beta0"),
+        F.round(c("b1"), 6).alias("beta_hod"),
+        F.round(c("b2"), 6).alias("beta_dow"),
+        F.round(
+            F.when(sst > 0, F.lit(1.0) - sse / sst).otherwise(F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -337,3 +337,32 @@ def test_capstone_reproduces_standalone_did(spark, sf_dir):
         did["n_treat"],
         did["n_ctrl"],
     )
+
+
+def test_ols_cramer_matches_numpy_lstsq(spark, sf_dir):
+    # The Cramer/normal-equations fit must agree with an independent
+    # numpy least-squares solve on the same (x1, x2, y) rows.
+    import numpy as np
+
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    [r] = QUERIES["ols_value_by_time"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            ((F.unix_timestamp("ts") / 3600).cast("long") % 24).alias("x1"),
+            (((F.unix_timestamp("ts") / 86400).cast("long") + 4) % 7).alias(
+                "x2"
+            ),
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, row["x1"], row["x2"]] for row in rows])
+    y = np.array([float(row["y"]) for row in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert r["n"] == len(rows)
+    assert abs(r["beta0"] - beta[0]) < 1e-4
+    assert abs(r["beta_hod"] - beta[1]) < 1e-4
+    assert abs(r["beta_dow"] - beta[2]) < 1e-4

@@ -87,6 +87,7 @@ HEADLINE = [
     "dr_policy_value",
     "qte_deciles",
     "experiment_readout_capstone",
+    "ols_value_by_time",
 ]
 
 SF_DIRS = {
