@@ -55,6 +55,13 @@ from ..sources import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _dec(col):
+    """decimal(38,0) cast — the exact-integer accumulator type every
+    moment-sum query in this file uses (one definition, not one
+    lambda per query)."""
+    return col.cast("decimal(38,0)")
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
@@ -10839,14 +10846,13 @@ def ratio_metric_delta_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "x", "y"
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(_dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -11062,16 +11068,15 @@ def source_centroid_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = q.groupBy("source", "pos").agg(F.sum("xi").alias("sd"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     sn = s.groupBy("source").agg(
-        F.sum(dec(F.col("sd")) * F.col("sd")).alias("s2")
+        F.sum(_dec(F.col("sd")) * F.col("sd")).alias("s2")
     )
     m = (
         q.join(F.broadcast(s), ["source", "pos"])
         .groupBy("source", "vec_id")
         .agg(
-            F.sum(dec(F.col("xi")) * F.col("sd")).alias("dot"),
-            F.sum(dec(F.col("xi")) * F.col("xi")).alias("x2"),
+            F.sum(_dec(F.col("xi")) * F.col("sd")).alias("dot"),
+            F.sum(_dec(F.col("xi")) * F.col("xi")).alias("x2"),
         )
     )
     cosm = m.join(F.broadcast(sn), "source").select(
@@ -11407,16 +11412,15 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all |users|-grain or smaller.
     """
     u = _user_prepost_spend(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(_dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sxx"),
     )
-    den = dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
-    num = dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")
+    den = _dec(F.col("n")) * F.col("sxx") - _dec(F.col("sx")) * F.col("sx")
+    num = _dec(F.col("n")) * F.col("sxy") - _dec(F.col("sx")) * F.col("sy")
     th = mom.select(
         "n",
         "sx",
@@ -12145,16 +12149,20 @@ sliced AS (
     FROM base
 ),
 expanded AS (
-    SELECT r,
+    SELECT r, event_type,
            (w0 + w1 + w2 + w3 + w4) AS bigw,
            CASE event_type {w_case} END AS w_own,
-           greatest(s0, s1, s2, s3, s4) AS s_max,
-           CASE event_type {s_case} END AS s_own
+           CASE
+               WHEN s0 = greatest(s0, s1, s2, s3, s4) THEN '{a0}'
+               WHEN s1 = greatest(s0, s1, s2, s3, s4) THEN '{a1}'
+               WHEN s2 = greatest(s0, s1, s2, s3, s4) THEN '{a2}'
+               WHEN s3 = greatest(s0, s1, s2, s3, s4) THEN '{a3}'
+               ELSE '{a4}' END AS pi_a
     FROM sliced
 ),
 weighted AS (
     SELECT r,
-           CASE WHEN s_own = s_max
+           CASE WHEN pi_a = event_type
                 THEN bigw * (CASE w_own WHEN 1 THEN 12 WHEN 2 THEN 6
                                         WHEN 3 THEN 4 ELSE 3 END)
                 ELSE 0 END AS ir
@@ -12193,6 +12201,11 @@ FROM agg
     s_case=" ".join(
         f"WHEN '{a}' THEN s{i}" for i, a in enumerate(_IPS_ACTIONS)
     ),
+    a0=_IPS_ACTIONS[0],
+    a1=_IPS_ACTIONS[1],
+    a2=_IPS_ACTIONS[2],
+    a3=_IPS_ACTIONS[3],
+    a4=_IPS_ACTIONS[4],
 )
 
 
@@ -12212,10 +12225,11 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism & exactness: ONE md5 per row — all per-action draws
     are hex slices of md5('ips:'user): logging weight w_a = 1 +
     (hex digit a) mod 4 ∈ {1..4} (propensity p(a|u) = w_a/W, W = Σw ≤
-    20), target score s_a = 20-bit slice, target action = argmax_a
-    s_a (a tie at the max — ~C(5,2)/2^20 per user — makes BOTH
-    actions "chosen"; both engines evaluate the same integer equality
-    so the match set is still identical). Each matched row's
+    20), target score s_a = 20-bit slice, target action = the FIRST
+    action attaining the max score (ties — ~C(5,2)/2^20 per user —
+    resolve to the lowest slice index on both engines, and the DR
+    sibling resolves them identically, so the IPS/SNIPS/DR trio
+    evaluates one and the same deterministic policy). Each matched row's
     importance weight 1/p = W/w is scaled by 12 = lcm(1..4) into an
     exact integer 12·W/w, so Σw, Σw·r, Σw² are exact DECIMAL/HUGEINT
     sums (order-free); the three readouts are single IEEE divisions
@@ -12239,24 +12253,28 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     bigw = sum(w_cols.values(), F.lit(0))
     w_own = F.lit(None).cast("long")
-    s_own = F.lit(None).cast("long")
     for a in _IPS_ACTIONS:
         w_own = F.when(F.col("event_type") == a, w_cols[a]).otherwise(w_own)
-        s_own = F.when(F.col("event_type") == a, s_cols[a]).otherwise(s_own)
     s_max = F.greatest(*s_cols.values())
+    pi_a = F.lit(_IPS_ACTIONS[-1])
+    for a in reversed(_IPS_ACTIONS[:-1]):
+        pi_a = F.when(s_cols[a] == s_max, F.lit(a)).otherwise(pi_a)
     inv = F.when(w_own == 1, 12).when(w_own == 2, 6).when(w_own == 3, 4).otherwise(3)
-    ir = F.when(s_own == s_max, bigw * inv).otherwise(F.lit(0)).cast("long")
+    ir = (
+        F.when(pi_a == F.col("event_type"), bigw * inv)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     rows = e.select(
         F.round(F.col("value") * 100, 0).cast("long").alias("r"),
         ir.alias("ir"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = rows.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("ir") > 0, 1).otherwise(0)).alias("n_match"),
-        F.sum(dec(F.col("ir"))).alias("sw"),
-        F.sum(dec(F.col("ir")) * F.col("r")).alias("swr"),
-        F.sum(dec(F.col("ir")) * F.col("ir")).alias("sw2"),
+        F.sum(_dec(F.col("ir"))).alias("sw"),
+        F.sum(_dec(F.col("ir")) * F.col("r")).alias("swr"),
+        F.sum(_dec(F.col("ir")) * F.col("ir")).alias("sw2"),
     )
     swd = F.col("sw").cast("double")
     return agg.select(
@@ -12348,23 +12366,22 @@ def diff_in_diff_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (F.col("y") - F.col("x")).alias("dd")
     )
     t = F.pmod(F.col("user_id"), F.lit(2))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = u.agg(
         F.sum(F.when(t == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(t == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(t == 1, F.col("dd")).otherwise(0)).alias("sd1"),
         F.sum(F.when(t == 0, F.col("dd")).otherwise(0)).alias("sd0"),
-        F.sum(F.when(t == 1, dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
+        F.sum(F.when(t == 1, _dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
             "sq1"
         ),
-        F.sum(F.when(t == 0, dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
+        F.sum(F.when(t == 0, _dec(F.col("dd")) * F.col("dd")).otherwise(0)).alias(
             "sq0"
         ),
     )
 
     def _var_over_n(n, sd, sq):
         num = (
-            dec(F.col(n)) * F.col(sq) - dec(F.col(sd)) * F.col(sd)
+            _dec(F.col(n)) * F.col(sq) - _dec(F.col(sd)) * F.col(sd)
         ).cast("double")
         den = (
             F.col(n).cast("double")
@@ -12784,11 +12801,10 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "y")
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
     )
     wide = mom.agg(
         F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
@@ -12800,7 +12816,7 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ss(n, sy, syy):
-        num = (dec(F.col(n)) * F.col(syy) - dec(F.col(sy)) * F.col(sy)).cast(
+        num = (_dec(F.col(n)) * F.col(syy) - _dec(F.col(sy)) * F.col(sy)).cast(
             "double"
         )
         return (
@@ -12914,19 +12930,23 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     no order-dependent double folds anywhere; empty hash buckets
     simply don't appear and B_eff is the observed bucket count.
 
-    Scale shape: one fact scan → user grain → 50-row bucket grain;
-    replicates are arithmetic on those 50 rows against a broadcast
-    1-row total.
+    Scale shape: one fact scan → user-grain rollup SNAPSHOT to
+    scratch (it feeds both the bucket chain and the delta-method
+    moments — Spark re-executes unshared lineage per consumer, the
+    plan-audit lesson); 50-row bucket grain after; replicates are
+    arithmetic on those 50 rows against a broadcast 1-row total.
     """
-    u = (
+    from ..sources.scratch import snapshot
+
+    u = snapshot(
         read_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count_distinct(F.to_date("ts")).alias("x"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
-        )
+        ),
+        prefix="jk_user_",
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     b = u.groupBy(
         (
             F.conv(
@@ -12968,16 +12988,16 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jk = est.agg(
         F.count(F.lit(1)).alias("beff"),
-        F.sum(dec(F.col("e"))).alias("m"),
-        F.sum(dec(F.col("e")) * F.col("e")).alias("s2"),
+        F.sum(_dec(F.col("e"))).alias("m"),
+        F.sum(_dec(F.col("e")) * F.col("e")).alias("s2"),
     )
     mom2 = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(_dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
     )
     wide = (
         tot.crossJoin(F.broadcast(jk)).crossJoin(F.broadcast(mom2))
@@ -13001,7 +13021,7 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_jk = F.sqrt(
         (F.col("beff") - 1).cast("double")
         / F.col("beff")
-        * (dec(F.col("beff")) * F.col("s2") - F.col("m") * F.col("m")).cast(
+        * (_dec(F.col("beff")) * F.col("s2") - F.col("m") * F.col("m")).cast(
             "double"
         )
         / bd
@@ -13068,24 +13088,34 @@ def poststrat_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     units, so the cross-stratum sum is order-free; the final
     renormalization divides by the covered population share.
 
-    Scale shape: one fact scan joined to the broadcast customer
-    dimension (dimension-sized, not fact-sized), one segment-grain
-    aggregate (≤ |segments| rows), constant-size arithmetic after.
+    Scale shape: ONE fact scan joined to the broadcast customer
+    dimension, reduced to a segment-grain aggregate that is SNAPSHOT
+    to scratch (it feeds both the naive total and the weighted
+    terms); the population shares are a second snapshot of the
+    dimension-grain rollup. Constant-size arithmetic after; the fact
+    is scanned exactly once, the dimension twice (both
+    dimension-sized).
     """
     e = read_table(spark, sf_dir, "events")
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("seg"),
     )
-    pop = cust.groupBy("seg").agg(F.count(F.lit(1)).alias("pop_n"))
+    from ..sources.scratch import snapshot
+
+    pop = snapshot(
+        cust.groupBy("seg").agg(F.count(F.lit(1)).alias("pop_n")),
+        prefix="poststrat_pop_",
+    )
     popt = pop.agg(F.sum("pop_n").alias("pop_tot"))
-    sample = (
+    sample = snapshot(
         e.join(F.broadcast(cust), "user_id")
         .groupBy("seg")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
-        )
+        ),
+        prefix="poststrat_sample_",
     )
     tot = sample.agg(F.sum("n").alias("n_all"), F.sum("s").alias("s_all"))
     terms = (
@@ -13215,25 +13245,29 @@ def dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sophistication, is what this operator contributes).
 
     Determinism & exactness: same single-md5 hex-slice propensities
-    and argmax target policy as ``ips_policy_value`` (ties make both
-    engines choose the FIRST max slice — the CASE walks s0..s4 in
-    the same order Spark's when-chain does). Per-action means are
+    and FIRST-max target policy as ``ips_policy_value`` (both
+    queries resolve score ties to the lowest slice index, so they
+    evaluate the identical policy). Per-action means are
     exact-integer ratios; each row's term is one fixed IEEE chain
     floor-quantized to micro-cents, so the fact-wide sum is
     order-free integer addition (DECIMAL/HUGEINT).
 
     Scale shape: one narrow scan computes the 5-row action-mean
-    table (broadcast back), a second codegen pass computes terms —
-    two scans total, no shuffle wider than the 5-row broadcast, at
-    100 TB scan-bound like its IPS sibling.
+    table, SNAPSHOT to scratch (it feeds TWO broadcast joins — mp
+    and ma — and Spark re-executes unshared lineage per consumer),
+    then a second codegen pass computes terms — two fact scans
+    total, no shuffle wider than the 5-row broadcast, at 100 TB
+    scan-bound like its IPS sibling.
     """
+    from ..sources.scratch import snapshot
+
     e = read_table(spark, sf_dir, "events")
-    am = (
-        e.groupBy(F.col("event_type").alias("a"))
-        .agg(
+    am = snapshot(
+        e.groupBy(F.col("event_type").alias("a")).agg(
             F.count(F.lit(1)).alias("na"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sa"),
-        )
+        ),
+        prefix="dr_am_",
     )
     h = F.md5(F.concat(F.lit("ips:"), F.col("user_id").cast("string")))
     w_cols = {
@@ -13353,20 +13387,25 @@ def qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment that moves the tail but not the mean is invisible to
     the DiD/CUPED means and obvious here.
 
-    Scale shape: one fact shuffle to per-(arm, value) counts, one
-    arm-partitioned cumulative window over the bounded value domain,
-    a 9-row constant decile grid joined in, min-aggregates after.
+    Scale shape: one fact shuffle to per-(arm, value) counts,
+    SNAPSHOT to scratch (consumed by both the arm totals and the
+    cumulative window), one arm-partitioned cumulative window over
+    the bounded value domain, a 9-row constant decile grid joined
+    in, min-aggregates after.
     Everything before the two final round(6) divisions is integer.
     """
     e = read_table(spark, sf_dir, "events")
-    counts = (
+    from ..sources.scratch import snapshot
+
+    counts = snapshot(
         e.filter(F.col("value").isNotNull())
         .select(
             F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
             F.round(F.col("value") * 100, 0).cast("long").alias("v"),
         )
         .groupBy("arm", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        prefix="qte_counts_",
     )
     tot = counts.groupBy("arm").agg(F.sum("c").alias("n"))
     wcum = Window.partitionBy("arm").orderBy("v").rowsBetween(
@@ -13525,14 +13564,13 @@ def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans compare the same unrounded doubles on both engines.
     """
     u = _user_prepost_spend(spark, sf_dir)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = u.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(_dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
     )
     names = ["n", "sx", "sy", "sxx", "sxy", "syy"]
     wide = mom.agg(
@@ -13546,10 +13584,10 @@ def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0d = F.col("n0").cast("double")
     td = (F.col("n1") + F.col("n0")).cast("double")
     # pooled theta from summed moments (exact integers)
-    den = dec(F.col("n1") + F.col("n0")) * (F.col("sxx1") + F.col("sxx0")) - dec(
+    den = _dec(F.col("n1") + F.col("n0")) * (F.col("sxx1") + F.col("sxx0")) - _dec(
         F.col("sx1") + F.col("sx0")
     ) * (F.col("sx1") + F.col("sx0"))
-    num = dec(F.col("n1") + F.col("n0")) * (F.col("sxy1") + F.col("sxy0")) - dec(
+    num = _dec(F.col("n1") + F.col("n0")) * (F.col("sxy1") + F.col("sxy0")) - _dec(
         F.col("sx1") + F.col("sx0")
     ) * (F.col("sy1") + F.col("sy0"))
     theta = F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
@@ -13562,7 +13600,7 @@ def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _vd(n, sx, sy, sxx, sxy, syy):
         sdd = F.col(syy) - 2 * F.col(sxy) + F.col(sxx)
         sd = F.col(sy) - F.col(sx)
-        num_ = (dec(F.col(n)) * sdd - dec(sd) * sd).cast("double")
+        num_ = (_dec(F.col(n)) * sdd - _dec(sd) * sd).cast("double")
         return num_ / (
             F.col(n).cast("double")
             * F.col(n).cast("double")
@@ -13570,7 +13608,7 @@ def experiment_readout_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _ss(n, sy, syy):
-        num_ = (dec(F.col(n)) * F.col(syy) - dec(F.col(sy)) * F.col(sy)).cast(
+        num_ = (_dec(F.col(n)) * F.col(syy) - _dec(F.col(sy)) * F.col(sy)).cast(
             "double"
         )
         return (
@@ -13708,39 +13746,38 @@ def ols_value_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((epoch / 86400).cast("long") + 4) % 7).alias("x2"),
         F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mom = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x1").alias("s1"),
         F.sum("x2").alias("s2"),
         F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x1")) * F.col("x1")).alias("s11"),
-        F.sum(dec(F.col("x2")) * F.col("x2")).alias("s22"),
-        F.sum(dec(F.col("x1")) * F.col("x2")).alias("s12"),
-        F.sum(dec(F.col("x1")) * F.col("y")).alias("s1y"),
-        F.sum(dec(F.col("x2")) * F.col("y")).alias("s2y"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(_dec(F.col("x1")) * F.col("x1")).alias("s11"),
+        F.sum(_dec(F.col("x2")) * F.col("x2")).alias("s22"),
+        F.sum(_dec(F.col("x1")) * F.col("x2")).alias("s12"),
+        F.sum(_dec(F.col("x1")) * F.col("y")).alias("s1y"),
+        F.sum(_dec(F.col("x2")) * F.col("y")).alias("s2y"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
     )
     c = F.col
     det = (
-        dec(c("n")) * (c("s11") * c("s22") - c("s12") * c("s12"))
-        - dec(c("s1")) * (c("s1") * c("s22") - c("s12") * c("s2"))
-        + dec(c("s2")) * (c("s1") * c("s12") - c("s11") * c("s2"))
+        _dec(c("n")) * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - _dec(c("s1")) * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + _dec(c("s2")) * (c("s1") * c("s12") - c("s11") * c("s2"))
     )
     det0 = (
-        dec(c("sy")) * (c("s11") * c("s22") - c("s12") * c("s12"))
-        - dec(c("s1y")) * (c("s1") * c("s22") - c("s2") * c("s12"))
-        + dec(c("s2y")) * (c("s1") * c("s12") - c("s2") * c("s11"))
+        _dec(c("sy")) * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - _dec(c("s1y")) * (c("s1") * c("s22") - c("s2") * c("s12"))
+        + _dec(c("s2y")) * (c("s1") * c("s12") - c("s2") * c("s11"))
     )
     det1 = (
-        dec(c("n")) * (c("s1y") * c("s22") - c("s12") * c("s2y"))
-        - dec(c("s1")) * (c("sy") * c("s22") - c("s2") * c("s2y"))
-        + dec(c("s2")) * (c("sy") * c("s12") - c("s2") * c("s1y"))
+        _dec(c("n")) * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - _dec(c("s1")) * (c("sy") * c("s22") - c("s2") * c("s2y"))
+        + _dec(c("s2")) * (c("sy") * c("s12") - c("s2") * c("s1y"))
     )
     det2 = (
-        dec(c("n")) * (c("s11") * c("s2y") - c("s1y") * c("s12"))
-        - dec(c("s1")) * (c("s1") * c("s2y") - c("sy") * c("s12"))
-        + dec(c("s2")) * (c("s1") * c("s1y") - c("sy") * c("s11"))
+        _dec(c("n")) * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - _dec(c("s1")) * (c("s1") * c("s2y") - c("sy") * c("s12"))
+        + _dec(c("s2")) * (c("s1") * c("s1y") - c("sy") * c("s11"))
     )
     staged = mom.select(
         "n",
