@@ -13826,6 +13826,251 @@ def ols_value_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTE_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END)
+               - sum(CASE WHEN d < b.mid THEN v ELSE 0 END) AS dd
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+seg AS (
+    SELECT u.user_id, u.dd, c.c_mktsegment AS segment,
+           ((u.user_id % 2) + 2) % 2 AS arm
+    FROM u JOIN customer c ON u.user_id = c.c_custkey
+),
+agg AS (
+    SELECT segment,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN dd ELSE 0 END) AS sd1,
+           sum(CASE WHEN arm = 0 THEN dd ELSE 0 END) AS sd0,
+           sum(CASE WHEN arm = 1 THEN CAST(dd AS HUGEINT) * dd
+                    ELSE 0 END) AS sq1,
+           sum(CASE WHEN arm = 0 THEN CAST(dd AS HUGEINT) * dd
+                    ELSE 0 END) AS sq0
+    FROM seg GROUP BY segment
+)
+SELECT segment,
+       CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       round(CASE WHEN n1 > 0 AND n0 > 0
+                  THEN CAST(sd1 AS DOUBLE) / n1 - CAST(sd0 AS DOUBLE) / n0
+                  ELSE 0.0 END, 6) AS did_cents,
+       round(CASE WHEN n1 > 1 AND n0 > 1 THEN sqrt(
+           CAST(n1 * sq1 - CAST(sd1 AS HUGEINT) * sd1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * CAST(n1 - 1 AS DOUBLE))
+           + CAST(n0 * sq0 - CAST(sd0 AS HUGEINT) * sd0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                  * CAST(n0 - 1 AS DOUBLE))
+       ) ELSE 0.0 END, 6) AS se_cents
+FROM agg
+"""
+
+
+@query("hte_did_by_segment", _HTE_ORACLE)
+def hte_did_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[causal inference, beyond-ref §2.13 — the HETEROGENEITY
+    readout beside the pooled ``diff_in_diff_spend``] Per-segment
+    difference-in-differences: user spend changes joined to the
+    broadcast customer dimension's market segment, the DiD estimate
+    and its standard error computed WITHIN each segment — the
+    heterogeneous-treatment-effect cut that tells you WHO the
+    rollout moved, which the pooled estimate averages away.
+
+    Exactness: identical chains to the pooled DiD (exact integer
+    cents, DECIMAL/HUGEINT Σd and Σd², fixed IEEE divisions + one
+    sqrt, round(6)), just grouped by segment.
+
+    Scale shape: the snapshot user rollup joins the dimension via
+    broadcast, then ONE segment-grain 6-moment aggregate; every
+    estimator after runs on |segments| rows.
+    """
+    u = _user_prepost_spend(spark, sf_dir).select(
+        "user_id", (F.col("y") - F.col("x")).alias("dd")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = u.join(F.broadcast(cust), "user_id").withColumn(
+        "arm", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    t = F.col("arm")
+    agg = seg.groupBy("segment").agg(
+        F.sum(F.when(t == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(t == 1, F.col("dd")).otherwise(0)).alias("sd1"),
+        F.sum(F.when(t == 0, F.col("dd")).otherwise(0)).alias("sd0"),
+        F.sum(
+            F.when(t == 1, _dec(F.col("dd")) * F.col("dd")).otherwise(0)
+        ).alias("sq1"),
+        F.sum(
+            F.when(t == 0, _dec(F.col("dd")) * F.col("dd")).otherwise(0)
+        ).alias("sq0"),
+    )
+
+    def _v(n, sd, sq):
+        num = (_dec(F.col(n)) * F.col(sq) - _dec(F.col(sd)) * F.col(sd)).cast(
+            "double"
+        )
+        return num / (
+            F.col(n).cast("double")
+            * F.col(n).cast("double")
+            * (F.col(n) - 1).cast("double")
+        )
+
+    did = F.when(
+        (F.col("n1") > 0) & (F.col("n0") > 0),
+        F.col("sd1").cast("double") / F.col("n1")
+        - F.col("sd0").cast("double") / F.col("n0"),
+    ).otherwise(F.lit(0.0))
+    se = F.when(
+        (F.col("n1") > 1) & (F.col("n0") > 1),
+        F.sqrt(_v("n1", "sd1", "sq1") + _v("n0", "sd0", "sq0")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "segment",
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round(did, 6).alias("did_cents"),
+        F.round(se, 6).alias("se_cents"),
+    )
+
+
+_QINI_ORACLE = """
+WITH ud AS (
+    SELECT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ud),
+u AS (
+    SELECT user_id,
+           sum(CASE WHEN d <  b.mid THEN v ELSE 0 END) AS x,
+           sum(CASE WHEN d >= b.mid THEN v ELSE 0 END) AS y,
+           CAST('0x' || substr(md5('psm:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 2 AS treat
+    FROM ud CROSS JOIN b GROUP BY user_id, b.mid
+),
+strat AS (
+    SELECT treat, y,
+           ntile(10) OVER (ORDER BY x DESC, user_id) AS decile
+    FROM u
+),
+cells AS (
+    SELECT decile,
+           sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS nt,
+           sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS nc,
+           sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS syt,
+           sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS syc
+    FROM strat GROUP BY decile
+),
+cum AS (
+    SELECT decile,
+           sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+           sum(syt) OVER w AS csyt, sum(syc) OVER w AS csyc
+    FROM cells
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(cnt AS BIGINT) AS n_treat_cum,
+       CAST(cnc AS BIGINT) AS n_ctrl_cum,
+       round(CASE WHEN cnt > 0 AND cnc > 0
+                  THEN CAST(csyt AS DOUBLE) / cnt
+                       - CAST(csyc AS DOUBLE) / cnc
+                  ELSE 0.0 END, 6) AS uplift_cents,
+       round(CASE WHEN cnc > 0
+                  THEN (CAST(csyt AS DOUBLE)
+                        - CAST(csyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                          / CAST(cnc AS DOUBLE)) / 100.0
+                  ELSE 0.0 END, 6) AS qini_units
+FROM cum
+"""
+
+
+@query("qini_uplift_deciles", _QINI_ORACLE)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[uplift evaluation, beyond-ref §2.13 — the targeting-value
+    curve beside ``psm_att_strata``] Qini / uplift curve: users
+    ranked by pre-period spend (the targeting score, NTILE(10) over
+    a deterministic total order via ``robust.quantile_buckets``),
+    and at each cumulative prefix the incremental outcome of the
+    md5-split "treated" users over controls — per-capita uplift and
+    the Qini statistic Σy_t − Σy_c·(N_t/N_c). Flat curves here are
+    CORRECT (the hash treatment is as-if random with no real
+    effect); the operator's value is the exact, engine-portable
+    machinery an uplift model plugs its own score into.
+
+    Exactness: cumulative cell sums are exact integers (10-row
+    window); uplift/Qini are fixed IEEE chains, round(6).
+
+    Scale shape: snapshot user rollup → guarded entity-grain NTILE →
+    10-row cells → 10-row cumulative window. Nothing after the user
+    shuffle exceeds 10 rows.
+    """
+    u = _user_prepost_spend(spark, sf_dir).withColumn(
+        "treat",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("psm:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2,
+    )
+    strat = robust.quantile_buckets(u, "x", "user_id", n=10, out_col="decile")
+    t = F.col("treat")
+    cells = strat.groupBy("decile").agg(
+        F.sum(F.when(t == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(t == 1, F.col("y")).otherwise(0)).alias("syt"),
+        F.sum(F.when(t == 0, F.col("y")).otherwise(0)).alias("syc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("syt").over(w).alias("csyt"),
+        F.sum("syc").over(w).alias("csyc"),
+    )
+    uplift = F.when(
+        (F.col("cnt") > 0) & (F.col("cnc") > 0),
+        F.col("csyt").cast("double") / F.col("cnt")
+        - F.col("csyc").cast("double") / F.col("cnc"),
+    ).otherwise(F.lit(0.0))
+    qini = F.when(
+        F.col("cnc") > 0,
+        (
+            F.col("csyt").cast("double")
+            - F.col("csyc").cast("double")
+            * F.col("cnt").cast("double")
+            / F.col("cnc").cast("double")
+        )
+        / F.lit(100.0),
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("cnt").cast("long").alias("n_treat_cum"),
+        F.col("cnc").cast("long").alias("n_ctrl_cum"),
+        F.round(uplift, 6).alias("uplift_cents"),
+        F.round(qini, 6).alias("qini_units"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -88,6 +88,8 @@ HEADLINE = [
     "qte_deciles",
     "experiment_readout_capstone",
     "ols_value_by_time",
+    "hte_did_by_segment",
+    "qini_uplift_deciles",
 ]
 
 SF_DIRS = {
