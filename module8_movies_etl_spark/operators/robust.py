@@ -66,34 +66,91 @@ def quantile_buckets(
     tie_col: str,
     n: int = 10,
     out_col: str = "bucket",
-    max_rows: int = 2_000_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Assign each row an ``NTILE(n)`` bucket over a deterministic
+    """Assign each row its ``NTILE(n)`` bucket over a deterministic
     total order (``value_col`` desc, ``tie_col`` asc — the tie column
-    must be unique so engines cannot disagree on equal values).
+    must be unique so engines cannot disagree on equal values) —
+    computed as a DISTRIBUTED rank, never a single-partition window.
 
-    NTILE is rank arithmetic, not value interpolation — floor-based
-    group sizes per the SQL standard, identical across engines. The
-    global order is a single-axis sort; its safety argument is that
-    the input is an already-aggregated ENTITY table (customers,
-    domains), orders of magnitude smaller than the fact table that
-    produced it — and that precondition is ENFORCED, not assumed: a
-    short-circuiting ``limit(max_rows+1).count()`` probe (LocalLimit
-    stops the scan, never a full count) raises when a fact-grain
-    table leaks in, instead of silently moving 100 TB through one
-    partition. Callers with a genuinely large pre-sorted entity space
-    must raise ``max_rows`` explicitly and own the sort cost.
+    NTILE is rank arithmetic, not value interpolation: with N rows
+    the first ``N mod n`` buckets hold ``ceil(N/n)`` rows and the
+    rest ``floor(N/n)`` (SQL standard, identical across engines), so
+    the bucket of a row is a pure function of its 0-based global rank
+    ``r`` and ``N``. The global rank is assembled the classic
+    distributed way:
+
+    1. ``repartitionByRange`` on (value desc, tie asc) + sort within
+       partitions — a single range shuffle; partition p holds a
+       contiguous rank slab.
+    2. ``monotonically_increasing_id`` bakes (partition, local row
+       index) into the data; the frame is snapshotted so both
+       consumers below read ONE materialization (ids are stable data,
+       not recomputable lineage).
+    3. One bounded aggregate — one row PER PARTITION — is collected
+       as the rank offset of each slab (the only driver fetch:
+       ``num_partitions`` longs).
+    4. ``rank = offset[pid] + local_index``; the NTILE formula is
+       exact integer arithmetic on that rank (``(a − a mod q)/q``
+       keeps the division representable — quotients ≤ N < 2^53).
+
+    The final-bucket assignment depends only on the total order, not
+    on where the range sampler drew its boundaries, so results are
+    partitioning-independent and hash-stable. Cost: one full shuffle
+    + sort + snapshot write of the input — the honest price of a
+    global rank, and it scales (every stage is per-partition work; no
+    unpartitioned window, no guard, no raise at any size).
+
+    NOTE: builds EAGERLY (the snapshot + offset fetch run at call
+    time). Callers passing an expensive un-materialized lineage pay
+    it once here; the returned frame reads the snapshot.
     """
-    probe = df.limit(max_rows + 1).count()
-    if probe > max_rows:
-        raise ValueError(
-            f"quantile_buckets: input exceeds max_rows={max_rows}; "
-            "the global-order NTILE window would single-partition "
-            "sort it. Pre-aggregate to entity grain or raise "
-            "max_rows explicitly."
-        )
-    w = Window.orderBy(F.desc(value_col), F.asc(tie_col))
-    return df.withColumn(out_col, F.ntile(n).over(w).cast("long"))
+    from ..sources.scratch import snapshot
+
+    cols = list(df.columns)
+    sess = df.sparkSession
+    p_n = num_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = [F.col(value_col).desc(), F.col(tie_col).asc()]
+    staged = snapshot(
+        df.repartitionByRange(p_n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_qb_mid", F.monotonically_increasing_id()),
+        prefix="qbuckets_",
+        rebalance=False,  # keep the sorted slab layout in the files
+    )
+    pid = F.shiftright(F.col("_qb_mid"), 33)
+    local = F.col("_qb_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    slabs = {
+        r["_pid"]: r["_c"]
+        for r in staged.groupBy(pid.alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    max_pid = max(slabs) if slabs else -1
+    offsets, acc = [], 0
+    for p in range(max_pid + 1):
+        offsets.append(acc)
+        acc += slabs.get(p, 0)
+    total = acc
+    off_arr = F.array(*[F.lit(o).cast("long") for o in (offsets or [0])])
+    rank0 = F.element_at(off_arr, (pid + 1).cast("int")) + local
+
+    def _idiv(a, q: int):
+        # exact integer floor-division of a nonneg long by a python
+        # int: (a - a % q) / q — numerator an exact multiple ≤ 2^53
+        return ((a - a % F.lit(q)) / F.lit(q)).cast("long")
+
+    q, rem = divmod(total, n)
+    if rem == 0:
+        bucket = _idiv(rank0, max(q, 1)) + 1
+    else:
+        threshold = rem * (q + 1)
+        bucket = F.when(
+            rank0 < F.lit(threshold), _idiv(rank0, q + 1) + 1
+        ).otherwise(F.lit(rem) + _idiv(rank0 - F.lit(threshold), max(q, 1)) + 1)
+    return staged.select(*cols, bucket.cast("long").alias(out_col))
 
 
 def equidepth_histogram(

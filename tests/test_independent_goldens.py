@@ -141,14 +141,28 @@ def test_kmeans_matches_hand_golden(spark):
 # ------------------------------------------------- precondition guards
 
 
-def test_quantile_buckets_guard_raises_on_fact_grain(spark):
-    df = spark.range(50).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+def test_quantile_buckets_distributed_matches_ntile_window(spark):
+    # The distributed rank (range shuffle + partition offsets) must
+    # reproduce single-partition NTILE exactly — including the floor
+    # group-size split when n does not divide N — for every row, at
+    # any partition count, with no input-size guard.
+    from pyspark.sql import Window
+
+    df = spark.range(1003).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 501).alias("v")
     )
-    with pytest.raises(ValueError, match="max_rows"):
-        robust.quantile_buckets(df, "v", "k", n=4, max_rows=10)
-    out = robust.quantile_buckets(df, "v", "k", n=5, max_rows=50)
-    assert out.count() == 50
+    for n, parts in [(4, 3), (10, 32), (7, 64)]:
+        got = robust.quantile_buckets(
+            df, "v", "k", n=n, num_partitions=parts
+        )
+        ref = df.withColumn(
+            "bucket",
+            F.ntile(n)
+            .over(Window.orderBy(F.desc("v"), F.asc("k")))
+            .cast("long"),
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
 
 
 def test_rank_stat_guards_raise_on_unbounded_value_domain(spark):
