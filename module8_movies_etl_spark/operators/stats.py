@@ -1634,7 +1634,15 @@ def conformal_interval(
         .agg(F.count(F.lit(1)).alias("_ncal"), F.sum("_v").alias("_s"))
     )
     joined = base.join(F.broadcast(cal_stats), "_g")
-    score = F.abs(F.col("_v") * F.col("_ncal") - F.col("_s"))
+    # decimal(38,0) BEFORE the v*n product — the same widening
+    # roc_auc/mannwhitney use: raw int64 v*ncal wraps silently near
+    # 9.2e18 under non-ANSI Spark (large cents x very large
+    # calibration groups) while the oracle's HUGEINT does not, a
+    # latent cross-engine divergence. decimal keeps the order
+    # statistics exact at any magnitude.
+    score = F.abs(
+        F.col("_v").cast("decimal(38,0)") * F.col("_ncal") - F.col("_s")
+    )
     k = F.floor(
         ((F.col("_ncal") + 1) * F.lit(coverage_pct) + 99) / F.lit(100.0)
     ).cast("long")

@@ -908,8 +908,19 @@ def theil_sen_slope(
     percentile interpolation ``quantiles_by_status`` pins; output
     rounds to 6dp.
 
+    The input is SNAPSHOTTED here before anything reads it: the
+    bound probe below plus the pair join's two sides plus the n_days
+    aggregate are four consumers, and Spark has no subplan reuse
+    below the exchange — without the snapshot a caller passing an
+    expensive un-materialized lineage would execute it up to four
+    times (the probe EAGERLY, at call time). Day-grain series are
+    calendar-bounded, so the snapshot write is small by contract.
+
     Returns (key, n_days, n_pairs, slope_per_day).
     """
+    from ..sources.scratch import snapshot
+
+    daily = snapshot(daily, prefix="theil_daily_")
     longest = (
         daily.groupBy(key_col)
         .count()

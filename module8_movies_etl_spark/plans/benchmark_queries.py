@@ -12046,14 +12046,11 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENFORCES that (counts the longest series first, raises beyond
     max_points); the fact table enters through one daily rollup.
     """
-    from ..sources.scratch import snapshot
-
     e = read_table(spark, sf_dir, "events")
-    # snapshot the day-grain rollup: the operator's bound probe and
-    # the pair join then share ONE fact pass
-    daily = snapshot(_daily_cents(e), prefix="theil_daily_")
+    # the operator snapshots the day-grain rollup internally, so the
+    # bound probe and the pair join share ONE fact pass
     return timeseries.theil_sen_slope(
-        daily, "event_type", "d", "v", value_scale=100.0
+        _daily_cents(e), "event_type", "d", "v", value_scale=100.0
     )
 
 
@@ -12680,7 +12677,7 @@ cal_stats AS (
 ),
 joined AS (
     SELECT b.g, b.cal,
-           abs(b.v * c.ncal - c.s) AS sc,
+           abs(CAST(b.v AS HUGEINT) * c.ncal - c.s) AS sc,
            c.ncal,
            CAST(floor(((c.ncal + 1) * 90 + 99) / 100.0) AS BIGINT) AS k
     FROM base b JOIN cal_stats c ON b.g = c.g

@@ -223,6 +223,21 @@ _IJ_WATERMARK_HOURS = 240
 _IJ_SCRATCH_CACHE: dict = {}
 
 
+def _scratch_has_data(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet DATA file — the
+    cache-liveness check for the interval-join scratch pair. A bare
+    ``isdir`` is not enough: a ``scratch.release()`` (or partial
+    external cleanup) that empties the directory without removing it
+    would otherwise stream an empty source instead of rebuilding."""
+    try:
+        return any(
+            f.name.endswith(".parquet") and f.is_file()
+            for f in os.scandir(path)
+        )
+    except OSError:
+        return False
+
+
 def run_hopping_over_events(
     spark: SparkSession,
     sf_dir: str,
@@ -370,11 +385,11 @@ def run_interval_join_over_events(
     cache_key = (sf_dir, left_type, right_type, upper_s)
     entry = _IJ_SCRATCH_CACHE.get(cache_key)
     if entry is not None and not all(
-        os.path.isdir(scratch) for scratch, _ in entry.values()
+        _scratch_has_data(scratch) for scratch, _ in entry.values()
     ):
         # a scratch.release() (or external cleanup) deleted the dirs
-        # out from under the cache — rebuild instead of streaming a
-        # missing path
+        # or their contents out from under the cache — rebuild
+        # instead of streaming a missing/empty source
         entry = None
     if entry is None:
         max_ts = base.agg(F.max("ts")).collect()[0][0]
