@@ -366,3 +366,111 @@ def test_ols_cramer_matches_numpy_lstsq(spark, sf_dir):
     assert abs(r["beta0"] - beta[0]) < 1e-4
     assert abs(r["beta_hod"] - beta[1]) < 1e-4
     assert abs(r["beta_dow"] - beta[2]) < 1e-4
+
+
+def test_hte_did_by_segment_matches_python_reference(spark, sf_dir):
+    # Independent plain-Python replay of the per-segment DiD estimate
+    # and its Welch standard error from the same user-grain rollup —
+    # the jackknife episode proved engine+oracle hash parity can agree
+    # on a wrong shared formula, so every statistical query gets a
+    # from-scratch reference. The rollup itself is pinned elsewhere
+    # (capstone vs standalone DiD); here the STATISTICS are re-derived
+    # with textbook sample-variance arithmetic on exact ints.
+    import math
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        QUERIES,
+        _user_prepost_spend,
+    )
+
+    got = {
+        r["segment"]: r
+        for r in QUERIES["hte_did_by_segment"](spark, sf_dir).collect()
+    }
+    users = _user_prepost_spend(spark, sf_dir).collect()
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    by_seg: dict = {}
+    for r in users:
+        seg = seg_of.get(r["user_id"])
+        if seg is None:
+            continue
+        arm = r["user_id"] % 2
+        by_seg.setdefault(seg, {0: [], 1: []})[arm].append(r["y"] - r["x"])
+    assert set(got) == set(by_seg)
+    for seg, arms in by_seg.items():
+        d1, d0 = arms[1], arms[0]
+        n1, n0 = len(d1), len(d0)
+        did = (sum(d1) / n1 - sum(d0) / n0) if n1 and n0 else 0.0
+        if n1 > 1 and n0 > 1:
+            m1, m0 = sum(d1) / n1, sum(d0) / n0
+            v1 = sum((d - m1) ** 2 for d in d1) / (n1 - 1)
+            v0 = sum((d - m0) ** 2 for d in d0) / (n0 - 1)
+            se = math.sqrt(v1 / n1 + v0 / n0)
+        else:
+            se = 0.0
+        row = got[seg]
+        assert (row["n_treat"], row["n_ctrl"]) == (n1, n0)
+        assert abs(row["did_cents"] - did) < max(1e-6, 1e-9 * abs(did))
+        assert abs(row["se_cents"] - se) < max(1e-6, 1e-9 * se)
+
+
+def test_qini_uplift_matches_python_reference(spark, sf_dir):
+    # Independent plain-Python replay of the whole Qini/uplift curve:
+    # own md5 split (hashlib), own NTILE tie arithmetic (SQL-standard
+    # first-(N mod n)-buckets-get-ceil over the x desc, user_id asc
+    # total order), own cumulative sums — nothing shared with the
+    # Spark code or the DuckDB oracle beyond the definition.
+    import hashlib
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        QUERIES,
+        _user_prepost_spend,
+    )
+
+    got = {
+        r["decile"]: r
+        for r in QUERIES["qini_uplift_deciles"](spark, sf_dir).collect()
+    }
+    users = sorted(
+        _user_prepost_spend(spark, sf_dir).collect(),
+        key=lambda r: (-r["x"], r["user_id"]),
+    )
+    N, n = len(users), 10
+    q, rem = divmod(N, n)
+    cells = {b: [0, 0, 0, 0] for b in range(1, n + 1)}  # nt nc syt syc
+    for i, r in enumerate(users):
+        b = (i // (q + 1) + 1) if (rem and i < rem * (q + 1)) else (
+            rem + (i - rem * (q + 1)) // max(q, 1) + 1
+        )
+        treat = (
+            int(
+                hashlib.md5(f"psm:{r['user_id']}".encode()).hexdigest()[:15],
+                16,
+            )
+            % 2
+        )
+        c = cells[b]
+        if treat:
+            c[0] += 1
+            c[2] += r["y"]
+        else:
+            c[1] += 1
+            c[3] += r["y"]
+    cnt = cnc = csyt = csyc = 0
+    assert sorted(got) == list(range(1, n + 1))
+    for b in range(1, n + 1):
+        nt, nc, syt, syc = cells[b]
+        cnt, cnc, csyt, csyc = cnt + nt, cnc + nc, csyt + syt, csyc + syc
+        uplift = (csyt / cnt - csyc / cnc) if cnt and cnc else 0.0
+        qini = (csyt - csyc * cnt / cnc) / 100.0 if cnc else 0.0
+        row = got[b]
+        assert (row["n_treat_cum"], row["n_ctrl_cum"]) == (cnt, cnc)
+        assert abs(row["uplift_cents"] - uplift) < max(
+            1e-6, 1e-9 * abs(uplift)
+        )
+        assert abs(row["qini_units"] - qini) < max(1e-6, 1e-9 * abs(qini))
