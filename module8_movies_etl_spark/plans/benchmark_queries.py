@@ -1678,20 +1678,64 @@ def tail_orders_last5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
 
 
-@query("random_sample_orders")  # no oracle: engine-specific RNG, rows-only
+_RSAMPLE_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_total,
+       1 AS within_5sigma,
+       1 AS chi2_ok
+FROM orders GROUP BY 1
+"""
+
+
+@query("random_sample_orders", _RSAMPLE_ORACLE)
 def random_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[L2 sample] Seeded pseudo-random 5-row sample (reference
-    ``df.sample(n=5)``, ``Data Cleaning.ipynb:1320,1590``). Bernoulli
-    sample predicate pushed to the scan, then limit(5); fraction 0.05
-    oversamples ≥5 w.h.p. at every test SF (orders ≥ 1.5k rows).
-    Spark's sample RNG is engine-specific, so the driver records a
-    rows-only check; determinism for a fixed seed+input is pinned by
-    pytest instead."""
-    o = read_table(spark, sf_dir, "orders")
-    s = slices.sample_rows(
-        o.select("o_orderkey", "o_custkey"), n=5, fraction=0.05, seed=42
+    """[L2 sample] Engine-RNG Bernoulli sample (reference
+    ``df.sample(n=5)``, ``Data Cleaning.ipynb:1320,1590``) — with a
+    DISTRIBUTION-BOUNDED oracle instead of the old rows-only check.
+    The sampled ROWS are engine-specific (Spark's per-partition
+    seeded RNG; no other engine reproduces them), so the query emits
+    what any correct Bernoulli(p=0.05) sampler must satisfy and the
+    oracle pins those as constants:
+
+    - per-stratum total counts (exact, deterministic),
+    - ``within_5sigma``: |n_s − p·N_s| ≤ 5·sqrt(p(1−p)·N_s) per
+      o_orderpriority stratum — a binomial tail bound a correct
+      sampler violates with probability < 6e-7 per stratum,
+    - ``chi2_ok``: Pearson Σ(n_s − p·N_s)²/(p(1−p)N_s) < 30 across
+      the 5 strata (χ²₅ 99.999% ≈ 25.7) — catches compensating
+      per-stratum biases the marginal bound misses.
+
+    A broken/mis-seeded RNG flips the booleans → hash mismatch. The
+    sample indicator is ``F.rand(seed) < p`` folded into ONE scan's
+    aggregate (no join, no second pass); the raw 5-row sample surface
+    (limit over the sampled stream) is covered hash-exactly by the
+    ``hash_sample_orders`` md5 twin, and seed-determinism of
+    ``slices.sample_rows`` stays pinned in pytest."""
+    p = 0.05
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.rand(42) < F.lit(p)).cast("int").alias("_in"),
     )
-    return s
+    cells = o.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("_in").alias("_n_samp"),
+    )
+    exp = F.col("n_total").cast("double") * F.lit(p)
+    var = F.col("n_total").cast("double") * F.lit(p * (1 - p))
+    term = (F.col("_n_samp").cast("double") - exp) * (
+        F.col("_n_samp").cast("double") - exp
+    ) / var
+    chi2 = cells.agg(
+        (F.sum(term) < F.lit(30.0)).cast("int").alias("chi2_ok")
+    )
+    return cells.crossJoin(F.broadcast(chi2)).select(
+        "priority",
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.abs(F.col("_n_samp").cast("double") - exp) <= F.lit(5.0) * F.sqrt(var))
+        .cast("int")
+        .alias("within_5sigma"),
+        "chi2_ok",
+    )
 
 
 _SET_OPS_ORACLE = """
@@ -14105,10 +14149,11 @@ _PRIORITY = [
     # previously had NO driver-verified row.
     "kmeans_diversity_sample",
     "ips_policy_value",
-    # random_sample_orders is no-oracle by design (engine RNG) — it
-    # lives AFTER the driver's 50-entry verified prefix; its
-    # deterministic md5 twin hash_sample_orders holds the L2 slot here
-    # and rollup_revenue (fully oracled) takes the freed slot.
+    # random_sample_orders emits a distribution-bounded audit (the
+    # sampled ROWS stay engine-RNG); it lives AFTER the driver's
+    # 50-entry verified prefix; its deterministic md5 twin
+    # hash_sample_orders holds the L2 slot here and rollup_revenue
+    # (fully oracled) takes the freed slot.
     "rollup_revenue",
     "hash_sample_orders",
     "set_ops_custkeys",
