@@ -59,13 +59,191 @@ def attach_payload_meta(
 
 
 def decode_stub(payload: bytes) -> dict[str, Any]:
-    """Real-decoder slot. A production build binds PIL/libjpeg/ffmpeg
-    here; this container has no media libraries, so the stub is
-    explicit instead of silently wrong."""
+    """Real-decoder slot for COMPRESSED codecs. A production build
+    binds PIL/libjpeg/ffmpeg here; this container has no media
+    libraries, so the stub is explicit instead of silently wrong.
+    Header-parseable formats need no library at all: ``decode_bmp``
+    and ``decode_wav`` below are REAL pure-Python decoders exercised
+    on real bytes by the catalog (bmp/wav_decode_features)."""
     raise NotImplementedError(
         "media decoding requires an image/audio library not present in "
         "this environment; inject a decoder via extract_media_features(decoder=...)"
     )
+
+
+def make_bmp(doc_id: int) -> bytes:
+    """Deterministic REAL 24-bpp uncompressed BMP: standard
+    BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up rows with 4-byte
+    stride padding — any image viewer opens it. Dimensions and the
+    two alternating channel-byte values derive from ``doc_id`` alone,
+    so an oracle can state the decoded features in closed form while
+    the decoder still has to parse genuine headers and skip genuine
+    row padding. Width 4–16 sweeps every ``3·w mod 4`` padding class.
+    """
+    import struct
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    v1 = doc_id % 256
+    v2 = (doc_id * 7 + 13) % 256
+    stride = (3 * w + 3) // 4 * 4
+    rows = bytearray()
+    j = 0
+    for _r in range(h):
+        for _k in range(3 * w):
+            rows.append(v1 if j % 2 == 0 else v2)
+            j += 1
+        rows += b"\x00" * (stride - 3 * w)
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> dict[str, Any]:
+    """REAL BMP decoder (pure Python, no media library): validates the
+    'BM' magic, reads the pixel-array offset from the file header and
+    (width, height, bpp, compression) from the info header, walks the
+    4-byte-aligned rows skipping stride padding, and reports mean
+    channel intensity. Handles top-down (negative height) bitmaps.
+    Only 24-bpp uncompressed is supported — the format every paint
+    tool exports — anything else raises rather than guessing.
+
+    ``mean_luma`` is the raw IEEE division of the exact byte sum —
+    bit-identical to an oracle's closed form (see
+    ``fake_image_decoder`` for why it is not rounded here)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"decode_bmp supports 24-bpp uncompressed only "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    h_abs = -h if h < 0 else h
+    stride = (3 * w + 3) // 4 * 4
+    total = 0
+    for r in range(h_abs):
+        start = offset + r * stride
+        total += sum(payload[start : start + 3 * w])
+    return {
+        "width": w,
+        "height": h_abs,
+        "n_channels": 3,
+        "mean_luma": total / (3 * w * h_abs * 255.0),
+    }
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic REAL RIFF/WAVE file: canonical 44-byte header
+    (PCM fmt chunk + data chunk) followed by mono 16-bit
+    little-endian samples — any audio player opens it. Sample rate,
+    frame count, and the two alternating sample amplitudes (+a on
+    even frames, −b on odd) derive from ``doc_id`` alone, giving the
+    decoded (rate, n, duration, rms) a closed form."""
+    import struct
+
+    rate = _SAMPLE_RATES[doc_id % 4]
+    n = 100 + doc_id % 157
+    a = doc_id % 900 + 1
+    b = doc_id % 700 + 2
+    frames = struct.pack(
+        f"<{n}h", *[a if k % 2 == 0 else -b for k in range(n)]
+    )
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    data_chunk = b"data" + struct.pack("<I", len(frames)) + frames
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """REAL WAV decoder (pure Python): validates the RIFF/WAVE
+    container, walks the chunk list (honoring the spec's odd-size pad
+    byte) to find ``fmt `` and ``data``, reads (format, channels,
+    rate, bits) from the fmt chunk, and computes frame count,
+    duration, and RMS from the actual int16 sample bytes. PCM-16 only
+    — compressed codecs raise into the ``decode_stub`` slot.
+
+    ``duration_s``/``rms`` are raw IEEE divisions over exact integer
+    sums, bit-identical to an oracle's closed form."""
+    import math
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"decode_wav supports PCM-16 only (got fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    n = len(data) // (2 * channels)
+    samples = struct.unpack_from(f"<{n * channels}h", data)
+    sumsq = 0
+    for s in samples:
+        sumsq += s * s
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_s": n / rate,
+        "rms": math.sqrt(sumsq / (n * channels)) / 32768.0,
+    }
+
+
+def synthesize_media_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    maker: Callable[[int], bytes] = make_bmp,
+) -> DataFrame:
+    """Encode stage: (id) → (id, payload) via an Arrow-batched
+    ``mapInPandas`` — the inverse shape of ``extract_media_features``
+    and the stand-in for 'payloads arrive from a blob store'. The
+    maker is deterministic in the id, so downstream decode stages are
+    oracle-checkable against closed forms while operating on REAL
+    container bytes (BMP/WAV headers, padding, chunk layout).
+
+    The id column is REPARTITIONED before encoding: the input is
+    often a single small file (one scan split), which would serialize
+    the Python codec work onto one core — and the pre-encode shuffle
+    moves only the 8-byte ids, never payloads. Wide rows are born
+    spread and stay put."""
+    import pandas as pd
+
+    sess = df.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = df.select(F.col(id_col).alias("doc_id")).repartition(n_part)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [maker(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return src.mapInPandas(process, schema="doc_id long, payload binary")
 
 
 def fake_image_decoder(payload: bytes) -> dict[str, Any]:

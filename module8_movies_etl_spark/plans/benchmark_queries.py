@@ -3554,6 +3554,94 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BMP_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           4 + doc_id % 13 AS w,
+           3 + doc_id % 7 AS h,
+           doc_id % 256 AS v1,
+           (doc_id * 7 + 13) % 256 AS v2,
+           3 * (4 + doc_id % 13) * (3 + doc_id % 7) AS nb
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS n_channels,
+       CAST((nb + 1) // 2 * v1 + nb // 2 * v2 AS DOUBLE)
+           / (nb * 255.0) AS mean_luma
+FROM p
+"""
+
+
+@query("bmp_decode_features", _BMP_DECODE_ORACLE)
+def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL codec] End-to-end image decode on GENUINE
+    container bytes: an Arrow encode stage builds a real 24-bpp BMP
+    per document (standard file+info headers, bottom-up rows, 4-byte
+    stride padding; ``multimodal.make_bmp``), and the decode stage
+    runs ``multimodal.decode_bmp`` — a real pure-Python BMP parser in
+    the per-row slot of ``extract_media_features`` (where a
+    PIL/libjpeg build plugs in) — validating magic, reading the pixel
+    offset and dimensions from the headers, and skipping row padding
+    while averaging channels. The blob parameters derive from doc_id
+    alone, so the oracle states the decoded features in closed form:
+    a decoder that mis-parses a header field, miscounts padding, or
+    averages padding zeros hash-mismatches. Payloads stay inside the
+    two narrow map stages — nothing wide shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_bmp
+    )
+    return multimodal.extract_media_features(
+        blobs, decoder=multimodal.decode_bmp
+    )
+
+
+_WAV_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+           100 + doc_id % 157 AS n,
+           doc_id % 900 + 1 AS a,
+           doc_id % 700 + 2 AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / rate AS duration_s,
+       sqrt(CAST((n + 1) // 2 * a * a + n // 2 * b * b AS DOUBLE) / n)
+           / 32768.0 AS rms
+FROM p
+"""
+
+
+@query("wav_decode_features", _WAV_DECODE_ORACLE)
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL codec] Audio twin of
+    ``bmp_decode_features``: the encode stage writes a genuine
+    RIFF/WAVE container per document (PCM fmt chunk + int16 LE data
+    chunk; ``multimodal.make_wav`` — Python's stdlib ``wave`` module
+    parses the output, pinned in tests) and ``multimodal.decode_wav``
+    walks the real chunk list, reads (rate, channels, bits) from the
+    fmt chunk, and computes duration and RMS from the actual sample
+    bytes. The alternating ±amplitude pattern gives RMS a closed form
+    the oracle replays; a decoder that drops the odd-size pad rule,
+    misreads the fmt layout, or mishandles int16 sign
+    hash-mismatches."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_wav
+    )
+    return multimodal.extract_media_features(
+        blobs,
+        decoder=multimodal.decode_wav,
+        feature_schema=multimodal.AUDIO_FEATURE_SCHEMA,
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact-substring dedup spans (ExactSubstr, Lee et al. 2022).
 # --------------------------------------------------------------------------

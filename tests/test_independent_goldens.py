@@ -252,3 +252,100 @@ def test_lloyd_l2_tie_breaks_to_lowest_index():
 
     got = lloyd_l2([[0.0], [2.0], [1.0]], 2, iters=1)
     assert got == [[0.5], [2.0]], got
+
+
+# --- real BMP/WAV codecs: goldens derived OUTSIDE the code under test
+
+
+def test_decode_bmp_hand_built_literal():
+    # A 2x1 24-bpp BMP assembled BY HAND from the spec (14-byte file
+    # header, 40-byte info header, one row of two BGR pixels + 2 pad
+    # bytes to the 4-byte stride) — nothing from make_bmp. Pixels
+    # (10,20,30) and (40,50,60): byte sum 210 over 6 channel bytes.
+    import struct
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    px = bytes([10, 20, 30, 40, 50, 60, 0, 0])
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+        + px
+    )
+    got = mm.decode_bmp(blob)
+    assert got == {
+        "width": 2,
+        "height": 1,
+        "n_channels": 3,
+        "mean_luma": 210 / (6 * 255.0),
+    }
+    # padding bytes must NOT leak into the mean: corrupt them and the
+    # result must not move
+    noisy = blob[:-2] + b"\xff\xff"
+    assert mm.decode_bmp(noisy) == got
+
+
+def test_decode_bmp_top_down_and_rejects():
+    import struct
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    # negative height = top-down row order; same byte sum either way
+    px = bytes([10, 20, 30, 40, 50, 60, 0, 0])
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, 8, 0, 0, 0, 0)
+        + px
+    )
+    assert mm.decode_bmp(blob)["height"] == 1
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG....")
+    bad_bpp = (
+        struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 8, 0, 0, 0, 0)
+        + px
+    )
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bad_bpp)
+
+
+def test_make_wav_parses_with_stdlib_wave_module():
+    # Python's stdlib `wave` is a fully independent RIFF parser: if it
+    # reads our container, the header layout is genuinely spec-shaped.
+    import io
+    import wave
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    for did in (0, 1, 2, 3, 456, 4999):
+        wf = wave.open(io.BytesIO(mm.make_wav(did)))
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        assert wf.getframerate() == (8000, 16000, 22050, 44100)[did % 4]
+        assert wf.getnframes() == 100 + did % 157
+        got = mm.decode_wav(mm.make_wav(did))
+        assert got["sample_rate"] == wf.getframerate()
+        assert got["n_samples"] == wf.getnframes()
+
+
+def test_decode_wav_stereo_and_pad_byte():
+    # Hand-built stereo PCM-16 WAV with an ODD-sized junk chunk before
+    # data (spec: chunks are word-aligned, so a pad byte follows) —
+    # exercises the chunk walker and per-channel frame math.
+    import math
+    import struct
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    frames = struct.pack("<6h", 100, -200, 300, -400, 500, -600)  # 3 frames x 2ch
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    data_chunk = b"data" + struct.pack("<I", len(frames)) + frames
+    body = b"WAVE" + fmt_chunk + junk + data_chunk
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = mm.decode_wav(blob)
+    sumsq = sum(s * s for s in (100, -200, 300, -400, 500, -600))
+    assert got["n_samples"] == 3
+    assert got["sample_rate"] == 8000
+    assert got["duration_s"] == 3 / 8000
+    assert got["rms"] == math.sqrt(sumsq / 6) / 32768.0
