@@ -1,0 +1,119 @@
+"""Executed-plan shape pins for the heavy / multi-consumer queries.
+
+Two manual review passes in round 6 kept finding the same defect
+class by hand: diamond-reuse scan-count violations (a DataFrame
+consumed by N branches re-executes its lineage N times — Spark has no
+common-subplan reuse below the exchange, so docstring claims of "one
+fact scan" silently become four when a snapshot is dropped) and
+single-partition stages sneaking into fact-grain paths. These tests
+make that audit CI instead of judgement: each pinned query runs at
+sf0.001, the AQE FINAL plan is captured after the action, and the
+per-table parquet-scan counts plus the number of
+``Exchange SinglePartition`` nodes must equal the documented budget.
+
+A failure here means the plan SHAPE changed — more scans (a lost
+snapshot / new diamond), fewer (a new reuse), or a new global
+exchange. If the change is intentional, re-derive the budget, check
+it against the query's docstring scan claims, and update the table —
+never loosen a pin to "anything passes".
+
+The counts are plan-shape, not data-shape: at sf0.001 every pinned
+query's final plan is identical in structure to the sf0.1 one (AQE
+may pick different join strategies at larger SF, which changes
+Exchange kinds but not scan counts; SinglePartition pins hold because
+every pinned single-partition input is grain-bounded by construction,
+not by data size).
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+
+from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+# (table-scan counts, single-partition-exchange count) per query.
+# "scratch" = any snapshot read (scratch dir), named tables = the
+# source parquet under the sf dir. Budgets cross-checked against each
+# query's docstring scan claims when pinned (round 7).
+EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
+    # core
+    "flagship_order_histogram": ({"orders": 1, "lineitem": 1}, 0),
+    "pricing_summary": ({"lineitem": 1}, 0),
+    # capstones: lazy one-DAG compositions (documented multi-scan) or
+    # snapshot-rooted (scratch only)
+    "training_data_pipeline": ({"scratch": 3}, 0),
+    "curation_pipeline_v2": ({"documents": 9}, 0),
+    "experiment_readout_capstone": ({"scratch": 2}, 2),
+    "customer360_golden": ({"scratch": 2}, 0),
+    # experimentation / causal: all snapshot-rooted via
+    # _user_prepost_spend (one fact scan happens at snapshot build,
+    # OUTSIDE this final plan); singles are bounded moment/decile
+    # grains
+    "jackknife_ratio_variance": ({"scratch": 3}, 4),
+    "poststrat_mean_value": ({"scratch": 4}, 2),
+    "dr_policy_value": ({"events": 1, "scratch": 1}, 1),
+    "qte_deciles": ({"scratch": 2}, 0),
+    "qini_uplift_deciles": ({"scratch": 1}, 1),
+    "hte_did_by_segment": ({"scratch": 2, "customer": 1}, 1),
+    # ML eval / time series
+    "theil_sen_daily_slope": ({"scratch": 3}, 0),
+    "conformal_interval_events": ({"events": 2, "scratch": 1}, 0),
+    # dedup / similarity / text
+    "minhash_lsh_candidates": ({"documents": 2}, 0),
+    "jaccard_near_dup_pairs": ({"documents": 2}, 0),
+    "bm25_keyword_search": ({"scratch": 4, "documents": 1}, 2),
+    "cosine_topk_lsh": ({"embeddings": 4}, 0),
+    "text_stats": ({"documents": 1}, 0),
+    "kmeans_diversity_sample": ({"embeddings": 1}, 0),
+}
+
+_SCAN_RE = re.compile(
+    r"Scan parquet[^\n]*?InMemoryFileIndex\(\d+ paths?\)\[file:([^\],\n]*)"
+)
+_TABLE_RE = re.compile(r"/([a-z_0-9]+)\.parquet")
+
+
+def executed_plan_shape(df) -> tuple[dict[str, int], int]:
+    """Run ``df`` and return (per-table scan counts, # of
+    SinglePartition exchanges) from the AQE FINAL executed plan.
+    ``collect()`` (never ``count()``) forces execution without
+    column-pruning the aggregates out of the plan; the plan string's
+    trailing ``== Initial Plan ==`` section is cut so pre-AQE nodes
+    are not double-counted."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    tables: collections.Counter = collections.Counter()
+    for m in _SCAN_RE.finditer(plan):
+        path = m.group(1)
+        if "/testdata/" in path or "/.scratch/" in path:
+            name = _TABLE_RE.search(path)
+            tables[name.group(1) if name else "unknown"] += 1
+        else:
+            tables["scratch"] += 1
+    single = len(re.findall(r"Exchange SinglePartition", plan))
+    return dict(tables), single
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_SHAPES))
+def test_plan_shape_budget(spark, sf_dir, name):
+    exp_tables, exp_single = EXPECTED_SHAPES[name]
+    got_tables, got_single = executed_plan_shape(QUERIES[name](spark, sf_dir))
+    assert got_tables == exp_tables, (
+        f"{name}: parquet-scan budget changed "
+        f"(expected {exp_tables}, executed plan has {got_tables}) — "
+        "a multi-consumer DataFrame likely lost its snapshot (or "
+        "gained an undocumented scan); fix the plan or re-document "
+        "the budget"
+    )
+    assert got_single == exp_single, (
+        f"{name}: SinglePartition-exchange count changed "
+        f"(expected {exp_single}, got {got_single}) — a global "
+        "sort/window/limit entered (or left) the plan; verify its "
+        "input is grain-bounded before repinning"
+    )
