@@ -60,29 +60,23 @@ def winsorize(
     )
 
 
-def quantile_buckets(
+def global_rank(
     df: DataFrame,
     value_col: str,
     tie_col: str,
-    n: int = 10,
-    out_col: str = "bucket",
+    ascending: bool = False,
+    out_col: str = "rank0",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Assign each row its ``NTILE(n)`` bucket over a deterministic
-    total order (``value_col`` desc, ``tie_col`` asc — the tie column
-    must be unique so engines cannot disagree on equal values) —
-    computed as a DISTRIBUTED rank, never a single-partition window.
+) -> tuple[DataFrame, int]:
+    """DISTRIBUTED global rank over a deterministic total order
+    (``value_col`` asc/desc, ``tie_col`` asc — the tie column must be
+    unique so engines cannot disagree on equal values). Returns
+    ``(frame + 0-based rank column, total row count)`` — never a
+    single-partition window. The classic assembly:
 
-    NTILE is rank arithmetic, not value interpolation: with N rows
-    the first ``N mod n`` buckets hold ``ceil(N/n)`` rows and the
-    rest ``floor(N/n)`` (SQL standard, identical across engines), so
-    the bucket of a row is a pure function of its 0-based global rank
-    ``r`` and ``N``. The global rank is assembled the classic
-    distributed way:
-
-    1. ``repartitionByRange`` on (value desc, tie asc) + sort within
-       partitions — a single range shuffle; partition p holds a
-       contiguous rank slab.
+    1. ``repartitionByRange`` on the order + sort within partitions —
+       a single range shuffle; partition p holds a contiguous rank
+       slab.
     2. ``monotonically_increasing_id`` bakes (partition, local row
        index) into the data; the frame is snapshotted so both
        consumers below read ONE materialization (ids are stable data,
@@ -90,12 +84,10 @@ def quantile_buckets(
     3. One bounded aggregate — one row PER PARTITION — is collected
        as the rank offset of each slab (the only driver fetch:
        ``num_partitions`` longs).
-    4. ``rank = offset[pid] + local_index``; the NTILE formula is
-       exact integer arithmetic on that rank (``(a − a mod q)/q``
-       keeps the division representable — quotients ≤ N < 2^53).
+    4. ``rank = offset[pid] + local_index``.
 
-    The final-bucket assignment depends only on the total order, not
-    on where the range sampler drew its boundaries, so results are
+    The rank depends only on the total order, not on where the range
+    sampler drew its boundaries, so results are
     partitioning-independent and hash-stable. Cost: one full shuffle
     + sort + snapshot write of the input — the honest price of a
     global rank, and it scales (every stage is per-partition work; no
@@ -112,12 +104,13 @@ def quantile_buckets(
     p_n = num_partitions or int(
         sess.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    order = [F.col(value_col).desc(), F.col(tie_col).asc()]
+    vcol = F.col(value_col).asc() if ascending else F.col(value_col).desc()
+    order = [vcol, F.col(tie_col).asc()]
     staged = snapshot(
         df.repartitionByRange(p_n, *order)
         .sortWithinPartitions(*order)
         .withColumn("_qb_mid", F.monotonically_increasing_id()),
-        prefix="qbuckets_",
+        prefix="grank_",
         rebalance=False,  # keep the sorted slab layout in the files
     )
     pid = F.shiftright(F.col("_qb_mid"), 33)
@@ -136,6 +129,41 @@ def quantile_buckets(
     total = acc
     off_arr = F.array(*[F.lit(o).cast("long") for o in (offsets or [0])])
     rank0 = F.element_at(off_arr, (pid + 1).cast("int")) + local
+    return staged.select(*cols, rank0.alias(out_col)), total
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n: int = 10,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row its ``NTILE(n)`` bucket over a deterministic
+    total order (``value_col`` desc, ``tie_col`` asc) — rank
+    arithmetic on the DISTRIBUTED ``global_rank``, never a
+    single-partition window.
+
+    NTILE is rank arithmetic, not value interpolation: with N rows
+    the first ``N mod n`` buckets hold ``ceil(N/n)`` rows and the
+    rest ``floor(N/n)`` (SQL standard, identical across engines), so
+    the bucket of a row is a pure function of its 0-based global rank
+    ``r`` and ``N``; the formula is exact integer arithmetic
+    (``(a − a mod q)/q`` keeps the division representable —
+    quotients ≤ N < 2^53). Eager-build and scale notes: see
+    ``global_rank``.
+    """
+    cols = list(df.columns)
+    staged, total = global_rank(
+        df,
+        value_col,
+        tie_col,
+        ascending=False,
+        out_col="_qb_rank0",
+        num_partitions=num_partitions,
+    )
+    rank0 = F.col("_qb_rank0")
 
     def _idiv(a, q: int):
         # exact integer floor-division of a nonneg long by a python

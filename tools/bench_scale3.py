@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Three-point scaling fit for the output-volume-bound queries
+(VERDICT r6 "Next round" #4): two datapoints (sf0.1, sf1.0) cannot
+separate linear from n^1.3, so this runner measures the 8 queries the
+round-6 analysis justified by driving-cardinality ratios at THREE
+scales — sf0.1, sf0.3 (3 key-offset replicas), sf1.0 (10) — counts
+each query's driving volume at each scale, and fits the
+time-vs-driving-volume exponent by least squares on the log-log
+points.
+
+Reading the exponents: e <= ~1.1 in driving volume = the operator
+does work proportional to what it must emit (linear modulo constant
+factors); well above that = a superlinear term hiding behind the
+clone structure. Fixed per-query overhead (job scheduling, snapshot
+round-trips, bounded driver fetches) inflates the SMALL-scale time,
+which FLATTENS the fitted slope — so the fit is reported both over
+all 3 points and over the top segment (sf0.3 → sf1.0), where
+overhead matters least; the top-segment number is the honest
+at-scale exponent.
+
+Driving volumes:
+- pair emitters (minhash/jaccard/containment/winnowing): the query's
+  own output-pair count;
+- iterative graph ops (fuzzy-CC, pagerank): the edge count of the
+  graph they iterate over (their outputs are node-grain);
+- capstones (customer360, training pipeline): input entity rows —
+  their internal pair stages are volume-bound, but entity rows are
+  the contract a user scales by, and sublinear-in-rows is the
+  stronger claim.
+
+Usage: python tools/bench_scale3.py [out_json]   (~25 min)
+Prereq: tools/make_scaled_sf.py 3  -> .scratch/sf0.3
+        tools/make_scaled_sf.py 10 -> .scratch/sf1.0
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+# query -> how to count its driving volume ("output" = count the
+# query's own result; otherwise a named edge/row source, built below)
+TARGETS = {
+    "minhash_lsh_candidates": "output",
+    "jaccard_near_dup_pairs": "output",
+    "containment_dup_pairs": "output",
+    "winnow_fingerprint_pairs": "output",
+    "fuzzy_dedup_clusters": "jaccard_edges",
+    "pagerank_dupgraph": "embedding_edges",
+    "customer360_golden": "customer_rows",
+    "training_data_pipeline": "document_rows",
+}
+
+
+def fit_exponent(vols: list[float], times: list[float]) -> float:
+    """Least-squares slope of log(time) on log(volume)."""
+    xs = [math.log(v) for v in vols]
+    ys = [math.log(t) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    return sxy / sxx if sxx else float("nan")
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    scales = {
+        "sf0.1": "/root/testdata/sf0.1",
+        "sf0.3": os.path.join(repo, ".scratch", "sf0.3"),
+        "sf1.0": os.path.join(repo, ".scratch", "sf1.0"),
+    }
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(repo, "BENCH_SCALE3.json")
+    )
+
+    import module8_movies_etl_spark.plans.benchmark_queries as bq
+    from module8_movies_etl_spark.operators import dedup, similarity
+    from module8_movies_etl_spark.session import get_spark
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    spark = get_spark("bench-scale3")
+    # many-split scan shape, as tools/bench_scale.py (see its notes)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def driving_volume(name: str, sf_dir: str) -> int:
+        kind = TARGETS[name]
+        if kind == "output":
+            return bq.QUERIES[name](spark, sf_dir).count()
+        if kind == "jaccard_edges":
+            d = read_table(spark, sf_dir, "documents")
+            return dedup.jaccard_similar_pairs(
+                d, "doc_id", "text", block_cols=["lang"], threshold=0.5
+            ).count()
+        if kind == "embedding_edges":
+            emb = read_table(spark, sf_dir, "embeddings")
+            return similarity.embedding_near_dups(
+                emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+            ).count()
+        if kind == "customer_rows":
+            return read_table(spark, sf_dir, "customer").count()
+        if kind == "document_rows":
+            return read_table(spark, sf_dir, "documents").count()
+        raise ValueError(kind)
+
+    results: dict[str, dict] = {}
+    for name in TARGETS:
+        fn = bq.QUERIES[name]
+        times, vols = {}, {}
+        for label, sf_dir in scales.items():
+            run = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                run.append(round(time.time() - t0, 2))
+            times[label] = min(run)
+            vols[label] = driving_volume(name, sf_dir)
+            print(
+                f"{name} @ {label}: {run} vol={vols[label]}",
+                file=sys.stderr,
+                flush=True,
+            )
+        order = ["sf0.1", "sf0.3", "sf1.0"]
+        tv = [times[k] for k in order]
+        vv = [float(vols[k]) for k in order]
+        results[name] = {
+            "times_s": times,
+            "driving_volume": vols,
+            "volume_kind": TARGETS[name],
+            "exponent_all3": round(fit_exponent(vv, tv), 3),
+            "exponent_top_segment": round(
+                fit_exponent(vv[1:], tv[1:]), 3
+            ),
+        }
+
+    doc = {
+        "metric": "time_vs_driving_volume_exponent",
+        "scales": {k: os.path.basename(v) for k, v in scales.items()},
+        "note": (
+            "min of 2 runs per scale, shared session, 8MB split size; "
+            "exponent_all3 fits all three log-log points (flattened by "
+            "fixed overhead at sf0.1), exponent_top_segment fits "
+            "sf0.3->sf1.0 where overhead matters least. <=~1.1 in "
+            "driving volume = linear-or-better in what the operator "
+            "must emit/iterate."
+        ),
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                k: (v["exponent_all3"], v["exponent_top_segment"])
+                for k, v in results.items()
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
