@@ -6187,20 +6187,25 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric ("do 1% of customers carry 50% of revenue?") computed from
     the rank identity G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) over
     ascending-sorted spend. The facts reduce to customer grain first
-    (one hash shuffle — the only fact pass); the global rank window
-    then runs over the ENTITY table, orders of magnitude smaller than
-    the orders it summarizes (the quantile_buckets posture). Rank ×
-    spend products and both sums are DECIMAL-exact; the final G is
-    one identical double expression per engine. Ties order by
-    (spend, custkey) so both engines rank identically.
+    (one hash shuffle — the only fact pass); the global rank then
+    runs over the ENTITY table, orders of magnitude smaller than
+    the orders it summarizes (the quantile_buckets posture) — and
+    since round 7 it is ``robust.global_rank``'s DISTRIBUTED
+    range-shuffle + partition-offset assembly, not a
+    single-partition window, so the operator works at any customer
+    count. Rank × spend products and both sums are DECIMAL-exact;
+    the final G is one identical double expression per engine. Ties
+    order by (spend, custkey) so both engines rank identically.
     """
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = spend.select(
-        "x", F.row_number().over(w).cast("decimal(12,0)").alias("i")
+    ranked_df, _n = robust.global_rank(
+        spend, "x", "o_custkey", ascending=True, out_col="_r0"
+    )
+    ranked = ranked_df.select(
+        "x", (F.col("_r0") + 1).cast("decimal(12,0)").alias("i")
     )
     a = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -14200,424 +14205,6 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_ORACLE = """
-WITH t1 AS (
-    SELECT user_id, min(ts) AS t1 FROM events
-    WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
-),
-t2 AS (
-    SELECT e.user_id, min(e.ts) AS t2
-    FROM events e JOIN t1 USING (user_id)
-    WHERE e.event_type = 'click' AND e.ts IS NOT NULL AND e.ts > t1.t1
-    GROUP BY 1
-),
-t3 AS (
-    SELECT e.user_id, min(e.ts) AS t3
-    FROM events e JOIN t2 USING (user_id)
-    WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts > t2.t2
-    GROUP BY 1
-),
-n AS (
-    SELECT (SELECT count(*) FROM t1) AS n1,
-           (SELECT count(*) FROM t2) AS n2,
-           (SELECT count(*) FROM t3) AS n3
-)
-SELECT s.stage, s.n_users,
-       round(CASE WHEN n.n1 > 0
-                  THEN CAST(s.n_users AS DOUBLE) / n.n1
-                  ELSE 0.0 END, 6) AS pct_of_entry
-FROM (
-    SELECT '1_view' AS stage, n1 AS n_users FROM n
-    UNION ALL SELECT '2_click', n2 FROM n
-    UNION ALL SELECT '3_purchase', n3 FROM n
-) s CROSS JOIN n
-"""
-
-
-@query("funnel_conversion_stages", _FUNNEL_ORACLE)
-def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[product analytics / sequence, beyond-ref §2.13] Ordered
-    three-stage funnel: users whose FIRST view precedes a click that
-    precedes a purchase — strict event-time ordering, not mere
-    co-occurrence (the distinction every naive funnel gets wrong).
-    Stage k is a per-user min-timestamp aggregate over events later
-    than the stage-(k−1) timestamp, chained by user-keyed joins.
-
-    Scale shape: ONE fact scan into a snapshot of the three relevant
-    event types (narrow: user, type, ts); each stage is a
-    snapshot-grain filter + user-keyed join + min aggregate (AQE
-    broadcasts the shrinking stage frames when small, shuffles
-    otherwise); counts are 1-row aggregates unioned, so the multiple
-    consumers re-read SCRATCH, never the fact table. Conversion
-    percentages are exact-integer divisions, round(6).
-    """
-    from ..sources.scratch import snapshot
-
-    e = read_table(spark, sf_dir, "events")
-    e3 = snapshot(
-        e.filter(
-            F.col("ts").isNotNull()
-            & F.col("event_type").isin("view", "click", "purchase")
-        ).select("user_id", "event_type", "ts"),
-        prefix="funnel_e3_",
-    )
-    t1 = (
-        e3.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_t1"))
-    )
-    t2 = (
-        e3.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts") > F.col("_t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_t2"))
-    )
-    t3 = (
-        e3.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("ts") > F.col("_t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_t3"))
-    )
-
-    def stage_count(frame: DataFrame, label: str) -> DataFrame:
-        return frame.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(label).alias("stage"), "n_users"
-        )
-
-    counts = (
-        stage_count(t1, "1_view")
-        .unionByName(stage_count(t2, "2_click"))
-        .unionByName(stage_count(t3, "3_purchase"))
-    )
-    entry = t1.agg(F.count(F.lit(1)).alias("_n1"))
-    return counts.crossJoin(F.broadcast(entry)).select(
-        "stage",
-        F.col("n_users").cast("long").alias("n_users"),
-        F.round(
-            F.when(
-                F.col("_n1") > 0,
-                F.col("n_users").cast("double") / F.col("_n1"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("pct_of_entry"),
-    )
-
-
-_MARKOV_ORACLE = """
-WITH seq AS (
-    SELECT user_id, event_type,
-           lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_type
-    FROM events WHERE ts IS NOT NULL
-),
-trans AS (
-    SELECT prev_type AS from_type, event_type AS to_type,
-           count(*) AS n_transitions
-    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
-)
-SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
-       round(CAST(n_transitions AS DOUBLE)
-             / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
-FROM trans
-"""
-
-
-@query("markov_event_transitions", _MARKOV_ORACLE)
-def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[sequence modeling, beyond-ref §2.13] First-order Markov
-    transition matrix over each user's event stream: consecutive
-    event-type bigrams by event time (lag window over a deterministic
-    (ts, event_id) order — the tie column keeps engines from
-    disagreeing on same-timestamp neighbors), counted and normalized
-    to per-source-state probabilities. The building block of
-    user-journey and next-action models.
-
-    Scale shape: one user-keyed shuffle for the lag window (fact
-    grain, partitioned — never global), then a |types|² cell
-    aggregate; the probability window walks 5-row partitions.
-    """
-    e = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type",
-        F.lag("event_type").over(w).alias("from_type"),
-    )
-    trans = (
-        seq.filter(F.col("from_type").isNotNull())
-        .groupBy("from_type", F.col("event_type").alias("to_type"))
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
-    wf = Window.partitionBy("from_type")
-    return trans.select(
-        "from_type",
-        "to_type",
-        F.col("n_transitions").cast("long").alias("n_transitions"),
-        F.round(
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(wf),
-            6,
-        ).alias("p"),
-    )
-
-
-_GINI_ORACLE = """
-WITH u AS (
-    SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-                             THEN CAST(round(value * 100) AS BIGINT)
-                             ELSE 0 END), 0) AS x
-    FROM events GROUP BY 1
-),
-r AS (
-    SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM u
-),
-m AS (
-    SELECT count(*) AS n,
-           sum(CAST(x AS HUGEINT)) AS sx,
-           sum(CAST(rk AS HUGEINT) * x) AS srx
-    FROM r
-)
-SELECT CAST(n AS BIGINT) AS n_users,
-       CAST(sx AS BIGINT) AS total_spend_cents,
-       round(CASE WHEN sx > 0
-                  THEN CAST(2 * srx - (n + 1) * sx AS DOUBLE)
-                       / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
-                  ELSE 0.0 END, 6) AS gini
-FROM m
-"""
-
-
-@query("gini_spend_concentration", _GINI_ORACLE)
-def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[inequality / concentration, beyond-ref §2.13] Exact Gini
-    coefficient of per-user purchase spend — the standard
-    concentration readout for revenue, token-budget, and data-source
-    dominance audits — via the rank identity
-    G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over the ascending total
-    order (ties contribute equal x to any rank assignment, so the
-    unique (x, user_id) order is exact).
-
-    The global rank comes from ``robust.global_rank`` — the
-    DISTRIBUTED range-shuffle + partition-offset assembly (one range
-    shuffle, one snapshot, a per-partition-count driver fetch), never
-    a single-partition window, so the operator works at any user
-    count. Sums are exact integers widened to DECIMAL/HUGEINT before
-    the rank product (r·x ≈ n·cents overflows int64 first); the one
-    division is IEEE, round(6).
-    """
-    e = read_table(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.round(F.col("value") * 100, 0).cast("long"),
-                ).otherwise(0)
-            ),
-            F.lit(0),
-        ).alias("x")
-    )
-    ranked, _n = robust.global_rank(
-        u, "x", "user_id", ascending=True, out_col="_r0"
-    )
-    m = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("x"))).alias("sx"),
-        F.sum(_dec(F.col("_r0") + 1) * F.col("x")).alias("srx"),
-    )
-    gini = F.when(
-        F.col("sx") > 0,
-        (
-            F.lit(2) * F.col("srx") - _dec(F.col("n") + 1) * F.col("sx")
-        ).cast("double")
-        / (F.col("n").cast("double") * F.col("sx").cast("double")),
-    ).otherwise(F.lit(0.0))
-    return m.select(
-        F.col("n").cast("long").alias("n_users"),
-        F.col("sx").cast("long").alias("total_spend_cents"),
-        F.round(gini, 6).alias("gini"),
-    )
-
-
-_SKEW_ORACLE = """
-WITH per_key AS (
-    SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1
-),
-dist AS (
-    SELECT n_rows AS rows_per_key, count(*) AS n_keys
-    FROM per_key GROUP BY 1
-),
-tot AS (
-    SELECT sum(rows_per_key * n_keys) AS total_rows,
-           sum(n_keys) AS total_keys,
-           max(rows_per_key) AS max_rows
-    FROM dist
-)
-SELECT CAST(rows_per_key AS BIGINT) AS rows_per_key,
-       CAST(n_keys AS BIGINT) AS n_keys,
-       round(CAST(n_keys AS DOUBLE) / total_keys, 6) AS key_share,
-       CAST(max_rows AS BIGINT) AS max_rows_per_key,
-       round(CAST(max_rows AS DOUBLE) * total_keys
-             / CAST(total_rows AS DOUBLE), 4) AS skew_factor
-FROM dist CROSS JOIN tot
-"""
-
-
-@query("join_key_skew_audit", _SKEW_ORACLE)
-def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[ops / shuffle diagnostics, beyond-ref §2.13] Join-key skew
-    profile for the orders⋈lineitem key: the count-of-counts
-    distribution of rows per l_orderkey, plus the max/mean skew
-    factor — the number you check BEFORE choosing salting vs AQE
-    skew-join vs plain shuffle for a 100 TB join (a skew factor near
-    1 means salting would only add overhead; >>1 means one reducer
-    eats the key).
-
-    Scale shape: one key aggregate (the same shuffle the join itself
-    would do), then a |distinct multiplicities|-row rollup — the
-    diagnostic costs one pass of the fact table and nothing at the
-    driver. skew_factor = max · total_keys / total_rows is exact
-    integer arithmetic until the final IEEE division, round(4).
-    """
-    li = read_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
-    dist = per_key.groupBy(F.col("n_rows").alias("rows_per_key")).agg(
-        F.count(F.lit(1)).alias("n_keys")
-    )
-    tot = dist.agg(
-        F.sum(F.col("rows_per_key") * F.col("n_keys")).alias("_total_rows"),
-        F.sum("n_keys").alias("_total_keys"),
-        F.max("rows_per_key").alias("_max_rows"),
-    )
-    return dist.crossJoin(F.broadcast(tot)).select(
-        F.col("rows_per_key").cast("long").alias("rows_per_key"),
-        F.col("n_keys").cast("long").alias("n_keys"),
-        F.round(
-            F.col("n_keys").cast("double") / F.col("_total_keys"), 6
-        ).alias("key_share"),
-        F.col("_max_rows").cast("long").alias("max_rows_per_key"),
-        F.round(
-            F.col("_max_rows").cast("double")
-            * F.col("_total_keys")
-            / F.col("_total_rows").cast("double"),
-            4,
-        ).alias("skew_factor"),
-    )
-
-
-def _rrf_oracle(k_fuse: int = 60, shortlist: int = 50, k: int = 20) -> str:
-    """Fuse the bm25 oracle's top-``shortlist`` with a single-probe
-    exact-cosine top-``shortlist`` by reciprocal-rank fusion. The
-    lexical subquery IS ``_bm25_oracle`` (same literals); the vector
-    subquery mirrors ``cosine_topk`` for probe vec_id=0."""
-    bm25 = _bm25_oracle(k=shortlist)
-    return f"""
-WITH b AS (
-    SELECT doc_id, rk AS bm25_rank FROM ({bm25})
-),
-v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
-    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-),
-q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
-scored AS (
-    SELECT c.vec_id AS doc_id,
-           list_dot_product(q.qv, c.ev)
-             / (sqrt(list_dot_product(q.qv, q.qv))
-                * sqrt(list_dot_product(c.ev, c.ev))) AS sim
-    FROM v c CROSS JOIN q WHERE c.vec_id <> 0
-),
-vr AS (
-    SELECT doc_id, r_v AS cos_rank FROM (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY sim DESC, doc_id) AS r_v
-        FROM scored
-    ) WHERE r_v <= {shortlist}
-),
-f AS (
-    SELECT coalesce(b.doc_id, vr.doc_id) AS doc_id,
-           b.bm25_rank, vr.cos_rank,
-           coalesce(CAST(1 AS DOUBLE) / ({k_fuse} + b.bm25_rank), 0.0)
-           + coalesce(CAST(1 AS DOUBLE) / ({k_fuse} + vr.cos_rank), 0.0)
-               AS rrf
-    FROM b FULL OUTER JOIN vr ON b.doc_id = vr.doc_id
-)
-SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
-       CAST(cos_rank AS BIGINT) AS cos_rank,
-       round(rrf, 6) AS rrf_score,
-       CAST(rrf_rank AS BIGINT) AS rrf_rank
-FROM (
-    SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rrf_rank
-    FROM f
-) WHERE rrf_rank <= {k}
-"""
-
-
-@query("rrf_hybrid_search", _rrf_oracle())
-def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[hybrid retrieval, beyond-ref §2.13 — the fusion layer between
-    the BM25 lexical path and the ANN vector path] Reciprocal-rank
-    fusion (Cormack 2009): top-50 BM25 for the fixed keyword query
-    and top-50 exact cosine for probe vector 0, fused by
-    Σ 1/(60 + rank) over a full-outer doc match, top-20 emitted —
-    the standard zero-tuning hybrid-search combiner RAG stacks run.
-
-    Determinism: ranks are integers from deterministic total orders
-    (score desc, doc_id); each fused score is one or two exact
-    1/(60+r) divisions added in fixed order — bit-identical across
-    engines, round(6) on emission.
-
-    Scale shape: both shortlists are top-k over their own machinery
-    (BM25's conditional-aggregate scores; broadcast-probe cosine);
-    the fusion joins two ≤50-row frames — nothing fact-grain after
-    the shortlists.
-    """
-    d = read_table(spark, sf_dir, "documents")
-    scores = curation.bm25_scores(
-        d, "doc_id", "text", terms=("spark", "join", "window")
-    )
-    wb = Window.orderBy(F.desc("score"), "doc_id")
-    b50 = (
-        scores.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") <= 50)
-        .select("doc_id", F.col("rk").alias("bm25_rank"))
-    )
-    emb = read_table(spark, sf_dir, "embeddings")
-    v50 = similarity.cosine_topk(
-        emb,
-        emb.filter(F.col("vec_id") == 0),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=50,
-    ).select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("cos_rank"),
-    )
-    fused = b50.join(v50, "doc_id", "full_outer").withColumn(
-        "rrf",
-        F.coalesce(
-            F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)
-        )
-        + F.coalesce(
-            F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0)
-        ),
-    )
-    wf = Window.orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fused.withColumn("rrf_rank", F.row_number().over(wf))
-        .filter(F.col("rrf_rank") <= 20)
-        .select(
-            "doc_id",
-            F.col("bm25_rank").cast("long").alias("bm25_rank"),
-            F.col("cos_rank").cast("long").alias("cos_rank"),
-            F.round("rrf", 6).alias("rrf_score"),
-            F.col("rrf_rank").cast("long").alias("rrf_rank"),
-        )
-    )
-
-
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
@@ -14675,13 +14262,17 @@ _PRIORITY = [
     "multimodal_features",
     "udtf_chunk_profile",
     "trend_slope_grouped_map",
-    # §2.13 family flagships.
+    # §2.13 family flagships. simhash/containment moved to local
+    # verification in round 7 (the dedup family keeps four driver
+    # rows: exact, jaccard, minhash, fuzzy-CC) to free slots for the
+    # real-codec multimodal decode and the hybrid-retrieval fusion
+    # flagships — families that previously had no driver row.
     "exact_dedup_survivors",
     "jaccard_near_dup_pairs",
     "minhash_lsh_candidates",
-    "simhash_near_dups",
+    "bmp_decode_features",
     "fuzzy_dedup_clusters",
-    "containment_dup_pairs",
+    "hybrid_search_rrf",
     # cosine_topk_bruteforce is verified locally; its slot carries the
     # round-6 ML-evaluation family flagship (AUC)
     "roc_auc_purchase_score",
