@@ -156,3 +156,83 @@ def compaction_plan(
         F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
         F.sum("_sz").over(wb).cast("long").alias("bin_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Physical layout features: bucketed (co-located) joins and
+# partition-pruned scans — cached one build per process per sf_dir.
+# --------------------------------------------------------------------------
+
+_BUCKETED_CACHE: dict = {}
+_MONTH_PART_CACHE: dict = {}
+
+
+def bucketed_pair(spark, sf_dir: str, n_buckets: int = 16):
+    """Create ONCE per (process, sf_dir) a pair of managed tables —
+    orders and customer projected to the join key — both
+    ``bucketBy(n_buckets, cust_id)`` + ``sortBy`` on write. Returns
+    the two table names.
+
+    Bucketing is THE shuffle eliminator for repeated big joins: both
+    sides land in co-located, pre-sorted buckets, so a sort-merge
+    join over them needs NO Exchange on either side (pinned by
+    ``test_bucketed_join_has_no_join_exchange``) — at 100 TB that is
+    the difference between re-shuffling petabytes per join and
+    streaming matched buckets. The warehouse dir is process-scratch
+    (in-memory catalog; files overwritten on rebuild).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    key = (sf_dir, n_buckets)
+    if key in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[key]
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}:{n_buckets}".encode()).hexdigest()[:8]
+    names = (f"b_orders_{tag}", f"b_customer_{tag}")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"), "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    for df, name in ((o, names[0]), (c, names[1])):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(n_buckets, "cust_id")
+            .sortBy("cust_id")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    _BUCKETED_CACHE[key] = names
+    return names
+
+
+def month_partitioned_orders(spark, sf_dir: str) -> str:
+    """Write ONCE per (process, sf_dir) the orders table
+    hive-partitioned by order month (``order_month=yyyy-MM`` dirs) to
+    scratch and return the path. A month-predicated read then prunes
+    at PLANNING time — the scan never opens non-matching partitions
+    (``PartitionFilters`` in the plan, pinned by test) — the
+    time-travel-free version of what every 100 TB fact table does
+    with its date partition column.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+    from ..sources.scratch import mkscratch, register
+
+    if sf_dir in _MONTH_PART_CACHE:
+        return _MONTH_PART_CACHE[sf_dir]
+    path = mkscratch("orders_bymonth_")
+    register(path)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    o.write.partitionBy("order_month").mode("overwrite").parquet(path)
+    _MONTH_PART_CACHE[sf_dir] = path
+    return path

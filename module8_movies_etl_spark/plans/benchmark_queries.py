@@ -14205,6 +14205,99 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+@query("bucketed_join_revenue", _BUCKETED_JOIN_ORACLE)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[physical layout / co-located join, beyond-ref §2.13] Revenue
+    per market segment through a BUCKETED sort-merge join: both sides
+    are written once per process as ``bucketBy(16, cust_id)`` +
+    ``sortBy`` managed tables (``layout.bucketed_pair``), so the join
+    streams matched, pre-sorted buckets with NO Exchange on either
+    input — the standing layout investment that amortizes every
+    repeated big join at 100 TB (shuffle the fact table once at write
+    time, never again at read time). The zero-exchange property is
+    pytest-pinned on the executed plan; the MERGE hint keeps AQE from
+    trading the demonstration away for a broadcast at toy scale. The
+    oracle computes the identical join over the raw tables — layout
+    must never change values.
+    """
+    ot, ct = layout.bucketed_pair(spark, sf_dir, n_buckets=16)
+    o = spark.table(ot)
+    c = spark.table(ct)
+    j = o.hint("merge").join(c, "cust_id")
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_rev"),
+        )
+        .select(
+            "segment",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_rev",
+        )
+    )
+
+
+_PART_PRUNE_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_rev
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1996-06'
+GROUP BY 1
+"""
+
+
+@query("partition_pruned_revenue", _PART_PRUNE_ORACLE)
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[physical layout / partition pruning, beyond-ref §2.13] One
+    month's revenue per status read from a HIVE-PARTITIONED copy of
+    orders (``order_month=yyyy-MM`` directories, written once per
+    process by ``layout.month_partitioned_orders``): the month
+    equality lands in the scan's ``PartitionFilters`` — planning-time
+    pruning that never lists, opens, or decodes any other month's
+    files (pytest-pinned on the executed plan). THE table design for
+    date-ranged queries over a 100 TB fact table; the oracle filters
+    the raw table by the same derived month, so layout must never
+    change values.
+    """
+    path = layout.month_partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(path).filter(F.col("order_month") == "1996-06")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_rev"),
+        )
+        .select(
+            "status",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_rev",
+        )
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

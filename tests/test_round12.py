@@ -195,3 +195,59 @@ def test_rrf_fusion_python_reference(spark, sf_dir):
         assert r["rank_lex"] == b.get(doc)
         assert r["rank_vec"] == v.get(doc)
         assert abs(r["rrf_score"] - float(s)) < 1e-9
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    # The whole point of the bucketed layout: the sort-merge join
+    # must consume both bucketed scans WITHOUT an Exchange on the
+    # join key (the post-join groupBy exchange is expected and fine).
+    df = QUERIES["bucketed_join_revenue"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(cust_id" not in plan
+    # and values must match the plain unbucketed join
+    import re
+
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    ref = {
+        r["c_mktsegment"]: r["n"]
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["segment"]: r["n_orders"] for r in df.collect()} == ref
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    import re
+
+    df = QUERIES["partition_pruned_revenue"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    # the month equality must be a PLANNING-time partition filter on
+    # the scan, not a post-scan row filter
+    assert re.search(r"PartitionFilters: \[[^\]]*order_month", plan), plan[
+        :2000
+    ]
+    # pruning actually dropped the other months' files: the pruned
+    # scan reads strictly fewer partitions than exist
+    from module8_movies_etl_spark.operators import layout
+
+    path = layout.month_partitioned_orders(spark, sf_dir)
+    import os
+
+    n_months = sum(
+        1 for e in os.scandir(path) if e.name.startswith("order_month=")
+    )
+    assert n_months > 1
