@@ -14298,6 +14298,208 @@ def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q3_ORACLE = """
+WITH rev AS (
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS rc
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15'
+      AND l.l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, round(CAST(rc AS DOUBLE) / 100.0, 2) AS revenue,
+       order_date, o_orderpriority
+FROM rev
+ORDER BY rc DESC, order_date, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_unshipped_topn", _Q3_ORACLE)
+def tpch_q3_unshipped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q3 shape, beyond-ref §2.13] Top-10 highest-revenue
+    UNSHIPPED building-segment orders at a cut date: two date
+    predicates land on DIFFERENT tables (orders placed before, lines
+    shipping after — both push to their scans), the segment filter
+    rides the broadcast customer dim, and the top-10 is a
+    TakeOrderedAndProject over the order-grain rollup (per-partition
+    heaps, never a global sort). Revenue sums exact cents
+    (round(price·(1−disc)·100) per line), so the hash and the cut
+    are order-free; ties break on the unique order key.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cut = F.lit("1996-06-15").cast("timestamp")
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(
+            o.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                c.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rc).alias("_rc"))
+    )
+    return (
+        rev.orderBy(F.desc("_rc"), "order_date", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rc").cast("double") / 100.0, 2).alias("revenue"),
+            "order_date",
+            "o_orderpriority",
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@query("tpch_q5_local_supplier", _Q5_ORACLE)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q5 shape, beyond-ref §2.13] Local-supplier volume: the
+    classic five-way join whose distinguishing predicate is
+    CROSS-DIMENSIONAL (customer and supplier must share a nation —
+    neither the fact nor either dim can evaluate it alone), revenue
+    per Asian nation for one order year. Plan shape: the year filter
+    pushes to the orders scan; supplier/nation/region are broadcast;
+    lineitem⋈orders is the one fact shuffle (order key), then the
+    local-nation equality filters the broadcast-joined pair. Exact
+    cents per line keep the sums order-free.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    asia_nations = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    orders_1996 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.select("l_orderkey", "l_suppkey", rc.alias("_rc"))
+        .join(orders_1996, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("_rc").cast("double") / 100.0, 2).alias("revenue")
+        )
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o.o_totalprice, 2) AS total_price,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("tpch_q18_large_orders", _Q18_ORACLE)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q18 shape, beyond-ref §2.13] Large-volume orders: the
+    HAVING-on-aggregate pattern — orders whose total line quantity
+    exceeds 250 (≈ the p99.5 of the quantity distribution at every
+    test SF), enriched with customer and order attributes. Plan
+    shape: one fact aggregate to order grain with the HAVING filter
+    applied at the aggregate (the survivor set is tiny), then two
+    key joins that AQE broadcasts — the fact table is never joined
+    raw. Quantities are whole numbers: exact BIGINT sums.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
