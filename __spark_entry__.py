@@ -9,10 +9,11 @@ The actual catalog lives in
 ``module8_movies_etl_spark.plans.benchmark_queries`` — one named query
 per implemented SURVEY.md §2 operator (plus the LLM-pipeline
 extensions), each with a DuckDB oracle (``len(bq.QUERIES)`` is the
-authoritative count). Every entry is fully hash-verified except
-``random_sample_orders`` (Spark's sample RNG is engine-specific —
-rows-only by necessity; its deterministic md5 twin
-``hash_sample_orders`` IS hash-verified). Even the LSH / IVF ANN
+authoritative count). Every entry is fully hash-verified — including
+``random_sample_orders``, whose oracle pins per-stratum totals plus
+5-sigma/chi-square distribution bounds while the sampled rows stay
+engine-RNG (its deterministic md5 twin ``hash_sample_orders`` is
+hash-exact). Even the LSH / IVF ANN
 paths, the 60-bit simhash fold, the KMV/CMS sketch estimates, the
 connected-components closures, and the tokenizer's id sequences
 (emitted comma-joined — every output column is scalar-typed so the
@@ -49,6 +50,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted only for the seeded
-    random-sample entry — engine-specific RNG)."""
+    """DuckDB-equivalent SQL per query — every catalog entry has
+    one (the engine-RNG sampler's oracle pins distribution bounds)."""
     return dict(bq.ORACLE)

@@ -198,8 +198,19 @@ def bucketed_pair(spark, sf_dir: str, n_buckets: int = 16):
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), "c_mktsegment"
     )
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
     for df, name in ((o, names[0]), (c, names[1])):
+        # DROP alone is not enough: a PREVIOUS process's in-memory
+        # catalog died with its tables, but the warehouse directories
+        # survive and saveAsTable refuses the location — clear both.
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         (
             df.write.bucketBy(n_buckets, "cust_id")
             .sortBy("cust_id")
