@@ -90,6 +90,19 @@ HEADLINE = [
     "ols_value_by_time",
     "hte_did_by_segment",
     "qini_uplift_deciles",
+    # round-7 additions: real-codec multimodal decode, physical
+    # layout (bucketed join amortizes its one-time table build across
+    # the two timed runs; min-of-2 reports the steady state),
+    # distributed-rank gini, RRF fusion, TPC-H classics
+    "bmp_decode_features",
+    "wav_decode_features",
+    "bucketed_join_revenue",
+    "partition_pruned_revenue",
+    "gini_customer_spend",
+    "hybrid_search_rrf",
+    "tpch_q3_unshipped_topn",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
 ]
 
 SF_DIRS = {
