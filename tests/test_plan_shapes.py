@@ -68,6 +68,41 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     "cosine_topk_lsh": ({"embeddings": 4}, 0),
     "text_stats": ({"documents": 1}, 0),
     "kmeans_diversity_sample": ({"embeddings": 1}, 0),
+    # round-7 additions. TPC-H shapes: every table scanned exactly
+    # once, no global exchange (top-N is TakeOrderedAndProject).
+    "tpch_q3_unshipped_topn": (
+        {"lineitem": 1, "orders": 1, "customer": 1},
+        0,
+    ),
+    "tpch_q5_local_supplier": (
+        {
+            "lineitem": 1,
+            "orders": 1,
+            "customer": 1,
+            "supplier": 1,
+            "nation": 1,
+            "region": 1,
+        },
+        0,
+    ),
+    "tpch_q18_large_orders": (
+        {"lineitem": 1, "orders": 1, "customer": 1},
+        0,
+    ),
+    # gini: the fact pass happens at global_rank's snapshot build; the
+    # final plan reads the rank snapshot once; the one SinglePartition
+    # exchange is the 1-row global moment aggregate's final reduce.
+    "gini_customer_spend": ({"scratch": 1}, 1),
+    # RRF: two shortlist windows are WindowGroupLimit-prefiltered
+    # (each partition contributes <=50 rows) before their bounded
+    # single-partition rank merge.
+    "hybrid_search_rrf": ({"scratch": 4, "documents": 1, "embeddings": 2}, 2),
+    # real-codec decode: one scan, payloads born spread, no shuffle
+    # after the id repartition.
+    "bmp_decode_features": ({"documents": 1}, 0),
+    "wav_decode_features": ({"documents": 1}, 0),
+    # the month filter prunes at planning time; one partitioned scan.
+    "partition_pruned_revenue": ({"scratch": 1}, 0),
 }
 
 _SCAN_RE = re.compile(
