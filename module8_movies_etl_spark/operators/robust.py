@@ -127,9 +127,28 @@ def global_rank(
         offsets.append(acc)
         acc += slabs.get(p, 0)
     total = acc
-    off_arr = F.array(*[F.lit(o).cast("long") for o in (offsets or [0])])
-    rank0 = F.element_at(off_arr, (pid + 1).cast("int")) + local
-    return staged.select(*cols, rank0.alias(out_col)), total
+    if len(offsets) <= 256:
+        # small partition counts: the offset table rides inline as a
+        # literal array — no extra join
+        off_arr = F.array(*[F.lit(o).cast("long") for o in (offsets or [0])])
+        rank0 = F.element_at(off_arr, (pid + 1).cast("int")) + local
+        return staged.select(*cols, rank0.alias(out_col)), total
+    # cluster-scale partition counts: a literal array of 10k+ offsets
+    # explodes the codegen'd expression tree, so ship the offsets as
+    # a broadcast 2-column frame and join on the partition id instead
+    # (one row per partition — always broadcastable)
+    off_df = sess.createDataFrame(
+        [(p, o) for p, o in enumerate(offsets)], "_qb_pid long, _qb_off long"
+    )
+    joined = staged.withColumn("_qb_pid", pid).join(
+        F.broadcast(off_df), "_qb_pid"
+    )
+    return (
+        joined.select(
+            *cols, (F.col("_qb_off") + local).alias(out_col)
+        ),
+        total,
+    )
 
 
 def quantile_buckets(

@@ -251,3 +251,23 @@ def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
         1 for e in os.scandir(path) if e.name.startswith("order_month=")
     )
     assert n_months > 1
+
+
+def test_global_rank_broadcast_offset_path(spark):
+    # num_partitions > 256 exercises the broadcast-offsets join path
+    # (a literal array of 10k+ offsets would explode codegen on a
+    # real cluster); ranks must be identical to the inline path.
+    rows = [(i, (i * 53) % 17) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranked, total = robust.global_rank(
+        df, "v", "id", ascending=True, num_partitions=300
+    )
+    assert total == 500
+    got = {r["id"]: r["rank0"] for r in ranked.collect()}
+    expect = {
+        rid: i
+        for i, (rid, _v) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert got == expect
