@@ -14500,6 +14500,99 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QMODEL_STOPS = (
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "that",
+)
+_QMODEL_ORACLE = f"""
+WITH feat AS (
+    SELECT lang,
+           {_WS_SPLIT_SQL} AS ws,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS DOUBLE) AS n_digits
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+z AS (
+    SELECT lang,
+           -1.5
+           + 2.0 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+           - 4.0 * (n_digits / n_chars)
+           + 3.0 * (CAST(len(list_filter(ws,
+                 w -> list_contains({list(_QMODEL_STOPS)!r}, w)))
+                 AS DOUBLE) / len(ws))
+           + 0.5 * least(n_chars / 1000.0, 1.0) AS z
+    FROM feat
+),
+scored AS (
+    SELECT lang, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p FROM z
+)
+SELECT lang, CAST(floor(p * 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(p, 6) AS DECIMAL(9,6))) AS DOUBLE)
+             / count(*), 6) AS mean_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+@query("quality_model_score", _QMODEL_ORACLE)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[model-based curation, beyond-ref §2.13 — the INFERENCE layer
+    over ``feature_assembly_purchases``'s training side] Apply a
+    trained document-quality classifier (fixed literal weights — the
+    fastText/CCNet quality-filter role) as a pure columnar
+    expression: unique-word ratio, digit density, stopword share, and
+    length (the standard quality features) squashed through a
+    SOFTSIGN link p = ½ + z/(2(1+|z|)) instead of the logistic —
+    same monotone S-shape, but exact IEEE arithmetic with ZERO libm
+    calls, so the score is bit-identical on any engine (exp() differs
+    by ulps across libms; a model filter that hashes differently per
+    cluster image is an irreproducibility bug at 100 TB). Emits the
+    per-language score-decile histogram with DECIMAL-exact mean
+    scores.
+
+    Scale shape: one scan, whole-stage-codegen expressions (split /
+    array_distinct / higher-order filter — no UDF, no Python), then a
+    |lang × 10|-cell aggregate. Applying the model costs exactly one
+    pass of the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_w = F.size(words).cast("double")
+    uniq_ratio = F.size(F.array_distinct(words)).cast("double") / n_w
+    n_chars = F.length("text").cast("double")
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / n_chars
+    )
+    stop_share = (
+        F.size(
+            F.filter(words, lambda w: w.isin(*_QMODEL_STOPS))
+        ).cast("double")
+        / n_w
+    )
+    z = (
+        F.lit(-1.5)
+        + F.lit(2.0) * uniq_ratio
+        - F.lit(4.0) * digit_ratio
+        + F.lit(3.0) * stop_share
+        + F.lit(0.5) * F.least(n_chars / F.lit(1000.0), F.lit(1.0))
+    )
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = d.select(
+        "lang",
+        F.floor(p * 10).cast("long").alias("bucket"),
+        F.round(p, 6).cast("decimal(9,6)").alias("_p6"),
+    )
+    return scored.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("_p6").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),
