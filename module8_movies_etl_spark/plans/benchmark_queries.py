@@ -3794,7 +3794,11 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 order) → per-language 1024-token sequence packing. Every
     stage keys on doc/source/lang — no collect, one optimizer pass
     over the whole pipeline, hash-verified end to end by a single
-    oracle."""
+    oracle. Scan budget: the lazy DAG reads the documents table 9
+    times (each independent stage predicate scans once, pruned to its
+    own columns — pinned in ``tests/test_plan_shapes.py``); a shared
+    snapshot would not reduce bytes read and would serialize the
+    stages behind one write."""
     from pyspark.sql.functions import broadcast
 
     docs = read_table(spark, sf_dir, "documents")
