@@ -20,6 +20,7 @@ Operator → query coverage is written next to each entry as
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -14595,6 +14596,63 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_p6").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_score"),
     )
+
+
+_PYDS_STREAM_ORACLE = """
+WITH t AS (SELECT range AS i FROM range(0, 2000))
+SELECT CAST(i % 10 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS total_v
+FROM t GROUP BY 1
+"""
+
+_PYDS_STREAM_SEQ = itertools.count()
+
+
+@query("pyds_stream_ticks", _PYDS_STREAM_ORACLE)
+def pyds_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 Python DataSource STREAMING reader — completes the
+    connector surface beside the batch graftgen scan and graftsink
+    writer] A from-scratch Python streaming source
+    (``sources.pyds.GraftTickStreamReader``: offset management,
+    admission batching, and replay-between-offsets all implemented in
+    Python via Spark 4's SimpleDataSourceStreamReader), driven
+    through a REAL micro-batch aggregation (4 batches of 500 rows,
+    complete-mode memory sink, drained with ``processAllAvailable`` —
+    the Python micro-batch stream does not support availableNow, so
+    the runner drives it to quiescence explicitly). Row values are
+    Knuth multiplicative-hash arithmetic of the row id, so the DuckDB
+    oracle replays the ENTIRE stream from ``range()`` — the custom
+    streaming connector is value-verified end to end.
+    """
+    from ..sources.pyds import register_stream
+    from ..streaming.windows import scoped_shuffle_partitions
+
+    register_stream(spark)
+    src = (
+        spark.readStream.format("grafttick")
+        .option("rows", 2000)
+        .option("batch", 500)
+        .load()
+    )
+    agg = src.groupBy((F.col("id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("total_v"),
+    )
+    sink = f"pyds_ticks_{next(_PYDS_STREAM_SEQ)}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(sink)
 
 
 _PRIORITY = [

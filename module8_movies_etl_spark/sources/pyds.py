@@ -18,6 +18,12 @@ row id, so — like every other extension point in this engine — the
 custom connector is pinned by a FULL value oracle (DuckDB replays the
 generator from ``range()``), not just a smoke test.
 
+Three surfaces ship: the partitioned batch READER (``graftgen``),
+the committing batch WRITER (``graftsink``), and — round 7 — a
+STREAMING reader (``grafttick``, SimpleDataSourceStreamReader):
+offset management, admission batching, and replay-between-offsets in
+Python, value-verified through a real micro-batch aggregation.
+
 Policy note: a Python data source pays one Python worker per
 partition, like a Pandas UDF stage — it is the integration escape
 hatch, not a fast path. Bulk columnar data belongs in parquet/ORC via
@@ -31,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -173,3 +180,64 @@ class ManifestSinkDataSource(DataSource):
 def register_sink(spark) -> None:
     """Idempotently register the sink on a session."""
     spark.dataSource.register(ManifestSinkDataSource)
+
+
+# --------------------------------------------------------------------------
+# Python DataSource STREAMING reader (Spark 4 SimpleDataSourceStreamReader)
+# — completes the §2.12 connector surface: batch read (graftgen),
+# batch write (graftsink), and now an offset-tracked stream.
+# --------------------------------------------------------------------------
+
+
+class GraftTickStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch tick stream: offsets are row
+    positions, each ``read(start)`` serves the next ``batch`` rows of
+    a fixed ``rows``-long sequence and advances the offset; at the
+    end it reports no progress, so ``availableNow`` replay drains and
+    terminates. Row values are pure integer arithmetic of the row id
+    (``v = (i·2654435761) mod 1000003`` — Knuth's multiplicative
+    hash), so a DuckDB oracle replays the WHOLE stream from
+    ``range()``: the custom streaming connector is value-verified,
+    not just smoke-tested. ``readBetweenOffsets`` re-serves any
+    offset window exactly (the recovery/replay contract)."""
+
+    def __init__(self, options: dict):
+        self.rows_total = int(options.get("rows", 4000))
+        self.batch = int(options.get("batch", 500))
+
+    def initialOffset(self):  # noqa: D102 - interface method
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        return iter(
+            [(i, (i * 2654435761) % 1000003) for i in range(start, end)]
+        )
+
+    def read(self, start):  # noqa: D102 - interface method
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.rows_total)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):  # noqa: D102
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+
+class GraftTickDataSource(DataSource):
+    """``spark.readStream.format("grafttick")`` — a from-scratch
+    Python STREAMING source (offset management, replay, admission
+    batching all in Python)."""
+
+    @classmethod
+    def name(cls) -> str:  # noqa: D102
+        return "grafttick"
+
+    def schema(self) -> str:  # noqa: D102
+        return "id bigint, v bigint"
+
+    def simpleStreamReader(self, schema):  # noqa: D102
+        return GraftTickStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotently register the grafttick streaming source."""
+    spark.dataSource.register(GraftTickDataSource)
