@@ -103,6 +103,9 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     "wav_decode_features": ({"documents": 1}, 0),
     # the month filter prunes at planning time; one partitioned scan.
     "partition_pruned_revenue": ({"scratch": 1}, 0),
+    # model inference is one codegen'd pass — applying the classifier
+    # can never cost more than reading the corpus.
+    "quality_model_score": ({"documents": 1}, 0),
 }
 
 _SCAN_RE = re.compile(
