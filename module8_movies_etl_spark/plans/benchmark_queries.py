@@ -14533,8 +14533,8 @@ scored AS (
 )
 SELECT lang, CAST(floor(p * 10) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(CAST(sum(CAST(round(p, 6) AS DECIMAL(9,6))) AS DOUBLE)
-             / count(*), 6) AS mean_score
+       round(CAST(sum(CAST(floor(p * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS mean_score
 FROM scored GROUP BY 1, 2
 """
 
@@ -14585,15 +14585,21 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5) * F.least(n_chars / F.lit(1000.0), F.lit(1.0))
     )
     p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    # micro-unit FLOOR quantization (not round): floor of the same
+    # double is engine-identical, while round-half differs between
+    # Spark's BigDecimal half-up and DuckDB's multiply-based round on
+    # exact 6dp ties — the standing cross-engine pattern
     scored = d.select(
         "lang",
         F.floor(p * 10).cast("long").alias("bucket"),
-        F.round(p, 6).cast("decimal(9,6)").alias("_p6"),
+        F.floor(p * 1_000_000).cast("long").alias("_p6"),
     )
     return scored.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(
-            F.sum("_p6").cast("double") / F.count(F.lit(1)), 6
+            F.sum("_p6").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
         ).alias("mean_score"),
     )
 
