@@ -92,6 +92,21 @@ def main() -> None:
 
     spark.range(256).repartition(32).mapInPandas(_idpdf, "id long").count()
 
+    # Warm the Python DataSource path UNTIMED (source registration +
+    # plan serialization + its own worker spin-up): the first pyds
+    # entry otherwise absorbs ~5 s of machinery that reads as query
+    # cost (measured: graftgen 5.9 s cold / 0.9 s warm, stable across
+    # rounds — same attribution honesty as the interval-join fix).
+    try:
+        from module8_movies_etl_spark.sources.pyds import register
+
+        register(spark)
+        spark.read.format("graftgen").option("rows", 64).option(
+            "partitions", 8
+        ).load().count()
+    except Exception as exc:  # noqa: BLE001 - warmup must never kill bench
+        print(f"bench: pyds warmup failed: {exc}", file=sys.stderr)
+
     # Pre-build the interval-join side-stream scratches UNTIMED: the
     # inner and leftOuter entries share one scratch pair per process,
     # and without this the first of the two to run absorbed ~4-8 s of
