@@ -14,6 +14,8 @@ and bit-exact replayable in any engine with integer shifts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -187,7 +189,14 @@ def bucketed_pair(spark, sf_dir: str, n_buckets: int = 16):
 
     key = (sf_dir, n_buckets)
     if key in _BUCKETED_CACHE:
-        return _BUCKETED_CACHE[key]
+        # liveness check (the windows.py _scratch_has_data discipline):
+        # a new Spark session's in-memory catalog forgets the tables,
+        # and external warehouse cleanup can orphan the entry — verify
+        # both tables still resolve before trusting the cache
+        cached = _BUCKETED_CACHE[key]
+        if all(spark.catalog.tableExists(t) for t in cached):
+            return cached
+        del _BUCKETED_CACHE[key]
     import hashlib
 
     tag = hashlib.md5(f"{sf_dir}:{n_buckets}".encode()).hexdigest()[:8]
@@ -198,7 +207,6 @@ def bucketed_pair(spark, sf_dir: str, n_buckets: int = 16):
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), "c_mktsegment"
     )
-    import os
     import shutil
     from urllib.parse import urlparse
 
@@ -236,7 +244,18 @@ def month_partitioned_orders(spark, sf_dir: str) -> str:
     from ..sources.scratch import mkscratch, register
 
     if sf_dir in _MONTH_PART_CACHE:
-        return _MONTH_PART_CACHE[sf_dir]
+        # liveness check: scratch.release()/external cleanup can delete
+        # the partition dirs out from under the cache — rebuild on miss
+        # instead of failing the read (hive layout: data files live
+        # under order_month=* subdirs, so walk rather than listdir)
+        cached = _MONTH_PART_CACHE[sf_dir]
+        if any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(cached)
+            for f in fs
+        ):
+            return cached
+        del _MONTH_PART_CACHE[sf_dir]
     path = mkscratch("orders_bymonth_")
     register(path)
     o = read_table(spark, sf_dir, "orders").select(

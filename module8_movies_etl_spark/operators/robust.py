@@ -67,6 +67,7 @@ def global_rank(
     ascending: bool = False,
     out_col: str = "rank0",
     num_partitions: int | None = None,
+    payload_cols: list[str] | None = None,
 ) -> tuple[DataFrame, int]:
     """DISTRIBUTED global rank over a deterministic total order
     (``value_col`` asc/desc, ``tie_col`` asc — the tie column must be
@@ -96,10 +97,18 @@ def global_rank(
     NOTE: builds EAGERLY (the snapshot + offset fetch run at call
     time). Callers passing an expensive un-materialized lineage pay
     it once here; the returned frame reads the snapshot.
+
+    ``payload_cols`` limits which input columns survive into the
+    snapshot and the output (default: all). The order columns are
+    still consumed by the range shuffle + sort, but a caller that
+    only needs the value (gini, lorenz, deciles aggregate away the
+    tie key immediately) should not pay to WRITE the rest of the row
+    through the materialization — at 100 TB the snapshot volume is
+    the dominant cost of this operator.
     """
     from ..sources.scratch import snapshot
 
-    cols = list(df.columns)
+    cols = list(payload_cols) if payload_cols is not None else list(df.columns)
     sess = df.sparkSession
     p_n = num_partitions or int(
         sess.conf.get("spark.sql.shuffle.partitions", "32")
@@ -109,7 +118,10 @@ def global_rank(
     staged = snapshot(
         df.repartitionByRange(p_n, *order)
         .sortWithinPartitions(*order)
-        .withColumn("_qb_mid", F.monotonically_increasing_id()),
+        .withColumn("_qb_mid", F.monotonically_increasing_id())
+        # projection AFTER the id bake: row order within partitions is
+        # preserved, only the written payload narrows
+        .select(*cols, "_qb_mid"),
         prefix="grank_",
         rebalance=False,  # keep the sorted slab layout in the files
     )
@@ -158,6 +170,7 @@ def quantile_buckets(
     n: int = 10,
     out_col: str = "bucket",
     num_partitions: int | None = None,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each row its ``NTILE(n)`` bucket over a deterministic
     total order (``value_col`` desc, ``tie_col`` asc) — rank
@@ -173,7 +186,7 @@ def quantile_buckets(
     quotients ≤ N < 2^53). Eager-build and scale notes: see
     ``global_rank``.
     """
-    cols = list(df.columns)
+    cols = list(payload_cols) if payload_cols is not None else list(df.columns)
     staged, total = global_rank(
         df,
         value_col,
@@ -181,6 +194,7 @@ def quantile_buckets(
         ascending=False,
         out_col="_qb_rank0",
         num_partitions=num_partitions,
+        payload_cols=cols,
     )
     rank0 = F.col("_qb_rank0")
 

@@ -1707,19 +1707,28 @@ def random_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-stratum biases the marginal bound misses.
 
     A broken/mis-seeded RNG flips the booleans → hash mismatch. The
-    sample indicator is ``F.rand(seed) < p`` folded into ONE scan's
-    aggregate (no join, no second pass); the raw 5-row sample surface
-    (limit over the sampled stream) is covered hash-exactly by the
+    sample indicator is ``F.rand(seed) < p`` folded into the scan's
+    aggregate; the 5-row stratum cell table is SNAPSHOTTED so its two
+    consumers (the chi² fold and the final per-stratum select) read
+    one materialization — Spark has no subplan reuse below the
+    exchange, so without the snapshot the scan+groupBy would execute
+    once per consumer branch. The raw 5-row sample surface (limit
+    over the sampled stream) is covered hash-exactly by the
     ``hash_sample_orders`` md5 twin, and seed-determinism of
     ``slices.sample_rows`` stays pinned in pytest."""
+    from ..sources.scratch import snapshot
+
     p = 0.05
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         (F.rand(42) < F.lit(p)).cast("int").alias("_in"),
     )
-    cells = o.groupBy("priority").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum("_in").alias("_n_samp"),
+    cells = snapshot(
+        o.groupBy("priority").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_in").alias("_n_samp"),
+        ),
+        prefix="rsamp_cells_",
     )
     exp = F.col("n_total").cast("double") * F.lit(p)
     var = F.col("n_total").cast("double") * F.lit(p * (1 - p))
@@ -4113,7 +4122,10 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sp"))
         .select("o_custkey", F.col("_sp").cast("double").alias("spend"))
     )
-    d = robust.quantile_buckets(spend, "spend", "o_custkey", n=10, out_col="decile")
+    d = robust.quantile_buckets(
+        spend, "spend", "o_custkey", n=10, out_col="decile",
+        payload_cols=["spend"],  # per-decile stats never read the key
+    )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2).alias(
@@ -6207,7 +6219,8 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
     ranked_df, _n = robust.global_rank(
-        spend, "x", "o_custkey", ascending=True, out_col="_r0"
+        spend, "x", "o_custkey", ascending=True, out_col="_r0",
+        payload_cols=["x"],  # custkey is only the tie-break; don't snapshot it
     )
     ranked = ranked_df.select(
         "x", (F.col("_r0") + 1).cast("decimal(12,0)").alias("i")
@@ -6442,7 +6455,8 @@ def lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
     deciled = robust.quantile_buckets(
-        spend, "x", "o_custkey", n=10, out_col="decile"
+        spend, "x", "o_custkey", n=10, out_col="decile",
+        payload_cols=["x"],  # decile grain aggregates the key away
     )
     cells = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -12612,7 +12626,8 @@ def psm_att_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect: users are scored by their pre-period spend (the propensity
     proxy), cut into 5 strata over a deterministic total order
     (NTILE via ``robust.quantile_buckets`` — desc score, user_id tie
-    break, max_rows precondition ENFORCED), and the post-period spend
+    break, rank arithmetic on the DISTRIBUTED ``global_rank``
+    range-shuffle assembly), and the post-period spend
     of deterministically "treated" users (md5 parity — as-if random)
     is compared to controls WITHIN each stratum. ATT = Σ_s
     (n_treat_s / Σ n_treat) · diff_s over strata where both arms are
@@ -12628,8 +12643,9 @@ def psm_att_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent double folds).
 
     Scale shape: fact scan → (user, day) → user grain; the NTILE
-    window runs on the bounded user-entity table (guarded, not
-    assumed); cells are a 5-row aggregate; ATT is a broadcast 1-row
+    rank runs distributed on the user-entity table (one range
+    shuffle + per-partition offsets — no single-partition window at
+    any size); cells are a 5-row aggregate; ATT is a broadcast 1-row
     cross join back onto 5 rows.
     """
     u = (
@@ -12648,7 +12664,10 @@ def psm_att_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2,
         )
     )
-    strat = robust.quantile_buckets(u, "x", "user_id", n=5, out_col="stratum")
+    strat = robust.quantile_buckets(
+        u, "x", "user_id", n=5, out_col="stratum",
+        payload_cols=["x", "treat", "y"],  # stratum cells never read user_id
+    )
     cells = strat.groupBy("stratum").agg(
         F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
@@ -14153,9 +14172,10 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: cumulative cell sums are exact integers (10-row
     window); uplift/Qini are fixed IEEE chains, round(6).
 
-    Scale shape: snapshot user rollup → guarded entity-grain NTILE →
-    10-row cells → 10-row cumulative window. Nothing after the user
-    shuffle exceeds 10 rows.
+    Scale shape: snapshot user rollup → distributed entity-grain
+    NTILE (``global_rank`` range shuffle + offsets) → 10-row cells →
+    10-row cumulative window. Nothing after the user shuffle exceeds
+    10 rows.
     """
     u = _user_prepost_spend(spark, sf_dir).withColumn(
         "treat",
@@ -14170,7 +14190,10 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2,
     )
-    strat = robust.quantile_buckets(u, "x", "user_id", n=10, out_col="decile")
+    strat = robust.quantile_buckets(
+        u, "x", "user_id", n=10, out_col="decile",
+        payload_cols=["x", "treat", "y"],  # decile cells never read user_id
+    )
     t = F.col("treat")
     cells = strat.groupBy("decile").agg(
         F.sum(F.when(t == 1, 1).otherwise(0)).alias("nt"),
@@ -14533,8 +14556,8 @@ scored AS (
 )
 SELECT lang, CAST(floor(p * 10) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(CAST(sum(CAST(floor(p * 1000000) AS BIGINT)) AS DOUBLE)
-             / (count(*) * 1000000.0), 6) AS mean_score
+       CAST(sum(CAST(floor(p * 1000000) AS BIGINT)) // count(*) AS DOUBLE)
+             / 1000000.0 AS mean_score
 FROM scored GROUP BY 1, 2
 """
 
@@ -14594,13 +14617,17 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p * 10).cast("long").alias("bucket"),
         F.floor(p * 1_000_000).cast("long").alias("_p6"),
     )
+    # the MEAN is floor-quantized too: integer floor-division of the
+    # micro-unit sum by the count ((S − S mod n)/n — numerator an
+    # exact multiple, division exact in IEEE), never a trailing
+    # round(…, 6) whose half-up ties Spark and DuckDB resolve
+    # differently
+    S = F.sum("_p6")
+    n = F.count(F.lit(1))
+    mean_micro = ((S - S % n) / n).cast("long")
     return scored.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(
-            F.sum("_p6").cast("double")
-            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
-            6,
-        ).alias("mean_score"),
+        n.cast("long").alias("n_docs"),
+        (mean_micro.cast("double") / F.lit(1_000_000.0)).alias("mean_score"),
     )
 
 
