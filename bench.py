@@ -23,10 +23,19 @@ which is the honest analogue of a cluster job writing parquet.
 A single warm-up action runs first so JVM/codegen startup cost isn't
 attributed to the first query.
 
+Sampling protocol (round 8+): each query runs TWICE back-to-back and
+reports the MIN of the two samples — the same protocol as
+``tools/bench_scale3.py``. Single samples in a shared
+multi-hundred-query JVM swing ±10-20% with whole-stage-codegen/JIT
+placement and host drift (round 7 measured 392.7 vs 354.1 s for
+identical code), which made every round-over-round per-query diff
+need a manual drift model. Min-of-2 is the cheapest drift filter
+that keeps numbers comparable across rounds; both raw samples land
+in ``BENCH_DETAIL.json`` under ``samples``.
+
 Env knobs:
-  SPARK_GRAFT_BENCH_WARM=1  — also run a second, warm pass per query
-    (steady-state numbers; off by default so the driver's run is one
-    pass and finishes in ~3 min at sf0.1).
+  SPARK_GRAFT_BENCH_SAMPLES=N  — samples per query (default 2;
+    set 1 for a quick single-pass smoke run).
 """
 
 from __future__ import annotations
@@ -66,10 +75,36 @@ HEADLINE = [
     "incremental_dedup_newbatch",
 ]
 
+# Entries whose per-query time is dominated by fixed MACHINERY, not
+# the data path: micro-batch runner startup/commit cycles, state-store
+# checkpoints, Python DataSource plan/worker round-trips. Their
+# absolute numbers measure the harness, not the operator — flagged in
+# BENCH_DETAIL.json so round-over-round reads don't treat them as
+# data-path costs (they are near-constant in sf).
+MACHINERY = {
+    "tumbling_window_counts",
+    "sessionize_events",
+    "sessionize_stateful",
+    "stream_dedup_events",
+    "hopping_window_counts",
+    "stream_static_enrich",
+    "stream_hopping_counts",
+    "stream_session_windows",
+    "stream_interval_join",
+    "stream_interval_join_left",
+    "stream_kmv_distinct",
+    "stream_kmv_multibatch",
+    "stream_upsert_foreachbatch",
+    "stream_cms_grid",
+    "pyds_graftgen_scan",
+    "pyds_manifest_sink",
+    "pyds_stream_ticks",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    do_warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "") == "1"
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -121,22 +156,23 @@ def main() -> None:
         print(f"bench: ij scratch warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     failed: list[str] = []
     for name, fn in bq.QUERIES.items():
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
-            if do_warm:
-                # Second pass: plan/codegen compiled, footers cached.
-                # Reported only in BENCH_DETAIL.json — "value"/"queries"
-                # stay first-run numbers, comparable to prior rounds.
-                t1 = time.perf_counter()
+            raw: list[float] = []
+            for _ in range(n_samples):
+                t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                warm[name] = round(time.perf_counter() - t1, 3)
+                raw.append(round(time.perf_counter() - t0, 3))
+            samples[name] = raw
+            timings[name] = min(raw)
+            print(
+                f"bench: {name} {timings[name]}s (samples: {raw})",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as exc:  # noqa: BLE001 - record, don't die mid-bench
             timings[name] = -1.0
             failed.append(name)
@@ -149,7 +185,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "protocol": f"min-of-{n_samples} per query, shared warm session",
         "queries": timings,
+        "samples": samples,
+        "machinery": sorted(MACHINERY & set(timings)),
         "failed": failed,
         # Round-over-round per-query swings of ±3-9 s on the heavy
         # queries are FIRST-EXECUTION placement of whole-stage-codegen
@@ -162,7 +201,7 @@ def main() -> None:
         # round-3 levels in isolation (observability_snapshot 0.7,
         # lang_confusion_matrix 0.7, spearman_value_props 1.5,
         # dup_rate_by_source 0.8, pmi_collocations_lang 2.1).
-        # SPARK_GRAFT_BENCH_WARM=1 records the steady-state pass.
+        # Min-of-2 (round 8+) absorbs most of that placement noise.
         # Late round 5 also observed HOST-level speed drift: the same
         # isolated warm query (minhash_lsh_candidates, sf0.1) measured
         # 3.9-4.1 s early-session and 4.9-5.9 s after ~30 min of
@@ -170,15 +209,14 @@ def main() -> None:
         # 300 -> 363 -> 466 s across consecutive identical runs on an
         # otherwise idle VM — compare totals only against a same-epoch
         # re-run, never across hours.
-        "notes": "per-query cold swings are first-execution codegen/JIT "
-                 "placement in the shared session; whole-catalog totals "
-                 "also drift with host speed (same binary re-measured "
-                 "300/363/466 s back-to-back late round 5) — see source "
-                 "comments for isolated measurements",
+        "notes": "per-query time is min-of-N back-to-back samples "
+                 "(raw samples in 'samples') — the drift filter the "
+                 "round-7 verdict prescribed; 'machinery' lists entries "
+                 "whose absolute time is fixed harness cost (micro-batch "
+                 "runner, state-store commits, Python DataSource "
+                 "round-trips), near-constant in sf — do not read them "
+                 "as data-path costs",
     }
-    if do_warm:
-        detail["queries_warm"] = warm
-        detail["value_warm"] = round(sum(warm.values()), 3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     try:

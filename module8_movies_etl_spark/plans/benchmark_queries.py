@@ -14528,6 +14528,96 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q21_ORACLE = """
+WITH j AS (
+    SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+ps AS (SELECT ok, sk, max(late) AS any_late FROM j GROUP BY 1, 2),
+og AS (
+    SELECT ok, count(*) AS n_supp, sum(any_late) AS n_late,
+           max(CASE WHEN any_late = 1 THEN sk END) AS late_supp
+    FROM ps GROUP BY 1
+),
+waits AS (
+    SELECT late_supp, count(*) AS numwait
+    FROM og WHERE n_supp > 1 AND n_late = 1
+    GROUP BY 1
+)
+SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM waits w JOIN supplier s ON w.late_supp = s.s_suppkey
+ORDER BY w.numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21_waiting_supplier", _Q21_ORACLE)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q21 shape, beyond-ref §2.13] Suppliers who kept waiting:
+    the DUAL CORRELATED EXISTS on the fact's self-relationship — a
+    supplier scores an order iff its own line shipped late (> 60 days
+    after the order date; the synthetic lineitem has no
+    receipt/commit dates, so ship-lag stands in for Q21's
+    ``l_receiptdate > l_commitdate``), ANOTHER supplier has a line on
+    the same order (EXISTS), and NO other supplier's line is late
+    (NOT EXISTS). The textbook SQL runs three lineitem scans
+    (base + semi + anti self-joins); this plan lowers all three to
+    ONE lineitem scan with per-orderkey existence aggregation:
+
+    1. one join of the fact to the status-filtered orders (the date
+       needed for the lateness predicate rides the join),
+    2. (order, supplier)-grain rollup (``any_late = max(late)``),
+    3. order-grain rollup: supplier count, late-supplier count, and
+       the unique late supplier — the two EXISTS become ``n_supp > 1``
+       and ``n_late = 1``, and both rollups reuse the join's
+       orderkey hash partitioning (group keys contain the join key →
+       zero aggregate exchanges under SMJ),
+    4. per-supplier count of qualifying orders, broadcast name join,
+       top-10 via TakeOrderedAndProject (numwait desc, name asc —
+       never a global sort).
+
+    All counts exact integers; no doubles anywhere but the discarded
+    price columns the scan prunes.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    ps = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
+    )
+    og = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late"),
+        F.max(
+            F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+        ).alias("late_supp"),
+    )
+    waits = (
+        og.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waits.join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+    )
+
+
 _QMODEL_STOPS = (
     "the", "a", "of", "and", "to", "in", "is", "for", "on", "that",
 )

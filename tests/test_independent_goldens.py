@@ -349,3 +349,77 @@ def test_decode_wav_stereo_and_pad_byte():
     assert got["sample_rate"] == 8000
     assert got["duration_s"] == 3 / 8000
     assert got["rms"] == math.sqrt(sumsq / 6) / 32768.0
+
+
+def test_quality_model_score_matches_python_replay(spark, tmp_path):
+    # Independent ground truth for the model-inference query: ten
+    # LITERAL documents written to a scratch documents.parquet, scored
+    # by a from-the-docstring Python reimplementation (re.split
+    # tokenizer, set() for uniques, str.isdigit for digit density —
+    # none of the Spark expression tree), then compared to the catalog
+    # query's output. The catalog oracle replays the same formula in
+    # SQL, so engine-vs-oracle hash parity alone cannot catch a wrong
+    # shared formula (the round-6 jackknife episode); this can.
+    import re
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        _QMODEL_STOPS,
+        QUERIES,
+    )
+
+    docs = [
+        ("en", "a a a a"),                      # all-stopword, low uniq
+        ("en", "the quick brown fox jumps"),    # 1 stopword, all uniq
+        ("en", "1234 5678 91011"),              # digit-heavy
+        ("en", "x " * 600 + "y"),               # long doc, len term capped
+        ("de", "der igel lacht und lacht und lacht"),
+        ("de", "zahl 42 und zahl 7"),
+        ("fr", "le chat le chat le chat le chat"),
+        ("fr", "un deux trois quatre cinq six sept"),
+        ("en", "mixed 99 bag of of words 11 to count on"),
+        ("en", "one-token"),
+    ]
+    spark.createDataFrame(docs, "lang string, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def score(text: str) -> float:
+        ws = re.split(r"\s+", text.strip())
+        n_w = float(len(ws))
+        uniq = len(set(ws)) / n_w
+        n_chars = float(len(text))
+        digits = sum(c.isdigit() for c in text) / n_chars
+        stop = sum(w in _QMODEL_STOPS for w in ws) / n_w
+        # mirror the Spark expression's left-to-right association so
+        # IEEE rounding points coincide; the FORMULA is re-derived
+        # from the docstring, not imported
+        z = -1.5 + 2.0 * uniq - 4.0 * digits + 3.0 * stop + 0.5 * min(
+            n_chars / 1000.0, 1.0
+        )
+        return 0.5 + z / (2.0 * (1.0 + abs(z)))
+
+    import math
+
+    cells: dict[tuple[str, int], list[int]] = {}
+    for lang, text in docs:
+        p = score(text)
+        cells.setdefault((lang, int(math.floor(p * 10))), []).append(
+            int(math.floor(p * 1_000_000))
+        )
+    expected = sorted(
+        (lang, b, len(p6s), (sum(p6s) // len(p6s)) / 1_000_000.0)
+        for (lang, b), p6s in cells.items()
+    )
+    # anchor a couple of buckets by hand: "a a a a" has uniq=1/4,
+    # stop=4/4, digits=0, len 7 -> z ~= 2.0035, p ~= 0.8335 -> bucket 8;
+    # "1234 5678 91011" is digit-dominated -> z < -1 -> p < 0.3
+    assert ("en", 8) in cells
+    assert any(lang == "en" and b <= 3 for (lang, b) in cells)
+
+    got = sorted(
+        (r["lang"], r["bucket"], r["n_docs"], r["mean_score"])
+        for r in QUERIES["quality_model_score"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == expected

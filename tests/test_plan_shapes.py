@@ -89,6 +89,12 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
         {"lineitem": 1, "orders": 1, "customer": 1},
         0,
     ),
+    # Q21 (round 8): dual correlated EXISTS lowered to existence
+    # aggregation — the textbook three lineitem scans are ONE.
+    "tpch_q21_waiting_supplier": (
+        {"lineitem": 1, "orders": 1, "supplier": 1},
+        0,
+    ),
     # gini: the fact pass happens at global_rank's snapshot build; the
     # final plan reads the rank snapshot once; the one SinglePartition
     # exchange is the 1-row global moment aggregate's final reduce.
