@@ -141,6 +141,58 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
     }
 
 
+def resize_bmp_half(payload: bytes) -> dict[str, Any]:
+    """REAL image RESIZE on genuine container bytes: decode the 24-bpp
+    BMP (same header/stride/orientation handling as ``decode_bmp``),
+    then 2×2 BOX-DOWNSAMPLE in display orientation — each output
+    channel byte is ``floor(sum of the 4 source bytes / 4)``, the
+    textbook area-average used by every thumbnailer; odd trailing
+    row/column are cropped (out dims = ⌊w/2⌋ × ⌊h/2⌋). Emits the
+    output dims, the exact integer checksum of ALL downsampled
+    channel bytes, and the downsampled mean luma (one raw IEEE
+    division — bit-identical to a closed-form oracle).
+
+    This is the transform slot of the decode → RESIZE → feature
+    pipeline a production build binds PIL's ``Image.resize`` into;
+    here the pixel arithmetic itself is real and oracle-checkable.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("resize_bmp_half supports 24-bpp uncompressed only")
+    top_down = h < 0
+    h_abs = -h if top_down else h
+    stride = (3 * w + 3) // 4 * 4
+    # rows in DISPLAY order (top row first), padding stripped
+    rows = []
+    for disp_r in range(h_abs):
+        stored_r = disp_r if top_down else h_abs - 1 - disp_r
+        start = offset + stored_r * stride
+        rows.append(payload[start : start + 3 * w])
+    out_w, out_h = w // 2, h_abs // 2
+    checksum = 0
+    for br in range(out_h):
+        top, bot = rows[2 * br], rows[2 * br + 1]
+        for bc in range(out_w):
+            for ch in range(3):
+                k = 6 * bc + ch  # left pixel's channel byte
+                s = top[k] + top[k + 3] + bot[k] + bot[k + 3]
+                checksum += s // 4
+    n_out = 3 * out_w * out_h
+    return {
+        "out_width": out_w,
+        "out_height": out_h,
+        "ds_checksum": checksum,
+        "ds_mean_luma": checksum / (n_out * 255.0) if n_out else None,
+    }
+
+
 def make_wav(doc_id: int) -> bytes:
     """Deterministic REAL RIFF/WAVE file: canonical 44-byte header
     (PCM fmt chunk + data chunk) followed by mono 16-bit
@@ -291,6 +343,16 @@ def fake_image_decoder_batch(payloads: "pd.Series") -> "pd.DataFrame":
         }
     )
 
+
+RESIZE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("ds_checksum", T.LongType()),
+        T.StructField("ds_mean_luma", T.DoubleType()),
+    ]
+)
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [

@@ -3608,6 +3608,51 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BMP_RESIZE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           (4 + doc_id % 13) // 2 AS ow,
+           (3 + doc_id % 7) // 2 AS oh,
+           ((doc_id % 256) + (doc_id * 7 + 13) % 256) // 2 AS dsb
+    FROM documents
+)
+SELECT doc_id,
+       CAST(ow AS INTEGER) AS out_width,
+       CAST(oh AS INTEGER) AS out_height,
+       CAST(3 * ow * oh * dsb AS BIGINT) AS ds_checksum,
+       CAST(3 * ow * oh * dsb AS DOUBLE) / (3 * ow * oh * 255.0)
+           AS ds_mean_luma
+FROM p
+"""
+
+
+@query("bmp_resize_features", _BMP_RESIZE_ORACLE)
+def bmp_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL image transform] The decode → RESIZE →
+    feature pipeline over genuine container bytes: encode a real BMP
+    per document, then ``multimodal.resize_bmp_half`` decodes the
+    headers, strips stride padding, reorients to display order, and
+    2×2 BOX-DOWNSAMPLES with exact integer area averages
+    (``floor(4-byte sum / 4)`` per output channel — the thumbnailer
+    kernel a production build swaps for PIL). The alternating-byte
+    test pattern makes every block sum 2(v1+v2), so the output dims,
+    the exact downsample checksum, and the downsampled mean luma all
+    have closed forms the oracle states from doc_id alone — a
+    resizer that mixes rows across the crop boundary, averages
+    padding, or mis-floors the kernel hash-mismatches. Payloads stay
+    inside the two narrow Arrow map stages; only (id, 4 scalars)
+    ever shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_bmp
+    )
+    return multimodal.extract_media_features(
+        blobs,
+        decoder=multimodal.resize_bmp_half,
+        feature_schema=multimodal.RESIZE_FEATURE_SCHEMA,
+    )
+
+
 _WAV_DECODE_ORACLE = """
 WITH p AS (
     SELECT doc_id,
@@ -14528,6 +14573,149 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_ORACLE = """
+WITH pk AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_size < 15
+),
+w AS (
+    SELECT l.l_quantity, l.l_extendedprice,
+           sum(CAST(l.l_quantity AS BIGINT))
+               OVER (PARTITION BY l.l_partkey) AS s,
+           count(*) OVER (PARTITION BY l.l_partkey) AS n
+    FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+FROM w WHERE 5 * CAST(l_quantity AS BIGINT) * n < s
+"""
+
+
+@query("tpch_q17_small_qty_revenue", _Q17_ORACLE)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q17 shape, beyond-ref §2.13] Small-quantity-order
+    revenue: lines of a brand/size part family whose quantity is
+    below 20% of that part's average quantity. The textbook SQL is a
+    correlated scalar subquery — two lineitem scans (base + per-part
+    avg) joined back; this plan lowers it to ONE fact scan: the part
+    filter rides a broadcast key list, and the per-part average
+    becomes a window (sum, count over l_partkey) on the already-
+    filtered stream — legal because the filter is on PART attributes,
+    so it cannot change any surviving part's line population.
+
+    The sub-average predicate is EXACT integer arithmetic:
+    ``qty < 0.2·(S/n)  ⇔  5·qty·n < S`` (quantities are whole
+    numbers) — no double division, so no engine can disagree at the
+    boundary. Revenue sums exact cents; the single output row divides
+    once at the end (Q17's "yearly" /7.0).
+
+    Scale shape: broadcast part-key semi filter → one shuffle on
+    l_partkey for the window → 1-row aggregate. The window state per
+    partition is two longs.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pk = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("long")
+    staged = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            qty.alias("_q"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("_cents"),
+            F.sum(qty).over(w).alias("_s"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter(F.lit(5) * F.col("_q") * F.col("_n") < F.col("_s"))
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        F.round(
+            F.sum("_cents").cast("double") / 100.0 / 7.0, 2
+        ).alias("avg_yearly"),
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+           AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_disjunctive_revenue", _Q19_ORACLE)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q19 shape, beyond-ref §2.13] Discounted revenue under a
+    DISJUNCTION of (brand, size, quantity) envelopes — the classic
+    OR-of-ANDs join predicate. Naively the OR blocks both predicate
+    pushdown and hash-join planning (each disjunct repeats the join
+    key equality); the standard Q19 lowering factors out what every
+    disjunct implies:
+
+    - the equi-join ``p_partkey = l_partkey`` hoists out of the OR →
+      a plain broadcast hash join with a residual OR filter;
+    - the part side pre-filters to the union of brand envelopes
+      (3 brands — hits the part scan);
+    - the fact side pre-filters to the quantity hull [1, 30] — a
+      pushed parquet range predicate that skips row groups before
+      the join ever sees a row.
+
+    The residual OR then runs on the joined (already narrowed)
+    stream. Revenue sums exact cents; the single output row is
+    order-free. Brand constants are adapted to the synthetic data's
+    domain (Brand#1..25) so every SF — including the sf0.001 plan-pin
+    fixture — joins non-empty rows.
+    """
+    brands = ("Brand#13", "Brand#22", "Brand#25")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 30))  # hull of the ORs
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*brands) & (F.col("p_size") >= 1))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    residual = (
+        ((F.col("p_brand") == brands[0]) & (F.col("p_size") <= 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == brands[1]) & (F.col("p_size") <= 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == brands[2]) & (F.col("p_size") <= 15)
+           & q.between(20, 30))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(cents).cast("double") / 100.0, 2
+            ).alias("revenue"),
+        )
+    )
+
+
 _Q21_ORACLE = """
 WITH j AS (
     SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
@@ -14841,7 +15029,11 @@ _PRIORITY = [
     # real-codec multimodal decode and the hybrid-retrieval fusion
     # flagships — families that previously had no driver row.
     "exact_dedup_survivors",
-    "jaccard_near_dup_pairs",
+    # jaccard_near_dup_pairs moved to local verification in round 8
+    # (dedup keeps three driver rows: exact, minhash, fuzzy-CC) to
+    # give the TPC-H plan-shape family its first driver row — Q21 is
+    # the round-8 flagship (dual correlated EXISTS in one fact scan).
+    "tpch_q21_waiting_supplier",
     "minhash_lsh_candidates",
     "bmp_decode_features",
     "fuzzy_dedup_clusters",

@@ -309,6 +309,53 @@ def test_decode_bmp_top_down_and_rejects():
         mm.decode_bmp(bad_bpp)
 
 
+def test_resize_bmp_half_hand_built_literal():
+    # A 3x3 bottom-up 24-bpp BMP assembled BY HAND (stride 12 = 9
+    # channel bytes + 3 pad bytes per row); pixel values chosen so
+    # every kernel step is checkable on paper. Display order (top row
+    # first) reverses the stored rows, the 2x2 window covers display
+    # rows 0-1 / cols 0-1, and the odd third row/column must be
+    # CROPPED — their bytes (and the stride padding) must not leak.
+    import struct
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    # stored bottom-up: row0 = display row2 (cropped), row2 = display
+    # row0. Display rows 0,1 / cols 0,1 carry per-channel values:
+    #   ch0: 1, 5 / 9, 13   -> floor(28/4) = 7
+    #   ch1: 2, 6 / 10, 14  -> floor(32/4) = 8
+    #   ch2: 3, 7 / 11, 15  -> floor(36/4) = 9
+    disp_rows = [
+        bytes([1, 2, 3, 5, 6, 7, 99, 99, 99]),  # display row 0
+        bytes([9, 10, 11, 13, 14, 15, 99, 99, 99]),  # display row 1
+        bytes([99] * 9),  # display row 2 (cropped by the resize)
+    ]
+    pad = b"\xee\xee\xee"  # stride padding: must never be averaged
+    body = b"".join(r + pad for r in reversed(disp_rows))  # bottom-up
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 3, 3, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+        + body
+    )
+    got = mm.resize_bmp_half(blob)
+    assert got == {
+        "out_width": 1,
+        "out_height": 1,
+        "ds_checksum": 7 + 8 + 9,
+        "ds_mean_luma": 24 / (3 * 255.0),
+    }
+    # flooring, not rounding: bump one source byte so a block sum
+    # becomes 29 -> floor gives 7, round-half-up would give 7 too, so
+    # use 31 -> floor 7 vs round 8
+    bumped = bytearray(blob)
+    row0_start = 54 + 2 * 12  # stored row 2 = display row 0
+    bumped[row0_start] = 4  # ch0 block sum 1+5+9+13 -> 4+5+9+13 = 31
+    got2 = mm.resize_bmp_half(bytes(bumped))
+    assert got2["ds_checksum"] == 7 + 8 + 9  # floor(31/4)=7, not 8
+
+
 def test_make_wav_parses_with_stdlib_wave_module():
     # Python's stdlib `wave` is a fully independent RIFF parser: if it
     # reads our container, the header layout is genuinely spec-shaped.

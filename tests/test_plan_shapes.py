@@ -95,6 +95,17 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
         {"lineitem": 1, "orders": 1, "supplier": 1},
         0,
     ),
+    # Q17 (round 8): correlated scalar avg lowered to a window on the
+    # broadcast-filtered stream — the textbook two lineitem scans are
+    # ONE; the single exchange is the 1-row final aggregate reduce.
+    "tpch_q17_small_qty_revenue": ({"lineitem": 1, "part": 1}, 1),
+    # Q19 (round 8): equi-key hoisted out of the OR-of-ANDs → one
+    # broadcast hash join + residual filter; quantity hull pushed to
+    # the fact scan. Single exchange = 1-row aggregate reduce.
+    "tpch_q19_disjunctive_revenue": ({"lineitem": 1, "part": 1}, 1),
+    # real-codec resize: decode → 2x2 box downsample → features in the
+    # same two narrow Arrow stages as the decode queries.
+    "bmp_resize_features": ({"documents": 1}, 0),
     # gini: the fact pass happens at global_rank's snapshot build; the
     # final plan reads the rank snapshot once; the one SinglePartition
     # exchange is the 1-row global moment aggregate's final reduce.

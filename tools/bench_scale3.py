@@ -28,7 +28,9 @@ Driving volumes:
   the contract a user scales by, and sublinear-in-rows is the
   stronger claim.
 
-Usage: python tools/bench_scale3.py [out_json]   (~25 min)
+Usage: python tools/bench_scale3.py [out_json] [query ...]
+       (~25 min full; name queries to run a subset — the subset's
+       rows MERGE into an existing out_json instead of replacing it)
 Prereq: tools/make_scaled_sf.py 3  -> .scratch/sf0.3
         tools/make_scaled_sf.py 10 -> .scratch/sf1.0
 """
@@ -52,6 +54,17 @@ TARGETS = {
     "pagerank_dupgraph": "embedding_edges",
     "customer360_golden": "customer_rows",
     "training_data_pipeline": "document_rows",
+    # round-8 additions (VERDICT r7 #4): the 5-6 s tier that only had
+    # two-point evidence. Bitext align + ngram-jaccard are pair
+    # emitters (own output = driving volume); AA emits a FIXED top-100
+    # so its driving volume is the dup-graph edge set it wedge-joins
+    # (same convention as pagerank); BPE's output is a constant
+    # per-language table, so its driving volume is the corpus rows
+    # the merge applier must re-tokenize.
+    "adamic_adar_missing_links": "embedding_edges",
+    "align_embeddings_bipartite": "output",
+    "jaccard_ngram_pairs": "output",
+    "bpe_compression_by_lang": "document_rows",
 }
 
 
@@ -74,11 +87,16 @@ def main() -> None:
         "sf0.3": os.path.join(repo, ".scratch", "sf0.3"),
         "sf1.0": os.path.join(repo, ".scratch", "sf1.0"),
     }
+    args = sys.argv[1:]
     out_path = (
-        sys.argv[1]
-        if len(sys.argv) > 1
+        args.pop(0)
+        if args and args[0].endswith(".json")
         else os.path.join(repo, "BENCH_SCALE3.json")
     )
+    run_names = args or list(TARGETS)
+    unknown = [n for n in run_names if n not in TARGETS]
+    if unknown:
+        raise SystemExit(f"no driving-volume rule for: {unknown}")
 
     import module8_movies_etl_spark.plans.benchmark_queries as bq
     from module8_movies_etl_spark.operators import dedup, similarity
@@ -112,7 +130,11 @@ def main() -> None:
         raise ValueError(kind)
 
     results: dict[str, dict] = {}
-    for name in TARGETS:
+    if run_names != list(TARGETS) and os.path.exists(out_path):
+        # subset run: keep the other queries' existing rows
+        with open(out_path) as f:
+            results.update(json.load(f).get("queries", {}))
+    for name in run_names:
         fn = bq.QUERIES[name]
         times, vols = {}, {}
         for label, sf_dir in scales.items():
