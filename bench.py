@@ -209,6 +209,19 @@ def main() -> None:
         # 300 -> 363 -> 466 s across consecutive identical runs on an
         # otherwise idle VM — compare totals only against a same-epoch
         # re-run, never across hours.
+        # Round-8 isolated-run triage of the two round-7 non-uniform
+        # movers (warm shared session, 3 back-to-back noop runs each):
+        # observability_snapshot 7.45 -> 2.14 -> 1.49 s and
+        # spearman_value_props 2.67 -> 1.57 -> 1.35 s — warm times
+        # match their round-6 in-catalog figures (1.13 s / 1.54 s), so
+        # the round-7 bumps were first-execution codegen placement,
+        # not plan changes; min-of-2 absorbs this class going forward.
+        "triage": {
+            "observability_snapshot": "codegen placement; isolated "
+                                      "warm 1.5-2.1 s (round 8)",
+            "spearman_value_props": "codegen placement; isolated "
+                                    "warm 1.4-1.6 s (round 8)",
+        },
         "notes": "per-query time is min-of-N back-to-back samples "
                  "(raw samples in 'samples') — the drift filter the "
                  "round-7 verdict prescribed; 'machinery' lists entries "

@@ -920,6 +920,106 @@ def bipartite_align(
     )
 
 
+def _prep_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project (id, double vector, L2 norm) and drop zero-norm rows —
+    the shared entry stage of the ANN alignment (see the zero-norm
+    rationale in ``bipartite_align_ann``)."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col), v.alias(vec_col), l2_norm(v).alias("_n")
+    ).filter(F.col("_n") > 0)
+
+
+def _ann_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    n_bands: int,
+    band_bits: int,
+    mask: int,
+) -> DataFrame:
+    """Deduped (``_a``, ``_b``) candidate set of the ANN alignment:
+    banded-LSH collisions plus the exact-scan fallback rows for
+    probes whose bands caught fewer than two right-side vectors.
+    Inputs must already be ``_prep_side``-projected. This set is the
+    alignment's DRIVING VOLUME — every pair here is exact-rescored —
+    so ``tools/bench_scale3.py`` counts it directly."""
+
+    def bands(df: DataFrame, out_id: str) -> DataFrame:
+        b = hyperplane_bucket_table(
+            df, id_col, vec_col, n_planes, dim, tables=(0,)
+        ).withColumnRenamed("_b0", "_bucket")
+        return b.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{i}:"),
+                            F.shiftright(
+                                F.col("_bucket"), (n_bands - 1 - i) * band_bits
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .cast("string"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    lb = bands(left, "_a")
+    rb = bands(right, "_b")
+    cand = lb.join(rb, "bk").select("_a", "_b").distinct()
+    l_ids = left.select(F.col(id_col).alias("_a"))
+    r_ids = right.select(F.col(id_col).alias("_b"))
+    covered = (
+        cand.groupBy("_a")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(F.col("_nc") >= 2)
+        .select("_a")
+    )
+    missed = l_ids.join(covered, "_a", "left_anti")
+    # a fallback probe's band candidates are a subset of its full
+    # right-side scan — distinct the union so no pair scores twice
+    # (a duplicate would occupy both top-2 window slots and zero the
+    # margin)
+    return cand.unionByName(missed.crossJoin(r_ids)).distinct()
+
+
+def bipartite_align_scored_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 18,
+    dim: int = 64,
+    n_bands: int = 9,
+) -> DataFrame:
+    """The exact pair set ``bipartite_align_ann`` rescores — its
+    driving volume. Exposed for scale measurement: on a weak-match
+    corpus (this testdata: median top-1 cosine ≈ 0.34, LSH's
+    adversarial regime) the recall-driven coarse bands admit most of
+    the cross product, so time scales with THIS count, not with the
+    k-bounded output."""
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    return _ann_candidate_pairs(
+        _prep_side(left, id_col, vec_col),
+        _prep_side(right, id_col, vec_col),
+        id_col,
+        vec_col,
+        n_planes,
+        dim,
+        n_bands,
+        band_bits,
+        mask,
+    )
+
+
 def bipartite_align_ann(
     left: DataFrame,
     right: DataFrame,
@@ -965,7 +1065,14 @@ def bipartite_align_ann(
     adversarial regime for LSH — candidate pruning is then modest by
     construction); on real bitext corpora, where accepted pairs sit at
     cosine ≥ 0.8 (p ≥ 0.8), the identical config prunes candidates by
-    orders of magnitude while recall goes to ~1.
+    orders of magnitude while recall goes to ~1. The 100 TB sizing
+    rule is the standard LSH one: band bits grow with log2|right| to
+    hold expected bucket occupancy constant (each +1 bit halves
+    random collisions at one p-factor of per-band recall, bought back
+    with more bands), so candidate volume stays ~linear in the corpus
+    on high-similarity data. Time scales with the CANDIDATE count
+    (``bipartite_align_scored_pairs``), not the k-bounded output —
+    that is the driving volume ``tools/bench_scale3.py`` measures.
     """
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
@@ -979,55 +1086,11 @@ def bipartite_align_ann(
     # decided, skewing it). The norm is projected ONCE per side and
     # reused by the scoring stage below, so the interpreted 64-element
     # fold is not re-derived in a second lineage expression.
-    def _prep(df: DataFrame) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        return df.select(
-            F.col(id_col), v.alias(vec_col), l2_norm(v).alias("_n")
-        ).filter(F.col("_n") > 0)
-
-    left = _prep(left)
-    right = _prep(right)
-
-    def bands(df: DataFrame, out_id: str) -> DataFrame:
-        b = hyperplane_bucket_table(
-            df, id_col, vec_col, n_planes, dim, tables=(0,)
-        ).withColumnRenamed("_b0", "_bucket")
-        return b.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.concat(
-                            F.lit(f"{i}:"),
-                            F.shiftright(
-                                F.col("_bucket"), (n_bands - 1 - i) * band_bits
-                            )
-                            .bitwiseAND(F.lit(mask))
-                            .cast("string"),
-                        )
-                        for i in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-
-    lb = bands(left, "_a")
-    rb = bands(right, "_b")
-    cand = lb.join(rb, "bk").select("_a", "_b").distinct()
-    l_ids = left.select(F.col(id_col).alias("_a"))
-    r_ids = right.select(F.col(id_col).alias("_b"))
-    covered = (
-        cand.groupBy("_a")
-        .agg(F.count(F.lit(1)).alias("_nc"))
-        .filter(F.col("_nc") >= 2)
-        .select("_a")
+    left = _prep_side(left, id_col, vec_col)
+    right = _prep_side(right, id_col, vec_col)
+    all_cand = _ann_candidate_pairs(
+        left, right, id_col, vec_col, n_planes, dim, n_bands, band_bits, mask
     )
-    missed = l_ids.join(covered, "_a", "left_anti")
-    # a fallback probe's band candidates are a subset of its full
-    # right-side scan — distinct the union so no pair scores twice
-    # (a duplicate would occupy both top-2 window slots and zero the
-    # margin)
-    all_cand = cand.unionByName(missed.crossJoin(r_ids)).distinct()
     # _prep already projected the norm and dropped zero-norm rows
     lv = left.select(
         F.col(id_col).alias("_a"),

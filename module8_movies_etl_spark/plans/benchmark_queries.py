@@ -3697,6 +3697,53 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_RESAMPLE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+           (100 + doc_id % 157) // 2 AS out_n,
+           CAST(floor(((doc_id % 900 + 1) - (doc_id % 700 + 2))
+                      / 2.0) AS BIGINT) AS m
+    FROM documents
+)
+SELECT doc_id,
+       CAST(rate // 2 AS INTEGER) AS out_rate,
+       CAST(out_n AS BIGINT) AS out_n,
+       CAST(out_n * m AS BIGINT) AS ds_sum,
+       CAST(abs(m) AS DOUBLE) / 32768.0 AS ds_rms
+FROM p
+"""
+
+
+@query("wav_resample_features", _WAV_RESAMPLE_ORACLE)
+def wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL audio transform] The decode → RESAMPLE →
+    feature pipeline over genuine container bytes, the audio twin of
+    ``bmp_resize_features``: encode a real RIFF/WAVE file per
+    document, then ``multimodal.downsample_wav_half`` walks the chunk
+    list and 2× decimates the int16 stream with a pair-average box
+    filter (``floor((s0+s1)/2)`` — fixed-point DSP flooring, odd
+    trailing frame cropped, rate halved). The alternating ±amplitude
+    pattern makes every output sample the same integer
+    ``m = floor((a−b)/2)``, so the new rate, frame count, exact
+    sample sum, and RMS (sqrt of the perfect square m² is IEEE-exact)
+    all have closed forms the oracle states from doc_id alone — a
+    decimator that pairs across the crop boundary, truncates toward
+    zero on negative sums, or forgets to halve the rate
+    hash-mismatches. Payloads stay inside the two narrow Arrow map
+    stages; only (id, 4 scalars) ever shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_wav
+    )
+    return multimodal.extract_media_features(
+        blobs,
+        decoder=multimodal.downsample_wav_half,
+        feature_schema=multimodal.RESAMPLE_FEATURE_SCHEMA,
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact-substring dedup spans (ExactSubstr, Lee et al. 2022).
 # --------------------------------------------------------------------------

@@ -356,6 +356,40 @@ def test_resize_bmp_half_hand_built_literal():
     assert got2["ds_checksum"] == 7 + 8 + 9  # floor(31/4)=7, not 8
 
 
+def test_downsample_wav_half_hand_built_literal():
+    # A 5-frame mono PCM-16 WAV assembled BY HAND (RIFF header, fmt
+    # chunk, data chunk) — nothing from make_wav. Samples
+    # [100, -301, 7, 8, 999]: pair 0 -> floor(-201/2) = -101 (floor,
+    # NOT truncate-toward-zero -100), pair 1 -> floor(15/2) = 7, the
+    # odd 5th frame is cropped. Rate 8000 -> 4000.
+    import math
+    import struct
+
+    from module8_movies_etl_spark.operators import multimodal as mm
+
+    frames = struct.pack("<5h", 100, -301, 7, 8, 999)
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16
+    )
+    data_chunk = b"data" + struct.pack("<I", len(frames)) + frames
+    body = b"WAVE" + fmt_chunk + data_chunk
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = mm.downsample_wav_half(blob)
+    assert got == {
+        "out_rate": 4000,
+        "out_n": 2,
+        "ds_sum": -101 + 7,
+        "ds_rms": math.sqrt((101 * 101 + 7 * 7) / 2) / 32768.0,
+    }
+    # stereo must raise into the stub slot, not silently mis-pair
+    stereo_fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16
+    )
+    body2 = b"WAVE" + stereo_fmt + data_chunk
+    with pytest.raises(ValueError):
+        mm.downsample_wav_half(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
 def test_make_wav_parses_with_stdlib_wave_module():
     # Python's stdlib `wave` is a fully independent RIFF parser: if it
     # reads our container, the header layout is genuinely spec-shaped.

@@ -103,9 +103,10 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     # broadcast hash join + residual filter; quantity hull pushed to
     # the fact scan. Single exchange = 1-row aggregate reduce.
     "tpch_q19_disjunctive_revenue": ({"lineitem": 1, "part": 1}, 1),
-    # real-codec resize: decode → 2x2 box downsample → features in the
-    # same two narrow Arrow stages as the decode queries.
+    # real-codec resize/resample: decode → box downsample → features
+    # in the same two narrow Arrow stages as the decode queries.
     "bmp_resize_features": ({"documents": 1}, 0),
+    "wav_resample_features": ({"documents": 1}, 0),
     # gini: the fact pass happens at global_rank's snapshot build; the
     # final plan reads the rank snapshot once; the one SinglePartition
     # exchange is the 1-row global moment aggregate's final reduce.

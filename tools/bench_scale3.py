@@ -62,7 +62,12 @@ TARGETS = {
     # per-language table, so its driving volume is the corpus rows
     # the merge applier must re-tokenize.
     "adamic_adar_missing_links": "embedding_edges",
-    "align_embeddings_bipartite": "output",
+    # align emits one k-bounded row per probe, but every SCORED
+    # candidate pair costs a 64-dim rescore — and on this corpus's
+    # weak matches (median top-1 cos ~0.34) the recall-driven coarse
+    # bands admit most of the cross product, so candidates are the
+    # honest work unit (see bipartite_align_ann's sizing note).
+    "align_embeddings_bipartite": "align_scored_pairs",
     "jaccard_ngram_pairs": "output",
     "bpe_compression_by_lang": "document_rows",
 }
@@ -122,6 +127,14 @@ def main() -> None:
             emb = read_table(spark, sf_dir, "embeddings")
             return similarity.embedding_near_dups(
                 emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+            ).count()
+        if kind == "align_scored_pairs":
+            emb = read_table(spark, sf_dir, "embeddings")
+            from pyspark.sql import functions as F
+
+            return similarity.bipartite_align_scored_pairs(
+                emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0),
+                emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1),
             ).count()
         if kind == "customer_rows":
             return read_table(spark, sf_dir, "customer").count()
