@@ -14853,6 +14853,1074 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_ORACLE = """
+WITH j AS (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+    GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM j WHERE late = 1 GROUP BY 1
+"""
+
+
+@query("tpch_q4_priority_check", _Q4_ORACLE)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q4 shape, beyond-ref §2.13] Order-priority checking:
+    count one quarter's orders per priority where AT LEAST ONE line
+    shipped more than 30 days after the order date (the synthetic
+    lineitem has no commit/receipt dates, so ship-lag stands in for
+    Q4's ``l_commitdate < l_receiptdate``). The textbook SQL is a
+    correlated EXISTS whose predicate needs a column from EACH side
+    (o_orderdate and l_shipdate) — it cannot lower to a plain semi
+    join of a pre-filtered lineitem. This plan joins the
+    quarter-filtered orders to the fact once, folds the existence
+    test into a per-order ``max(late)`` rollup (reusing the join's
+    orderkey partitioning — zero extra exchange under SMJ), and
+    counts survivors per priority. One lineitem scan, one orders
+    scan, exact integer counts.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).cast("int")
+    per_order = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.max(late).alias("late"))
+    )
+    return (
+        per_order.filter(F.col("late") == 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                           AS BIGINT)) AS DOUBLE) / 100.0, 2)
+           AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q6 shape, beyond-ref §2.13] Forecasting-revenue-change:
+    the pure SCAN-AGGREGATE — no join at all, the whole query is
+    three conjunctive predicates (date range, discount band, quantity
+    cap) that ALL push to the parquet scan as range filters (row-group
+    skipping on shipdate min/max at scale) followed by a one-row
+    aggregate. The discount band compares stored doubles against the
+    same double literals on both engines — the synthetic discounts
+    are 0.00..0.10 step 0.01, and both engines read identical parquet
+    bits, so the band edges are deterministic. Revenue sums exact
+    cents of price·discount per line.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(cents).cast("double") / 100.0, 2
+            ).alias("forecast_revenue"),
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((s.s_nationkey = 3 AND c.c_nationkey = 7)
+       OR (s.s_nationkey = 7 AND c.c_nationkey = 3))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q7_nation_volume", _Q7_ORACLE)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q7 shape, beyond-ref §2.13] Volume shipping between two
+    nations: revenue flowing EITHER direction between a supplier
+    nation and a customer nation, per ship year — the symmetric
+    nation-PAIR disjunction that can't be split per dimension alone.
+    The lowering pushes the pair's HULL to each dim (supplier AND
+    customer each pre-filter to the two-nation set — broadcast-sized
+    even at cluster scale) so the fact stream narrows before any
+    shuffle, then the residual OR keeps only the two cross pairs
+    (drops the two same-nation pairs). Two fact-side shuffles
+    (orderkey, then custkey); supplier and both nation-name dims
+    broadcast; exact cents.
+    """
+    pair = (3, 7)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*pair)
+    ).select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(*pair)
+    ).select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("s_nationkey") == pair[0])
+             & (F.col("c_nationkey") == pair[1]))
+            | ((F.col("s_nationkey") == pair[1])
+               & (F.col("c_nationkey") == pair[0]))
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("_rc").cast("double") / 100.0, 2).alias("revenue")
+        )
+    )
+
+
+_Q8_ORACLE = """
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS rc,
+           s.s_nationkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+),
+agg AS (
+    SELECT o_year,
+           CAST(sum(CASE WHEN s_nationkey = 3 THEN rc ELSE 0 END)
+                AS BIGINT) AS num,
+           CAST(sum(rc) AS BIGINT) AS den
+    FROM base GROUP BY 1
+)
+SELECT o_year,
+       round(CAST(num AS DOUBLE) / 100.0, 2) AS nation_revenue,
+       round(CAST(den AS DOUBLE) / 100.0, 2) AS total_revenue,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
+            AS DOUBLE) / 1000000.0 AS mkt_share
+FROM agg
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q8 shape, beyond-ref §2.13] National market share: one
+    nation's slice of a region's revenue for one part type, per order
+    year — the CONDITIONAL-NUMERATOR ratio (sum(CASE)/sum) computed in
+    the SAME aggregate, never two passes. The seven-way join narrows
+    before the fact shuffles: the part-type key list, the Asian
+    customer keys (nation⋈region), and the supplier nation flags all
+    broadcast; the only big shuffles are lineitem⋈orders (orderkey)
+    and ⋈customer (custkey). Numerator and denominator are exact cent
+    sums; the share is FLOOR-quantized to micro-units from one IEEE
+    double division (identical long inputs → identical quotient bits
+    on both engines; floor has no round-half tie class).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    asia_keys = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    eco = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    num = F.sum(
+        F.when(F.col("s_nationkey") == 3, F.col("_rc")).otherwise(F.lit(0))
+    )
+    den = F.sum("_rc")
+    agg = (
+        li.join(F.broadcast(eco), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_keys),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(num.alias("_num"), den.alias("_den"))
+    )
+    share = (
+        F.floor(
+            F.col("_num").cast("double") / F.col("_den").cast("double")
+            * 1_000_000
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_num").cast("double") / 100.0, 2).alias(
+            "nation_revenue"
+        ),
+        F.round(F.col("_den").cast("double") / 100.0, 2).alias(
+            "total_revenue"
+        ),
+        share.alias("mkt_share"),
+    )
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)
+                     - CAST(l.l_quantity AS BIGINT)
+                       * CAST(round(p.p_retailprice * 60) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY 1, 2
+"""
+
+
+@query("tpch_q9_product_profit", _Q9_ORACLE)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q9 shape, beyond-ref §2.13] Product-type profit: profit
+    on every 'red…' part by supplier nation and order year. The
+    synthetic schema has no partsupp, so supply cost is modeled as
+    60% of the part's retail price — the part-attribute join payload
+    plays Q9's ``ps_supplycost`` role (revenue − qty·unit-cost per
+    line). Plan: the name prefix filters the part dim, which
+    broadcasts WITH its cost payload; orders joins only for the year
+    (one fact shuffle on orderkey); supplier→nation broadcasts. All
+    money is exact integer cents (unit cost rounds once per PART, not
+    per line, so engines can't disagree per row); one /100 at the
+    group grain.
+    """
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 60, 0).cast("long").alias(
+            "_unit_cost_cents"
+        ),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    profit_cents = F.col("_rc") - F.col("_qty") * F.col("_unit_cost_cents")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(
+                F.sum(profit_cents).cast("double") / 100.0, 2
+            ).alias("profit")
+        )
+    )
+
+
+_Q10_ORACLE = """
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS rc
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+)
+SELECT v.c_custkey, v.c_name,
+       round(CAST(v.rc AS DOUBLE) / 100.0, 2) AS revenue,
+       round(v.c_acctbal, 2) AS acctbal,
+       n.n_name AS nation
+FROM rev v JOIN nation n ON v.c_nationkey = n.n_nationkey
+ORDER BY v.rc DESC, v.c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_topn", _Q10_ORACLE)
+def tpch_q10_returned_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q10 shape, beyond-ref §2.13] Returned-item reporting:
+    the top-20 customers by revenue LOST to returns ('R' lines) on
+    one quarter's orders. Both selective predicates push to their own
+    scans (returnflag on the fact, the quarter on orders). The rollup
+    carries the customer attributes in its group key, and that key
+    CONTAINS the join key (c_custkey), so the aggregate reuses the
+    customer join's partitioning under SMJ with zero extra exchange.
+    Top-20 rides TakeOrderedAndProject (per-partition heaps ordered
+    on exact cents with custkey tiebreak — never a global sort), and
+    the 25-row nation-name dim broadcasts onto the pre-limit stream.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(F.sum("_rc").alias("_rc"))
+    )
+    return (
+        rev.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("_rc"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("_rc").cast("double") / 100.0, 2).alias("revenue"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "nation",
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH v AS (
+    SELECT l.l_partkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS val
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey IN (3, 7, 11)
+    GROUP BY 1
+),
+t AS (
+    SELECT l_partkey, val,
+           CAST(sum(val) OVER () AS BIGINT) AS s,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM v
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE) / 100.0, 2) AS value
+FROM t WHERE 5 * val > 6 * (s // n)
+"""
+
+
+@query("tpch_q11_important_value", _Q11_ORACLE)
+def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q11 shape, beyond-ref §2.13] Important-stock
+    identification: the HAVING-AGAINST-A-GLOBAL-SCALAR pattern —
+    parts whose shipped value (from a three-nation supplier group,
+    the partsupp-less stand-in for Q11's nation filter) exceeds a
+    threshold derived from the WHOLE group's total. Q11's fixed
+    fraction (0.0001·total) is cardinality-relative, which degenerates
+    on uniform synthetic data as SF grows, so the threshold here is
+    mean-relative — value > 1.2× the floored mean — which selects a
+    stable upper slice at every SF. Lowering: one fact scan (supplier
+    keys broadcast) → part-grain rollup → ONE empty-frame window for
+    (total, count) ON THE AGGREGATE (the share-of-total idiom:
+    part-grain, never fact-grain) → the threshold compares exact
+    integers only: ``5·val > 6·floor(S/n)`` — the floored mean is the
+    house integer floor-div pattern, identical on both engines, and
+    both products stay far under int64.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "_cents"
+        ),
+    )
+    s = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(3, 7, 11)
+    ).select("s_suppkey")
+    w = Window.partitionBy()
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("_cents").alias("val"))
+    )
+    t = v.select(
+        "l_partkey",
+        "val",
+        F.sum("val").over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    mean_floor = (F.col("_s") - F.col("_s") % F.col("_n")) / F.col("_n")
+    return (
+        t.filter(F.lit(5) * F.col("val") > F.lit(6) * mean_floor.cast("long"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 30
+            THEN 'FAST'
+            WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 60
+            THEN 'MEDIUM' ELSE 'SLOW' END AS ship_band,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@query("tpch_q12_ship_bands", _Q12_ORACLE)
+def tpch_q12_ship_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q12 shape, beyond-ref §2.13] Shipping-mode / priority
+    analysis: the TWO-WAY CONDITIONAL COUNT — one year's lines bucket
+    into ship-lag bands (the synthetic schema has no l_shipmode, so
+    the derived lag CASE plays the mode role), and each band counts
+    urgent vs non-urgent order lines in the SAME aggregate via
+    complementary sum(CASE)s (one pass, no pivot, no second scan).
+    The year predicate pushes to the fact scan; the band key is a
+    pure expression over the joined pair; integer day arithmetic and
+    exact counts leave nothing for engines to disagree on.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag < 30, "FAST")
+        .when(lag < 60, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
+@query("tpch_q13_order_distribution", _Q13_ORACLE)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q13 shape, beyond-ref §2.13] Customer order-count
+    distribution: the OUTER-JOIN-WITH-JOIN-CONDITION-PREDICATE plus
+    COUNT-OF-COUNTS double aggregate. The priority exclusion (Q13
+    filters on o_comment; the synthetic orders carry priority
+    instead) must live in the JOIN CONDITION, not a WHERE — a WHERE
+    after a left join silently deletes the zero-order customers the
+    query exists to count. For a predicate touching only the
+    preserved-side's opposite table the two are equivalent when
+    applied as a pre-join filter on orders, which is exactly how both
+    engines plan it: filter pushes to the orders scan, the left join
+    preserves every customer, count(o_orderkey) counts matches only
+    (NULL-skipping), zeros survive. The second aggregate (customers
+    per order-count) runs on the distribution grain — a few dozen
+    rows regardless of SF.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+_Q14_ORACLE = """
+WITH agg AS (
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS promo,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT round(CAST(promo AS DOUBLE) / 100.0, 2) AS promo_revenue,
+       round(CAST(total AS DOUBLE) / 100.0, 2) AS total_revenue,
+       CAST(floor(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100000000)
+            AS DOUBLE) / 1000000.0 AS promo_share_pct
+FROM agg
+"""
+
+
+@query("tpch_q14_promo_share", _Q14_ORACLE)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q14 shape, beyond-ref §2.13] Promotion effect: the
+    percentage of one month's revenue from PROMO-type parts — the
+    single-row CONDITIONAL-SHARE aggregate (sum(CASE)/sum in one
+    pass; the synthetic p_type domain contains 'PROMO' natively, no
+    adaptation needed). The month predicate pushes to the fact scan;
+    the part-type payload rides the broadcast dim join. Numerator and
+    denominator are exact cents computed in the SAME aggregate; the
+    percentage is FLOOR-quantized from one IEEE double division
+    (identical inputs → identical bits, no round-half tie class) to
+    micro-percent precision.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("_rc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_promo"),
+            F.sum("_rc").alias("_total"),
+        )
+    )
+    share_pct = (
+        F.floor(
+            F.col("_promo").cast("double") / F.col("_total").cast("double")
+            * 100_000_000
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return agg.select(
+        F.round(F.col("_promo").cast("double") / 100.0, 2).alias(
+            "promo_revenue"
+        ),
+        F.round(F.col("_total").cast("double") / 100.0, 2).alias(
+            "total_revenue"
+        ),
+        share_pct.alias("promo_share_pct"),
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+),
+m AS (SELECT l_suppkey, rc, max(rc) OVER () AS mx FROM rev)
+SELECT m.l_suppkey AS s_suppkey, s.s_name,
+       round(CAST(m.rc AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+WHERE m.rc = m.mx
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q15 shape, beyond-ref §2.13] Top supplier: the
+    ARGMAX-OVER-AGGREGATE — supplier(s) whose revenue over one
+    quarter equals the maximum of that same per-supplier aggregate.
+    The textbook SQL builds a revenue view and correlates it against
+    ``(SELECT max(..) FROM view)`` — two view evaluations, hence two
+    fact scans. This plan lowers it to ONE fact scan: the quarter
+    filter pushes to the scan, revenue rolls up to supplier grain,
+    and the max rides ONE empty-frame window on the AGGREGATE (the
+    share-of-total idiom — supplier-grain rows, never the fact
+    table), so `rc = max(rc)` keeps EVERY tied supplier (a plain
+    ``ORDER BY .. LIMIT 1`` would drop ties). Exact-cent equality;
+    the name dim broadcasts onto the survivor rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("_rc"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy()
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("_rc").alias("rc"))
+        .select("l_suppkey", "rc", F.max("rc").over(w).alias("_mx"))
+    )
+    return (
+        rev.filter(F.col("rc") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rc").cast("double") / 100.0, 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_Q16_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+ok_pairs AS (
+    SELECT p.l_partkey, p.l_suppkey FROM pairs p
+    WHERE p.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT pt.p_brand, pt.p_type, CAST(pt.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT k.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok_pairs k JOIN part pt ON k.l_partkey = pt.p_partkey
+WHERE pt.p_brand <> 'Brand#1'
+  AND pt.p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q16_supplier_counts", _Q16_ORACLE)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q16 shape, beyond-ref §2.13] Parts/supplier
+    relationship: distinct suppliers per (brand, type, size) bucket,
+    EXCLUDING a complaint set (suppliers in arrears — s_acctbal < 0 —
+    since the synthetic schema has no comment text) — the
+    NOT-IN-SUBQUERY plus COUNT-DISTINCT-over-a-derived-relationship
+    shape. With no partsupp table, the part↔supplier relation derives
+    from lineitem as a DISTINCT pair rollup (one fact scan; dedup at
+    (partkey, suppkey) grain). The NOT IN lowers to a broadcast
+    LEFT-ANTI join (the excluded key set is supplier-bounded — never
+    a shuffle); part attributes broadcast with brand/size filters
+    applied dim-side; the final count(DISTINCT suppkey) re-groups the
+    already-deduped pairs, so the distinct is exact without a second
+    fact pass.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pt = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH red AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+q AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN red ON l.l_partkey = red.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+),
+dom AS (
+    SELECT l_suppkey, count(*) AS n_dominant_parts
+    FROM (SELECT l_partkey, l_suppkey, qty,
+                 sum(qty) OVER (PARTITION BY l_partkey) AS tot
+          FROM q) t
+    WHERE 2 * qty > tot
+    GROUP BY 1
+)
+SELECT d.l_suppkey AS s_suppkey, s.s_name,
+       CAST(d.n_dominant_parts AS BIGINT) AS n_dominant_parts
+FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+"""
+
+
+@query("tpch_q20_half_stock_suppliers", _Q20_ORACLE)
+def tpch_q20_half_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q20 shape, beyond-ref §2.13] Potential part promotion:
+    suppliers who shipped MORE THAN HALF of some 'red…' part's total
+    one-year volume (the partsupp-less reading of Q20's
+    ``ps_availqty > 0.5·sum(l_quantity)`` — the correlated half-sum
+    moves from stock-on-hand to shipped share). The nested correlated
+    aggregate lowers to ONE fact scan: the name-prefix part keys
+    broadcast, quantities roll up to (partkey, suppkey) grain, the
+    per-part total rides a PARTKEY-partitioned window on the
+    aggregate (keyed — no global exchange anywhere), and the
+    dominance test ``2·qty > tot`` is exact integer arithmetic.
+    Survivors collapse to supplier grain with a dominant-part count,
+    then the name dim broadcasts on.
+    """
+    red = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("_q"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    q = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("_q").alias("qty"))
+        .select("l_partkey", "l_suppkey", "qty", F.sum("qty").over(w).alias("_tot"))
+    )
+    dom = (
+        q.filter(F.lit(2) * F.col("qty") > F.col("_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
+    )
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_dominant_parts",
+        )
+    )
+
+
+_Q22_ORACLE = """
+WITH pool AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE c_nationkey % 2 = 1
+),
+stats AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS sc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pool WHERE cents > 0
+),
+cand AS (
+    SELECT p.c_custkey, p.c_nationkey, p.cents
+    FROM pool p, stats WHERE p.cents * stats.n > stats.sc
+),
+idle AS (
+    SELECT * FROM cand c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS totacctbal
+FROM idle GROUP BY 1
+"""
+
+
+@query("tpch_q22_idle_customers", _Q22_ORACLE)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q22 shape, beyond-ref §2.13] Global sales opportunity:
+    well-funded customers (a nation subset — the stand-in for Q22's
+    phone-prefix country codes) whose balance beats the group's
+    positive-balance average and who placed NO recent orders — the
+    SCALAR-AVG-SUBQUERY + ANTI-JOIN combination. Every customer in
+    the synthetic data has SOME order, so the anti-join is
+    date-scoped (no orders since 2000-01-01) to stay non-degenerate.
+    Lowerings: the average is a 1-row aggregate cross-joined back as
+    a broadcast (never a per-row subquery); the threshold compares
+    EXACT integers (``cents·n > sum_cents`` — strict >, mirroring
+    ``c_acctbal > avg(...)`` without any double division); NOT EXISTS
+    is a LEFT-ANTI join against the date-filtered orders projection.
+    The customer dim scans twice (pool + stats — same diamond the
+    reference SQL has); orders scans once with the date pushed down.
+    """
+    pool = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") % 2 == 1
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    stats = pool.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("_sc"), F.count(F.lit(1)).alias("_n")
+    )
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("_n") > F.col("_sc"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH eur_supp AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+target AS (
+    SELECT p_partkey, p_name FROM part
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+),
+offers AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS offer_cents
+    FROM lineitem l
+    JOIN target t ON l.l_partkey = t.p_partkey
+    JOIN eur_supp e ON l.l_suppkey = e.s_suppkey
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT l_partkey, l_suppkey, offer_cents,
+           min(offer_cents) OVER (PARTITION BY l_partkey) AS best_cents
+    FROM offers
+)
+SELECT e.s_name, e.n_name, b.l_partkey AS p_partkey, t.p_name,
+       round(CAST(b.offer_cents AS DOUBLE) / 100.0, 2) AS offer_price,
+       round(e.s_acctbal, 2) AS acctbal
+FROM best b
+JOIN eur_supp e ON b.l_suppkey = e.s_suppkey
+JOIN target t ON b.l_partkey = t.p_partkey
+WHERE b.offer_cents = b.best_cents
+ORDER BY CAST(round(e.s_acctbal * 100) AS BIGINT) DESC,
+         b.l_partkey, b.l_suppkey
+LIMIT 20
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_ORACLE)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TPC-H Q2 shape, beyond-ref §2.13] Minimum-cost supplier: for
+    each part of a given type/size family, the EUROPEAN supplier(s)
+    offering it at the lowest price — the CORRELATED-MIN-SUBQUERY
+    shape (``ps_supplycost = (SELECT min(..) WHERE ps_partkey = ..)``).
+    With no partsupp, the supply catalog derives from lineitem: a
+    (partkey, suppkey)-grain MIN of the line price in exact cents.
+    The correlated min then rides a PARTKEY-partitioned window on
+    that aggregate — keyed, one extra exchange, never a global one —
+    and the equality keeps every tied supplier, exactly like the
+    textbook's correlated form. Part family and European supplier
+    set both broadcast as pre-join filters so the fact narrows before
+    its one shuffle; the final top-20 orders by account balance in
+    EXACT CENTS (doubles only formatted, never compared) with
+    (partkey, suppkey) tiebreaks via TakeOrderedAndProject.
+    """
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    eur_keys = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(eur_keys),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "_cents"
+        ),
+    )
+    w = Window.partitionBy("l_partkey")
+    offers = (
+        li.join(
+            F.broadcast(target.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_cents").alias("offer_cents"))
+        .select(
+            "l_partkey", "l_suppkey", "offer_cents",
+            F.min("offer_cents").over(w).alias("_best"),
+        )
+    )
+    return (
+        offers.filter(F.col("offer_cents") == F.col("_best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .orderBy(
+            F.desc(F.round(F.col("s_acctbal") * 100, 0).cast("long")),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .limit(20)
+        .select(
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round(F.col("offer_cents").cast("double") / 100.0, 2).alias(
+                "offer_price"
+            ),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
 _QMODEL_STOPS = (
     "the", "a", "of", "and", "to", "in", "is", "for", "on", "that",
 )

@@ -121,6 +121,56 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     "wav_decode_features": ({"documents": 1}, 0),
     # the month filter prunes at planning time; one partitioned scan.
     "partition_pruned_revenue": ({"scratch": 1}, 0),
+    # round-8 TPC-H completion (Q2/4/6/7/8/9/10/11/12/13/14/15/16/
+    # 20/22 — with the existing Q1/3/5/17/18/19/21 the full 22-shape
+    # family). Invariant: every FACT table scans exactly once; the
+    # single-partition exchanges are 1-row/grain-bounded aggregate
+    # reduces or empty-frame windows ON AGGREGATES (share-of-total
+    # idiom), never fact-grain. Q2's dim diamonds (part/supplier/
+    # nation twice — the supply-catalog filter and the final
+    # attribute join; one region broadcast is AQE-reused) and Q22's
+    # customer double-scan (pool + stats, the diamond the textbook
+    # SQL has too) are documented in their docstrings.
+    "tpch_q2_min_cost_supplier": (
+        {"lineitem": 1, "part": 2, "supplier": 2, "nation": 2, "region": 1},
+        0,
+    ),
+    "tpch_q4_priority_check": ({"orders": 1, "lineitem": 1}, 0),
+    "tpch_q6_forecast_revenue": ({"lineitem": 1}, 1),
+    "tpch_q7_nation_volume": (
+        {"lineitem": 1, "supplier": 1, "orders": 1, "customer": 1,
+         "nation": 1},
+        0,
+    ),
+    "tpch_q8_market_share": (
+        {"lineitem": 1, "part": 1, "orders": 1, "customer": 1, "nation": 1,
+         "region": 1, "supplier": 1},
+        0,
+    ),
+    "tpch_q9_product_profit": (
+        {"lineitem": 1, "part": 1, "orders": 1, "supplier": 1, "nation": 1},
+        0,
+    ),
+    "tpch_q10_returned_topn": (
+        {"lineitem": 1, "orders": 1, "customer": 1, "nation": 1},
+        0,
+    ),
+    "tpch_q11_important_value": ({"lineitem": 1, "supplier": 1}, 1),
+    "tpch_q12_ship_bands": ({"lineitem": 1, "orders": 1}, 0),
+    "tpch_q13_order_distribution": ({"customer": 1, "orders": 1}, 0),
+    "tpch_q14_promo_share": ({"lineitem": 1, "part": 1}, 1),
+    "tpch_q15_top_supplier": ({"lineitem": 1, "supplier": 1}, 1),
+    # Q16: at the sf0.001 fixture NO supplier has a negative balance,
+    # so AQE's empty-relation propagation ELIMINATES the anti-join's
+    # supplier scan from the final plan (at bigger SFs it appears).
+    # The pin records the sf0.001 plan; if the fixture regenerates
+    # with negative balances this becomes {.., supplier: 1}.
+    "tpch_q16_supplier_counts": ({"lineitem": 1, "part": 1}, 0),
+    "tpch_q20_half_stock_suppliers": (
+        {"lineitem": 1, "part": 1, "supplier": 1},
+        0,
+    ),
+    "tpch_q22_idle_customers": ({"customer": 2, "orders": 1}, 1),
     # model inference is one codegen'd pass — applying the classifier
     # can never cost more than reading the corpus.
     "quality_model_score": ({"documents": 1}, 0),
