@@ -99,6 +99,7 @@ MACHINERY = {
     "pyds_graftgen_scan",
     "pyds_manifest_sink",
     "pyds_stream_ticks",
+    "pyds_stream_sink",
 }
 
 

@@ -16081,6 +16081,205 @@ def pyds_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+_PYDS_SINK_ORACLE = """
+WITH t AS (SELECT range AS i FROM range(0, 2000))
+SELECT CAST(i % 10 AS BIGINT) AS bucket,
+       CAST(count(DISTINCT i // 500) AS BIGINT) AS n_epochs,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS total_v
+FROM t GROUP BY 1
+"""
+
+
+@query("pyds_stream_sink", _PYDS_SINK_ORACLE)
+def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.12 Python DataSource STREAMING writer — the fourth and
+    final quadrant of the connector matrix: batch read (graftgen),
+    batch write (graftsink), stream read (grafttick), stream WRITE]
+    The grafttick stream (4 micro-batches of 500) written through a
+    from-scratch transactional Python sink
+    (``sources.pyds.GraftStreamSinkWriter``): tasks STAGE JSON-lines
+    files invisibly, and only the driver's per-epoch ``commit`` makes
+    them visible by renaming and writing a manifest — the
+    Delta/Iceberg commit shape reduced to its essentials (abort
+    leaves nothing; readers consult manifests, never directory
+    listings). The query then reads back ONLY manifest-committed
+    files, recovers each row's epoch from its committed file name,
+    and aggregates — so the DuckDB oracle (a full replay of the
+    stream from ``range()``, epoch = id·batch⁻¹) value-verifies the
+    ENTIRE path: source offsets → micro-batch admission → staged
+    write → manifest commit → committed read-back. n_epochs = 4 per
+    bucket proves every epoch committed exactly once.
+
+    Bench note: machinery-dominated (micro-batch startup + Python
+    sink admission for 2,000 rows) — flagged in BENCH_DETAIL.
+    """
+    import os
+
+    from ..sources import pyds
+    from ..sources.scratch import mkscratch, register
+
+    pyds.register_stream(spark)
+    pyds.register_stream_sink(spark)
+    scratch = mkscratch("stream_sink_")
+    register(scratch)
+    out = os.path.join(scratch, "out")
+    os.makedirs(out, exist_ok=True)
+    src = (
+        spark.readStream.format("grafttick")
+        .option("rows", 2000)
+        .option("batch", 500)
+        .load()
+    )
+    q = (
+        src.writeStream.format("graftstreamsink")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = pyds.committed_files(out)
+    # input_file_name() is non-deterministic — project the epoch to
+    # an attribute BEFORE the aggregate (it may not appear inside
+    # aggregate arguments)
+    rows = spark.read.schema("id long, v long").json(files).select(
+        "id",
+        "v",
+        F.regexp_extract(F.input_file_name(), r"epoch-(\d+)-", 1)
+        .cast("long")
+        .alias("_epoch"),
+    )
+    return (
+        rows.groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(
+            F.countDistinct("_epoch").cast("long").alias("n_epochs"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("total_v"),
+        )
+    )
+
+
+_MRR_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+scored AS (
+    SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
+           c.label AS nl,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS sim
+    FROM q JOIN v c ON c.vec_id <> q.vec_id
+),
+topk AS (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, nid) AS rnk
+    FROM scored QUALIFY rnk <= 10
+),
+perq AS (
+    SELECT qid,
+           min(CASE WHEN ql = nl THEN rnk END) AS first_rel,
+           sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS n_rel
+    FROM topk GROUP BY 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(first_rel) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN first_rel IS NULL THEN 0
+                         ELSE 1000000 // first_rel END) AS BIGINT) AS s_rr,
+           CAST(sum(n_rel) AS BIGINT) AS s_rel
+    FROM perq
+)
+SELECT n AS n_queries, n_hit,
+       CAST(s_rr // n AS DOUBLE) / 1000000.0 AS mrr,
+       CAST((s_rel * 100000) // n AS DOUBLE) / 1000000.0
+           AS precision_at_10
+FROM agg
+"""
+
+
+@query("retrieval_mrr_audit", _MRR_ORACLE)
+def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search QA, beyond-ref §2.13 — rank-position audit
+    beside ``lsh_recall_audit``'s set-overlap audit] MRR@10 and
+    precision@10 of the exact cosine retriever against same-LABEL
+    relevance — the rank-position eval every retrieval stack reports
+    (recall says the right items were FOUND; MRR says they were found
+    FIRST). Queries are a deterministic key-sample (vec_id % 97) so
+    the eval cost scales with corpus size, not quadratically.
+
+    Exactness: reciprocal ranks are FLOOR-quantized micro-units
+    (``floor(10⁶/rank)`` — integer-exact for any rank, no libm, no
+    round-half ties) summed as integers, and both means are the house
+    integer floor-division; rank order itself is the raw double
+    cosine with neighbor-id tiebreaks, the same cross-engine-stable
+    ordering ``cosine_topk_bruteforce`` hash-verifies.
+
+    Scale shape: broadcast query panel × ONE full-width corpus scan
+    for the scoring (WindowGroupLimit truncates per partition); the
+    query panel and the two label lookups are COLUMN-PRUNED
+    (vec_id, label) re-scans of the same table — 4 embeddings scans
+    total (plan-pinned), but only one reads the vectors. Then
+    query-grain → a 1-row aggregate.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    topk = similarity.cosine_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=10
+    )
+    labels = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    rel = (
+        topk.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id")
+                .withColumnRenamed("label", "_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "_nl"),
+            "neighbor_id",
+        )
+    )
+    per_q = rel.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("_ql") == F.col("_nl"), F.col("rank"))
+        ).alias("first_rel"),
+        F.sum(
+            (F.col("_ql") == F.col("_nl")).cast("int")
+        ).alias("n_rel"),
+    )
+    rr_micro = F.when(F.col("first_rel").isNull(), F.lit(0)).otherwise(
+        F.floor(F.lit(1_000_000) / F.col("first_rel"))
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count("first_rel").alias("_n_hit"),
+        F.sum(rr_micro).alias("_s_rr"),
+        F.sum("n_rel").alias("_s_rel"),
+    )
+    n = F.col("_n")
+    s_rr = F.col("_s_rr")
+    s_prec = F.col("_s_rel") * 100_000
+    return agg.select(
+        n.cast("long").alias("n_queries"),
+        F.col("_n_hit").cast("long").alias("n_hit"),
+        (((s_rr - s_rr % n) / n).cast("long").cast("double")
+         / 1_000_000.0).alias("mrr"),
+        (((s_prec - s_prec % n) / n).cast("long").cast("double")
+         / 1_000_000.0).alias("precision_at_10"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

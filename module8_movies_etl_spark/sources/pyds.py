@@ -18,11 +18,14 @@ row id, so — like every other extension point in this engine — the
 custom connector is pinned by a FULL value oracle (DuckDB replays the
 generator from ``range()``), not just a smoke test.
 
-Three surfaces ship: the partitioned batch READER (``graftgen``),
-the committing batch WRITER (``graftsink``), and — round 7 — a
-STREAMING reader (``grafttick``, SimpleDataSourceStreamReader):
-offset management, admission batching, and replay-between-offsets in
-Python, value-verified through a real micro-batch aggregation.
+Four surfaces ship — the full connector matrix: the partitioned
+batch READER (``graftgen``), the committing batch WRITER
+(``graftsink``), the round-7 STREAMING reader (``grafttick``,
+SimpleDataSourceStreamReader: offset management, admission batching,
+replay-between-offsets), and the round-8 STREAMING writer
+(``graftstreamsink``, DataSourceStreamWriter: per-epoch staged files
+made visible only by a driver-side manifest commit). Each is
+value-verified through a full DuckDB oracle, not just smoke-tested.
 
 Policy note: a Python data source pays one Python worker per
 partition, like a Pandas UDF stage — it is the integration escape
@@ -35,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -241,3 +245,138 @@ class GraftTickDataSource(DataSource):
 def register_stream(spark) -> None:
     """Idempotently register the grafttick streaming source."""
     spark.dataSource.register(GraftTickDataSource)
+
+
+# --------------------------------------------------------------------------
+# Python DataSource STREAMING writer (Spark 4 DataSourceStreamWriter)
+# — the fourth and final quadrant of the §2.12 connector matrix:
+# batch read (graftgen), batch write (graftsink), stream read
+# (grafttick), stream write (graftstreamsink).
+# --------------------------------------------------------------------------
+
+
+class _EpochStageCommit(WriterCommitMessage):
+    """Per-task staging receipt: the staged file (None when the task
+    saw no rows), its row count, and an exact integer checksum."""
+
+    def __init__(self, staged: str | None, n_rows: int, checksum: int):
+        self.staged = staged
+        self.n_rows = n_rows
+        self.checksum = checksum
+
+
+class GraftStreamSinkWriter(DataSourceStreamWriter):
+    """Transactional per-epoch file sink — the manifest-commit shape
+    real streaming sinks (Delta/Iceberg commits, object-store
+    multipart) follow, reduced to its essentials:
+
+    - ``write`` (executor, per task): stage the task's rows as a
+      JSON-lines file under ``<path>/_staging/`` with a unique name,
+      and return a receipt (file, count, exact checksum). Staged
+      files are INVISIBLE to readers.
+    - ``commit`` (driver, once per epoch): rename every staged file
+      to ``<path>/epoch-<batchId>-<k>.jsonl`` and only then write
+      ``<path>/_manifest-<batchId>.json`` naming them — the manifest
+      is the commit point; a reader that consults manifests never
+      sees a half-written epoch.
+    - ``abort`` (driver): delete the epoch's staged files; nothing
+      becomes visible.
+
+    Checksums are arbitrary-precision Python ints folded from every
+    BIGINT field, so the driver-side merge is order-free and any
+    lost/duplicated task shows up as a manifest/data mismatch.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: D102 - interface method
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, uuid.uuid4().hex + ".jsonl")
+        n = 0
+        acc = 0
+        fh = None
+        try:
+            for row in iterator:
+                if fh is None:
+                    fh = open(staged, "w")
+                d = row.asDict()
+                fh.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+                for v in d.values():
+                    if isinstance(v, int):
+                        acc += v
+        finally:
+            if fh is not None:
+                fh.close()
+        return _EpochStageCommit(staged if n else None, n, acc)
+
+    def commit(self, messages, batchId):  # noqa: D102, N803 - interface
+        import json
+        import os
+
+        done = [m for m in messages if m is not None and m.staged]
+        files = []
+        for k, m in enumerate(done):
+            final = os.path.join(self.path, f"epoch-{batchId}-{k}.jsonl")
+            os.replace(m.staged, final)
+            files.append(os.path.basename(final))
+        manifest = {
+            "batch_id": batchId,
+            "files": files,
+            "n_rows": sum(m.n_rows for m in done),
+            "checksum": sum(m.checksum for m in done) % (1 << 60),
+        }
+        with open(
+            os.path.join(self.path, f"_manifest-{batchId}.json"), "w"
+        ) as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages, batchId):  # noqa: D102, N803 - interface
+        import os
+
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class GraftStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("graftstreamsink").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:  # noqa: D102
+        return "graftstreamsink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: D102, N802
+        return GraftStreamSinkWriter(self.options)
+
+
+def committed_files(path: str) -> list[str]:
+    """Read the sink's manifests (driver-side) and return the
+    absolute paths of every COMMITTED data file, in epoch order —
+    the read half of the manifest contract (staged/uncommitted files
+    are never returned)."""
+    import json
+    import os
+
+    out: list[str] = []
+    names = sorted(
+        (f for f in os.listdir(path) if f.startswith("_manifest-")),
+        key=lambda f: int(f.split("-")[1].split(".")[0]),
+    )
+    for f in names:
+        with open(os.path.join(path, f)) as fh:
+            out.extend(
+                os.path.join(path, name) for name in json.load(fh)["files"]
+            )
+    return out
+
+
+def register_stream_sink(spark) -> None:
+    """Idempotently register the graftstreamsink streaming writer."""
+    spark.dataSource.register(GraftStreamSinkDataSource)

@@ -14,6 +14,16 @@ hold (running ML features, CEP-style pattern matches, custom eviction):
 - event-time timeouts + watermark bound state size: a key quiet past
   its timeout gets a final callback to flush and clear.
 
+Spark 4's successor API (``transformWithStateInPandas`` /
+``StatefulProcessor``) is ENVIRONMENT-GATED here: its state-server
+client imports ``pyspark.sql.streaming.proto.StateMessage_pb2``,
+which requires ``google.protobuf`` — not installed in this container
+(verified round 8: the TWS driver worker crashes in pre-init on that
+import). The ``applyInPandasWithState`` operators in this module
+carry the same arbitrary-per-key-state semantics on the stable API;
+porting them to a StatefulProcessor is mechanical once protobuf is
+available.
+
 Session semantics match the batch sessionizer exactly
 (``plans.benchmark_queries.sessionize_events``): events of a user
 sorted by time; a gap strictly greater than ``gap_s`` seconds starts a

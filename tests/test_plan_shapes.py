@@ -171,6 +171,10 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
         0,
     ),
     "tpch_q22_idle_customers": ({"customer": 2, "orders": 1}, 1),
+    # retrieval MRR: one FULL-WIDTH corpus scan (vectors) + the query
+    # panel + two column-pruned (vec_id,label) lookups; the single
+    # exchange is the 1-row metrics reduce.
+    "retrieval_mrr_audit": ({"embeddings": 4}, 1),
     # model inference is one codegen'd pass — applying the classifier
     # can never cost more than reading the corpus.
     "quality_model_score": ({"documents": 1}, 0),

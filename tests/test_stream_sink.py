@@ -1,0 +1,124 @@
+"""Python DataSource STREAMING writer (graftstreamsink) — the
+two-phase manifest-commit contract, verified at the protocol level
+(the catalog entry ``pyds_stream_sink`` value-verifies the data path
+against DuckDB; these tests pin the transactional semantics the
+oracle can't see: staged-file invisibility, per-epoch manifests,
+checksum integrity, abort cleanup)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _drain_stream_to(spark, out: str, rows: int = 40, batch: int = 10):
+    from module8_movies_etl_spark.sources import pyds
+
+    pyds.register_stream(spark)
+    pyds.register_stream_sink(spark)
+    os.makedirs(out, exist_ok=True)
+    src = (
+        spark.readStream.format("grafttick")
+        .option("rows", rows)
+        .option("batch", batch)
+        .load()
+    )
+    q = (
+        src.writeStream.format("graftstreamsink")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="gss_ckpt_")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_sink_epoch_manifests_and_checksums(spark):
+    from module8_movies_etl_spark.sources import pyds
+
+    out = tempfile.mkdtemp(prefix="gss_out_")
+    _drain_stream_to(spark, out, rows=40, batch=10)
+
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("_manifest-")
+    )
+    assert manifests == [f"_manifest-{b}.json" for b in range(4)]
+
+    # per-epoch row counts and checksums replayed independently:
+    # epoch b covers ids [10b, 10b+10); checksum folds every BIGINT
+    # field (id and v)
+    for b in range(4):
+        with open(os.path.join(out, f"_manifest-{b}.json")) as fh:
+            m = json.load(fh)
+        ids = range(10 * b, 10 * b + 10)
+        expect = sum(i + (i * 2654435761) % 1000003 for i in ids)
+        assert m["batch_id"] == b
+        assert m["n_rows"] == 10
+        assert m["checksum"] == expect % (1 << 60)
+        for name in m["files"]:
+            assert os.path.exists(os.path.join(out, name))
+
+    # committed data round-trips exactly
+    files = pyds.committed_files(out)
+    got = (
+        spark.read.schema("id long, v long")
+        .json(files)
+        .agg(F.count(F.lit(1)), F.sum("id"))
+        .collect()[0]
+    )
+    assert got[0] == 40 and got[1] == sum(range(40))
+
+    # nothing left staged after a clean drain
+    staged = os.listdir(os.path.join(out, "_staging"))
+    assert staged == []
+
+
+def test_stream_sink_uncommitted_files_invisible(spark):
+    from module8_movies_etl_spark.sources import pyds
+
+    out = tempfile.mkdtemp(prefix="gss_out_")
+    _drain_stream_to(spark, out, rows=20, batch=10)
+    before = pyds.committed_files(out)
+
+    # a crashed task's staged leftovers and an orphan data file that
+    # no manifest names must both stay invisible to readers
+    with open(os.path.join(out, "_staging", "orphan.jsonl"), "w") as fh:
+        fh.write('{"id": 999, "v": 999}\n')
+    with open(os.path.join(out, "epoch-9-0.jsonl"), "w") as fh:
+        fh.write('{"id": 998, "v": 998}\n')
+
+    assert pyds.committed_files(out) == before
+    total = (
+        spark.read.schema("id long, v long")
+        .json(pyds.committed_files(out))
+        .count()
+    )
+    assert total == 20
+
+
+def test_stream_sink_abort_removes_staged():
+    from module8_movies_etl_spark.sources.pyds import (
+        GraftStreamSinkWriter,
+        _EpochStageCommit,
+    )
+
+    out = tempfile.mkdtemp(prefix="gss_abort_")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, "deadbeef.jsonl")
+    with open(staged, "w") as fh:
+        fh.write('{"id": 1, "v": 2}\n')
+
+    w = GraftStreamSinkWriter({"path": out})
+    w.abort([_EpochStageCommit(staged, 1, 3), None], batchId=7)
+    assert not os.path.exists(staged)
+    # abort must leave no manifest behind
+    assert not any(f.startswith("_manifest-") for f in os.listdir(out))
