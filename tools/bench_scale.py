@@ -19,7 +19,10 @@ Excluded by design, with reasons (recorded in the JSON):
   count (machinery, constant in rows here), and the scratch
   re-writes would dominate the signal.
 
-Usage: python tools/bench_scale.py [out_json]
+Usage:
+    python tools/bench_scale.py [out_json]
+    python tools/bench_scale.py --only name [name ...]   # subset run,
+        # merged into the existing BENCH_SF1.json (same protocol)
 """
 
 from __future__ import annotations
@@ -103,6 +106,20 @@ HEADLINE = [
     "tpch_q3_unshipped_topn",
     "tpch_q5_local_supplier",
     "tpch_q18_large_orders",
+    # round-8 additions: the TPC-H completion wave (the heavier fact
+    # shapes — the dim-bounded ones like Q2/Q13/Q22 are sub-second and
+    # overhead-dominated at both scales), the retrieval rank eval, and
+    # the round-7 Q17/Q19/Q21 shapes
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_topn",
+    "tpch_q12_ship_bands",
+    "retrieval_mrr_audit",
 ]
 
 SF_DIRS = {
@@ -115,11 +132,14 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     SF_DIRS["sf1.0"] = os.path.join(repo, ".scratch", "sf1.0")
-    out_path = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.path.join(repo, "BENCH_SF1.json")
-    )
+    only: list[str] | None = None
+    out_path = os.path.join(repo, "BENCH_SF1.json")
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        only = sys.argv[2:]
+        assert only, "--only needs at least one query name"
+    elif len(sys.argv) > 1:
+        out_path = sys.argv[1]
+    run_list = only if only is not None else HEADLINE
 
     from module8_movies_etl_spark.session import get_spark
     import module8_movies_etl_spark.plans.benchmark_queries as bq
@@ -136,7 +156,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     results: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in run_list:
         fn = bq.QUERIES[name]
         row = {}
         for sf_label, sf_dir in SF_DIRS.items():
@@ -172,12 +192,18 @@ def main() -> None:
     }
     # Preserve the hand-written driving-cardinality analysis across
     # re-runs (it is maintained manually after each measurement pass).
+    # In --only mode, also keep every previously measured query and
+    # merge the fresh subset over it.
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 prior = json.load(f)
             if "analysis" in prior:
                 doc["analysis"] = prior["analysis"]
+            if only is not None and "queries" in prior:
+                merged = dict(prior["queries"])
+                merged.update(results)
+                doc["queries"] = merged
         except (json.JSONDecodeError, OSError):
             pass
     with open(out_path, "w") as f:
