@@ -16367,7 +16367,12 @@ _PRIORITY = [
     # lang_id_predict is verified locally; its slot carries the
     # tokenizer-training flagship
     "bpe_learn_merges",
-    "tokenize_documents",
+    # tokenize_documents moved to local verification in round 8 (the
+    # tokenizer family keeps its training flagship above); its slot
+    # carries the round-8 connector flagship — the Python DataSource
+    # STREAMING writer's end-to-end manifest-commit replay, giving
+    # the §2.12 connector matrix's fourth quadrant a driver row.
+    "pyds_stream_sink",
     "kmv_distinct_users",
     "training_data_pipeline",
     "curation_pipeline_v2",
