@@ -289,6 +289,11 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        # failure injection for the transactional-contract tests: a
+        # task that sees this id raises AFTER staging some rows —
+        # proving staged-but-uncommitted work never becomes visible
+        p = options.get("poison_id")
+        self.poison_id = int(p) if p is not None else None
 
     def write(self, iterator):  # noqa: D102 - interface method
         import json
@@ -306,6 +311,10 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
                 if fh is None:
                     fh = open(staged, "w")
                 d = row.asDict()
+                if self.poison_id is not None and d.get("id") == self.poison_id:
+                    raise RuntimeError(
+                        f"graftstreamsink: poisoned id {self.poison_id}"
+                    )
                 fh.write(json.dumps(d, sort_keys=True) + "\n")
                 n += 1
                 for v in d.values():

@@ -504,3 +504,138 @@ def test_quality_model_score_matches_python_replay(spark, tmp_path):
         ).collect()
     )
     assert got == expected
+
+
+def test_tpch_q11_threshold_matches_python_replay(spark, tmp_path):
+    # Independent ground truth for the Q11 mean-relative HAVING: nine
+    # literal lineitem rows over two suppliers (one inside the nation
+    # group, one outside), with part values engineered to straddle
+    # the 1.2x-floored-mean boundary — including one part EXACTLY at
+    # it (strict > must exclude it). The replay recomputes the
+    # threshold with plain Python ints, none of the Spark/SQL tree.
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    # supplier 1 is in nations (3,7,11); supplier 2 is not
+    spark.createDataFrame(
+        [(1, 3), (2, 4)], "s_suppkey long, s_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    # in-group part values (cents): 10000/20000/30000/40000/50000
+    # (p5 split across two lines to exercise the rollup) ->
+    # S=150000, n=5, mean_floor=30000; threshold 5*val > 180000
+    # -> val > 36000: p4 and p5 qualify, p3 (= the mean exactly,
+    # 150000 < 180000) does not.
+    li = [
+        (1, 1, 100.00),
+        (2, 1, 200.00),
+        (3, 1, 300.00),
+        (4, 1, 400.00),
+        (5, 1, 250.00),
+        (5, 1, 250.00),
+        # supplier 2's lines must not count at all
+        (1, 2, 9999.00),
+        (5, 2, 9999.00),
+        (6, 2, 9999.00),
+    ]
+    # recompute expectation in plain Python (no shared formula)
+    vals: dict[int, int] = {}
+    for pk, sk, price in li:
+        if sk == 1:
+            vals[pk] = vals.get(pk, 0) + round(price * 100)
+    S = sum(vals.values())
+    n = len(vals)
+    mean_floor = S // n
+    assert (S, n, mean_floor) == (150000, 5, 30000)
+    expected = sorted(
+        (pk, v / 100.0) for pk, v in vals.items() if 5 * v > 6 * mean_floor
+    )
+    assert expected == [(4, 400.0), (5, 500.0)]
+    spark.createDataFrame(
+        li, "l_partkey long, l_suppkey long, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = sorted(
+        (r["l_partkey"], r["value"])
+        for r in QUERIES["tpch_q11_important_value"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == expected
+    assert (3, 300.0) not in got and (1, 100.0) not in got
+
+
+def test_tpch_q22_threshold_matches_python_replay(spark, tmp_path):
+    # Independent ground truth for Q22's scalar-avg threshold + anti
+    # join: literal customers where one candidate sits EXACTLY at the
+    # positive-balance mean (cents*n == sum -> strict > excludes it),
+    # one is above-mean but has a recent order (anti join drops it),
+    # and one is above-mean and idle (the single survivor).
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+    import datetime as dt
+
+    customers = [
+        # (custkey, nationkey, acctbal) — odd nations only are pooled
+        (1, 1, 100.00),   # below mean
+        (2, 3, 225.00),   # candidate boundary case
+        (3, 5, 300.00),   # above mean, recent order -> dropped
+        (4, 7, 275.00),   # above mean, idle -> survivor
+        (5, 2, 999.00),   # even nation: excluded from pool
+        (6, 9, -50.00),   # negative: pooled but not in avg stats
+    ]
+    # positives: 100+225+300+275 = 900.00 -> sum 90000 cents, n=4,
+    # cents*4 > 90000 <-> cents > 22500: customer 2 (22500) is
+    # EXACTLY equal -> excluded by strict >
+    spark.createDataFrame(
+        customers, "c_custkey long, c_nationkey long, c_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    orders = [
+        (100, 3, dt.datetime(2001, 5, 1)),   # recent -> customer 3 dropped
+        (101, 4, dt.datetime(1999, 12, 31)), # old -> customer 4 stays idle
+        (102, 1, dt.datetime(2000, 6, 1)),   # recent, but cust 1 is below mean anyway
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = sorted(
+        (r["c_nationkey"], r["numcust"], r["totacctbal"])
+        for r in QUERIES["tpch_q22_idle_customers"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(7, 1, 275.0)]
+
+
+def test_retrieval_mrr_matches_hand_ranking(spark, tmp_path):
+    # Independent ground truth for the MRR audit: 8 literal 2-d
+    # vectors with hand-computed cosine order; the single query (id 0
+    # = the only id % 97 == 0) has its first same-label neighbor at
+    # rank 3 and a second at rank 5, so MRR = floor(1e6/3)/1e6 and
+    # precision@10 = 2/10 — no Spark/SQL arithmetic reused.
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    rows = [
+        (0, [1.0, 0.0], "q"),    # the query
+        (1, [3.0, 1.0], "x"),    # cos ~.949 -> rank 1
+        (2, [2.0, 1.0], "y"),    # cos ~.894 -> rank 2
+        (3, [1.0, 1.0], "q"),    # cos ~.707 -> rank 3  (first relevant)
+        (4, [1.0, 2.0], "x"),    # cos ~.447 -> rank 4
+        (5, [0.0, 1.0], "q"),    # cos  0    -> rank 5  (second relevant)
+        (6, [-1.0, 1.0], "y"),   # cos ~-.707 -> rank 6
+        (7, [-1.0, 0.0], "x"),   # cos -1    -> rank 7
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    [r] = QUERIES["retrieval_mrr_audit"](spark, str(tmp_path)).collect()
+    assert r["n_queries"] == 1
+    assert r["n_hit"] == 1
+    assert r["mrr"] == 333333 / 1_000_000.0
+    assert r["precision_at_10"] == 0.2

@@ -104,6 +104,116 @@ def test_stream_sink_uncommitted_files_invisible(spark):
     assert total == 20
 
 
+def test_stream_sink_restart_is_exactly_once(spark):
+    """Resume from a checkpoint: run 1 drains offsets [0, 1000), a
+    second query over the SAME checkpoint with a longer source drains
+    [1000, 2000) — the committed manifests across both runs must
+    cover every offset exactly once (epoch ids continue, nothing
+    re-emitted, nothing lost). This is the recovery contract the
+    streaming reader's readBetweenOffsets and the sink's manifest
+    commit exist to provide."""
+    from module8_movies_etl_spark.sources import pyds
+
+    pyds.register_stream(spark)
+    pyds.register_stream_sink(spark)
+    out = tempfile.mkdtemp(prefix="gss_restart_")
+    ckpt = tempfile.mkdtemp(prefix="gss_restart_ckpt_")
+    os.makedirs(out, exist_ok=True)
+
+    def run(rows: int):
+        src = (
+            spark.readStream.format("grafttick")
+            .option("rows", rows)
+            .option("batch", 500)
+            .load()
+        )
+        q = (
+            src.writeStream.format("graftstreamsink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(1000)
+    first = sorted(f for f in os.listdir(out) if f.startswith("_manifest"))
+    assert first == ["_manifest-0.json", "_manifest-1.json"]
+
+    run(2000)  # same checkpoint: resumes at offset 1000, epochs 2..3
+    second = sorted(f for f in os.listdir(out) if f.startswith("_manifest"))
+    assert second == [f"_manifest-{b}.json" for b in range(4)]
+
+    ids = sorted(
+        r[0]
+        for r in spark.read.schema("id long, v long")
+        .json(pyds.committed_files(out))
+        .select("id")
+        .collect()
+    )
+    assert ids == list(range(2000))
+
+
+def test_stream_sink_failed_epoch_stays_invisible(spark):
+    """Failure injection: a task raises mid-epoch (after staging some
+    rows). The failed epoch must produce NO manifest and NO visible
+    data file — earlier committed epochs stay readable, and the
+    poisoned epoch's partial work remains quarantined in _staging
+    (orphaned staging is invisible by construction; real sinks sweep
+    it with maintenance jobs)."""
+    import pytest
+
+    from module8_movies_etl_spark.sources import pyds
+
+    pyds.register_stream(spark)
+    pyds.register_stream_sink(spark)
+    out = tempfile.mkdtemp(prefix="gss_poison_")
+    os.makedirs(out, exist_ok=True)
+    src = (
+        spark.readStream.format("grafttick")
+        .option("rows", 40)
+        .option("batch", 10)
+        .load()
+    )
+    q = (
+        src.writeStream.format("graftstreamsink")
+        .option("path", out)
+        .option("poison_id", 25)  # third epoch [20, 30) fails
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="gss_poison_ck_")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="poisoned id"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("_manifest")
+    )
+    assert manifests == ["_manifest-0.json", "_manifest-1.json"]
+    ids = sorted(
+        r[0]
+        for r in spark.read.schema("id long, v long")
+        .json(pyds.committed_files(out))
+        .select("id")
+        .collect()
+    )
+    assert ids == list(range(20))
+    # no data file of the failed epoch escaped staging
+    visible = [
+        f for f in os.listdir(out)
+        if f.endswith(".jsonl") and f.startswith("epoch-2")
+    ]
+    assert visible == []
+
+
 def test_stream_sink_abort_removes_staged():
     from module8_movies_etl_spark.sources.pyds import (
         GraftStreamSinkWriter,
