@@ -234,6 +234,16 @@ def main() -> None:
             # steady-state session effect.
             "bpe_learn_merges": "shared-session codegen-cache effect; "
                                 "isolated warm 4.4-4.9 s (round 8)",
+            # same class, same protocol (3 isolated runs each, warm
+            # times match their round-7 committed figures):
+            "bmp_decode_features": "shared-session effect; isolated "
+                                   "warm 1.15-1.28 s (round 8)",
+            "wav_decode_features": "shared-session effect; isolated "
+                                   "warm 0.65-0.73 s (round 8)",
+            "mad_outlier_orders": "shared-session effect; isolated "
+                                  "warm 1.98-2.0 s (round 8)",
+            "repeated_span_intervals": "shared-session effect; isolated "
+                                       "warm 0.99-1.46 s (round 8)",
         },
         "notes": "per-query time is min-of-N back-to-back samples "
                  "(raw samples in 'samples') — the drift filter the "
