@@ -232,18 +232,28 @@ def main() -> None:
             # stages, the exact shape that loses its codegen cache in a
             # long session. Plan unchanged; min-of-2 cannot absorb a
             # steady-state session effect.
-            "bpe_learn_merges": "shared-session codegen-cache effect; "
-                                "isolated warm 4.4-4.9 s (round 8)",
-            # same class, same protocol (3 isolated runs each, warm
-            # times match their round-7 committed figures):
-            "bmp_decode_features": "shared-session effect; isolated "
-                                   "warm 1.15-1.28 s (round 8)",
-            "wav_decode_features": "shared-session effect; isolated "
-                                   "warm 0.65-0.73 s (round 8)",
-            "mad_outlier_orders": "shared-session effect; isolated "
-                                  "warm 1.98-2.0 s (round 8)",
-            "repeated_span_intervals": "shared-session effect; isolated "
-                                       "warm 0.99-1.46 s (round 8)",
+            # Round 8 ROOT-CAUSED AND FIXED the shared-session class:
+            # the whole-stage-codegen class cache is 100 entries by
+            # default, and a 266-query catalog cycles thousands of
+            # generated classes through it, so late-catalog queries
+            # recompile stages on EVERY sample (isolated-warm fast,
+            # in-catalog slow on both min-of-2 samples). With
+            # spark.sql.codegen.cache.maxEntries=4096 (session.py)
+            # every flagged mover returned to or below its committed
+            # round-7 figure IN-CATALOG: bpe_learn_merges 9.39->3.77,
+            # mad_outlier_orders 4.64->2.05, bmp_decode 3.56->1.70,
+            # wav_decode 1.32->0.71, repeated_span 2.21->1.02; total
+            # 296.5->265.2 s on the same day/host.
+            "bpe_learn_merges": "codegen-cache thrash; FIXED by "
+                                "maxEntries=4096 (9.39 -> 3.77 s)",
+            "bmp_decode_features": "codegen-cache thrash; FIXED "
+                                   "(3.56 -> 1.70 s)",
+            "wav_decode_features": "codegen-cache thrash; FIXED "
+                                   "(1.32 -> 0.71 s)",
+            "mad_outlier_orders": "codegen-cache thrash; FIXED "
+                                  "(4.64 -> 2.05 s)",
+            "repeated_span_intervals": "codegen-cache thrash; FIXED "
+                                       "(2.21 -> 1.02 s)",
         },
         "notes": "per-query time is min-of-N back-to-back samples "
                  "(raw samples in 'samples') — the drift filter the "

@@ -98,6 +98,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC conf: the whole-stage-codegen class cache holds 100
+        # entries by default — a multi-hundred-query session (the
+        # bench catalog, any long-lived analytics driver) generates
+        # thousands of classes and thrashes it, re-compiling stages
+        # that ran minutes ago (round-8 triage: bpe_learn_merges
+        # 4.6 s warm-isolated vs 9.4-10.5 s late-catalog, same plan).
+        # 4096 entries keeps every catalog stage resident; cache
+        # entries are compiled-class references, not data.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # Shuffle/spill files on RAM-backed storage when available:
         # local-mode shuffle volumes are small, and keeping them off
         # the (shared) data disk removes I/O-contention variance. A
