@@ -59,12 +59,15 @@ def attach_payload_meta(
 
 
 def decode_stub(payload: bytes) -> dict[str, Any]:
-    """Real-decoder slot for COMPRESSED codecs. A production build
-    binds PIL/libjpeg/ffmpeg here; this container has no media
-    libraries, so the stub is explicit instead of silently wrong.
-    Header-parseable formats need no library at all: ``decode_bmp``
-    and ``decode_wav`` below are REAL pure-Python decoders exercised
-    on real bytes by the catalog (bmp/wav_decode_features)."""
+    """Real-decoder slot for codecs that need NON-STDLIB libraries
+    (JPEG's DCT entropy coding, video via ffmpeg). A production build
+    binds PIL/libjpeg/ffmpeg here; this container has none, so the
+    stub is explicit instead of silently wrong. Everything reachable
+    without them IS implemented for real: ``decode_bmp`` /
+    ``decode_wav`` (header-parsed) and ``decode_png`` (genuinely
+    COMPRESSED — stdlib zlib inflate + all five scanline unfilters +
+    per-chunk CRC validation), each exercised on real bytes by the
+    catalog (bmp/wav/png_decode_features)."""
     raise NotImplementedError(
         "media decoding requires an image/audio library not present in "
         "this environment; inject a decoder via extract_media_features(decoder=...)"
@@ -190,6 +193,164 @@ def resize_bmp_half(payload: bytes) -> dict[str, Any]:
         "out_height": out_h,
         "ds_checksum": checksum,
         "ds_mean_luma": checksum / (n_out * 255.0) if n_out else None,
+    }
+
+
+def make_png(doc_id: int) -> bytes:
+    """Deterministic REAL PNG (pure stdlib): 8-byte signature, IHDR
+    (8-bit RGB, color type 2), one zlib-compressed IDAT, IEND — every
+    chunk with a genuine CRC32; any image viewer opens it. Dimensions
+    and the alternating channel-byte pattern derive from ``doc_id``
+    exactly like ``make_bmp`` (same closed-form byte sum), and each
+    scanline's filter byte CYCLES through all five PNG filter types
+    (None/Sub/Up/Average/Paeth by row index), so a decoder cannot
+    pass without implementing genuine INFLATE plus every unfilter
+    recurrence — this is the COMPRESSED-codec member of the media
+    suite, beside the header-parsed BMP/WAV."""
+    import struct
+    import zlib
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    v1 = doc_id % 256
+    v2 = (doc_id * 7 + 13) % 256
+    rowbytes = 3 * w
+    raws = []
+    j = 0
+    for _r in range(h):
+        row = bytearray()
+        for _k in range(rowbytes):
+            row.append(v1 if j % 2 == 0 else v2)
+            j += 1
+        raws.append(bytes(row))
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stream = bytearray()
+    prior = bytes(rowbytes)
+    for r, raw in enumerate(raws):
+        ft = r % 5
+        stream.append(ft)
+        for i in range(rowbytes):
+            left = raw[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                enc = raw[i]
+            elif ft == 1:
+                enc = raw[i] - left
+            elif ft == 2:
+                enc = raw[i] - up
+            elif ft == 3:
+                enc = raw[i] - (left + up) // 2
+            else:
+                enc = raw[i] - paeth(left, up, ul)
+            stream.append(enc & 0xFF)
+        prior = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """REAL PNG decoder (pure stdlib, no media library): validates
+    the signature, walks the chunk stream verifying every CRC32,
+    parses IHDR (8-bit RGB non-interlaced only — anything else raises
+    rather than guessing), concatenates IDAT, zlib-INFLATES, and
+    inverts all five scanline filters (None/Sub/Up/Average/Paeth with
+    the spec's integer recurrences) to recover raw pixel bytes.
+    Returns the same feature dict as ``decode_bmp`` — ``mean_luma``
+    is the raw IEEE division of the exact recovered byte sum, so a
+    closed-form oracle can pin inflate + unfiltering end to end."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "decode_png supports 8-bit RGB non-interlaced only "
+            f"(got depth={depth}, color={ctype_n}, interlace={interlace})"
+        )
+    stream = zlib.decompress(bytes(idat))
+    rowbytes = 3 * w
+    if len(stream) != h * (rowbytes + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    total = 0
+    prior = bytes(rowbytes)
+    for r in range(h):
+        base = r * (rowbytes + 1)
+        ft = stream[base]
+        if ft > 4:
+            raise ValueError(f"PNG row {r}: unknown filter type {ft}")
+        row = bytearray(rowbytes)
+        for i in range(rowbytes):
+            x = stream[base + 1 + i]
+            left = row[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if ft == 1:
+                x += left
+            elif ft == 2:
+                x += up
+            elif ft == 3:
+                x += (left + up) // 2
+            elif ft == 4:
+                x += paeth(left, up, ul)
+            row[i] = x & 0xFF
+        total += sum(row)
+        prior = bytes(row)
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": 3,
+        "mean_luma": total / (3 * w * h * 255.0),
     }
 
 

@@ -3608,6 +3608,52 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           4 + doc_id % 13 AS w,
+           3 + doc_id % 7 AS h,
+           doc_id % 256 AS v1,
+           (doc_id * 7 + 13) % 256 AS v2,
+           3 * (4 + doc_id % 13) * (3 + doc_id % 7) AS nb
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS n_channels,
+       CAST((nb + 1) // 2 * v1 + nb // 2 * v2 AS DOUBLE)
+           / (nb * 255.0) AS mean_luma
+FROM p
+"""
+
+
+@query("png_decode_features", _PNG_DECODE_ORACLE)
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL COMPRESSED codec] End-to-end decode of a
+    genuinely COMPRESSED image format with zero media libraries: the
+    encode stage builds a real PNG per document (signature, IHDR,
+    zlib-DEFLATED IDAT whose scanline filter bytes cycle through all
+    five PNG filter types, per-chunk CRC32s — ``multimodal.
+    make_png``), and the decode stage runs ``multimodal.decode_png``:
+    chunk walk with CRC verification, stdlib-zlib INFLATE, and the
+    spec's five unfilter recurrences (None/Sub/Up/Average/Paeth).
+    Pixel bytes alternate exactly like the BMP suite's, so the oracle
+    states the decoded features in closed form from doc_id alone —
+    an implementation that mis-inflates, skips a filter recurrence,
+    or breaks a CRC check hash-mismatches. Completes the codec
+    ladder: header-parsed (BMP/WAV) → compressed (PNG); only
+    DCT/entropy codecs (JPEG, video) remain library-gated stubs.
+    Payloads stay inside the two narrow Arrow map stages."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_png
+    )
+    return multimodal.extract_media_features(
+        blobs, decoder=multimodal.decode_png
+    )
+
+
 _BMP_RESIZE_ORACLE = """
 WITH p AS (
     SELECT doc_id,

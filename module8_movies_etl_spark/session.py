@@ -103,10 +103,21 @@ def get_spark(
         # bench catalog, any long-lived analytics driver) generates
         # thousands of classes and thrashes it, re-compiling stages
         # that ran minutes ago (round-8 triage: bpe_learn_merges
-        # 4.6 s warm-isolated vs 9.4-10.5 s late-catalog, same plan).
-        # 4096 entries keeps every catalog stage resident; cache
-        # entries are compiled-class references, not data.
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # 4.6 s warm-isolated vs 9.4-10.5 s late-catalog, same plan;
+        # with 4096 entries every flagged mover returned to its
+        # committed figure and the catalog total dropped 296->265 s).
+        # The cache is a HEAP trade, not free: each entry pins its
+        # generated source + classloader, and the 700-test pytest
+        # session OOMed a 12 GB heap at 4096 (it runs thousands of
+        # DISTINCT stages once each — a cache that large holds dead
+        # classes it will never reuse). Default stays 1024 (10x
+        # Spark's default, bounded heap); the bench/scale harnesses
+        # pass 4096 via extra_conf because their 266-query loop
+        # re-executes the same stages and has heap headroom.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1024"),
+        )
         # Shuffle/spill files on RAM-backed storage when available:
         # local-mode shuffle volumes are small, and keeping them off
         # the (shared) data disk removes I/O-contention variance. A

@@ -639,3 +639,53 @@ def test_retrieval_mrr_matches_hand_ranking(spark, tmp_path):
     assert r["n_hit"] == 1
     assert r["mrr"] == 333333 / 1_000_000.0
     assert r["precision_at_10"] == 0.2
+
+
+def test_png_decoder_on_hand_built_literal():
+    # A PNG built BY HAND in this test (2x2 RGB, filter 0 rows,
+    # literal pixel bytes) — no shared generator code — must decode
+    # to exactly the stated features; and the generator's stream must
+    # genuinely exercise ALL FIVE filter types for a tall image.
+    import struct
+    import zlib
+
+    from module8_movies_etl_spark.operators.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # rows: (10,20,30)(40,50,60) / (70,80,90)(100,110,120)
+    row0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    row1 = bytes([0, 70, 80, 90, 100, 110, 120])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    f = decode_png(png)
+    assert (f["width"], f["height"], f["n_channels"]) == (2, 2, 3)
+    assert f["mean_luma"] == sum(range(10, 130, 10)) / (12 * 255.0)
+
+    # the catalog generator must hit every filter type: doc_id 9 ->
+    # h = 3 + 9 % 7 = 5 rows -> filters 0,1,2,3,4
+    blob = make_png(9)
+    pos = 8
+    idat = bytearray()
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    stream = zlib.decompress(bytes(idat))
+    w = 4 + 9 % 13
+    rowbytes = 3 * w
+    filters = [stream[r * (rowbytes + 1)] for r in range(5)]
+    assert filters == [0, 1, 2, 3, 4]

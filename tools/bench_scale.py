@@ -144,7 +144,10 @@ def main() -> None:
     from module8_movies_etl_spark.session import get_spark
     import module8_movies_etl_spark.plans.benchmark_queries as bq
 
-    spark = get_spark("bench-scale")
+    spark = get_spark(
+        "bench-scale",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "4096"},
+    )
     # Split single-file parquet scans into many input partitions: the
     # scaled tables are one file each, and the default 128 MB split
     # size would hand a 1000-executor-shaped workload to ONE scan task

@@ -108,7 +108,10 @@ def main() -> None:
     from module8_movies_etl_spark.session import get_spark
     from module8_movies_etl_spark.sources.readers import read_table
 
-    spark = get_spark("bench-scale3")
+    spark = get_spark(
+        "bench-scale3",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "4096"},
+    )
     # many-split scan shape, as tools/bench_scale.py (see its notes)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "1m")
