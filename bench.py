@@ -165,6 +165,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - warmup must never kill bench
         print(f"bench: ij scratch warmup failed: {exc}", file=sys.stderr)
 
+    # catch silent drift: a renamed catalog query must not quietly
+    # drop out of the machinery flag list (set intersection below
+    # would hide the typo and its cost would read as a data-path
+    # regression next round)
+    unknown = MACHINERY - set(bq.QUERIES)
+    assert not unknown, f"MACHINERY names unknown queries: {sorted(unknown)}"
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     failed: list[str] = []

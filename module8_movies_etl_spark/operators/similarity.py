@@ -938,15 +938,19 @@ def _ann_candidate_pairs(
     n_planes: int,
     dim: int,
     n_bands: int,
-    band_bits: int,
-    mask: int,
 ) -> DataFrame:
     """Deduped (``_a``, ``_b``) candidate set of the ANN alignment:
     banded-LSH collisions plus the exact-scan fallback rows for
     probes whose bands caught fewer than two right-side vectors.
     Inputs must already be ``_prep_side``-projected. This set is the
     alignment's DRIVING VOLUME — every pair here is exact-rescored —
-    so ``tools/bench_scale3.py`` counts it directly."""
+    so ``tools/bench_scale3.py`` counts it directly.
+
+    Band geometry (bits per band, extraction mask) is derived HERE
+    from (n_planes, n_bands) — callers cannot pass a disagreeing
+    split, which would silently shift every band extraction."""
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
 
     def bands(df: DataFrame, out_id: str) -> DataFrame:
         b = hyperplane_bucket_table(
@@ -1005,8 +1009,6 @@ def bipartite_align_scored_pairs(
     adversarial regime) the recall-driven coarse bands admit most of
     the cross product, so time scales with THIS count, not with the
     k-bounded output."""
-    band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
     return _ann_candidate_pairs(
         _prep_side(left, id_col, vec_col),
         _prep_side(right, id_col, vec_col),
@@ -1015,8 +1017,6 @@ def bipartite_align_scored_pairs(
         n_planes,
         dim,
         n_bands,
-        band_bits,
-        mask,
     )
 
 
@@ -1074,9 +1074,6 @@ def bipartite_align_ann(
     (``bipartite_align_scored_pairs``), not the k-bounded output —
     that is the driving volume ``tools/bench_scale3.py`` measures.
     """
-    band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
-
     # Zero-norm vectors have no cosine direction: they can neither be
     # aligned nor serve as a match. Drop them BEFORE banding so they
     # also do not count toward the >=2-candidate coverage threshold —
@@ -1089,7 +1086,7 @@ def bipartite_align_ann(
     left = _prep_side(left, id_col, vec_col)
     right = _prep_side(right, id_col, vec_col)
     all_cand = _ann_candidate_pairs(
-        left, right, id_col, vec_col, n_planes, dim, n_bands, band_bits, mask
+        left, right, id_col, vec_col, n_planes, dim, n_bands
     )
     # _prep already projected the norm and dropped zero-norm rows
     lv = left.select(

@@ -16192,10 +16192,15 @@ def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input_file_name() is non-deterministic — project the epoch to
     # an attribute BEFORE the aggregate (it may not appear inside
     # aggregate arguments)
+    # anchored to the committed file's BASENAME: an unanchored
+    # 'epoch-(\d+)-' would match a scratch-root directory named
+    # epoch-3-runs anywhere up the absolute path
     rows = spark.read.schema("id long, v long").json(files).select(
         "id",
         "v",
-        F.regexp_extract(F.input_file_name(), r"epoch-(\d+)-", 1)
+        F.regexp_extract(
+            F.input_file_name(), r"epoch-(\d+)-\d+\.jsonl$", 1
+        )
         .cast("long")
         .alias("_epoch"),
     )

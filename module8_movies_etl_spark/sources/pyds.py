@@ -318,7 +318,10 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
                 fh.write(json.dumps(d, sort_keys=True) + "\n")
                 n += 1
                 for v in d.values():
-                    if isinstance(v, int):
+                    # bool is an int subclass — exclude it so the
+                    # checksum folds exactly the BIGINT fields the
+                    # docstring promises
+                    if isinstance(v, int) and not isinstance(v, bool):
                         acc += v
         finally:
             if fh is not None:
@@ -341,10 +344,14 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
             "n_rows": sum(m.n_rows for m in done),
             "checksum": sum(m.checksum for m in done) % (1 << 60),
         }
-        with open(
-            os.path.join(self.path, f"_manifest-{batchId}.json"), "w"
-        ) as fh:
+        # the manifest IS the commit point, so its own write must be
+        # atomic too: stage + os.replace (atomic on POSIX), never an
+        # in-place open('w') a crash could leave torn
+        final = os.path.join(self.path, f"_manifest-{batchId}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, final)
 
     def abort(self, messages, batchId):  # noqa: D102, N803 - interface
         import os
@@ -372,11 +379,15 @@ def committed_files(path: str) -> list[str]:
     are never returned)."""
     import json
     import os
+    import re
 
     out: list[str] = []
+    # exact-name match: a crashed commit's _manifest-N.json.tmp (or
+    # any other stray) must never be read as a committed manifest
+    pat = re.compile(r"^_manifest-(\d+)\.json$")
     names = sorted(
-        (f for f in os.listdir(path) if f.startswith("_manifest-")),
-        key=lambda f: int(f.split("-")[1].split(".")[0]),
+        (f for f in os.listdir(path) if pat.match(f)),
+        key=lambda f: int(pat.match(f).group(1)),
     )
     for f in names:
         with open(os.path.join(path, f)) as fh:

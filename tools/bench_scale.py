@@ -140,6 +140,22 @@ def main() -> None:
     elif len(sys.argv) > 1:
         out_path = sys.argv[1]
     run_list = only if only is not None else HEADLINE
+    # --only exists to PRESERVE prior measurements — so a prior file
+    # that cannot be read must fail BEFORE any measuring, never be
+    # silently replaced by the subset afterwards
+    prior: dict | None = None
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            if only is not None:
+                raise SystemExit(
+                    f"{out_path} is unreadable; refusing an --only run "
+                    "that would overwrite prior measurements — fix or "
+                    "remove the file first"
+                )
+            prior = None
 
     from module8_movies_etl_spark.session import get_spark
     import module8_movies_etl_spark.plans.benchmark_queries as bq
@@ -196,19 +212,15 @@ def main() -> None:
     # Preserve the hand-written driving-cardinality analysis across
     # re-runs (it is maintained manually after each measurement pass).
     # In --only mode, also keep every previously measured query and
-    # merge the fresh subset over it.
-    if os.path.exists(out_path):
-        try:
-            with open(out_path) as f:
-                prior = json.load(f)
-            if "analysis" in prior:
-                doc["analysis"] = prior["analysis"]
-            if only is not None and "queries" in prior:
-                merged = dict(prior["queries"])
-                merged.update(results)
-                doc["queries"] = merged
-        except (json.JSONDecodeError, OSError):
-            pass
+    # merge the fresh subset over it (prior was loaded — and validated
+    # readable — BEFORE the measurement loop).
+    if prior is not None:
+        if "analysis" in prior:
+            doc["analysis"] = prior["analysis"]
+        if only is not None and "queries" in prior:
+            merged = dict(prior["queries"])
+            merged.update(results)
+            doc["queries"] = merged
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")

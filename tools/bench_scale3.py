@@ -147,9 +147,16 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     if run_names != list(TARGETS) and os.path.exists(out_path):
-        # subset run: keep the other queries' existing rows
+        # subset run: keep the other CURRENT targets' existing rows.
+        # The read happens BEFORE the ~25-min measurement loop so a
+        # torn prior file fails fast, and rows for queries no longer
+        # in TARGETS (renames/removals) are dropped rather than
+        # carried forward as stale "current" measurements.
         with open(out_path) as f:
-            results.update(json.load(f).get("queries", {}))
+            prior_rows = json.load(f).get("queries", {})
+        results.update(
+            {k: v for k, v in prior_rows.items() if k in TARGETS}
+        )
     for name in run_names:
         fn = bq.QUERIES[name]
         times, vols = {}, {}
