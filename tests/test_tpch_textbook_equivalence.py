@@ -117,7 +117,7 @@ def _gen_tables(seed: int) -> dict[str, tuple[list, str]]:
     }
 
 
-@pytest.fixture(scope="module", params=[11, 23])
+@pytest.fixture(scope="module", params=[11, 23, 47])
 def micro_sf(request, spark, tmp_path_factory):
     """A seeded random micro scale-factor dir + a DuckDB connection
     with the same tables as views."""
