@@ -285,7 +285,30 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
     Checksums are arbitrary-precision Python ints folded from every
     BIGINT field, so the driver-side merge is order-free and any
     lost/duplicated task shows up as a manifest/data mismatch.
+
+    DEPLOYMENT ASSUMPTIONS (like the other pyds surfaces, this sink
+    models the COMMIT PROTOCOL, not a storage connector):
+
+    - ``path`` must be a SHARED filesystem visible to driver and
+      executors under the same mount (local mode, NFS, FUSE-mounted
+      object store): ``commit``/``abort`` run on the DRIVER and
+      ``os.replace``/``os.remove`` executor-written staged paths. On
+      a real cluster with executor-local disks the rename would fail
+      (or silently target a different local path) — a production
+      build routes staged-file promotion through the object store's
+      multipart/rename API behind a filesystem abstraction.
+    - one stream per ``path`` at a time: the stale-stage sweep in
+      ``commit`` assumes every ``_staging`` file older than
+      ``_STALE_STAGE_SECONDS`` belongs to a dead task of THIS stream.
     """
+
+    # A failed/retried task's staged file is named in no commit
+    # message, so abort() never sees it; without a sweep a
+    # long-running stream leaks one orphan per task failure. Files
+    # this much older than the current commit are dead-task residue
+    # (epochs run in seconds; anything still staged after 15 min
+    # belongs to no in-flight epoch) and are removed at commit time.
+    _STALE_STAGE_SECONDS = 900.0
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -352,6 +375,24 @@ class GraftStreamSinkWriter(DataSourceStreamWriter):
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, final)
+        # sweep dead-task residue (see class docstring): staged files
+        # from failed/retried tasks are in no commit message, so only
+        # an age-based sweep reclaims them. Current-epoch stages were
+        # just renamed away; anything old enough left here is orphaned.
+        import time
+
+        staging = os.path.join(self.path, "_staging")
+        cutoff = time.time() - self._STALE_STAGE_SECONDS
+        try:
+            for name in os.listdir(staging):
+                p = os.path.join(staging, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except OSError:
+                    pass  # already gone (racing task) — nothing to do
+        except OSError:
+            pass  # staging dir never created (all-empty epochs)
 
     def abort(self, messages, batchId):  # noqa: D102, N803 - interface
         import os

@@ -217,6 +217,25 @@ def executed_plan_shape(df) -> tuple[dict[str, int], int]:
 @pytest.mark.parametrize("name", sorted(EXPECTED_SHAPES))
 def test_plan_shape_budget(spark, sf_dir, name):
     exp_tables, exp_single = EXPECTED_SHAPES[name]
+    if name == "tpch_q16_supplier_counts":
+        # the pinned shape (no supplier scan) encodes AQE's
+        # empty-relation elimination, which holds only while the
+        # fixture has zero negative-balance suppliers — fail loudly
+        # on the precondition instead of opaquely on the shape if
+        # the fixture is ever regenerated with arrears suppliers
+        from module8_movies_etl_spark.sources.readers import read_table
+
+        n_bad = (
+            read_table(spark, sf_dir, "supplier")
+            .filter("s_acctbal < 0")
+            .count()
+        )
+        assert n_bad == 0, (
+            "sf0.001 fixture now has suppliers with s_acctbal < 0; "
+            "AQE will keep the anti-join's supplier scan — repin "
+            "tpch_q16_supplier_counts to {'lineitem': 1, 'part': 1, "
+            "'supplier': 1}"
+        )
     got_tables, got_single = executed_plan_shape(QUERIES[name](spark, sf_dir))
     assert got_tables == exp_tables, (
         f"{name}: parquet-scan budget changed "

@@ -232,3 +232,37 @@ def test_stream_sink_abort_removes_staged():
     assert not os.path.exists(staged)
     # abort must leave no manifest behind
     assert not any(f.startswith("_manifest-") for f in os.listdir(out))
+
+
+def test_stream_sink_commit_sweeps_stale_staged_orphans():
+    """A failed/retried task's staged file is named in no commit
+    message, so only commit-time age sweeping reclaims it (ADVICE r8):
+    files older than the stale cutoff vanish at the next commit, while
+    fresh staged files (a concurrent in-flight epoch's) survive."""
+    from module8_movies_etl_spark.sources.pyds import (
+        GraftStreamSinkWriter,
+        _EpochStageCommit,
+    )
+
+    out = tempfile.mkdtemp(prefix="gss_sweep_")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    stale = os.path.join(staging, "dead-task-orphan.jsonl")
+    fresh = os.path.join(staging, "in-flight.jsonl")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write('{"id": 1, "v": 2}\n')
+    old = os.path.getmtime(stale) - GraftStreamSinkWriter._STALE_STAGE_SECONDS - 60
+    os.utime(stale, (old, old))
+
+    committed = os.path.join(staging, "committed-task.jsonl")
+    with open(committed, "w") as fh:
+        fh.write('{"id": 2, "v": 5}\n')
+    w = GraftStreamSinkWriter({"path": out})
+    w.commit([_EpochStageCommit(committed, 1, 7)], batchId=3)
+
+    assert not os.path.exists(stale), "stale orphan must be swept"
+    assert os.path.exists(fresh), "fresh staged file must survive"
+    assert os.path.exists(os.path.join(out, "epoch-3-0.jsonl"))
+    with open(os.path.join(out, "_manifest-3.json")) as fh:
+        assert json.load(fh)["files"] == ["epoch-3-0.jsonl"]

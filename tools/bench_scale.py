@@ -218,7 +218,13 @@ def main() -> None:
         if "analysis" in prior:
             doc["analysis"] = prior["analysis"]
         if only is not None and "queries" in prior:
-            merged = dict(prior["queries"])
+            # keep only prior rows still in HEADLINE: rows for renamed
+            # or removed queries must not be carried forward as
+            # current measurements (the stale-row problem
+            # bench_scale3.py filters the same way)
+            merged = {
+                k: v for k, v in prior["queries"].items() if k in HEADLINE
+            }
             merged.update(results)
             doc["queries"] = merged
     with open(out_path, "w") as f:
