@@ -103,6 +103,85 @@ MACHINERY = {
 }
 
 
+# Auto-triage rule (round 9, VERDICT r8 task #2): any query whose
+# min-of-N exceeds the PRIOR committed BENCH_DETAIL figure by more
+# than this factor — after normalizing out host/session drift by the
+# shared-query median ratio — gets an automatic isolated 3-run
+# appended to the triage dict. The manual sweeps of rounds 7-8 each
+# missed one mover (curation_pipeline_v2 slipped through round 8
+# because the sweep ran before the final catalog re-run); the rule
+# now fires in the bench itself, not in anyone's memory.
+TRIAGE_FACTOR = 1.8
+# ignore sub-second absolute moves: a 0.2 -> 0.45 s blip is scheduler
+# noise, not a regression worth three extra runs
+TRIAGE_MIN_DELTA_S = 0.75
+
+
+def _auto_triage(
+    prior: dict | None,
+    timings: dict[str, float],
+    queries: dict,
+    spark,
+    sf_dir: str,
+) -> dict[str, str]:
+    """Compare this run against the prior committed BENCH_DETAIL and
+    isolated-3-run any non-machinery query that moved >TRIAGE_FACTOR×
+    drift-normalized. Returns {query: triage note} entries."""
+    import statistics
+
+    if not prior or "queries" not in prior:
+        return {}
+    old = {
+        k: v
+        for k, v in prior["queries"].items()
+        if isinstance(v, (int, float)) and v > 0
+    }
+    shared = [
+        timings[k] / old[k]
+        for k in old
+        if k in timings and timings[k] > 0 and k not in MACHINERY
+    ]
+    if len(shared) < 10:  # not enough overlap to model drift
+        return {}
+    drift = statistics.median(shared)
+    out: dict[str, str] = {}
+    for name, t_new in timings.items():
+        t_old = old.get(name)
+        if (
+            t_old is None
+            or t_new <= 0
+            or name in MACHINERY
+            or t_new <= TRIAGE_FACTOR * drift * t_old
+            or t_new - drift * t_old < TRIAGE_MIN_DELTA_S
+        ):
+            continue
+        runs: list[float] = []
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001 - triage must not kill bench
+            out[name] = f"AUTO-TRIAGE: isolated re-run failed: {exc}"
+            continue
+        norm = t_new / (drift * t_old)
+        out[name] = (
+            f"AUTO-TRIAGE: {t_old} -> {t_new} s "
+            f"({norm:.2f}x drift-normalized, session median {drift:.2f}); "
+            f"isolated 3-run {runs} — warm min {min(runs)} s; "
+            + (
+                "isolated time matches prior: shared-session placement "
+                "effect, not a plan change"
+                if min(runs) <= TRIAGE_FACTOR * drift * t_old
+                else "STILL SLOW in isolation: inspect the plan"
+            )
+        )
+        print(f"bench: auto-triage {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
@@ -110,6 +189,18 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+
+    # read the prior committed detail BEFORE the run overwrites it —
+    # it is the round-over-round baseline the auto-triage rule needs
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_detail: dict | None = None
+    try:
+        with open(detail_path) as fh:
+            prior_detail = json.load(fh)
+    except (OSError, ValueError):
+        prior_detail = None
 
     from module8_movies_etl_spark.plans import benchmark_queries as bq
     from module8_movies_etl_spark.session import get_spark
@@ -197,6 +288,15 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # auto-triage movers vs the prior committed detail (same-sf runs
+    # only — comparing sf0.01 smoke runs against sf0.1 rounds would
+    # flag everything)
+    auto_triage: dict[str, str] = {}
+    if prior_detail is not None and prior_detail.get("sf") == sf:
+        auto_triage = _auto_triage(
+            prior_detail, timings, bq.QUERIES, spark, sf_dir
+        )
+
     detail = {
         "metric": "catalog_total",
         "value": total,
@@ -270,6 +370,22 @@ def main() -> None:
                                   "(4.64 -> 2.05 s)",
             "repeated_span_intervals": "codegen-cache thrash; FIXED "
                                        "(2.21 -> 1.02 s)",
+            # Round-9 closure of the round-8 open item: the one mover
+            # the round-8 manual sweep missed, isolated-3-run triaged
+            # this round (see the auto-triage entries merged below for
+            # the mechanical rule that now replaces the manual sweep).
+            "curation_pipeline_v2": "round-8 2x normalized up-mover "
+                                    "(2.92 -> 4.09 s min-of-2, raw "
+                                    "[10.25, 4.09], code "
+                                    "byte-identical): round-9 "
+                                    "isolated 3-run [8.888, 3.551, "
+                                    "2.980] — warm min 2.98 s matches "
+                                    "the committed round-7 2.92 s, so "
+                                    "the bump was first-execution "
+                                    "codegen placement, not a plan "
+                                    "change (the class the automatic "
+                                    "rule below now catches)",
+            **auto_triage,
         },
         "notes": "per-query time is min-of-N back-to-back samples "
                  "(raw samples in 'samples') — the drift filter the "
@@ -279,8 +395,6 @@ def main() -> None:
                  "round-trips), near-constant in sf — do not read them "
                  "as data-path costs",
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -68,6 +68,27 @@ def _gen_tables(seed: int) -> dict[str, tuple[list, str]]:
             (p, rng.choice(names), f"Brand#{rng.randrange(1, 6)}",
              ptype, size, round(rng.uniform(10, 100), 2))
         )
+    # Q19 domain: the catalog's disjunctive-revenue envelopes target
+    # Brand#13/22/25, which the 1..5 brand draw above never produces.
+    # Five parts get DETERMINISTIC brand+size overrides (no rng
+    # consumption, so every other table's draws stay bit-identical to
+    # the pre-round-9 fixtures); sizes sit inside each brand's
+    # envelope so lines on these parts can satisfy the disjuncts.
+    _q19_overrides = {
+        6: ("Brand#13", 3),
+        11: ("Brand#22", 8),
+        16: ("Brand#25", 12),
+        21: ("Brand#13", 4),
+        26: ("Brand#22", 9),
+    }
+    part_rows = [
+        (p, name,
+         _q19_overrides[p][0] if p in _q19_overrides else brand,
+         ptype,
+         _q19_overrides[p][1] if p in _q19_overrides else size,
+         price)
+        for (p, name, brand, ptype, size, price) in part_rows
+    ]
     part = (
         part_rows,
         "p_partkey long, p_name string, p_brand string, p_type string, "
@@ -82,6 +103,21 @@ def _gen_tables(seed: int) -> dict[str, tuple[list, str]]:
              round(rng.uniform(100, 10000), 2), od,
              rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
                          "4-NOT SPECIFIED", "5-LOW"]))
+        )
+    # Q22 domain: every base order is 1996-1997, which would make the
+    # "no orders since 2000" anti-join vacuously keep everyone. A
+    # SEPARATE rng appends post-2000 orders for some customers (so the
+    # base draws above stay bit-identical); status 'O' and keys > 40
+    # keep them out of Q21 (status 'F' only) and out of lineitem
+    # (which references keys 1..40 only).
+    rng_recent = random.Random(seed + 7919)
+    recent_base = dt.datetime(2000, 1, 1)
+    for o in range(41, 49):
+        orders_rows.append(
+            (o, rng_recent.randrange(1, 21), "O",
+             round(rng_recent.uniform(100, 10000), 2),
+             recent_base + dt.timedelta(days=rng_recent.randrange(0, 700)),
+             "5-LOW")
         )
     orders = (
         orders_rows,
@@ -354,5 +390,236 @@ def test_q20_matches_textbook_correlated_halfsum(spark, micro_sf):
                                  WHERE q2.l_partkey = q.l_partkey)
               GROUP BY 1) d
         JOIN supplier s ON d.l_suppkey = s.s_suppkey
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-9 extension (VERDICT r8 task #3): the remaining shared-lowering
+# shapes — Q8/Q14 conditional share, Q13 count-of-counts, Q16 NOT IN,
+# Q19 disjunction hull, Q22 scalar-threshold anti-join. Each textbook
+# form below is structurally different from BOTH the Spark lowering
+# and the catalog oracle (separate filtered aggregates instead of
+# CASE-in-one-pass, correlated scalar subqueries, literal NOT IN /
+# NOT EXISTS, the raw OR-of-ANDs with the join key inside every
+# disjunct), so agreement is evidence the lowering is right, not an
+# echo of it.
+# --------------------------------------------------------------------------
+
+
+def test_q8_matches_textbook_separate_aggregates(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    # textbook: numerator and denominator as SEPARATE filtered
+    # aggregates joined on year (two base evaluations) vs the
+    # engine's single-pass sum(CASE); nation membership via the
+    # region NAME join, not a pre-resolved key list
+    _compare(
+        QUERIES["tpch_q8_market_share"](spark, d),
+        con,
+        """
+        WITH base AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT) AS rc,
+                   s.s_nationkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        den AS (SELECT o_year, CAST(sum(rc) AS BIGINT) AS den
+                FROM base GROUP BY 1),
+        num AS (SELECT o_year, CAST(sum(rc) AS BIGINT) AS num
+                FROM base WHERE s_nationkey = 3 GROUP BY 1)
+        SELECT d.o_year,
+               round(CAST(coalesce(n.num, 0) AS DOUBLE) / 100.0, 2)
+                   AS nation_revenue,
+               round(CAST(d.den AS DOUBLE) / 100.0, 2) AS total_revenue,
+               CAST(floor(CAST(coalesce(n.num, 0) AS DOUBLE)
+                          / CAST(d.den AS DOUBLE) * 1000000)
+                    AS DOUBLE) / 1000000.0 AS mkt_share
+        FROM den d LEFT JOIN num n USING (o_year)
+        """,
+    )
+
+
+def test_q13_matches_textbook_correlated_count(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    # textbook: a correlated scalar COUNT subquery per customer —
+    # structurally unlike both the engine's pre-filtered left join
+    # and the oracle's predicate-in-the-ON-clause outer join; the
+    # zero-order customers the query exists to count come from the
+    # subquery returning 0, not from join preservation
+    _compare(
+        QUERIES["tpch_q13_order_distribution"](spark, d),
+        con,
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT CAST((SELECT count(*) FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority <> '4-NOT SPECIFIED')
+                        AS BIGINT) AS c_count
+            FROM customer c
+        ) t
+        GROUP BY 1
+        """,
+    )
+
+
+def test_q14_matches_textbook_separate_aggregates(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    # the share must be non-degenerate for the comparison to mean
+    # anything: assert the month window actually contains lines
+    n_lines = con.execute(
+        """SELECT count(*) FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01'"""
+    ).fetchone()[0]
+    assert n_lines > 0, "Q14 month window is empty — domain drifted"
+    # textbook: promo and total revenue as two separate filtered
+    # scans cross-joined (vs the engine's one-pass sum(CASE))
+    _compare(
+        QUERIES["tpch_q14_promo_share"](spark, d),
+        con,
+        """
+        WITH promo AS (
+            SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice
+                        * (1 - l.l_discount) * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS promo
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'PROMO'
+              AND l.l_shipdate >= TIMESTAMP '1996-06-01'
+              AND l.l_shipdate < TIMESTAMP '1996-07-01'
+        ),
+        total AS (
+            SELECT CAST(sum(CAST(round(l.l_extendedprice
+                        * (1 - l.l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS total
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+              AND l.l_shipdate < TIMESTAMP '1996-07-01'
+        )
+        SELECT round(CAST(promo AS DOUBLE) / 100.0, 2) AS promo_revenue,
+               round(CAST(total AS DOUBLE) / 100.0, 2) AS total_revenue,
+               CAST(floor(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+                          * 100000000) AS DOUBLE) / 1000000.0
+                   AS promo_share_pct
+        FROM promo, total
+        """,
+    )
+
+
+def test_q16_matches_textbook_literal_not_in(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    # textbook: one flat join with a literal NOT IN subquery and the
+    # count(DISTINCT) running directly on the un-deduplicated fact
+    # join — vs the engine's pre-deduped pair rollup + broadcast
+    # left-anti
+    _compare(
+        QUERIES["tpch_q16_supplier_counts"](spark, d),
+        con,
+        """
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p, lineitem l
+        WHERE p.p_partkey = l.l_partkey
+          AND p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """,
+    )
+
+
+def test_q19_matches_textbook_raw_disjunction(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    textbook = """
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(round(l.l_extendedprice
+                           * (1 - l.l_discount) * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS revenue
+        FROM lineitem l, part p
+        WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+               AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#22'
+               AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#25'
+               AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    # the raw OR-of-ANDs (join key INSIDE each disjunct, no hoisted
+    # hull) must actually match lines, or hull-vs-residual bugs
+    # would pass vacuously on (0, NULL)
+    assert con.execute(textbook).fetchone()[0] > 0, (
+        "Q19 disjunction matches no lines — domain drifted"
+    )
+    _compare(QUERIES["tpch_q19_disjunctive_revenue"](spark, d), con, textbook)
+
+
+def test_q22_matches_textbook_not_exists_scalar_avg(spark, micro_sf):
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+
+    d, con = micro_sf
+    # the anti-join must be non-degenerate BOTH ways: some well-funded
+    # candidates have recent orders (excluded) and some do not (kept)
+    excluded, kept = con.execute(
+        """
+        WITH cand AS (
+            SELECT c_custkey FROM customer c
+            WHERE c_nationkey % 2 = 1
+              AND c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_acctbal > 0
+                                 AND c2.c_nationkey % 2 = 1)
+        ),
+        recent AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        SELECT
+            (SELECT count(*) FROM cand WHERE c_custkey IN
+                (SELECT o_custkey FROM recent)),
+            (SELECT count(*) FROM cand WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM recent))
+        """
+    ).fetchone()
+    assert kept > 0, "Q22 would be empty — domain drifted"
+    assert excluded > 0, "Q22 anti-join excludes nobody — domain drifted"
+    # textbook: correlated NOT EXISTS + scalar AVG subquery in
+    # DOUBLES (vs the engine's broadcast 1-row stats + exact integer
+    # cents*n > sum_cents threshold + left-anti join)
+    _compare(
+        QUERIES["tpch_q22_idle_customers"](spark, d),
+        con,
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_nationkey % 2 = 1
+          AND c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_acctbal > 0
+                             AND c2.c_nationkey % 2 = 1)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
         """,
     )
