@@ -393,7 +393,10 @@ def main() -> None:
                  "whose absolute time is fixed harness cost (micro-batch "
                  "runner, state-store commits, Python DataSource "
                  "round-trips), near-constant in sf — do not read them "
-                 "as data-path costs",
+                 "as data-path costs; skewed-key join strategy evidence "
+                 "(plain vs AQE skew-join vs salted_join on a hot-key "
+                 "lineitem variant, result-neutrality asserted) lives in "
+                 "BENCH_SKEW.json (tools/bench_skew.py)",
     }
     try:
         with open(detail_path, "w") as fh:

@@ -70,6 +70,18 @@ TARGETS = {
     "align_embeddings_bipartite": "align_scored_pairs",
     "jaccard_ngram_pairs": "output",
     "bpe_compression_by_lang": "document_rows",
+    # round-9 additions (VERDICT r8 task #4): the 2.5-4 s tier that
+    # only had two-point (or no) scale evidence. semantic dedup
+    # iterates the same embedding near-dup graph as pagerank (edges =
+    # driving volume); incremental dedup's contract is |new batch| ∝
+    # corpus rows; bpe-learn's per-round pair aggregate scans the
+    # corpus; interpolation and bootstrap are row-bound over their
+    # input tables.
+    "semantic_dedup_clusters": "embedding_edges",
+    "incremental_dedup_newbatch": "document_rows",
+    "bpe_learn_merges": "document_rows",
+    "interpolate_gaps_linear": "events_rows",
+    "bootstrap_ci_price": "orders_rows",
 }
 
 
@@ -143,6 +155,10 @@ def main() -> None:
             return read_table(spark, sf_dir, "customer").count()
         if kind == "document_rows":
             return read_table(spark, sf_dir, "documents").count()
+        if kind == "events_rows":
+            return read_table(spark, sf_dir, "events").count()
+        if kind == "orders_rows":
+            return read_table(spark, sf_dir, "orders").count()
         raise ValueError(kind)
 
     results: dict[str, dict] = {}
