@@ -805,6 +805,275 @@ JPEG_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _gif_palette(doc_id: int, n_colors: int) -> list[tuple[int, int, int]]:
+    """The generator's palette — every channel byte derives from
+    (doc_id, color index) alone so an oracle can state it."""
+    return [
+        (
+            (doc_id * 3 + c * 29) % 256,
+            (doc_id * 5 + c * 83) % 256,
+            (doc_id * 7 + c * 131) % 256,
+        )
+        for c in range(n_colors)
+    ]
+
+
+def _gif_pixel_index(doc_id: int, p: int, n_colors: int) -> int:
+    """PRNG-quality palette index for pixel ``p`` (splitmix-style
+    multiply → xorshift → multiply over 32 bits, top bits taken) —
+    deterministic in (doc_id, p) and replayable in plain SQL."""
+    x = (p * 2654435761 + doc_id * 97) % 4294967296
+    x ^= x >> 15
+    x = (x * 2246822519) % 4294967296
+    return x // (4294967296 // n_colors)
+
+
+def make_gif(doc_id: int) -> bytes:
+    """Deterministic REAL GIF87a (pure stdlib): header, logical
+    screen descriptor, global color table (4/8/16 colors by doc_id),
+    image descriptor, and a genuinely LZW-COMPRESSED index stream —
+    real dictionary build, variable code width that GROWS as entries
+    fill (3→…→ up to 12 bits), clear code first, explicit
+    end-of-information code, 255-byte sub-block framing, trailer —
+    any image viewer opens it. The pixel index pattern
+    ``(p + doc_id) % n_colors`` and the palette derive from doc_id
+    alone, so the decoded RGB byte sum has a closed form; the
+    dictionary-coded rung of the codec suite beside DEFLATE (PNG)
+    and DCT/entropy (JPEG)."""
+    import struct
+
+    w = 16 + doc_id % 17
+    h = 12 + doc_id % 11
+    k = 1 + doc_id % 3  # GCT size field: 2^(k+1) = 4/8/16 colors
+    nc = 1 << (k + 1)
+    palette = _gif_palette(doc_id, nc)
+
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: GCT present, color res k, size k
+    out += struct.pack("<HHBBB", w, h, 0x80 | (k << 4) | k, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image desc
+    min_code = k + 1  # bits for a palette index (>= 2 per spec: k>=1)
+    out.append(min_code)
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    # Hash-mixed index pattern: any POLYNOMIAL of p mod a power-of-two
+    # palette size is periodic with a tiny period, and even a
+    # golden-ratio rotation's top bits form a Sturmian (linear-
+    # complexity) sequence — both collapse to ~120-byte files where
+    # neither multi-sub-block framing nor deep code-width growth is
+    # ever exercised. A multiply → xorshift → multiply finalizer
+    # (splitmix-style) gives PRNG-quality indices, so the dictionary
+    # genuinely fills, streams span several 255-byte sub-blocks, and
+    # the width climbs — while each index stays a pure integer
+    # function of (p, doc_id) an oracle replays with a range join.
+    indices = [_gif_pixel_index(doc_id, p, nc) for p in range(w * h)]
+
+    # real LZW: dictionary of index strings, width grows with size
+    acc = 0
+    nbits = 0
+    payload = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {
+        (c,): c for c in range(nc)
+    }
+    next_code = eoi + 1
+    width = min_code + 1
+    put(clear, width)
+    seq: tuple[int, ...] = ()
+    for idx in indices:
+        trial = seq + (idx,)
+        if trial in table:
+            seq = trial
+            continue
+        put(table[seq], width)
+        table[trial] = next_code
+        next_code += 1
+        # width grows when the NEXT code to assign no longer fits
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        seq = (idx,)
+    if seq:
+        put(table[seq], width)
+        # the decoder defines ONE more entry after reading this final
+        # data code and grows its width if that entry fills the
+        # current power of two — EOI must be written at the width the
+        # decoder will READ it with, or a boundary-sized image ends
+        # with a misaligned EOI
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    put(eoi, width)
+    if nbits:
+        payload.append(acc & 0xFF)
+
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict[str, Any]:
+    """REAL GIF decoder (pure stdlib — no media library): validates
+    the GIF87a/89a signature, reads the logical screen descriptor and
+    global color table, skips 0x21 extension blocks by sub-block
+    framing, parses the image descriptor (interlace rejected rather
+    than guessed; a local color table overrides the global one), and
+    runs a genuine variable-width LZW decode — clear-code dictionary
+    resets, the KwKwK first-use case, width growth at each dictionary
+    power of two, end-of-information — then maps indices through the
+    palette. Emits (width, height, n_colors, rgb_sum, mean_rgb) with
+    the byte sum exact, so the catalog oracle pins the dictionary
+    decode end to end: an implementation that grows the code width
+    one code early/late, mishandles KwKwK, or misframes sub-blocks
+    hash-mismatches."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    w_s, h_s, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette: list[tuple[int, int, int]] | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+        ]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:  # local color table overrides
+                n = 2 << (iflags & 0x07)
+                palette = [
+                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            break
+        raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    else:
+        raise ValueError("GIF truncated before image descriptor")
+    if palette is None:
+        raise ValueError("GIF image has no color table")
+
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated inside sub-block stream")
+        n = payload[pos]
+        if n == 0:
+            break
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nbits = 0
+    dpos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, dpos
+        while nbits < width:
+            if dpos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[dpos] << nbits
+            dpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    def fresh() -> tuple[dict[int, tuple[int, ...]], int, int]:
+        return (
+            {c: (c,) for c in range(1 << min_code)},
+            eoi + 1,
+            min_code + 1,
+        )
+
+    table, next_code, width = fresh()
+    out_idx: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out_idx.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out_idx) < w * h:
+        raise ValueError(
+            f"GIF decoded {len(out_idx)} indices for {w * h} pixels"
+        )
+
+    rgb_sum = 0
+    for idx in out_idx[: w * h]:
+        if idx >= len(palette):
+            raise ValueError(f"palette index {idx} out of range")
+        r, g, b = palette[idx]
+        rgb_sum += r + g + b
+    return {
+        "width": w,
+        "height": h,
+        "n_colors": len(palette),
+        "rgb_sum": rgb_sum,
+        "mean_rgb": rgb_sum / (3 * w * h * 255.0),
+    }
+
+
+GIF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_colors", T.IntegerType()),
+        T.StructField("rgb_sum", T.LongType()),
+        T.StructField("mean_rgb", T.DoubleType()),
+    ]
+)
+
+
 def make_wav(doc_id: int) -> bytes:
     """Deterministic REAL RIFF/WAVE file: canonical 44-byte header
     (PCM fmt chunk + data chunk) followed by mono 16-bit

@@ -3730,6 +3730,73 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           12 + doc_id % 11 AS h,
+           CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc
+    FROM documents
+),
+px AS (
+    SELECT p.doc_id,
+           CAST(((CAST(xor((i.i * 2654435761 + p.doc_id * 97) % 4294967296,
+                           ((i.i * 2654435761 + p.doc_id * 97) % 4294967296)
+                           // 32768) AS HUGEINT)
+                  * 2246822519) % 4294967296)
+                // (4294967296 // p.nc) AS BIGINT) AS c
+    FROM p, range(0, 704) i(i)
+    WHERE i.i < p.w * p.h
+),
+rgbsum AS (
+    SELECT doc_id,
+           CAST(sum((doc_id * 3 + c * 29) % 256
+                    + (doc_id * 5 + c * 83) % 256
+                    + (doc_id * 7 + c * 131) % 256) AS BIGINT) AS rgb_sum
+    FROM px GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.w AS INTEGER) AS width,
+       CAST(p.h AS INTEGER) AS height,
+       CAST(p.nc AS INTEGER) AS n_colors,
+       r.rgb_sum,
+       CAST(r.rgb_sum AS DOUBLE) / (3 * p.w * p.h * 255.0) AS mean_rgb
+FROM p JOIN rgbsum r USING (doc_id)
+"""
+
+
+@query("gif_decode_features", _GIF_DECODE_ORACLE)
+def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL DICTIONARY codec] End-to-end decode of a
+    genuinely LZW-compressed image format with zero media libraries —
+    the dictionary-coding family, structurally different from PNG's
+    DEFLATE and JPEG's Huffman/DCT: the encode stage builds a real
+    GIF87a per document (logical screen descriptor, 4/8/16-color
+    global color table, image descriptor, variable-width LZW stream
+    with clear/EOI codes and 255-byte sub-block framing;
+    ``multimodal.make_gif``), and the decode stage runs
+    ``multimodal.decode_gif`` — a real variable-width LZW decoder
+    (dictionary rebuild, the KwKwK first-use case, width growth at
+    each power of two, clear-code resets) mapping indices through the
+    parsed palette. Pixel indices come from a splitmix-style integer
+    hash of (doc_id, pixel) — PRNG-quality, so the dictionary
+    genuinely fills and streams span multiple sub-blocks — and the
+    palette derives from doc_id, so the oracle replays the decoded
+    RGB byte sum with a range join and the same integer ops. A
+    decoder that grows the code width one code early, mishandles
+    KwKwK, or misframes sub-blocks hash-mismatches. Payloads stay
+    inside the two narrow Arrow map stages — nothing wide shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_gif
+    )
+    return multimodal.extract_media_features(
+        blobs,
+        decoder=multimodal.decode_gif,
+        feature_schema=multimodal.GIF_FEATURE_SCHEMA,
+    )
+
+
 _BMP_RESIZE_ORACLE = """
 WITH p AS (
     SELECT doc_id,
@@ -7426,12 +7493,25 @@ bands AS (
            md5(mh4 || '|' || mh5) AS b2, md5(mh6 || '|' || mh7) AS b3
     FROM sig
 ),
-newb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
-idx AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+long AS (
+    SELECT doc_id, 0 AS bi, b0 AS bv FROM bands
+    UNION ALL SELECT doc_id, 1, b1 FROM bands
+    UNION ALL SELECT doc_id, 2, b2 FROM bands
+    UNION ALL SELECT doc_id, 3, b3 FROM bands
+),
+new_long AS (SELECT * FROM long WHERE doc_id % 7 = 0),
+idx_long AS (SELECT * FROM long WHERE doc_id % 7 <> 0),
+-- hot-bucket cap (replays the engine's max_bucket=64): a band bucket
+-- holding more than 64 index docs is evidence-free and dropped
+idx_ok AS (
+    SELECT doc_id, bi, bv
+    FROM (SELECT l.*, count(*) OVER (PARTITION BY bi, bv) AS bc
+          FROM idx_long l)
+    WHERE bc <= 64
+),
 cand AS (
     SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
-    FROM newb n JOIN idx i
-      ON n.b0 = i.b0 OR n.b1 = i.b1 OR n.b2 = i.b2 OR n.b3 = i.b3
+    FROM new_long n JOIN idx_ok i ON n.bi = i.bi AND n.bv = i.bv
 )
 SELECT new_id AS doc_id,
        CAST(count(*) AS BIGINT) AS n_index_matches,
@@ -7449,7 +7529,14 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — |new|-proportional work, NO corpus self-join, which is how
     a growing corpus actually deduplicates per refresh
     (``dedup.incremental_minhash_matches``; the index side is
-    precomputed-and-stored in a real deployment).
+    precomputed-and-stored in a real deployment). Band buckets wider
+    than 64 index docs are DROPPED before the join (replayed by the
+    oracle): unigram-MinHash minima concentrate on common words, and
+    the round-9 scale fit measured the uncapped join at exponent
+    ~2.5 (423M candidates, 495 s at sf1.0) with the hottest bucket
+    holding 63% of the index — a bucket that wide carries no match
+    evidence, and dropping it is the standard production LSH
+    mitigation.
     """
     d = read_table(spark, sf_dir, "documents")
     new = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)

@@ -124,6 +124,7 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     # a scan or shuffle.
     "png_decode_features": ({"documents": 1}, 0),
     "jpeg_decode_features": ({"documents": 1}, 0),
+    "gif_decode_features": ({"documents": 1}, 0),
     # the month filter prunes at planning time; one partitioned scan.
     "partition_pruned_revenue": ({"scratch": 1}, 0),
     # round-8 TPC-H completion (Q2/4/6/7/8/9/10/11/12/13/14/15/16/

@@ -78,7 +78,12 @@ TARGETS = {
     # corpus; interpolation and bootstrap are row-bound over their
     # input tables.
     "semantic_dedup_clusters": "embedding_edges",
-    "incremental_dedup_newbatch": "document_rows",
+    # the matcher's work unit is band-bucket COLLISIONS, not corpus
+    # rows: the scaled corpora carry 10-way replica cliques whose
+    # members share a MinHash signature, so candidates grow with
+    # clique size × batch share by design — fitting against rows
+    # would misread that data property as operator superlinearity
+    "incremental_dedup_newbatch": "incr_candidates",
     "bpe_learn_merges": "document_rows",
     "interpolate_gaps_linear": "events_rows",
     "bootstrap_ci_price": "orders_rows",
@@ -157,6 +162,30 @@ def main() -> None:
             return read_table(spark, sf_dir, "documents").count()
         if kind == "events_rows":
             return read_table(spark, sf_dir, "events").count()
+        if kind == "incr_candidates":
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            d = read_table(spark, sf_dir, "documents")
+            new = dedup.minhash_band_table(
+                d.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0),
+                "doc_id", "text",
+            ).select(F.col("doc_id").alias("_n"), "_bi", "_bv")
+            idx = dedup.minhash_band_table(
+                d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0),
+                "doc_id", "text",
+            ).select(F.col("doc_id").alias("_i"), "_bi", "_bv")
+            # replay the operator's hot-bucket cap: its work unit is
+            # the candidates the CAPPED join emits
+            idx = (
+                idx.withColumn(
+                    "_bc",
+                    F.count(F.lit(1)).over(Window.partitionBy("_bi", "_bv")),
+                )
+                .filter(F.col("_bc") <= 64)
+                .drop("_bc")
+            )
+            return new.join(idx, ["_bi", "_bv"]).count()
         if kind == "orders_rows":
             return read_table(spark, sf_dir, "orders").count()
         raise ValueError(kind)
