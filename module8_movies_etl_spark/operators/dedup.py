@@ -478,6 +478,7 @@ def _banded_first_match_pairs(
     band_cols: list[str],
     payload: tuple[str, ...] = (),
     salt: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs sharing ≥1 of ``band_cols``, each pair emitted EXACTLY
     once — at the first band where it matches — with no distinct pass.
@@ -492,6 +493,15 @@ def _banded_first_match_pairs(
     matching row at band i survives only if bands 0..i-1 all differ.
     Band columns must be non-null (a NULL would make the inequality
     filter drop the pair).
+
+    ``max_bucket`` (None = emit everything, the pair-generator
+    contract): when set, band buckets wider than it are dropped
+    before pairing — the hot-bucket guard for corpora where minhash
+    minima degenerate onto common tokens (see
+    ``incremental_minhash_matches``, where the round-9 scale fit
+    measured a 63%-of-corpus bucket driving exponent ~2.5). The
+    width filter is a window on the bucket key, the same key the
+    pair join shuffles on — no extra exchange.
 
     Returns (id_a, id_b, payload_a..., payload_b...), id_a < id_b.
     """
@@ -511,6 +521,16 @@ def _banded_first_match_pairs(
         "_bi",
         F.concat_ws(":", F.col("_bi").cast("string"), F.col("_bv")).alias("_fmk"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        long_df = (
+            long_df.withColumn(
+                "_bw", F.count(F.lit(1)).over(Window.partitionBy("_fmk"))
+            )
+            .filter(F.col("_bw") <= max_bucket)
+            .drop("_bw")
+        )
     pairs = _salted_bucket_pairs(
         long_df,
         id_col,
@@ -567,6 +587,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     ngram: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 band of the
     signature. The scale path for fuzzy dedup — candidate generation is
@@ -574,7 +595,13 @@ def minhash_lsh_pairs(
 
     Returns distinct (id_a, id_b), id_a < id_b. Callers verify
     candidates with ``jaccard_similar_pairs``-style exact overlap if
-    precision matters (standard LSH two-phase).
+    precision matters (standard LSH two-phase). For corpora whose
+    minhash minima degenerate onto common tokens (band buckets
+    holding large corpus fractions — the output is then inherently
+    quadratic because those docs ARE all banded pairs), pass
+    ``max_bucket`` to drop evidence-free hot buckets before pairing,
+    the same production mitigation ``incremental_minhash_matches``
+    applies by default.
     """
     sig = _word_postings(df, id_col, text_col, ngram).groupBy(id_col).agg(
         *[
@@ -601,7 +628,10 @@ def minhash_lsh_pairs(
         ],
     )
     return _banded_first_match_pairs(
-        bands, id_col, [f"_band{b}" for b in range(n_bands)]
+        bands,
+        id_col,
+        [f"_band{b}" for b in range(n_bands)],
+        max_bucket=max_bucket,
     ).select("id_a", "id_b")
 
 

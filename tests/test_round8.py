@@ -713,3 +713,28 @@ def test_cep_negation_semantics(spark):
         .collect()
     )
     assert got == [101, 302]
+
+
+def test_minhash_lsh_pairs_max_bucket_drops_hot_buckets(spark):
+    """The optional hot-bucket cap (round 9): a degenerate band shared
+    by the whole corpus is evidence-free; capping it removes the
+    quadratic pair family while rare-bucket matches survive."""
+    from module8_movies_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    # 8 docs that all share every band (identical text) + one genuine
+    # rare pair in different text
+    docs = [(i, "common words shared by every doc") for i in range(1, 9)]
+    docs += [(20, "rare unique text family"), (21, "rare unique text family")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert (20, 21) in uncapped and len(uncapped) == 28 + 1  # C(8,2) + 1
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", max_bucket=4
+        ).collect()
+    }
+    assert capped == {(20, 21)}  # the 8-wide clique's buckets dropped
