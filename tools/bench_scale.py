@@ -120,6 +120,13 @@ HEADLINE = [
     "tpch_q10_returned_topn",
     "tpch_q12_ship_bands",
     "retrieval_mrr_audit",
+    # round-9 additions: the two new codec rungs (row-linear Arrow
+    # map stages) and the hot-bucket-capped incremental dedup (the
+    # round-9 scale-fix — its sf1.0 figure is the proof the cap
+    # holds in this harness too)
+    "jpeg_decode_features",
+    "gif_decode_features",
+    "incremental_dedup_newbatch",
 ]
 
 SF_DIRS = {
