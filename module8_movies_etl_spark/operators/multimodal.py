@@ -1144,6 +1144,91 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     }
 
 
+def make_wav_tone(doc_id: int, n: int = 256) -> bytes:
+    """Deterministic REAL RIFF/WAVE carrying a SQUARE tone at an
+    exact DFT bin: sample t is ``+A`` when sin(2π·k·t/n) ≥ 0 else
+    ``−A``, decided by INTEGER arithmetic (``(2·k·t) mod 2n < n``,
+    boundaries to +A) — no trig, no float, so every sample is exactly
+    ±A and the total power is exactly ``n·A²``. The square wave's DFT
+    concentrates at bin k with harmonics at 1/3, 1/5, … of the
+    fundamental (aliased copies included), so the spectral argmax is
+    bin k with a 3× margin — a closed form the oracle can state while
+    the decoder still has to run a genuine FFT to find it."""
+    import struct
+
+    rate = _SAMPLE_RATES[doc_id % 4]
+    k = 1 + doc_id % (n // 2 - 2)
+    a = 1000 + (doc_id % 200) * 93
+    samples = [
+        a if (2 * k * t) % (2 * n) < n else -a for t in range(n)
+    ]
+    frames = struct.pack(f"<{n}h", *samples)
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    data_chunk = b"data" + struct.pack("<I", len(frames)) + frames
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def spectral_wav_features(payload: bytes) -> dict[str, Any]:
+    """REAL spectral analysis (stdlib + numpy — the DSP stage a
+    production build binds librosa/scipy into): walk the RIFF chunk
+    list exactly as ``decode_wav``, then run a genuine FFT
+    (``numpy.fft.rfft``) over the mono int16 samples and report the
+    dominant non-DC bin, its frequency in Hz, the exact integer total
+    power (Σ s², computed from the samples, not the spectrum), and
+    the frame count. On ``make_wav_tone`` blobs the closed forms are
+    bin = k, hz = k·rate/n, power = n·A² — an implementation that
+    windows away the fundamental, misindexes rfft's output, or drops
+    the DC exclusion hash-mismatches. PCM-16 mono only."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise ValueError("spectral_wav_features supports mono PCM-16 only")
+    n = len(data) // 2
+    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    power = int((samples * samples).sum())
+    spectrum = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    dominant = int(spectrum[1:].argmax()) + 1  # bin 0 is DC
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "dominant_bin": dominant,
+        "dominant_hz": dominant * rate / n,
+        "power": power,
+    }
+
+
+SPECTRAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("power", T.LongType()),
+    ]
+)
+
+
 def downsample_wav_half(payload: bytes) -> dict[str, Any]:
     """REAL audio RESAMPLE on genuine container bytes: walk the RIFF
     chunk list exactly as ``decode_wav`` does, then 2× DECIMATE the

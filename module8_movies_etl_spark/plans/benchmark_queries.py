@@ -3886,6 +3886,54 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_SPECTRAL_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+           1 + doc_id % 126 AS k,
+           1000 + (doc_id % 200) * 93 AS a
+    FROM documents
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(k AS INTEGER) AS dominant_bin,
+       CAST(k * rate AS DOUBLE) / 256 AS dominant_hz,
+       CAST(256 * a * a AS BIGINT) AS power
+FROM p
+"""
+
+
+@query("wav_spectral_features", _WAV_SPECTRAL_ORACLE)
+def wav_spectral_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal — REAL DSP stage] Spectral feature extraction on
+    genuine audio container bytes: the encode stage writes a real
+    RIFF/WAVE square tone per document whose samples are decided by
+    INTEGER arithmetic (``multimodal.make_wav_tone`` — every sample
+    exactly ±A, total power exactly n·A², stdlib ``wave`` parses the
+    container), and the decode stage runs
+    ``multimodal.spectral_wav_features``: the chunk walk of
+    ``decode_wav`` followed by a genuine FFT (numpy rfft) whose
+    non-DC argmax is the dominant bin. The square wave concentrates
+    at bin k with 3× margin over its harmonics, so the oracle states
+    (bin, Hz, power) in closed form from doc_id — a decoder that
+    misindexes rfft bins, forgets the DC exclusion, or computes
+    power from the un-normalized spectrum hash-mismatches. The
+    production slot binds librosa/scipy; the FFT and the features
+    here are real. Payloads stay inside the two narrow Arrow map
+    stages."""
+    d = read_table(spark, sf_dir, "documents")
+    blobs = multimodal.synthesize_media_payloads(
+        d, maker=multimodal.make_wav_tone
+    )
+    return multimodal.extract_media_features(
+        blobs,
+        decoder=multimodal.spectral_wav_features,
+        feature_schema=multimodal.SPECTRAL_FEATURE_SCHEMA,
+    )
+
+
 _WAV_RESAMPLE_ORACLE = """
 WITH p AS (
     SELECT doc_id,

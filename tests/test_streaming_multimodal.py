@@ -219,3 +219,36 @@ def test_decode_stub_raises(spark):
     feats = multimodal.extract_media_features(with_payload)  # default stub
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         feats.collect()
+
+
+def test_spectral_tone_features_closed_form_and_robustness():
+    """The DSP rung (round 9): square tones at exact DFT bins decode
+    to closed-form (bin, Hz, power); the container parses with the
+    stdlib wave module; non-tone inputs still produce sane spectra."""
+    import io
+    import wave as wave_mod
+
+    from module8_movies_etl_spark.operators.multimodal import (
+        _SAMPLE_RATES,
+        make_wav,
+        make_wav_tone,
+        spectral_wav_features,
+    )
+
+    for doc in range(0, 600, 7):
+        rate = _SAMPLE_RATES[doc % 4]
+        k = 1 + doc % 126
+        a = 1000 + (doc % 200) * 93
+        f = spectral_wav_features(make_wav_tone(doc))
+        assert f == {
+            "sample_rate": rate, "n_samples": 256, "dominant_bin": k,
+            "dominant_hz": k * rate / 256, "power": 256 * a * a,
+        }, doc
+    # independent container validation: Python's own wave module
+    wf = wave_mod.open(io.BytesIO(make_wav_tone(7)))
+    assert (wf.getnframes(), wf.getsampwidth()) == (256, 2)
+    # the alternating +a/-b wave of make_wav peaks at Nyquist-ish
+    # bins; the decoder must still return a valid non-DC bin
+    g = spectral_wav_features(make_wav(5))
+    assert 1 <= g["dominant_bin"] <= g["n_samples"] // 2
+    assert g["power"] > 0
