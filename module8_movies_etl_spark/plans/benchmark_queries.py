@@ -40,6 +40,7 @@ from ..operators import (
     layout,
     multimodal,
     pivot,
+    preferences,
     quality,
     rangejoin,
     robust,
@@ -3883,6 +3884,111 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         blobs,
         decoder=multimodal.decode_wav,
         feature_schema=multimodal.AUDIO_FEATURE_SCHEMA,
+    )
+
+
+def _bt_oracle(n_iters: int = 8) -> str:
+    """Bradley-Terry oracle: the preference-pair construction plus
+    the MM iteration UNROLLED as two CTE layers per round (raw update
+    + mean-1 renormalization) — the fixed round count is what makes
+    the fit SQL-replayable, the ``_pagerank_oracle`` pattern. Every
+    round references the previous layer TWICE (p_i and p_j), so the
+    per-round CTEs are MATERIALIZED: inlined CTEs would re-evaluate
+    the whole chain 2^rounds times (the engine-side twin of this
+    blowup needed per-round snapshots for the same reason)."""
+    layers = []
+    for t in range(1, n_iters + 1):
+        prev = f"q{t - 1}"
+        layers.append(
+            f"r{t} AS MATERIALIZED (\n"
+            f"    SELECT c.i AS item,\n"
+            f"           coalesce(w.n_wins, 0)\n"
+            f"           / sum(c.n / (pi.p + pj.p)) AS praw\n"
+            f"    FROM comps c\n"
+            f"    JOIN {prev} pi ON pi.item = c.i\n"
+            f"    JOIN {prev} pj ON pj.item = c.j\n"
+            f"    LEFT JOIN wins w ON w.i = c.i\n"
+            f"    GROUP BY c.i, w.n_wins\n)"
+        )
+        layers.append(
+            f"q{t} AS MATERIALIZED (\n"
+            f"    SELECT item,\n"
+            f"           praw * (SELECT c FROM ni)\n"
+            f"           / (SELECT sum(praw) FROM r{t}) AS p\n"
+            f"    FROM r{t}\n)"
+        )
+    return f"""
+WITH keyed AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) * 1073741824
+           + l_linenumber * 134217728 + l_suppkey AS k
+    FROM lineitem
+),
+prefs AS MATERIALIZED (
+    SELECT arg_max(l_suppkey, k) AS w, arg_min(l_suppkey, k) AS l
+    FROM keyed GROUP BY l_orderkey
+    HAVING arg_max(l_suppkey, k) <> arg_min(l_suppkey, k)
+),
+comps AS MATERIALIZED (
+    SELECT i, j, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT w AS i, l AS j FROM prefs
+          UNION ALL SELECT l AS i, w AS j FROM prefs)
+    GROUP BY 1, 2
+),
+wins AS (SELECT w AS i, CAST(count(*) AS BIGINT) AS n_wins
+         FROM prefs GROUP BY 1),
+ncomp AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_comparisons
+          FROM comps GROUP BY 1),
+items AS (SELECT DISTINCT i FROM comps),
+ni AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM items),
+q0 AS (SELECT i AS item, 1.0 AS p FROM items),
+{",".join(layers)}
+SELECT q.item, round(q.p, 6) AS strength,
+       CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+       nc.n_comparisons
+FROM q{n_iters} q
+LEFT JOIN wins w ON w.i = q.item
+JOIN ncomp nc ON nc.i = q.item
+"""
+
+
+@query("bradley_terry_suppliers", _bt_oracle())
+def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[preference modeling, beyond-ref §2.13 — the reward-modeling
+    data op] Bradley-Terry strengths over a pairwise preference
+    stream: within every multi-supplier order, the supplier of the
+    highest-value line "beats" the supplier of the lowest-value
+    line (deterministic composite key — exact cents packed with
+    linenumber and suppkey tiebreaks, so both engines pick identical
+    winners via max_by/arg_max), then eight MM iterations
+    (``preferences.bradley_terry_strengths``, Hunter 2004) fit the
+    latent strengths RLHF pipelines use to rank items/annotators and
+    weight preference pairs. One fact-grain aggregate builds the
+    comparison matrix; every MM round is item-grain (two joins + an
+    aggregate + a 1-row normalization broadcast, all lazy — no
+    driver actions in the loop). The oracle unrolls the same eight
+    rounds as CTE layers; round(6) absorbs double summation-order
+    wiggle, the PageRank precedent."""
+    li = read_table(spark, sf_dir, "lineitem")
+    k = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.lit(1073741824).cast("long")
+        + F.col("l_linenumber").cast("long") * 134217728
+        + F.col("l_suppkey").cast("long")
+    )
+    prefs = (
+        li.select("l_orderkey", "l_suppkey", k.alias("_k"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max_by("l_suppkey", F.col("_k")).alias("_w"),
+            F.min_by("l_suppkey", F.col("_k")).alias("_l"),
+        )
+        .filter(F.col("_w") != F.col("_l"))
+    )
+    return preferences.bradley_terry_strengths(
+        prefs, "_w", "_l", n_iters=8
+    ).select(
+        F.col("item"), "strength", "n_wins", "n_comparisons"
     )
 
 
