@@ -3887,6 +3887,87 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geometric_noise_case(col_expr: str, eps: float = 0.5,
+                          zmax: int = 40) -> str:
+    """SQL CASE mapping 28 md5 bits (7 lowercase hex chars, compared
+    as strings against precomputed hex thresholds — the Poisson-
+    bootstrap trick) to GEOMETRIC-MECHANISM noise: the discrete
+    Laplace P(z) ∝ e^(−ε·|z|) that is THE standard ε-DP mechanism
+    for counting queries (Ghosh–Roughgarden–Sundararajan). The same
+    generated string runs on BOTH engines, so the noise is
+    bit-identical by construction — exact integers, no float, no ln,
+    no cross-libm risk. Truncation at ±zmax loses tail mass below
+    the 28-bit resolution (α^40 ≈ 2e-9 < 2^-28)."""
+    import math
+
+    alpha = math.exp(-eps)
+    zs = list(range(-zmax, zmax + 1))
+    weights = [alpha ** abs(z) for z in zs]
+    tot = sum(weights)
+    acc = 0.0
+    branches = []
+    for z, w in zip(zs[:-1], weights[:-1]):
+        acc += w / tot
+        thr = min(int(acc * (1 << 28)), (1 << 28) - 1)
+        branches.append(f"WHEN {col_expr} < '{thr:07x}' THEN {z}")
+    return "CASE " + " ".join(branches) + f" ELSE {zmax} END"
+
+
+_DP_ORACLE = f"""
+WITH c AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+z AS (
+    SELECT lang, source, n,
+           {_geometric_noise_case(
+               "substr(md5(lang || '|' || source || '|dp1'), 1, 7)"
+           )} AS zz
+    FROM c
+)
+SELECT lang, source,
+       CAST(n + zz AS BIGINT) AS noisy_count,
+       (n + zz >= 5) AS released,
+       CASE WHEN n + zz >= 5 THEN CAST(n + zz AS BIGINT) END
+           AS released_count
+FROM z
+"""
+
+
+@query("dp_noisy_group_counts", _DP_ORACLE)
+def dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[governance — DIFFERENTIAL PRIVACY, beside k-anonymity and
+    l-diversity] ε-DP release of per-(lang, source) document counts
+    via the GEOMETRIC MECHANISM (discrete Laplace, ε=0.5,
+    sensitivity 1 — each document lands in exactly one cell), plus
+    the small-count suppression gate real DP releases pair with it
+    (noisy counts below 5 are withheld). The noise is deterministic
+    for the harness: 28 md5 bits of the group key feed the
+    mechanism's inverse CDF as PRECOMPUTED hex thresholds — the
+    Poisson-bootstrap pattern — so both engines draw bit-identical
+    integer noise while the mechanism's distribution is the real
+    e^(−ε|z|) geometric (a production build swaps the hash bits for
+    a secure RNG; everything else is unchanged). One group-grain
+    projection over one aggregate — noise cost is O(groups)."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    noise = F.expr(
+        _geometric_noise_case(
+            "substring(md5(concat(lang, '|', source, '|dp1')), 1, 7)"
+        )
+    ).cast("long")
+    noisy = F.col("_n") + noise
+    return counts.select(
+        "lang",
+        "source",
+        noisy.alias("noisy_count"),
+        (noisy >= 5).alias("released"),
+        F.when(noisy >= 5, noisy).alias("released_count"),
+    )
+
+
 def _bt_oracle(n_iters: int = 8) -> str:
     """Bradley-Terry oracle: the preference-pair construction plus
     the MM iteration UNROLLED as two CTE layers per round (raw update

@@ -163,3 +163,50 @@ def test_audio_features_invariants(spark):
         assert r["sample_rate"] in (8000, 16000, 22050, 44100)
         assert r["duration_s"] == r["n_samples"] / r["sample_rate"]
         assert 0.0 <= r["rms"] <= 1.0
+
+
+def test_dp_geometric_mechanism_matches_python_replay(spark, sf_dir):
+    """The DP release (round 9): noise must equal an independent
+    plain-Python replay of the geometric mechanism's inverse CDF on
+    the same md5 bits, and the suppression gate must actually fire
+    somewhere at fixture scale."""
+    import hashlib
+    import math
+
+    from module8_movies_etl_spark.plans.benchmark_queries import QUERIES
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    def noise_py(key: str, eps: float = 0.5, zmax: int = 40) -> int:
+        u = int(hashlib.md5(key.encode()).hexdigest()[:7], 16)
+        alpha = math.exp(-eps)
+        zs = list(range(-zmax, zmax + 1))
+        weights = [alpha ** abs(z) for z in zs]
+        tot = sum(weights)
+        acc = 0.0
+        for z, w in zip(zs[:-1], weights[:-1]):
+            acc += w / tot
+            if u < min(int(acc * (1 << 28)), (1 << 28) - 1):
+                return z
+        return zmax
+
+    true_counts = {
+        (r["lang"], r["source"]): r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = QUERIES["dp_noisy_group_counts"](spark, sf_dir).collect()
+    assert len(rows) == len(true_counts) > 0
+    suppressed = 0
+    for r in rows:
+        key = f"{r['lang']}|{r['source']}|dp1"
+        want = true_counts[(r["lang"], r["source"])] + noise_py(key)
+        assert r["noisy_count"] == want, (r, want)
+        assert r["released"] == (r["noisy_count"] >= 5)
+        assert r["released_count"] == (
+            r["noisy_count"] if r["released"] else None
+        )
+        if not r["released"]:
+            suppressed += 1
+    assert suppressed > 0, "suppression gate never fired — fixture drifted"
