@@ -83,10 +83,14 @@ def bradley_terry_strengths(
     for _ in range(n_iters):
         # SNAPSHOT per round (the connected_components pattern, not
         # pagerank's lazy chain): each round references p TWICE (p_i
-        # and p_j), so a lazy loop doubles the plan tree per round —
-        # 2^n_iters subplans OOMed the driver at 8 rounds. The
-        # snapshot is an item-grain parquet round-trip (hundreds of
-        # rows), trivially cheap.
+        # and p_j), so a fully lazy loop doubles the plan tree per
+        # round — 2^n_iters subplans OOMed the driver at 8 rounds.
+        # Per-round is also the measured optimum: snapshotting every
+        # SECOND round re-executes each un-cut round's praw ~3×
+        # (its 1-row normalizer plus both next-round references),
+        # which cost more than the parquet round-trips it saved
+        # (9.8 s vs 8.8 s at sf0.1). The snapshot is an item-grain
+        # write — hundreds of rows.
         p = snapshot(p, prefix="bt_round_")
         pi = p.select(F.col("item").alias("i"), F.col("p").alias("_pi"))
         pj = p.select(F.col("item").alias("j"), F.col("p").alias("_pj"))

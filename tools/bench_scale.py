@@ -127,6 +127,12 @@ HEADLINE = [
     "jpeg_decode_features",
     "gif_decode_features",
     "incremental_dedup_newbatch",
+    # round-9 wave 2: the FFT spectral rung (row-linear Arrow map),
+    # the item-grain Bradley-Terry fit (one fact aggregate + tiny MM
+    # rounds), and the group-grain DP release
+    "wav_spectral_features",
+    "bradley_terry_suppliers",
+    "dp_noisy_group_counts",
 ]
 
 SF_DIRS = {
