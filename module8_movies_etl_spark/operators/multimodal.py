@@ -64,13 +64,15 @@ def decode_stub(payload: bytes) -> dict[str, Any]:
     via ffmpeg). A production build binds ffmpeg here; this container
     has none, so the stub is explicit instead of silently wrong.
     Every still-image/audio rung of the codec ladder IS implemented
-    for real: ``decode_bmp`` / ``decode_wav`` (header-parsed),
-    ``decode_png`` (COMPRESSED — stdlib zlib inflate + all five
-    scanline unfilters + per-chunk CRC), and ``decode_jpeg``
-    (DCT/ENTROPY-coded — canonical Huffman decode, DC DPCM + AC
-    run-length, dequantization, 8×8 IDCT, YCbCr→RGB, all pure
-    stdlib+numpy arithmetic), each exercised on real bytes by the
-    catalog (bmp/wav/png/jpeg_decode_features)."""
+    for real — one codec per compression family: ``decode_bmp`` /
+    ``decode_wav`` (header-parsed), ``decode_gif`` (DICTIONARY-coded —
+    real variable-width LZW), ``decode_png`` (DEFLATE — stdlib zlib
+    inflate + all five scanline unfilters + per-chunk CRC),
+    ``decode_jpeg`` (DCT/ENTROPY-coded — canonical Huffman decode,
+    DC DPCM + AC run-length, dequantization, 8×8 IDCT, YCbCr→RGB),
+    and ``spectral_wav_features`` (FFT DSP stage), each exercised on
+    real bytes by the catalog
+    (bmp/wav/png/jpeg/gif_decode_features, wav_spectral_features)."""
     raise NotImplementedError(
         "video decoding requires ffmpeg, not present in this "
         "environment; inject a decoder via extract_media_features(decoder=...)"
