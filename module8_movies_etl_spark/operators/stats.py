@@ -210,7 +210,12 @@ def chi2_independence(
     grid = (
         cells.select(col_a)
         .distinct()
-        .crossJoin(cells.select(col_b).distinct())
+        # broadcast the (tiny, already driver-bounded) category list:
+        # an unhinted cross of two distincts plans as CartesianProduct,
+        # which the catalog-wide plan sweep forbids — the broadcast
+        # form (BroadcastNestedLoopJoin) states the boundedness in the
+        # plan itself
+        .crossJoin(F.broadcast(cells.select(col_b).distinct()))
     )
     full = grid.join(F.broadcast(cells), [col_a, col_b], "left").select(
         col_a, col_b, F.coalesce(F.col("_o"), F.lit(0.0)).alias("_o")
