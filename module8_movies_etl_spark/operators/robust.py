@@ -424,3 +424,92 @@ def woe_iv_table(
     return scored.crossJoin(F.broadcast(iv)).select(
         "bin", "lo", "hi", "n_pos", "n_neg", "woe", "iv_total"
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    baseline_cond,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index: the standard model-monitoring
+    drift score between a BASELINE slice and the current rest —
+    PSI = Σ_bins (p_cur − p_base)·ln(p_cur / p_base) over deciles cut
+    from the BASELINE distribution (the PSI convention: the reference
+    period owns the bins; current-period outliers clamp into the edge
+    bins). Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.
+
+    ``baseline_cond`` is a boolean Column selecting the reference
+    slice. Laplace +0.5 smoothing keeps empty cells finite (a bin the
+    current period abandoned still contributes a finite term).
+
+    Determinism mirrors ``woe_iv_table``: exact integer bin counts,
+    ln rounded(6), each term (p_cur − p_base)·ln rounded(8) and
+    summed as DECIMAL — order-independent, so the one PSI number
+    hash-verifies. Shape: one percentile aggregate over the baseline
+    (all edges in one broadcast row) + one counting aggregate over
+    (bin) — two fact passes, no sort. PSI terms are non-negative by
+    construction ((p_cur − p_base) and ln share sign), so the total
+    is monotone in drift.
+    """
+    v = F.col(value_col).cast("double")
+    is_base = baseline_cond.cast("int")
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    edges = df.filter(baseline_cond & v.isNotNull()).agg(
+        F.transform(
+            F.percentile(v, F.array(*[F.lit(q) for q in qs])),
+            lambda e: F.round(e, 4),
+        ).alias("_edges")
+    )
+    binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(edges)).select(
+        F.greatest(
+            F.aggregate(
+                F.slice(F.col("_edges"), 1, n_bins),
+                F.lit(0),
+                lambda acc, e: acc + (v > e).cast("int"),
+            ),
+            F.lit(1),
+        ).alias("bin"),
+        F.col("_edges"),
+        is_base.alias("_b"),
+    )
+    cells = binned.groupBy("bin", "_edges").agg(
+        F.sum("_b").alias("n_base"),
+        F.sum(F.lit(1) - F.col("_b")).alias("n_cur"),
+    )
+    from ..sources.scratch import snapshot
+
+    cells = snapshot(cells, prefix="psi_cells_")
+    tot = cells.agg(
+        F.sum("n_base").alias("_tb"), F.sum("n_cur").alias("_tc")
+    )
+    pb = (F.col("n_base").cast("double") + F.lit(0.5)) / (
+        F.col("_tb").cast("double") + F.lit(0.5) * n_bins
+    )
+    pc = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("_tc").cast("double") + F.lit(0.5) * n_bins
+    )
+    lnr = F.round(F.log(pc / pb), 6)
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.element_at(F.col("_edges"), F.col("bin").cast("int")).alias("lo"),
+        F.element_at(
+            F.col("_edges"), F.col("bin").cast("int") + 1
+        ).alias("hi"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((pc - pb) * lnr, 8).cast("decimal(18,8)").alias("_term"),
+    )
+    psi = scored.agg(
+        F.round(F.sum("_term").cast("double"), 6).alias("psi_total")
+    )
+    return scored.crossJoin(F.broadcast(psi)).select(
+        "bin",
+        "lo",
+        "hi",
+        "n_base",
+        "n_cur",
+        F.col("_term").cast("double").alias("psi_contrib"),
+        "psi_total",
+    )

@@ -10026,6 +10026,88 @@ FROM w CROSS JOIN edges e CROSS JOIN iv
 """
 
 
+_PSI_ORACLE = """
+WITH edges AS (
+    SELECT [round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.0), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.1), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.2), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.3), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.4), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.6), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.7), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.8), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4),
+            round(quantile_cont(CAST(o_totalprice AS DOUBLE), 1.0), 4)] AS e
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      AND o_totalprice IS NOT NULL
+),
+binned AS (
+    SELECT greatest(
+               (SELECT sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > x
+                                THEN 1 ELSE 0 END)
+                FROM unnest(e[1:10]) AS u(x)),
+               1) AS bin,
+           CASE WHEN o.o_orderdate < TIMESTAMP '1997-01-01'
+                THEN 1 ELSE 0 END AS b
+    FROM orders o CROSS JOIN edges
+    WHERE o.o_totalprice IS NOT NULL
+),
+cells AS (
+    SELECT bin, SUM(b) AS n_base, SUM(1 - b) AS n_cur
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cells),
+w AS (
+    SELECT c.bin, c.n_base, c.n_cur,
+           (CAST(c.n_base AS DOUBLE) + 0.5)
+               / (CAST(t.tb AS DOUBLE) + 5.0) AS pb,
+           (CAST(c.n_cur AS DOUBLE) + 0.5)
+               / (CAST(t.tc AS DOUBLE) + 5.0) AS pc
+    FROM cells c, tot t
+),
+terms AS (
+    SELECT bin, n_base, n_cur,
+           CAST(round((pc - pb) * round(ln(pc / pb), 6), 8)
+                AS DECIMAL(18,8)) AS term
+    FROM w
+),
+psi AS (SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS psi_total
+        FROM terms)
+SELECT CAST(t.bin AS BIGINT) AS bin,
+       e.e[CAST(t.bin AS INTEGER)] AS lo,
+       e.e[CAST(t.bin AS INTEGER) + 1] AS hi,
+       CAST(t.n_base AS BIGINT) AS n_base,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       CAST(t.term AS DOUBLE) AS psi_contrib,
+       psi.psi_total
+FROM terms t CROSS JOIN edges e CROSS JOIN psi
+"""
+
+
+@query("psi_drift_totalprice", _PSI_ORACLE)
+def psi_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[model monitoring, beyond-ref §2.13 — the unsupervised twin of
+    ``woe_iv_totalprice``] Population Stability Index of order totals
+    between the pre-1997 baseline and everything after — THE standard
+    "did the feature distribution my model was trained on drift"
+    score, run continuously over 100 TB scoring tables. Deciles cut
+    from the BASELINE distribution (the PSI convention), Laplace-
+    smoothed shares, per-bin contributions and the single PSI number
+    (< 0.1 stable, > 0.25 shifted). Determinism mirrors WOE/IV:
+    exact counts, ln rounded(6), DECIMAL term sums. Two fact passes
+    (baseline percentile edges, bin counts), no sort.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return robust.psi_drift(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"),
+        n_bins=10,
+    )
+
+
 @query("woe_iv_totalprice", _WOE_ORACLE)
 def woe_iv_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[feature engineering, beyond-ref §2.13 — the supervised twin
