@@ -9421,6 +9421,67 @@ def weighted_median_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(n_rounds: int = 4) -> str:
+    """Label-propagation oracle over the shared near-dup pairs graph:
+    the synchronous rounds UNROLLED one CTE layer each — most-
+    frequent neighbor label, min-label tie-break via a row_number
+    ordered (count DESC, label ASC), exactly the engine's pick. Each
+    layer references its predecessor ONCE, so plain (inlined) CTEs
+    stay linear — no MATERIALIZED needed (contrast ``_bt_oracle``)."""
+    cte = _embedding_pairs_cte(threshold=0.2)
+    layers = []
+    for r in range(1, n_rounds + 1):
+        prev = f"l{r - 1}"
+        layers.append(
+            f"l{r} AS (\n"
+            f"    SELECT node, label FROM (\n"
+            f"        SELECT e.t AS node, {prev}.label,\n"
+            f"               row_number() OVER (\n"
+            f"                   PARTITION BY e.t\n"
+            f"                   ORDER BY count(*) DESC, {prev}.label\n"
+            f"               ) AS rn\n"
+            f"        FROM e JOIN {prev} ON {prev}.node = e.s\n"
+            f"        GROUP BY e.t, {prev}.label\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+    return f"""
+WITH {cte},
+e AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+{",".join(layers)}
+SELECT node, label AS community,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+           AS community_size
+FROM l{n_rounds}
+"""
+
+
+@query("lpa_communities", _lpa_oracle())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/community, beyond-ref §2.13 — the third iterative graph
+    op beside connected components and PageRank] Four synchronous
+    label-propagation rounds over the embedding near-dup graph:
+    where CC merges everything REACHABLE (one component per chain)
+    and PageRank ranks centrality, LPA groups the densely-linked
+    cores — the community structure a near-dup CLUSTER review
+    actually wants. Deterministic by construction (most-frequent
+    neighbor label, MIN-label ties, fixed rounds), so the oracle
+    unrolls the same four rounds and hash-matches exactly — no
+    floats anywhere. Plan shape mirrors PageRank: one edges
+    snapshot; per round one node-keyed join + a (node, label) count
+    + a per-node row_number, label table consumed once per round so
+    the chain stays lazy."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    return graphs.label_propagation(pairs, n_rounds=4)
+
+
 def _khop_oracle(k: int = 3, seed_mod: int = 50) -> str:
     """Recursive-CTE BFS over the shared near-dup pairs graph: walk
     (node, dist) frontiers with UNION dedup (terminates — dist is

@@ -611,3 +611,28 @@ def test_chunk_reconstruction_property(spark):
         assert total == len(text)
 
     check()
+
+
+# ------------------------------------------------ label propagation
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Hand-traced golden (round 9): two triangles joined by one
+    bridge edge. Connected components would merge everything; four
+    LPA rounds settle on the two dense cores — communities {1,2,3}
+    (label 1) and {4,5,6} (label 3), traced round by round by hand
+    with the min-label tie rule."""
+    from module8_movies_etl_spark.operators.graphs import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in label_propagation(pairs, n_rounds=4).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (3, 3), 5: (3, 3), 6: (3, 3),
+    }
