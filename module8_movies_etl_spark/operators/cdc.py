@@ -156,3 +156,80 @@ def scd2_history(
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+def refresh_join_mv(
+    mv: DataFrame,
+    base_fact: DataFrame,
+    delta: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    join_key_fact: str,
+    join_key_dim: str,
+    group_col: str,
+    sum_cols: dict[str, str],
+    count_name: str = "n_rows",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incrementally maintain a JOIN materialized view
+    (``fact ⋈ dim`` grouped by a dim attribute) under a CDC batch of
+    fact upserts/deletes — the delta-join rule ΔMV = Δfact ⋈ dim,
+    with SIGNED rows so updates and deletes retract their old
+    contribution:
+
+    - every changed key's OLD fact row (fetched by ONE key-join
+      against the base — prunable by layout, never a re-aggregate)
+      enters with sign −1;
+    - every 'U' delta row enters with sign +1 ('D' contributes only
+      the retraction);
+    - the signed stream joins the (broadcast) dim once, aggregates to
+      group grain, and MERGES into the MV by addition; groups whose
+      maintained row count reaches 0 are dropped, so the result is
+      row-identical to a full recompute over the post-CDC snapshot.
+
+    Works for the signed-delta-maintainable measures (counts and
+    sums — pass exact integer columns for hash-stable results);
+    min/max are NOT maintainable this way (a deleted extremum needs
+    a rescan — the classic restriction, out of contract here).
+    Cost: O(|Δ| + base-rows-for-changed-keys + |groups|) vs the full
+    recompute's O(|base|).
+
+    ``sum_cols`` maps MV measure name → fact column. ``mv`` must
+    carry ``group_col``, every measure name, and ``count_name``.
+    One delta row per key (the ``apply_cdc`` no-seq contract).
+    """
+    changed_keys = delta.select(F.col(fact_key)).distinct()
+    old = base_fact.join(changed_keys, fact_key, "semi").withColumn(
+        "_sign", F.lit(-1)
+    )
+    new = delta.filter(F.col(op_col) == "U").drop(op_col).withColumn(
+        "_sign", F.lit(1)
+    )
+    signed = old.unionByName(new)
+    d_aggs = [
+        F.sum(F.col("_sign") * F.col(src)).alias(f"_d_{name}")
+        for name, src in sum_cols.items()
+    ] + [F.sum("_sign").alias("_d_n")]
+    deltas = (
+        signed.join(
+            F.broadcast(dim),
+            F.col(join_key_fact) == F.col(join_key_dim),
+        )
+        .groupBy(group_col)
+        .agg(*d_aggs)
+    )
+    merged = mv.join(deltas, group_col, "full_outer").select(
+        group_col,
+        *[
+            (
+                F.coalesce(F.col(name), F.lit(0))
+                + F.coalesce(F.col(f"_d_{name}"), F.lit(0))
+            ).alias(name)
+            for name in sum_cols
+        ],
+        (
+            F.coalesce(F.col(count_name), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).alias(count_name),
+    )
+    return merged.filter(F.col(count_name) > 0)

@@ -3277,6 +3277,97 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOIN_MV_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_totalprice IS NOT NULL
+),
+delta AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS cents,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'D' END AS op
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL
+),
+-- the ORACLE is the FULL RECOMPUTE over the post-CDC snapshot: the
+-- engine maintains the view incrementally (signed delta-join), and
+-- their equality IS the maintenance-correctness theorem
+next AS (
+    SELECT o_orderkey, o_custkey, cents FROM delta WHERE op = 'U'
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.cents
+    FROM base b ANTI JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT c.c_nationkey,
+       CAST(sum(n.cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM next n JOIN customer c ON n.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("incremental_join_mv", _JOIN_MV_ORACLE)
+def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[warehouse — JOIN-MV maintenance, the delta-join completion of
+    ``refresh_grouped_mv``'s partial-aggregate rule] Maintain a
+    revenue-per-nation view over orders ⋈ customer through a CDC
+    batch of fact upserts (+1.00 on even keys) and deletes (odd
+    keys) WITHOUT re-aggregating the base: changed keys' old rows
+    retract with sign −1 (one key-join against the base — prunable,
+    never a rescan), 'U' rows add with +1, the signed stream joins
+    the broadcast dim once, and group-grain deltas MERGE into the
+    view additively, dropping groups whose row count reaches zero
+    (``cdc.refresh_join_mv``). The ORACLE takes the other road — a
+    full recompute over the post-CDC snapshot — so the hash match is
+    exactly the incremental-view-maintenance correctness theorem,
+    checked on exact integer cents. O(|Δ|+|groups|) refresh vs the
+    recompute's O(|base|)."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    delta = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (cents + 100).alias("cents"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    mv = (
+        base.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return cdc.refresh_join_mv(
+        mv,
+        base,
+        delta,
+        c,
+        fact_key="o_orderkey",
+        join_key_fact="o_custkey",
+        join_key_dim="c_custkey",
+        group_col="c_nationkey",
+        sum_cols={"revenue_cents": "cents"},
+        count_name="n_orders",
+    ).select(
+        "c_nationkey",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
 _CDC_ORACLE = """
 WITH base AS (
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price

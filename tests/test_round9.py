@@ -636,3 +636,46 @@ def test_label_propagation_splits_bridged_triangles(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (3, 3), 5: (3, 3), 6: (3, 3),
     }
+
+
+# --------------------------------------------------- join-MV refresh
+
+
+def test_refresh_join_mv_hand_golden(spark):
+    """Signed delta-join maintenance (round 9): update retracts the
+    old row and adds the new one, delete only retracts, an insert on
+    a fresh key adds, and a group whose last row is deleted VANISHES
+    — row-identical to recomputing over the post-CDC snapshot."""
+    from module8_movies_etl_spark.operators.cdc import refresh_join_mv
+
+    base = spark.createDataFrame(
+        # (order, cust, cents): groups via dim below — cust 1,2 -> g10;
+        # cust 3 -> g20 (single row: its delete must vanish the group)
+        [(1, 1, 100), (2, 2, 200), (3, 3, 300)],
+        "o long, cust long, cents long",
+    )
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30)], "c long, g long"
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, 2, 250, "U"),   # update: 200 -> 250
+            (3, 3, 0, "D"),     # delete the only g20 row
+            (9, 4, 700, "U"),   # insert a brand-new key in a new group
+        ],
+        "o long, cust long, cents long, op string",
+    )
+    mv = spark.createDataFrame(
+        [(10, 300, 2), (20, 300, 1)], "g long, revenue long, n long"
+    )
+    got = sorted(
+        (r["g"], r["revenue"], r["n"])
+        for r in refresh_join_mv(
+            mv, base, delta, dim,
+            fact_key="o", join_key_fact="cust", join_key_dim="c",
+            group_col="g", sum_cols={"revenue": "cents"}, count_name="n",
+        ).collect()
+    )
+    # post-CDC snapshot: (1,1,100), (2,2,250), (9,4,700)
+    # -> g10: 350/2; g20 gone; g30: 700/1
+    assert got == [(10, 350, 2), (30, 700, 1)]
