@@ -133,6 +133,12 @@ HEADLINE = [
     "wav_spectral_features",
     "bradley_terry_suppliers",
     "dp_noisy_group_counts",
+    # round-9 wave 3: drift monitoring (two fact passes), LPA
+    # communities (pagerank's plan shape), and the signed delta-join
+    # MV refresh (O(delta+groups) by design — its ratio should hug 1)
+    "psi_drift_totalprice",
+    "lpa_communities",
+    "incremental_join_mv",
 ]
 
 SF_DIRS = {
