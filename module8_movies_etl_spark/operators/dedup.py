@@ -1345,7 +1345,7 @@ def incremental_minhash_matches(
     text_col: str,
     n_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Dedup-at-INGEST: match a new document batch against the
     corpus's MinHash band index WITHOUT touching corpus pairs — the
@@ -1373,6 +1373,18 @@ def incremental_minhash_matches(
     The bucket-size filter rides a window ON THE JOIN KEY, so it
     reuses the exchange the join needs anyway: no extra shuffle.
 
+    RECALL CONTRACT (explicit, because the cap changes matching
+    semantics, not just cost): under the default ``max_bucket=64``,
+    a new document whose ONLY shared bands land in over-cap buckets
+    is reported as an INSERT — a missed duplicate. That miss is
+    bounded to documents whose entire signature collapses onto
+    globally-common minima (the ~0-bit-evidence region); docs sharing
+    even one informative band still match. Pass ``max_bucket=None``
+    to restore exhaustive matching and accept the measured quadratic
+    blow-up on degenerate corpora (423M candidates / 495 s at sf1.0
+    here); production deployments should instead raise the cap or
+    switch to shingle-grain MinHash, which spreads the minima.
+
     Returns (id, n_index_matches, first_match_id) for new docs with at
     least one banded match in a surviving bucket; unmatched new docs
     are absent (they are the inserts).
@@ -1382,12 +1394,13 @@ def incremental_minhash_matches(
     idx = minhash_band_table(
         index_df, id_col, text_col, n_hashes, band_size
     ).select(F.col(id_col).alias("_idx_id"), "_bi", "_bv")
-    bucket_w = Window.partitionBy("_bi", "_bv")
-    idx = (
-        idx.withColumn("_bc", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("_bc") <= max_bucket)
-        .drop("_bc")
-    )
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("_bi", "_bv")
+        idx = (
+            idx.withColumn("_bc", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
     new = minhash_band_table(
         new_df, id_col, text_col, n_hashes, band_size
     ).select(F.col(id_col).alias("_new_id"), "_bi", "_bv")

@@ -830,6 +830,67 @@ def _gif_pixel_index(doc_id: int, p: int, n_colors: int) -> int:
     return x // (4294967296 // n_colors)
 
 
+def _gif_lzw_encode(
+    indices: "list[int]", min_code: int
+) -> tuple[bytearray, int]:
+    """Variable-width GIF LZW encode of a palette-index stream:
+    dictionary of index strings, code width grows as entries fill
+    (min_code+1 → 12 bits), clear code first, explicit EOI. Per the
+    spec's DEFERRED-CLEAR behavior, no new table entries are defined
+    once ``next_code`` reaches 4096 (codes are at most 12 bits wide);
+    the encoder keeps emitting from the frozen table rather than
+    resetting — ``decode_gif`` mirrors the same freeze. Returns
+    (packed byte payload WITHOUT sub-block framing, final next_code —
+    the latter so tests can assert a stream genuinely exercised the
+    4096 freeze)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nbits = 0
+    payload = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    n_base = 1 << min_code
+    table: dict[tuple[int, ...], int] = {(c,): c for c in range(n_base)}
+    next_code = eoi + 1
+    width = min_code + 1
+    put(clear, width)
+    seq: tuple[int, ...] = ()
+    for idx in indices:
+        trial = seq + (idx,)
+        if trial in table:
+            seq = trial
+            continue
+        put(table[seq], width)
+        if next_code < 4096:  # deferred clear: table freezes at 12 bits
+            table[trial] = next_code
+            next_code += 1
+            # width grows when the NEXT code to assign no longer fits
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        seq = (idx,)
+    if seq:
+        put(table[seq], width)
+        # the decoder defines ONE more entry after reading this final
+        # data code and grows its width if that entry fills the
+        # current power of two — EOI must be written at the width the
+        # decoder will READ it with, or a boundary-sized image ends
+        # with a misaligned EOI
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    put(eoi, width)
+    if nbits:
+        payload.append(acc & 0xFF)
+    return payload, next_code
+
+
 def make_gif(doc_id: int) -> bytes:
     """Deterministic REAL GIF87a (pure stdlib): header, logical
     screen descriptor, global color table (4/8/16 colors by doc_id),
@@ -837,11 +898,13 @@ def make_gif(doc_id: int) -> bytes:
     real dictionary build, variable code width that GROWS as entries
     fill (3→…→ up to 12 bits), clear code first, explicit
     end-of-information code, 255-byte sub-block framing, trailer —
-    any image viewer opens it. The pixel index pattern
-    ``(p + doc_id) % n_colors`` and the palette derive from doc_id
-    alone, so the decoded RGB byte sum has a closed form; the
-    dictionary-coded rung of the codec suite beside DEFLATE (PNG)
-    and DCT/entropy (JPEG)."""
+    any image viewer opens it. Pixel indices come from
+    ``_gif_pixel_index`` — a splitmix-style multiply → xorshift →
+    multiply integer hash of (doc_id, p) bucketed into n_colors —
+    and the palette derives from doc_id alone, so the decoded RGB
+    byte sum has a closed form an oracle replays with the same
+    integer ops; the dictionary-coded rung of the codec suite beside
+    DEFLATE (PNG) and DCT/entropy (JPEG)."""
     import struct
 
     w = 16 + doc_id % 17
@@ -859,7 +922,6 @@ def make_gif(doc_id: int) -> bytes:
     min_code = k + 1  # bits for a palette index (>= 2 per spec: k>=1)
     out.append(min_code)
 
-    clear, eoi = 1 << min_code, (1 << min_code) + 1
     # Hash-mixed index pattern: any POLYNOMIAL of p mod a power-of-two
     # palette size is periodic with a tiny period, and even a
     # golden-ratio rotation's top bits form a Sturmian (linear-
@@ -871,52 +933,7 @@ def make_gif(doc_id: int) -> bytes:
     # the width climbs — while each index stays a pure integer
     # function of (p, doc_id) an oracle replays with a range join.
     indices = [_gif_pixel_index(doc_id, p, nc) for p in range(w * h)]
-
-    # real LZW: dictionary of index strings, width grows with size
-    acc = 0
-    nbits = 0
-    payload = bytearray()
-
-    def put(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits  # GIF packs LSB-first
-        nbits += width
-        while nbits >= 8:
-            payload.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: dict[tuple[int, ...], int] = {
-        (c,): c for c in range(nc)
-    }
-    next_code = eoi + 1
-    width = min_code + 1
-    put(clear, width)
-    seq: tuple[int, ...] = ()
-    for idx in indices:
-        trial = seq + (idx,)
-        if trial in table:
-            seq = trial
-            continue
-        put(table[seq], width)
-        table[trial] = next_code
-        next_code += 1
-        # width grows when the NEXT code to assign no longer fits
-        if next_code > (1 << width) and width < 12:
-            width += 1
-        seq = (idx,)
-    if seq:
-        put(table[seq], width)
-        # the decoder defines ONE more entry after reading this final
-        # data code and grows its width if that entry fills the
-        # current power of two — EOI must be written at the width the
-        # decoder will READ it with, or a boundary-sized image ends
-        # with a misaligned EOI
-        if next_code >= (1 << width) and width < 12:
-            width += 1
-    put(eoi, width)
-    if nbits:
-        payload.append(acc & 0xFF)
+    payload, _ = _gif_lzw_encode(indices, min_code)
 
     for i in range(0, len(payload), 255):
         block = payload[i : i + 255]
@@ -1038,7 +1055,13 @@ def decode_gif(payload: bytes) -> dict[str, Any]:
         else:
             raise ValueError(f"invalid LZW code {code}")
         out_idx.extend(entry)
-        if prev is not None:
+        # deferred-clear freeze: codes are at most 12 bits, so a
+        # conforming stream defines no entry past 4095 — an encoder
+        # that keeps compressing after the table fills simply emits
+        # existing codes until it chooses to send a clear. Defining
+        # past 4096 here would desynchronize this decoder from every
+        # real encoder on exactly those streams.
+        if prev is not None and next_code < 4096:
             table[next_code] = prev + (entry[0],)
             next_code += 1
             if next_code >= (1 << width) and width < 12:

@@ -114,3 +114,44 @@ def test_decoder_rejects_what_it_cannot_honestly_decode():
     # trailer with no image data
     with pytest.raises(ValueError, match="no image"):
         decode_gif(bytes(blob[:i]) + b"\x3b")
+
+
+def test_deferred_clear_table_freeze_past_4096():
+    # A 12-bit LZW table holds at most 4096 entries; per the spec's
+    # deferred-clear behavior an encoder that never sends a mid-stream
+    # clear simply FREEZES the table and keeps emitting existing
+    # codes. An encoder or decoder that keeps defining entries past
+    # 4095 desynchronizes on exactly these streams (codes would no
+    # longer fit the 12-bit width). Build a stream large and
+    # PRNG-mixed enough to genuinely fill the table, frame it into a
+    # real GIF, and round-trip.
+    from module8_movies_etl_spark.operators.multimodal import (
+        _gif_lzw_encode,
+    )
+
+    w, h, nc, min_code = 160, 120, 16, 4
+    indices = [_gif_pixel_index(99991, p, nc) for p in range(w * h)]
+    payload, final_next_code = _gif_lzw_encode(indices, min_code)
+    assert final_next_code == 4096, (
+        "test stream must actually fill the 12-bit table; got "
+        f"{final_next_code}"
+    )
+
+    pal = _gif_palette(7, nc)
+    blob = bytearray(b"GIF87a")
+    blob += struct.pack("<HHBBB", w, h, 0x80 | (3 << 4) | 3, 0, 0)
+    for r, g, b in pal:
+        blob += bytes((r, g, b))
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    blob.append(min_code)
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        blob.append(len(block))
+        blob += block
+    blob += b"\x00\x3b"
+
+    feats = decode_gif(bytes(blob))
+    expected_rgb = sum(sum(pal[i]) for i in indices)
+    assert feats["width"] == w and feats["height"] == h
+    assert feats["n_colors"] == nc
+    assert feats["rgb_sum"] == expected_rgb
