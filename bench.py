@@ -385,6 +385,23 @@ def main() -> None:
                                     "codegen placement, not a plan "
                                     "change (the class the automatic "
                                     "rule below now catches)",
+            # Round-10 closure of the round-9 VERDICT task #3: the
+            # catalog's 2nd most expensive entry paid 8 filesystem
+            # round-trips of a hundreds-row table per query. Two
+            # fixes, both measured at sf0.1 warm: snapshotting the
+            # per-item win counts once before the MM loop (the
+            # fact-grain prefs aggregate was re-executing per round:
+            # 9.7 -> 7.6 s) and swapping the per-round parquet
+            # snapshot of the strength vector for an eager
+            # localCheckpoint (7.6 -> 5.9 s). The same swap inside
+            # connected_components measured 2x SLOWER (7.5 -> 15.2 s:
+            # parquet stats + REBALANCE feed AQE's per-round join
+            # planning there) and was reverted — see
+            # sources.scratch.local_snapshot for both numbers.
+            "bradley_terry_suppliers": "round-10 improvement: 10.35 "
+                                       "-> ~5.9 s (wins snapshot + "
+                                       "localCheckpoint per MM "
+                                       "round); expected DOWN-mover",
             **auto_triage,
         },
         "notes": "per-query time is min-of-N back-to-back samples "

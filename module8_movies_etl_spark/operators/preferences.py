@@ -17,9 +17,12 @@ unrolling, exactly like ``graphs.pagerank``.
 
 Scale shape: the comparison matrix is ITEM-PAIR grain (suppliers,
 annotators, model variants — thousands, not billions), aggregated
-once from the fact-grain preference stream; every MM round is two
-item-grain joins + one aggregate + a 1-row normalization broadcast,
-all lazy (no driver actions in the loop).
+ONCE from the fact-grain preference stream and snapshotted — as is
+the per-item win count, so no round ever re-touches fact-grain
+lineage. Every MM round is two item-grain joins + one aggregate +
+a 1-row normalization broadcast, with the state vector truncated by
+an eager localCheckpoint per round (item-grain, no collect — the
+only per-round materialization).
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ def bradley_terry_strengths(
     across engines wiggles ~1e-13 per round; six-decimal rounding is
     orders of magnitude coarser.
     """
-    from ..sources.scratch import snapshot
+    from ..sources.scratch import local_snapshot, snapshot
 
     w = prefs.select(
         F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
@@ -61,13 +64,23 @@ def bradley_terry_strengths(
         .agg(F.count(F.lit(1)).cast("long").alias("n")),
         prefix="bt_comps_",
     )
-    wins = comps.select("i").distinct().join(
-        w.groupBy(F.col("_w").alias("i")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_wins")
+    # snapshot wins too: it joins into EVERY MM round's praw, and
+    # without lineage truncation each round re-executes the
+    # fact-grain win-count aggregate (a full preference-stream scan
+    # per round, 8×) — the comps snapshot alone left that on the
+    # table. Item-grain: hundreds of rows.
+    wins = snapshot(
+        comps.select("i").distinct().join(
+            w.groupBy(F.col("_w").alias("i")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_wins")
+            ),
+            "i",
+            "left",
+        ).select(
+            "i", F.coalesce("n_wins", F.lit(0)).cast("long").alias("n_wins")
         ),
-        "i",
-        "left",
-    ).select("i", F.coalesce("n_wins", F.lit(0)).cast("long").alias("n_wins"))
+        prefix="bt_wins_",
+    )
     n_comp = comps.groupBy("i").agg(
         F.sum("n").cast("long").alias("n_comparisons")
     )
@@ -81,17 +94,20 @@ def bradley_terry_strengths(
         F.col("i").alias("item"), F.lit(1.0).alias("p")
     )
     for _ in range(n_iters):
-        # SNAPSHOT per round (the connected_components pattern, not
-        # pagerank's lazy chain): each round references p TWICE (p_i
-        # and p_j), so a fully lazy loop doubles the plan tree per
-        # round — 2^n_iters subplans OOMed the driver at 8 rounds.
-        # Per-round is also the measured optimum: snapshotting every
-        # SECOND round re-executes each un-cut round's praw ~3×
-        # (its 1-row normalizer plus both next-round references),
-        # which cost more than the parquet round-trips it saved
-        # (9.8 s vs 8.8 s at sf0.1). The snapshot is an item-grain
-        # write — hundreds of rows.
-        p = snapshot(p, prefix="bt_round_")
+        # TRUNCATE LINEAGE per round (the connected_components
+        # pattern, not pagerank's lazy chain): each round references
+        # p TWICE (p_i and p_j), so a fully lazy loop doubles the
+        # plan tree per round — 2^n_iters subplans OOMed the driver
+        # at 8 rounds. Per-round is the measured optimum (every-2nd-
+        # round re-executed each un-cut round ~3×: 9.8 vs 8.8 s at
+        # sf0.1). Round 10 swapped the parquet snapshot for an eager
+        # localCheckpoint: the state is item-grain (hundreds of
+        # rows), consumed only by the NEXT round, and needs no fault
+        # tolerance beyond the job — lineage truncation without the
+        # 8 filesystem round-trips cut the query 7.6 → 5.9 s at
+        # sf0.1 (9.7 s before the wins snapshot above; see
+        # sources.scratch.local_snapshot for the trade).
+        p = local_snapshot(p)
         pi = p.select(F.col("item").alias("i"), F.col("p").alias("_pi"))
         pj = p.select(F.col("item").alias("j"), F.col("p").alias("_pj"))
         denom = (
