@@ -60,22 +60,28 @@ def attach_payload_meta(
 
 def decode_stub(payload: bytes) -> dict[str, Any]:
     """Real-decoder slot for the one codec family that still needs a
-    NON-STDLIB library: VIDEO (container demux + inter-frame codecs
-    via ffmpeg). A production build binds ffmpeg here; this container
-    has none, so the stub is explicit instead of silently wrong.
-    Every still-image/audio rung of the codec ladder IS implemented
-    for real — one codec per compression family: ``decode_bmp`` /
-    ``decode_wav`` (header-parsed), ``decode_gif`` (DICTIONARY-coded —
-    real variable-width LZW), ``decode_png`` (DEFLATE — stdlib zlib
+    NON-STDLIB library: INTER-FRAME video codecs (H.264/VP9/AV1 —
+    motion compensation + reference-frame state via ffmpeg). A
+    production build binds ffmpeg here; this container has none, so
+    the stub is explicit instead of silently wrong. Every OTHER rung
+    of the codec ladder IS implemented for real — one codec per
+    compression family: ``decode_bmp`` / ``decode_wav``
+    (header-parsed), ``decode_gif`` (DICTIONARY-coded — real
+    variable-width LZW), ``decode_png`` (DEFLATE — stdlib zlib
     inflate + all five scanline unfilters + per-chunk CRC),
     ``decode_jpeg`` (DCT/ENTROPY-coded — canonical Huffman decode,
     DC DPCM + AC run-length, dequantization, 8×8 IDCT, YCbCr→RGB),
-    and ``spectral_wav_features`` (FFT DSP stage), each exercised on
-    real bytes by the catalog
-    (bmp/wav/png/jpeg/gif_decode_features, wav_spectral_features)."""
+    ``spectral_wav_features`` (FFT DSP stage), and — since round
+    10 — ``decode_avi_video`` (REAL video: RIFF/AVI demux +
+    per-frame baseline-JPEG decode for motion-JPEG streams), each
+    exercised on real bytes by the catalog
+    (bmp/wav/png/jpeg/gif_decode_features, wav_spectral_features,
+    video_frames_features)."""
     raise NotImplementedError(
-        "video decoding requires ffmpeg, not present in this "
-        "environment; inject a decoder via extract_media_features(decoder=...)"
+        "inter-frame video codecs (H.264/VP9/AV1) require ffmpeg, not "
+        "present in this environment; motion-JPEG AVI decodes for real "
+        "via decode_avi_video — inject other decoders via "
+        "extract_media_features(decoder=...)"
     )
 
 
@@ -1312,6 +1318,295 @@ def downsample_wav_half(payload: bytes) -> dict[str, Any]:
     }
 
 
+def make_avi_mjpeg(doc_id: int) -> bytes:
+    """Deterministic REAL AVI/MJPEG video (pure stdlib): a RIFF
+    'AVI ' container — LIST hdrl (56-byte 'avih' main header, LIST
+    strl with a 56-byte 'vids'/'MJPG' stream header and a 40-byte
+    BITMAPINFOHEADER 'strf'), a 'JUNK' alignment chunk, LIST movi
+    with one even-padded '00dc' chunk per frame, and a trailing
+    'idx1' index — the classic pre-OpenDML AVI any player opens.
+    Every frame is a REAL baseline JPEG from ``make_jpeg`` with
+    effective id ``doc_id + 128·frame``: 128 is a multiple of the
+    generator's dimension (mod 16/8) and chroma (mod 4, //4 mod 4)
+    cycles, so all frames share the video's WIDTH/HEIGHT and chroma
+    offsets while the luma DC pattern genuinely changes per frame
+    (128·3 ≡ 21 mod 33) — a fake demux that decodes frame 0 and
+    extrapolates, or returns frames out of order, cannot reproduce
+    the order-weighted oracle sum. Frame count cycles 2–5 by doc_id
+    and is declared in BOTH avih.dwTotalFrames and strh.dwLength, so
+    a demux that miscounts '00dc' chunks trips the cross-check."""
+    import struct
+
+    n_frames = 2 + doc_id % 4
+    w = 9 + doc_id % 16
+    h = 9 + doc_id % 8
+    frames = [make_jpeg(doc_id + 128 * f) for f in range(n_frames)]
+    bufsize = max(len(f) for f in frames)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        # RIFF chunks are word-aligned: odd-sized data carries one
+        # pad byte NOT counted in the declared size
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    avih = struct.pack(
+        "<14I",
+        100000,  # dwMicroSecPerFrame (10 fps)
+        bufsize * 10,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        bufsize,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            10,  # dwRate (10 fps)
+            0,  # dwStart
+            n_frames,  # dwLength
+            bufsize,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize (0: variable-size frames)
+        )
+        + struct.pack("<4h", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    junk = chunk(b"JUNK", b"\x00" * (16 + doc_id % 3))  # odd sizes too
+    movi_frames = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_frames)
+    # idx1: one 16-byte entry per frame; offsets are relative to the
+    # first byte AFTER the 'movi' list-type fourcc (the common
+    # convention), each pointing at its '00dc' fourcc
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body = b"AVI " + hdrl + junk + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_mjpeg(payload: bytes) -> dict[str, Any]:
+    """REAL AVI demuxer (pure stdlib — no media library): validates
+    the RIFF/'AVI ' signature, walks the chunk tree honoring RIFF
+    word alignment (odd-sized chunks carry an uncounted pad byte),
+    reads the main header from LIST hdrl ('avih': declared frame
+    count, dims) and the stream headers from LIST strl ('strh'
+    fccType/fccHandler/dwLength, 'strf' BITMAPINFOHEADER), skips
+    'JUNK'/'idx1'/extension chunks by size, and collects every
+    '00dc'/'00db' video chunk from LIST movi in stream order.
+
+    Cross-checks, so a fake demux can't pass: exactly one 'vids'
+    stream with an MJPEG handler; the collected frame count must
+    equal BOTH avih.dwTotalFrames and strh.dwLength; dims must agree
+    between avih and strf. Returns {width, height, n_frames, fps,
+    handler, frames: list[bytes]} — each frame a complete baseline
+    JPEG for ``decode_jpeg``. Inter-frame codecs (H.264 & co) are
+    the part that genuinely needs ffmpeg; a motion-JPEG AVI is plain
+    struct parsing around per-frame JPEGs."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI RIFF form: {payload[8:12]!r}")
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("AVI truncated: RIFF size exceeds payload")
+
+    avih_info: dict[str, int] | None = None
+    streams: list[dict[str, Any]] = []
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int, in_list: bytes | None) -> None:
+        nonlocal avih_info
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > stop:
+                raise ValueError(
+                    f"AVI chunk {fourcc!r} overruns its parent"
+                )
+            if fourcc == b"LIST":
+                list_type = payload[data_start : data_start + 4]
+                walk(data_start + 4, data_end, list_type)
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("avih header too short")
+                vals = struct.unpack_from("<10I", payload, data_start)
+                avih_info = {
+                    "total_frames": vals[4],
+                    "streams": vals[6],
+                    "width": vals[8],
+                    "height": vals[9],
+                }
+            elif fourcc == b"strh":
+                if size < 48:
+                    raise ValueError("strh header too short")
+                fcc_type = payload[data_start : data_start + 4]
+                handler = payload[data_start + 4 : data_start + 8]
+                scale, rate, _start, length = struct.unpack_from(
+                    "<4I", payload, data_start + 20
+                )
+                streams.append(
+                    {
+                        "type": fcc_type,
+                        "handler": handler,
+                        "scale": scale,
+                        "rate": rate,
+                        "length": length,
+                        "strf": None,
+                    }
+                )
+            elif fourcc == b"strf":
+                if not streams or streams[-1]["strf"] is not None:
+                    raise ValueError("strf without a preceding strh")
+                if streams[-1]["type"] == b"vids":
+                    if size < 40:
+                        raise ValueError("video strf too short")
+                    biw, bih, _planes, _bits, compression = (
+                        struct.unpack_from("<iiHH4s", payload, data_start + 4)
+                    )
+                    streams[-1]["strf"] = {
+                        "width": biw,
+                        "height": bih,
+                        "compression": compression,
+                    }
+                else:
+                    streams[-1]["strf"] = {}
+            elif in_list == b"movi" and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(payload[data_start:data_end]))
+            # anything else ('JUNK', 'idx1', audio chunks, unknown
+            # extensions) is skipped by its declared size
+            pos = data_end + (size % 2)  # word alignment
+
+    walk(12, end, None)
+
+    if avih_info is None:
+        raise ValueError("AVI has no avih main header")
+    vids = [s for s in streams if s["type"] == b"vids"]
+    if len(vids) != 1:
+        raise ValueError(f"expected exactly one video stream, got {len(vids)}")
+    v = vids[0]
+    if v["handler"] not in (b"MJPG", b"mjpg"):
+        raise ValueError(
+            f"not an MJPEG video stream: handler {v['handler']!r} "
+            "(inter-frame codecs need ffmpeg)"
+        )
+    if v["strf"] is None:
+        raise ValueError("video stream has no strf format header")
+    if (
+        v["strf"]["width"] != avih_info["width"]
+        or abs(v["strf"]["height"]) != avih_info["height"]
+    ):
+        raise ValueError(
+            "avih and strf disagree on frame dimensions: "
+            f"{avih_info['width']}x{avih_info['height']} vs "
+            f"{v['strf']['width']}x{v['strf']['height']}"
+        )
+    if len(frames) != avih_info["total_frames"] or len(frames) != v["length"]:
+        raise ValueError(
+            f"frame count mismatch: movi has {len(frames)} chunks, avih "
+            f"declares {avih_info['total_frames']}, strh {v['length']}"
+        )
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return {
+        "width": avih_info["width"],
+        "height": avih_info["height"],
+        "n_frames": len(frames),
+        "fps": v["rate"] / v["scale"] if v["scale"] else 0.0,
+        "handler": v["handler"].decode("ascii"),
+        "frames": frames,
+    }
+
+
+def avi_frame_sampler(payload: bytes) -> "list[bytes]":
+    """REAL frame sampler for MJPEG-in-AVI payloads — the injectable
+    ``sample_frames(sampler=...)`` slot, no longer a stub for this
+    container: each returned element is a complete baseline JPEG."""
+    return demux_avi_mjpeg(payload)["frames"]
+
+
+def decode_avi_video(payload: bytes) -> dict[str, Any]:
+    """REAL video decode: ``demux_avi_mjpeg`` then ``decode_jpeg`` on
+    EVERY frame — the whole pure-stdlib codec ladder composed
+    (container walk → per-frame Huffman/DPCM/IDCT/YCbCr). Each
+    decoded frame's dimensions are verified against the container's
+    declared dims (an MJPEG stream whose frames disagree with its
+    header is corrupt). Emits per-video aggregates: total RGB byte
+    sum across frames, the ORDER-WEIGHTED sum Σ (f+1)·rgb_sum_f
+    (pins frame order end to end — a demux returning the right
+    frames in the wrong order mismatches), and the mean luma over
+    all frames."""
+    info = demux_avi_mjpeg(payload)
+    w, h, nf = info["width"], info["height"], info["n_frames"]
+    total = 0
+    ordered = 0
+    for i, frame in enumerate(info["frames"]):
+        feats = decode_jpeg(frame)
+        if feats["width"] != w or feats["height"] != h:
+            raise ValueError(
+                f"frame {i} is {feats['width']}x{feats['height']}, "
+                f"container declares {w}x{h}"
+            )
+        total += feats["rgb_sum"]
+        ordered += (i + 1) * feats["rgb_sum"]
+    return {
+        "n_frames": nf,
+        "width": w,
+        "height": h,
+        "rgb_sum_total": total,
+        "rgb_sum_ordered": ordered,
+        "mean_luma": total / ((nf * 3 * w * h) * 255.0),
+    }
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rgb_sum_total", T.LongType()),
+        T.StructField("rgb_sum_ordered", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
 def synthesize_media_payloads(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1474,11 +1769,17 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def frame_sample_stub(payload: bytes) -> "list[bytes]":
-    """Real frame-sampler slot (ffmpeg keyframe extraction in a
-    production build)."""
+    """Real frame-sampler slot for INTER-FRAME codecs (ffmpeg
+    keyframe extraction in a production build). Motion-JPEG AVI
+    payloads sample for REAL via ``avi_frame_sampler`` (a pure-stdlib
+    RIFF demux — every '00dc' chunk is a standalone baseline JPEG);
+    only codecs whose frames depend on reference-frame state need
+    the library."""
     raise NotImplementedError(
-        "frame sampling requires a video library not present in this "
-        "environment; inject via sample_frames(sampler=...)"
+        "frame sampling for inter-frame codecs requires a video "
+        "library not present in this environment; MJPEG-AVI samples "
+        "for real via avi_frame_sampler — inject via "
+        "sample_frames(sampler=...)"
     )
 
 
