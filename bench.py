@@ -117,6 +117,39 @@ TRIAGE_FACTOR = 1.8
 TRIAGE_MIN_DELTA_S = 0.75
 
 
+def _load_prior_detail(detail_path: str) -> dict | None:
+    """The auto-triage baseline is the last COMMITTED
+    BENCH_DETAIL.json (``git show HEAD:...``), NOT the working-tree
+    file: bench can run several times in one session (smoke runs,
+    re-runs after a fix), each overwriting the file, and a
+    same-session baseline absorbs cross-round drift — round 9's two
+    escaped movers (seasonal_anomaly_hod, cep_view_purchase_noerror,
+    ~1.9x normalized vs the COMMITTED round-8 figures) slipped
+    through exactly this way when the final run compared against a
+    same-epoch baseline. Falls back to the working-tree file outside
+    a git checkout (e.g. a deployed copy)."""
+    import subprocess
+
+    repo_dir = os.path.dirname(os.path.abspath(detail_path))
+    fname = os.path.basename(detail_path)
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{fname}"],
+            cwd=repo_dir,
+            capture_output=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(detail_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def _auto_triage(
     prior: dict | None,
     timings: dict[str, float],
@@ -190,17 +223,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # read the prior committed detail BEFORE the run overwrites it —
-    # it is the round-over-round baseline the auto-triage rule needs
+    # the round-over-round baseline the auto-triage rule needs: the
+    # last COMMITTED detail (see _load_prior_detail — the working
+    # tree is a same-session artifact and would mask cross-round
+    # movers)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    prior_detail: dict | None = None
-    try:
-        with open(detail_path) as fh:
-            prior_detail = json.load(fh)
-    except (OSError, ValueError):
-        prior_detail = None
+    prior_detail = _load_prior_detail(detail_path)
 
     from module8_movies_etl_spark.plans import benchmark_queries as bq
     from module8_movies_etl_spark.session import get_spark
@@ -402,6 +432,28 @@ def main() -> None:
                                        "-> ~5.9 s (wins snapshot + "
                                        "localCheckpoint per MM "
                                        "round); expected DOWN-mover",
+            # Round-10 closure of the round-9 VERDICT's two ESCAPED
+            # movers (flagged vs the committed round-8 baseline but
+            # missed because the final auto-triage compared
+            # same-epoch — the root cause _load_prior_detail now
+            # removes by always baselining on the COMMITTED detail):
+            "seasonal_anomaly_hod": "round-10 isolated 3-run [6.973, "
+                                    "2.351, 1.924] — warm min 1.92 s "
+                                    "matches the committed round-9 "
+                                    "2.33 s, NOT the round-8 0.89 s: "
+                                    "a persistent host/JIT epoch "
+                                    "shift on an unchanged plan "
+                                    "(operators/timeseries.py "
+                                    "untouched since round 6; plan "
+                                    "sweep green), not placement "
+                                    "noise. Sub-2.5 s absolute.",
+            "cep_view_purchase_noerror": "round-10 isolated 3-run "
+                                         "[1.196, 0.700, 0.537] — "
+                                         "warm min 0.54 s vs 0.41 s "
+                                         "committed round 8 is the "
+                                         "~1.3x host epoch, within "
+                                         "drift: placement effect, "
+                                         "not a plan change.",
             **auto_triage,
         },
         "notes": "per-query time is min-of-N back-to-back samples "

@@ -17097,13 +17097,21 @@ _PRIORITY = [
     # ips_policy_value — the experimentation/counterfactual family
     # previously had NO driver-verified row.
     "kmeans_diversity_sample",
-    "ips_policy_value",
+    # ips_policy_value moved to local verification in round 10 (the
+    # causal family keeps dr_policy_value's round-9 driver row); its
+    # slot carries diff-in-differences — the causal family's panel
+    # estimator, never driver-verified (VERDICT r9 task #4).
+    "diff_in_diff_spend",
     # random_sample_orders emits a distribution-bounded audit (the
     # sampled ROWS stay engine-RNG); it lives AFTER the driver's
     # 50-entry verified prefix; its deterministic md5 twin
     # hash_sample_orders holds the L2 slot here and rollup_revenue
     # (fully oracled) takes the freed slot.
-    "rollup_revenue",
+    # rollup_revenue moved to local verification in round 10 (TPC-H
+    # keeps pricing_summary, star_join_revenue, and Q21 driver rows);
+    # its slot carries the PHYSICAL-LAYOUT family's first-ever driver
+    # row — bucketed co-located joins (VERDICT r9 task #4).
+    "bucketed_join_revenue",
     "hash_sample_orders",
     "set_ops_custkeys",
     "topk_orders_per_customer",
@@ -17124,8 +17132,16 @@ _PRIORITY = [
     # verification and these families never appeared in any
     # CORRECTNESS_r*.json (VERDICT r8 task #5).
     "cms_token_counts",
-    "multimodal_features",
-    "upsert_orders_cdc",
+    # multimodal_features moved to local verification in round 10:
+    # the mapInPandas surface keeps a driver row via the new
+    # video_frames_features below, and this slot gives the STATEFUL
+    # streaming family (applyInPandasWithState) its first-ever
+    # driver row (VERDICT r9 task #4).
+    "sessionize_stateful",
+    # upsert_orders_cdc got its driver row in round 9; round 10
+    # rotates the warehouse slot to the TEMPORAL side of the family —
+    # SCD2 history build, never driver-verified (VERDICT r9 task #4).
+    "scd2_user_event_history",
     "trend_slope_grouped_map",
     # §2.13 family flagships. simhash/containment moved to local
     # verification in round 7 (the dedup family keeps four driver
@@ -17146,7 +17162,11 @@ _PRIORITY = [
     # the codec-ladder slot belongs to its newest, hardest rung —
     # the round-9 pure-stdlib baseline JPEG (Huffman/DPCM/RLE +
     # dequant + IDCT + YCbCr), VERDICT r8 task #1.
-    "jpeg_decode_features",
+    # jpeg_decode_features got its driver row in round 9; the codec-
+    # ladder slot again belongs to its newest, hardest rung — the
+    # round-10 AVI/MJPEG demux + per-frame JPEG decode (VERDICT r9
+    # task #1).
+    "video_frames_features",
     "fuzzy_dedup_clusters",
     "hybrid_search_rrf",
     # cosine_topk_bruteforce is verified locally; its slot carries the
@@ -17163,7 +17183,10 @@ _PRIORITY = [
     # STREAMING writer's end-to-end manifest-commit replay, giving
     # the §2.12 connector matrix's fourth quadrant a driver row.
     "pyds_stream_sink",
-    "kmv_distinct_users",
+    # kmv_distinct_users got driver rows in rounds 6-9; its slot
+    # carries governance rung #2 — l-diversity, never
+    # driver-verified (VERDICT r9 task #4).
+    "l_diversity_audit",
     "training_data_pipeline",
     # curation_pipeline_v2 moved to local verification in round 9
     # (the capstone family keeps training_data_pipeline's driver

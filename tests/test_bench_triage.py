@@ -87,3 +87,46 @@ def test_auto_triage_needs_enough_shared_queries(spark):
         _prior(old), new, _fake_catalog(spark, new), spark, "unused"
     )
     assert out == {}
+
+
+def test_prior_detail_comes_from_last_commit_not_working_tree(tmp_path):
+    # Round 9's two escaped movers slipped through because the final
+    # auto-triage compared against a same-session baseline. The rule:
+    # the baseline is git-committed BENCH_DETAIL.json; a bench run
+    # that overwrote the working-tree file earlier in the session
+    # must NOT become its own baseline.
+    import json
+    import subprocess
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    detail = repo / "BENCH_DETAIL.json"
+    committed = {"queries": {"q": 1.0}, "sf": 0.1, "which": "committed"}
+    detail.write_text(json.dumps(committed))
+    env = {
+        "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+        "HOME": str(tmp_path),
+    }
+    for cmd in (
+        ["git", "init", "-q"],
+        ["git", "add", "BENCH_DETAIL.json"],
+        ["git", "commit", "-q", "-m", "x"],
+    ):
+        subprocess.run(cmd, cwd=repo, check=True, env=env)
+    # a same-session run overwrites the working tree...
+    detail.write_text(
+        json.dumps({"queries": {"q": 9.0}, "sf": 0.1, "which": "session"})
+    )
+    # ...but the baseline must still be the committed figures
+    assert bench._load_prior_detail(str(detail)) == committed
+
+
+def test_prior_detail_falls_back_to_file_outside_git(tmp_path):
+    import json
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    doc = {"queries": {"q": 2.0}, "sf": 0.1}
+    detail.write_text(json.dumps(doc))
+    assert bench._load_prior_detail(str(detail)) == doc
+    assert bench._load_prior_detail(str(tmp_path / "missing.json")) is None

@@ -87,6 +87,16 @@ TARGETS = {
     "bpe_learn_merges": "document_rows",
     "interpolate_gaps_linear": "events_rows",
     "bootstrap_ci_price": "orders_rows",
+    # round-10 additions (VERDICT r9 task #2): the two newest
+    # iterative ops, previously two-point-only. LPA iterates the same
+    # embedding near-dup graph as pagerank (doubled edges = driving
+    # volume — pagerank's convention); Bradley-Terry's per-round work
+    # is the comparison-matrix join, so its driving volume is the
+    # distinct (i, j) comparison cells (item-pair grain — the whole
+    # point of the operator's scale shape is that this is decoupled
+    # from fact rows).
+    "lpa_communities": "embedding_edges",
+    "bradley_terry_suppliers": "bt_comparison_cells",
 }
 
 
@@ -188,6 +198,38 @@ def main() -> None:
             return new.join(idx, ["_bi", "_bv"]).count()
         if kind == "orders_rows":
             return read_table(spark, sf_dir, "orders").count()
+        if kind == "bt_comparison_cells":
+            from pyspark.sql import functions as F
+
+            # replay the catalog entry's preference derivation and
+            # count the distinct comparison-matrix cells its MM
+            # rounds join over (see bradley_terry_suppliers)
+            li = read_table(spark, sf_dir, "lineitem")
+            key = (
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * F.lit(1073741824).cast("long")
+                + F.col("l_linenumber").cast("long") * 134217728
+                + F.col("l_suppkey").cast("long")
+            )
+            prefs = (
+                li.select("l_orderkey", "l_suppkey", key.alias("_k"))
+                .groupBy("l_orderkey")
+                .agg(
+                    F.max_by("l_suppkey", F.col("_k")).alias("_w"),
+                    F.min_by("l_suppkey", F.col("_k")).alias("_l"),
+                )
+                .filter(F.col("_w") != F.col("_l"))
+            )
+            return (
+                prefs.select(F.col("_w").alias("i"), F.col("_l").alias("j"))
+                .unionAll(
+                    prefs.select(
+                        F.col("_l").alias("i"), F.col("_w").alias("j")
+                    )
+                )
+                .distinct()
+                .count()
+            )
         raise ValueError(kind)
 
     results: dict[str, dict] = {}
