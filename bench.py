@@ -464,8 +464,10 @@ def main() -> None:
                  "round-trips), near-constant in sf — do not read them "
                  "as data-path costs; skewed-key join strategy evidence "
                  "(plain vs AQE skew-join vs salted_join on a hot-key "
-                 "lineitem variant, result-neutrality asserted) lives in "
-                 "BENCH_SKEW.json (tools/bench_skew.py)",
+                 "lineitem variant, result-neutrality asserted, three "
+                 "aggregate shapes — join-only skew, same-key algebraic, "
+                 "same-key non-combinable) lives in BENCH_SKEW.json "
+                 "(tools/bench_skew.py)",
     }
     try:
         with open(detail_path, "w") as fh:

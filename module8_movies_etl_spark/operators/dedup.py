@@ -1487,3 +1487,86 @@ def sorted_neighborhood_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
     )
+
+
+def paragraph_dedup_fractions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 8,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup audit (Wenzek et al. 2020:
+    dedup at paragraph grain before any doc-level near-dup pass —
+    boilerplate paragraphs shared across otherwise-distinct pages are
+    what inflate a crawl corpus first). Real crawls split on
+    newlines; this corpus is a single-line word stream, so the
+    pluggable paragraph tokenizer here is fixed ``block_words``-word
+    blocks — the plan is identical either way: hash each paragraph,
+    find hashes appearing in ≥2 DISTINCT documents (within-doc
+    repeats are repetition, not duplication — the repetition filter
+    is curation's job), and score every document by its duplicated
+    share.
+
+    Plan shape at 100 TB: the paragraph grain is ~n_words/block_words
+    rows built by ONE codegen transform over the pre-split word
+    array (no word-grain explode); cross-doc duplication is the
+    cheap ``min(id) <> max(id)`` distinct-docs test on one
+    paragraph-hash-keyed shuffle (no count-distinct); a doc-keyed
+    aggregate lands the (id, n_paragraphs, n_dup_paragraphs,
+    dup_fraction, keep) audit row. Returns one row per document;
+    ``keep`` is the CCNet decision at ``max_dup_fraction``.
+    """
+    blocks = (
+        df.select(
+            F.col(id_col),
+            F.split(ws_trim(F.col(text_col)), r"\s+").alias("_ws"),
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("_ws") / F.lit(block_words)).cast(
+                            "int"
+                        )
+                        - 1,
+                    ),
+                    lambda b: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("_ws"),
+                                b * block_words + 1,
+                                block_words,
+                            ),
+                        )
+                    ),
+                )
+            ).alias("_h"),
+        )
+    )
+    cross_doc = blocks.groupBy("_h").agg(
+        (F.min(id_col) != F.max(id_col)).alias("_dup")
+    )
+    return (
+        blocks.join(cross_doc, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.col("_dup").cast("long")).alias("n_dup_paragraphs"),
+        )
+        .select(
+            id_col,
+            "n_paragraphs",
+            "n_dup_paragraphs",
+            F.round(
+                F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 6
+            ).alias("dup_fraction"),
+            (
+                F.col("n_dup_paragraphs")
+                <= F.lit(max_dup_fraction) * F.col("n_paragraphs")
+            ).alias("keep"),
+        )
+    )

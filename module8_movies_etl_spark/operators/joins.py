@@ -162,6 +162,14 @@ def salted_join(
     sort-merge joins and only per-partition — salting also rebalances
     the *aggregation* that typically follows, and works when the skew
     is known ahead of time (the 100 TB planned-pipeline case).
+
+    MEASURED (tools/bench_skew.py, sf1.0 hot-key fact, round 10):
+    when the downstream aggregate is keyed ON the join key, its
+    required hash distribution pins the join's output partitioning
+    and AQE's skew split cannot fire at all (skew_split_fired=false)
+    — salting wins 4.36 vs 4.65 s for an algebraic count+sum and
+    6.49 vs 9.17 s for non-combinable top-k list state; AQE wins the
+    join-only case (aggregate keyed elsewhere), 3.33 vs 5.62 s.
     """
     if how not in ("inner", "left"):
         raise ValueError(

@@ -927,3 +927,55 @@ def bpe_segment_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = res
     return syms
+
+
+def chunk_sliding_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG/training-prep CHUNKING: split every document into
+    fixed-size sliding token windows (``window`` words, step
+    ``stride`` — overlapping when stride < window, the standard
+    retrieval-chunk shape). Chunk starts are 0, stride, 2·stride, …;
+    the first chunk always exists (short docs yield one short chunk)
+    and the last may be partial — n_chunks = 1 if n ≤ window else
+    ⌈(n − window)/stride⌉ + 1, so every token is covered and no
+    start begins past the final window.
+
+    All inside codegen: one ``transform`` over a ``sequence`` of
+    chunk indices slices the pre-split word array — no explode of
+    word grain (the chunk grain is ~n/stride rows, not n), no UDF,
+    no shuffle at all until a downstream consumer groups. Emits
+    (id, chunk_idx, n_tokens, first_token, last_token, chunk_sha)
+    where chunk_sha is md5 of the space-joined window — the stable
+    chunk id a retrieval index or a dedup pass keys on.
+    """
+    n = F.size("_ws")
+    nc = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(stride)).cast("int") + 1
+    )
+    chunk = F.slice(
+        F.col("_ws"), F.col("_ci") * stride + 1, window
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(ws_trim(F.col(text_col)), r"\s+").alias("_ws"),
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), nc - 1)).alias("_ci"),
+            "_ws",
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ci").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.element_at(chunk, 1).alias("first_token"),
+            F.element_at(chunk, -1).alias("last_token"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_sha"),
+        )
+    )

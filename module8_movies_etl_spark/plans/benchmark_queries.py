@@ -3980,6 +3980,96 @@ def video_frames_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SLIDING_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'
+           ) AS ws
+    FROM documents
+),
+c AS (
+    SELECT doc_id, i.i AS ci, ws[i.i*24+1 : i.i*24+32] AS ck
+    FROM w, range(0, 16) i(i)
+    WHERE i.i < CASE WHEN len(ws) <= 32 THEN 1
+                     ELSE (len(ws) - 32 + 23) // 24 + 1 END
+)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_idx,
+       CAST(len(ck) AS INTEGER) AS n_tokens,
+       ck[1] AS first_token,
+       ck[len(ck)] AS last_token,
+       md5(array_to_string(ck, ' ')) AS chunk_sha
+FROM c
+"""
+
+
+@query("chunk_documents_token_windows", _CHUNK_SLIDING_ORACLE)
+def chunk_documents_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[RAG/training prep — beyond-ref §2.13] TOKEN-grain sliding-
+    window chunking (32-word windows, stride 24 — the overlapping
+    retrieval-chunk shape a RAG index keys on; the CHAR-grain sibling
+    ``chunk_documents_sliding`` serves context-window packing):
+    ``text.chunk_sliding_windows`` slices the pre-split word array
+    with one codegen ``transform``+``slice`` per chunk index — chunk
+    grain (~n/stride rows), never word grain, no UDF, zero shuffles.
+    Emits the stable md5 chunk id plus boundary tokens; the oracle
+    replays the exact slicing with DuckDB list slices and the same
+    n_chunks = 1 if n ≤ W else ⌈(n−W)/stride⌉ + 1 coverage rule, so
+    an off-by-one in stride arithmetic or a chunk that crosses a
+    document boundary hash-mismatches."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.chunk_sliding_windows(d, "doc_id", "text")
+
+
+_CCNET_PARA_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'
+           ) AS ws
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           md5(array_to_string(ws[i.i*8+1 : i.i*8+8], ' ')) AS h
+    FROM w, range(0, 16) i(i)
+    WHERE i.i * 8 < len(ws)
+),
+x AS (SELECT h, min(doc_id) <> max(doc_id) AS dup FROM b GROUP BY 1),
+a AS (
+    SELECT b.doc_id,
+           count(*) AS np,
+           sum(CASE WHEN x.dup THEN 1 ELSE 0 END) AS nd
+    FROM b JOIN x USING (h) GROUP BY 1
+)
+SELECT doc_id,
+       CAST(np AS BIGINT) AS n_paragraphs,
+       CAST(nd AS BIGINT) AS n_dup_paragraphs,
+       round(nd / np, 6) AS dup_fraction,
+       nd <= 0.5 * np AS keep
+FROM a
+"""
+
+
+@query("ccnet_paragraph_dedup", _CCNET_PARA_ORACLE)
+def ccnet_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup — paragraph grain, beyond-ref §2.13] CCNet-style
+    paragraph-level duplication audit (Wenzek et al. 2020 — dedup at
+    paragraph grain BEFORE doc-level near-dup, because cross-page
+    boilerplate is what inflates a crawl first):
+    ``dedup.paragraph_dedup_fractions`` hashes fixed 8-word blocks
+    (the pluggable stand-in for newline paragraphs on this one-line
+    corpus), marks hashes seen in ≥2 DISTINCT docs with the cheap
+    min≠max test — no count-distinct — and scores every document's
+    duplicated share with the CCNet keep decision at 50%. Paragraph
+    grain is built by one codegen transform over the split array
+    (no word-grain explode); one hash-keyed shuffle + one doc-keyed
+    aggregate is the whole plan."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_fractions(d, "doc_id", "text")
+
+
 _BMP_RESIZE_ORACLE = """
 WITH p AS (
     SELECT doc_id,
