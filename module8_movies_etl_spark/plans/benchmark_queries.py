@@ -12716,6 +12716,139 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCLOSE_ORACLE = f"""
+WITH cs AS (
+    SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,
+           o_orderstatus, count(*) AS c
+    FROM ({_QI_BASE_SQL}) b0
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+g AS (SELECT o_orderstatus, sum(c) AS gs FROM cs GROUP BY 1),
+tot AS (SELECT sum(gs) AS n FROM g),
+cls AS (
+    SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,
+           sum(c) AS k
+    FROM cs GROUP BY 1, 2, 3, 4, 5
+),
+grid AS (
+    SELECT cls.*, g.o_orderstatus, g.gs, tot.n,
+           coalesce(cs.c, 0) AS c
+    FROM cls CROSS JOIN g CROSS JOIN tot
+    LEFT JOIN cs USING (c_nationkey, c_mktsegment, yr, mo,
+                        o_orderpriority, o_orderstatus)
+),
+d AS (
+    SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,
+           any_value(k) AS k, any_value(n) AS n,
+           sum(abs(c * n - gs * k)) AS dd
+    FROM grid GROUP BY 1, 2, 3, 4, 5
+),
+b AS (
+    SELECT CASE WHEN 10 * dd <= 2 * k * n THEN 'a:<=0.10'
+                WHEN 4 * dd <= 2 * k * n THEN 'b:0.10-0.25'
+                WHEN 2 * dd <= 2 * k * n THEN 'c:0.25-0.50'
+                ELSE 'd:>0.50' END AS t_bucket,
+           k,
+           CAST(dd AS DOUBLE) / (2.0 * k * n) AS t
+    FROM d
+),
+agg AS (
+    SELECT t_bucket, count(*) AS n_groups, sum(k) AS n_rows,
+           max(t) AS max_t
+    FROM b GROUP BY 1
+)
+SELECT t_bucket,
+       n_groups,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE)
+             / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS pct_rows,
+       round(max_t, 6) AS max_t
+FROM agg
+"""
+
+
+@query("t_closeness_audit", _TCLOSE_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[governance, beyond-ref §2.13 — completes the k-anonymity /
+    l-diversity / t-closeness release-audit triad (Li et al. 2007)]
+    Per-QI-class distance between the class's sensitive-attribute
+    (order status) distribution and the GLOBAL one: l-diversity is
+    blind to a class whose statuses are diverse but SKEWED toward a
+    rare value — the similarity/proximity attack t-closeness exists
+    for. Distance is the variational form of EMD for categorical
+    attributes, t = ½·Σ|p_class − p_global|, computed EXACTLY as
+    integers: D = Σ|c·N − g·k| and t = D/(2kN), with the bucket
+    edges compared as integer inequalities (10·D ≤ 2kN etc.) so no
+    float boundary can flip a class across engines. Output: the
+    t-bucket histogram (groups, rows, row share, max t per bucket) —
+    the '>0.50' mass is the proximity-disclosure risk a release gate
+    thresholds on.
+
+    Scale shape: one fact shuffle on (QI, status) builds the
+    class-status counts; everything after is class-grain — the
+    3-row global distribution broadcasts onto the class × status
+    grid, and the histogram is a rollup over |QI classes| rows.
+    """
+    cs = (
+        _qi_base(spark, sf_dir)
+        .groupBy(
+            "c_nationkey", "c_mktsegment", "yr", "mo",
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    qi_cols = ["c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority"]
+    g = cs.groupBy("o_orderstatus").agg(F.sum("c").alias("gs"))
+    tot = g.agg(F.sum("gs").alias("n"))
+    cls = cs.groupBy(*qi_cols).agg(F.sum("c").alias("k"))
+    grid = (
+        cls.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(cs, [*qi_cols, "o_orderstatus"], "left")
+        .select(
+            *qi_cols,
+            "k",
+            "n",
+            "gs",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    d = grid.groupBy(*qi_cols).agg(
+        F.first("k").alias("k"),
+        F.first("n").alias("n"),
+        F.sum(F.abs(F.col("c") * F.col("n") - F.col("gs") * F.col("k")))
+        .alias("dd"),
+    )
+    kn2 = 2 * F.col("k") * F.col("n")
+    b = d.select(
+        F.when(10 * F.col("dd") <= kn2, "a:<=0.10")
+        .when(4 * F.col("dd") <= kn2, "b:0.10-0.25")
+        .when(2 * F.col("dd") <= kn2, "c:0.25-0.50")
+        .otherwise("d:>0.50")
+        .alias("t_bucket"),
+        "k",
+        (F.col("dd").cast("double") / (2.0 * F.col("k") * F.col("n")))
+        .alias("t"),
+    )
+    agg = b.groupBy("t_bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.max("t").alias("max_t"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "t_bucket",
+        "n_groups",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(wall).cast("double"),
+            6,
+        ).alias("pct_rows"),
+        F.round("max_t", 6).alias("max_t"),
+    )
+
+
 _EMB_AUDIT_ORACLE = """
 WITH q AS (
     SELECT pos, CAST(round(x * 1000000) AS BIGINT) AS xi

@@ -139,6 +139,18 @@ HEADLINE = [
     "psi_drift_totalprice",
     "lpa_communities",
     "incremental_join_mv",
+    # round-10 additions: the video rung (AVI demux + per-frame JPEG
+    # decode — row-linear Arrow map, ~3.5 frames decoded per doc),
+    # the CCNet paragraph audit (one hash-keyed shuffle + one doc
+    # aggregate), and token-window chunking (pure codegen, zero
+    # shuffles — its ratio is a scan-throughput datapoint)
+    "video_frames_features",
+    "ccnet_paragraph_dedup",
+    "chunk_documents_token_windows",
+    # t-closeness completes the governance triad: one fact shuffle on
+    # (QI, status), class-grain after — its ratio should track the
+    # other QI audits
+    "t_closeness_audit",
 ]
 
 SF_DIRS = {
