@@ -428,10 +428,19 @@ def main() -> None:
             # parquet stats + REBALANCE feed AQE's per-round join
             # planning there) and was reverted — see
             # sources.scratch.local_snapshot for both numbers.
-            "bradley_terry_suppliers": "round-10 improvement: 10.35 "
-                                       "-> ~5.9 s (wins snapshot + "
-                                       "localCheckpoint per MM "
-                                       "round); expected DOWN-mover",
+            "bradley_terry_suppliers": "round-10 improvement (wins "
+                                       "snapshot + localCheckpoint "
+                                       "per MM round): isolated "
+                                       "3-run warm 5.86-6.24 s vs "
+                                       "10.35 s committed round 9; "
+                                       "in-catalog min-of-2 lands "
+                                       "higher (9.67 s — the 8-round "
+                                       "iterative shape absorbs "
+                                       "shared-session placement "
+                                       "like the codec family does; "
+                                       "see the round-10 auto-triage "
+                                       "entries, all of which "
+                                       "isolated back to priors)",
             # Round-10 closure of the round-9 VERDICT's two ESCAPED
             # movers (flagged vs the committed round-8 baseline but
             # missed because the final auto-triage compared

@@ -1126,3 +1126,113 @@ def bipartite_align_ann(
             6,
         ).alias("margin"),
     )
+
+
+def knn_shapley_values(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    panel: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DATA VALUATION: exact KNN-Shapley value of every training
+    point (Jia et al. 2019, "Efficient task-specific data valuation
+    for nearest neighbor algorithms") — the per-example influence
+    score an LLM-data pipeline uses to rank, prune, or pay for
+    training data. For the KNN utility the Shapley value — normally
+    2^n subset enumerations — collapses to ONE closed-form recurrence
+    over training points sorted by distance to each validation point:
+
+        s_(n)  = 1[y_(n) = y_val] / n
+        s_(i)  = s_(i+1)
+                 + (1[y_(i)=y_val] - 1[y_(i+1)=y_val])
+                   · min(K, i) / (K · i)
+
+    (pinned against brute-force Shapley over all n! permutations on a
+    micro fixture in tests/test_round13.py). The reported value is
+    the mean over a deterministic validation PANEL (the first
+    ``panel`` ids by md5 order — a distributed top-k, no global
+    window), which is the Shapley value for the panel-accuracy
+    utility by linearity.
+
+    Exactness across engines: components are integer-quantized
+    (round(x·scale)) so squared L2 distances are EXACT BIGINTs and
+    the per-validation ranking (dist², id tiebreak) is a total order
+    no float ulp can flip; each recurrence term is an exact integer
+    ratio; only the final reverse cumulative sum and panel mean are
+    IEEE, absorbed by round(6) — the PageRank-oracle tolerance
+    pattern.
+
+    Scale shape: |panel| × n scored rows from a broadcast cross
+    join (panel is constant-size at every sf); the per-validation
+    ranking is a window over panel-id partitions — parallelism =
+    panel size, each partition a full n·log n sort, the honest cost
+    of EXACT KNN-Shapley (the production scale path is Jia et al.'s
+    LSH variant: rank only an ANN shortlist per validation point,
+    exactly this engine's ``cosine_topk_lsh`` machinery).
+    """
+    from pyspark.sql import Window
+
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lab"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x * scale, 0).cast("long"),
+        ).alias("_v"),
+    )
+    sel = (
+        q.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(panel)
+        .select(
+            F.col("_id").alias("_vid"),
+            F.col("_lab").alias("_vlab"),
+            F.col("_v").alias("_vv"),
+        )
+    )
+    train = q.join(
+        F.broadcast(sel.select(F.col("_vid").alias("_id"))), "_id", "left_anti"
+    )
+    dist2 = F.aggregate(
+        F.zip_with("_v", "_vv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = train.crossJoin(F.broadcast(sel)).select(
+        "_vid",
+        F.col("_id"),
+        (F.col("_lab") == F.col("_vlab")).cast("int").alias("_eq"),
+        dist2.alias("_d2"),
+    )
+    w = Window.partitionBy("_vid").orderBy("_d2", "_id")
+    ranked = pairs.select(
+        "_vid",
+        "_id",
+        "_eq",
+        F.row_number().over(w).alias("_r"),
+        F.lead("_eq").over(w).alias("_eqn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_vid")).alias("_n"),
+    )
+    term = F.when(
+        F.col("_eqn").isNull(),
+        F.col("_eq").cast("double") / F.col("_n"),
+    ).otherwise(
+        ((F.col("_eq") - F.col("_eqn")) * F.least(F.lit(k), F.col("_r")))
+        / (float(k) * F.col("_r"))
+    )
+    rev = Window.partitionBy("_vid").orderBy(F.desc("_r")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    shap = ranked.select(
+        "_vid", "_id", F.sum(term).over(rev).alias("_s")
+    )
+    return (
+        shap.groupBy("_id")
+        # + 0.0 normalizes IEEE negative zero: round() of a tiny
+        # negative mean yields -0.0, whose string/hash form differs
+        # from 0.0 across engines (the oracle adds the same + 0)
+        .agg((F.round(F.avg("_s"), 6) + F.lit(0.0)).alias("knn_shapley"))
+        .select(F.col("_id").alias(id_col), "knn_shapley")
+    )

@@ -12849,6 +12849,73 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_SHAPLEY_ORACLE = """
+WITH p AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+sel AS (
+    SELECT vec_id AS vid, label AS vlab, v AS vv
+    FROM p ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+tr AS (SELECT * FROM p WHERE vec_id NOT IN (SELECT vid FROM sel)),
+d AS (
+    SELECT s.vid, t.vec_id AS tid,
+           CASE WHEN t.label = s.vlab THEN 1 ELSE 0 END AS eq,
+           list_sum(list_transform(list_zip(t.v, s.vv),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+    FROM tr t CROSS JOIN sel s
+),
+r AS (
+    SELECT vid, tid, eq,
+           row_number() OVER w AS rnk,
+           lead(eq) OVER w AS eqn,
+           count(*) OVER (PARTITION BY vid) AS n
+    FROM d
+    WINDOW w AS (PARTITION BY vid ORDER BY d2, tid)
+),
+terms AS (
+    SELECT vid, tid, rnk,
+           CASE WHEN eqn IS NULL THEN CAST(eq AS DOUBLE) / n
+                ELSE ((eq - eqn) * least(5, rnk)) / (5.0 * rnk)
+           END AS term
+    FROM r
+),
+s AS (
+    SELECT vid, tid,
+           sum(term) OVER (PARTITION BY vid ORDER BY rnk DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS shap
+    FROM terms
+)
+SELECT tid AS vec_id, round(avg(shap), 6) + 0 AS knn_shapley
+FROM s GROUP BY 1
+"""
+
+
+@query("knn_shapley_values", _KNN_SHAPLEY_ORACLE)
+def knn_shapley_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data valuation, beyond-ref §2.13 — per-example influence for
+    training-data markets/pruning] EXACT KNN-Shapley value of every
+    training embedding (Jia et al. 2019): the Shapley value — which
+    for a general utility needs 2^n subsets — collapses for the KNN
+    utility to one closed-form recurrence over distance-sorted
+    training points, evaluated here against a 16-point deterministic
+    validation panel (md5-ordered top-k, constant size at every sf).
+    ``similarity.knn_shapley_values``: integer-quantized components
+    make every squared L2 distance an exact BIGINT (the ranking is a
+    total order no float ulp can flip), each recurrence term an
+    exact integer ratio; the recurrence is pinned against BRUTE-FORCE
+    Shapley over all n! permutations on a micro fixture
+    (tests/test_round13.py). Scale path: the paper's LSH variant
+    (rank an ANN shortlist only), this engine's cosine_topk_lsh
+    machinery."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.knn_shapley_values(emb)
+
+
 _EMB_AUDIT_ORACLE = """
 WITH q AS (
     SELECT pos, CAST(round(x * 1000000) AS BIGINT) AS xi

@@ -152,3 +152,77 @@ def test_paragraph_dedup_within_doc_repeat_is_not_duplication(spark):
     rows = paragraph_dedup_fractions(df, "doc_id", "text").collect()
     got = {r.doc_id: (r.n_dup_paragraphs, r.keep) for r in rows}
     assert got == {1: (0, True), 2: (0, True)}
+
+
+def test_knn_shapley_matches_bruteforce_shapley(spark):
+    # The closed-form recurrence (Jia et al. 2019) vs the DEFINITION:
+    # brute-force Shapley over all n! permutations of a 5-point
+    # training set, utility = (1/K)·(matching labels among the
+    # min(K,|S|) nearest). Independence layer: the reference below
+    # shares no code with the operator — it literally enumerates
+    # permutations.
+    import hashlib
+    import itertools
+    import math
+
+    from module8_movies_etl_spark.operators.similarity import (
+        knn_shapley_values,
+    )
+
+    K, PANEL = 2, 2
+    pts = {
+        # id: (x, y, label) — distinct pairwise distances, mixed labels
+        1: (0.0, 0.0, 0),
+        2: (1.0, 0.0, 1),
+        3: (0.0, 2.0, 0),
+        4: (3.0, 1.0, 1),
+        5: (1.5, 2.5, 0),
+        6: (4.0, 4.0, 1),
+        7: (0.5, 3.5, 0),
+    }
+    ids = sorted(pts)
+    by_md5 = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    val, train = by_md5[:PANEL], sorted(set(ids) - set(by_md5[:PANEL]))
+
+    def qv(i):  # the operator's integer quantization
+        return (round(pts[i][0] * 1e6), round(pts[i][1] * 1e6))
+
+    def d2(a, b):
+        qa, qb = qv(a), qv(b)
+        return (qa[0] - qb[0]) ** 2 + (qa[1] - qb[1]) ** 2
+
+    def utility(subset, v):
+        if not subset:
+            return 0.0
+        near = sorted(subset, key=lambda t: (d2(t, v), t))[: min(K, len(subset))]
+        return sum(1 for t in near if pts[t][2] == pts[v][2]) / K
+
+    shap = dict.fromkeys(train, 0.0)
+    for v in val:
+        for perm in itertools.permutations(train):
+            acc = []
+            for t in perm:
+                shap[t] += utility(acc + [t], v) - utility(acc, v)
+                acc.append(t)
+    nperm = math.factorial(len(train))
+    expected = {t: shap[t] / (nperm * len(val)) for t in train}
+
+    df = spark.createDataFrame(
+        [(i, [pts[i][0], pts[i][1]], pts[i][2]) for i in ids],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.vec_id: r.knn_shapley
+        for r in knn_shapley_values(df, k=K, panel=PANEL).collect()
+    }
+    assert set(got) == set(expected)
+    for t in train:
+        assert abs(got[t] - expected[t]) < 2e-6, (t, got[t], expected[t])
+    # the values must actually discriminate (not all equal), and the
+    # total must equal the average full-set utility (Shapley
+    # efficiency axiom: sum of values = u(N) - u(empty))
+    assert len(set(round(v, 6) for v in expected.values())) > 1
+    full = sum(utility(train, v) for v in val) / len(val)
+    assert abs(sum(got.values()) - full) < 5e-6

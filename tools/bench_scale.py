@@ -151,6 +151,10 @@ HEADLINE = [
     # (QI, status), class-grain after — its ratio should track the
     # other QI audits
     "t_closeness_audit",
+    # exact KNN-Shapley: |panel| x n scored rows, per-panel-point
+    # ranking — parallelism = panel size by design (the documented
+    # exact-baseline cost; production uses the ANN-shortlist variant)
+    "knn_shapley_values",
 ]
 
 SF_DIRS = {
