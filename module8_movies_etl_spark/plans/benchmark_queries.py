@@ -17227,6 +17227,167 @@ def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS (SELECT * FROM v WHERE vec_id % 97 = 0 AND vec_id < 2050),
+lc AS (SELECT label, count(*) AS cnt FROM v GROUP BY 1),
+scored AS (
+    SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
+           c.label AS nl,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS sim
+    FROM q JOIN v c ON c.vec_id <> q.vec_id
+),
+topk AS (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, nid) AS rnk
+    FROM scored QUALIFY rnk <= 10
+),
+dcg AS (
+    SELECT qid, ql,
+           sum(CASE WHEN ql = nl THEN
+               CASE rnk WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+                        WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+                        WHEN 5 THEN 386852807 WHEN 6 THEN 356207187
+                        WHEN 7 THEN 333333333 WHEN 8 THEN 315464877
+                        WHEN 9 THEN 301029996 ELSE 289064826 END
+               ELSE 0 END) AS dcg_int
+    FROM topk GROUP BY 1, 2
+),
+perq AS (
+    SELECT d.qid, d.dcg_int, least(10, lc.cnt - 1) AS m
+    FROM dcg d JOIN lc ON lc.label = d.ql
+),
+ev AS (
+    SELECT qid,
+           (dcg_int * 1000000) //
+           CASE m WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929754
+                  WHEN 3 THEN 2130929754 WHEN 4 THEN 2561606312
+                  WHEN 5 THEN 2948459119 WHEN 6 THEN 3304666306
+                  WHEN 7 THEN 3637999639 WHEN 8 THEN 3953464516
+                  WHEN 9 THEN 4254494512 ELSE 4543559338 END AS nd
+    FROM perq WHERE m >= 1
+),
+agg AS (
+    SELECT (SELECT count(*) FROM perq) AS n_q,
+           count(*) AS n_eval, sum(nd) AS s
+    FROM ev
+)
+SELECT CAST(n_q AS BIGINT) AS n_queries,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       CASE WHEN n_eval = 0 THEN NULL
+            ELSE CAST(s // n_eval AS DOUBLE) / 1000000.0
+       END AS ndcg_at_10
+FROM agg
+"""
+
+
+@query("retrieval_ndcg_audit", _NDCG_ORACLE)
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity-search QA, beyond-ref §2.13 — the GRADED-position
+    companion to ``retrieval_mrr_audit``] nDCG@10 of the exact cosine
+    retriever: MRR scores only the FIRST relevant hit, nDCG credits
+    every relevant position with log-discounted gain, normalized by
+    the ideal ordering truncated at min(10, corpus-relevant count).
+    Same fixed deterministic query panel and the same
+    cross-engine-stable cosine ranking as the MRR audit.
+
+    Exactness WITHOUT cross-engine libm: the ten discount weights
+    round(1e9/log2(r+1)) and the ten ideal prefix sums are EMBEDDED
+    INTEGER CONSTANTS (identical literals in the Spark plan and the
+    SQL), so per-query DCG/IDCG are exact integers, each query's
+    nDCG is one integer floor-division into micro-units (DCG ≤ IDCG
+    always, so the quotient fits 10⁶), and the panel mean is the
+    house integer floor-division — no float enters until the final
+    display division.
+
+    Scale shape: identical to the MRR audit — broadcast constant-size
+    panel × one corpus scan, WindowGroupLimit top-10, query-grain,
+    1-row output; the label-count side input is a ≤|labels|-row
+    broadcast."""
+    W = [1000000000, 630929754, 500000000, 430676558, 386852807,
+         356207187, 333333333, 315464877, 301029996, 289064826]
+    IDCG = [1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+            3304666306, 3637999639, 3953464516, 4254494512, 4543559338]
+    emb = read_table(spark, sf_dir, "embeddings")
+    nonzero = (
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        > 0
+    )
+    corpus = emb.filter(nonzero)
+    qpanel = corpus.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2050)
+    )
+    topk = similarity.cosine_topk(
+        emb, qpanel, id_col="vec_id", vec_col="embedding", k=10
+    )
+    labels = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    rel = (
+        topk.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id")
+                .withColumnRenamed("label", "_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "_nl"),
+            "neighbor_id",
+        )
+    )
+    wt = F.element_at(
+        F.array(*[F.lit(w) for w in W]), F.col("rank").cast("int")
+    )
+    dcg = rel.groupBy("query_id", "_ql").agg(
+        F.sum(
+            F.when(F.col("_ql") == F.col("_nl"), wt).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_dcg")
+    )
+    lc = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("_cnt"))
+    perq = dcg.join(
+        F.broadcast(lc), dcg["_ql"] == lc["label"]
+    ).select(
+        "query_id",
+        "_dcg",
+        F.least(F.lit(10), (F.col("_cnt") - 1).cast("int")).alias("_m"),
+    )
+    idcg = F.element_at(F.array(*[F.lit(i) for i in IDCG]), F.col("_m"))
+    dcgm = F.col("_dcg") * F.lit(1_000_000).cast("long")
+    nd = ((dcgm - dcgm % idcg) / idcg).cast("long")
+    agg = perq.agg(
+        F.count(F.lit(1)).alias("_n_q"),
+        F.sum(F.when(F.col("_m") >= 1, 1).otherwise(0)).alias("_n_eval"),
+        F.sum(F.when(F.col("_m") >= 1, nd)).alias("_s"),
+    )
+    n_eval = F.col("_n_eval")
+    s = F.col("_s")
+    return agg.select(
+        F.col("_n_q").cast("long").alias("n_queries"),
+        n_eval.cast("long").alias("n_eval"),
+        F.when(n_eval == 0, F.lit(None).cast("double"))
+        .otherwise(
+            ((s - s % n_eval) / n_eval).cast("long").cast("double")
+            / 1_000_000.0
+        )
+        .alias("ndcg_at_10"),
+    )
+
+
 _MRR_ORACLE = """
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -155,6 +155,8 @@ HEADLINE = [
     # ranking — parallelism = panel size by design (the documented
     # exact-baseline cost; production uses the ANN-shortlist variant)
     "knn_shapley_values",
+    # nDCG@10: same panel x corpus shape as retrieval_mrr_audit
+    "retrieval_ndcg_audit",
 ]
 
 SF_DIRS = {
