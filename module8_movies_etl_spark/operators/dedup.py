@@ -1511,12 +1511,16 @@ def paragraph_dedup_fractions(
     Plan shape at 100 TB: the paragraph grain is ~n_words/block_words
     rows built by ONE codegen transform over the pre-split word
     array (no word-grain explode); cross-doc duplication is the
-    cheap ``min(id) <> max(id)`` distinct-docs test on one
-    paragraph-hash-keyed shuffle (no count-distinct); a doc-keyed
-    aggregate lands the (id, n_paragraphs, n_dup_paragraphs,
-    dup_fraction, keep) audit row. Returns one row per document;
-    ``keep`` is the CCNet decision at ``max_dup_fraction``.
+    cheap ``min(id) <> max(id)`` distinct-docs test riding a WINDOW
+    on the paragraph hash (no count-distinct, and no groupBy+join
+    back — the join-back idiom re-scanned the fact; the window form
+    is one scan, one hash-keyed shuffle); a doc-keyed aggregate
+    lands the (id, n_paragraphs, n_dup_paragraphs, dup_fraction,
+    keep) audit row — exactly two exchanges end to end
+    (plan-pinned). Returns one row per document; ``keep`` is the
+    CCNet decision at ``max_dup_fraction``.
     """
+    from pyspark.sql import Window
     blocks = (
         df.select(
             F.col(id_col),
@@ -1547,12 +1551,13 @@ def paragraph_dedup_fractions(
             ).alias("_h"),
         )
     )
-    cross_doc = blocks.groupBy("_h").agg(
-        (F.min(id_col) != F.max(id_col)).alias("_dup")
+    w_h = Window.partitionBy("_h")
+    scored = blocks.select(
+        id_col,
+        (F.min(id_col).over(w_h) != F.max(id_col).over(w_h)).alias("_dup"),
     )
     return (
-        blocks.join(cross_doc, "_h")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
             F.sum(F.col("_dup").cast("long")).alias("n_dup_paragraphs"),

@@ -12785,17 +12785,24 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds on.
 
     Scale shape: one fact shuffle on (QI, status) builds the
-    class-status counts; everything after is class-grain — the
-    3-row global distribution broadcasts onto the class × status
-    grid, and the histogram is a rollup over |QI classes| rows.
+    class-status counts, SNAPSHOTTED once (class×status grain —
+    thousands of rows) because three downstream branches consume it
+    (global distribution, class sizes, the grid join); without the
+    snapshot each branch re-ran the fact scan+shuffle (measured: 8
+    FileScans → 3). Everything after is class-grain — the 3-row
+    global distribution broadcasts onto the class × status grid,
+    and the histogram is a rollup over |QI classes| rows.
     """
-    cs = (
+    from ..sources.scratch import snapshot
+
+    cs = snapshot(
         _qi_base(spark, sf_dir)
         .groupBy(
             "c_nationkey", "c_mktsegment", "yr", "mo",
             "o_orderpriority", "o_orderstatus",
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        prefix="tclose_cs_",
     )
     qi_cols = ["c_nationkey", "c_mktsegment", "yr", "mo", "o_orderpriority"]
     g = cs.groupBy("o_orderstatus").agg(F.sum("c").alias("gs"))

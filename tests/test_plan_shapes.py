@@ -184,6 +184,31 @@ EXPECTED_SHAPES: dict[str, tuple[dict[str, int], int]] = {
     # model inference is one codegen'd pass — applying the classifier
     # can never cost more than reading the corpus.
     "quality_model_score": ({"documents": 1}, 0),
+    # round-10 additions. The video rung: same two narrow Arrow map
+    # stages as every codec decode — demux + per-frame JPEG add CPU,
+    # never a scan or shuffle.
+    "video_frames_features": ({"documents": 1}, 0),
+    # token-window chunking: pure codegen transform+slice, ZERO
+    # exchanges of any kind (also asserted below).
+    "chunk_documents_token_windows": ({"documents": 1}, 0),
+    # CCNet paragraph audit: the min!=max cross-doc test rides a
+    # WINDOW on the paragraph hash (a groupBy+join-back form scanned
+    # documents twice — caught by this harness, rewritten round 10).
+    "ccnet_paragraph_dedup": ({"documents": 1}, 0),
+    # t-closeness: the fact pair scans once at the class-status
+    # snapshot build (outside this plan, the gini precedent); the
+    # final plan reads the tiny snapshot for its three branches.
+    # Singles: the 1-row global-total broadcast + the share-of-total
+    # window over the <=4-row bucket rollup.
+    "t_closeness_audit": ({"scratch": 3}, 2),
+    # KNN-Shapley: the quantized projection scans once per consumer
+    # (panel top-k, anti-join, scored pairs) — all three column-
+    # pruned; ranking partitions by panel id, no global exchange.
+    "knn_shapley_values": ({"embeddings": 3}, 0),
+    # nDCG: the MRR audit's 4 scans + one more (vec_id,label) pruned
+    # pass for the corpus label counts; the single is the 1-row
+    # metrics reduce.
+    "retrieval_ndcg_audit": ({"embeddings": 5}, 1),
 }
 
 _SCAN_RE = re.compile(
@@ -252,3 +277,19 @@ def test_plan_shape_budget(spark, sf_dir, name):
         "sort/window/limit entered (or left) the plan; verify its "
         "input is grain-bounded before repinning"
     )
+
+
+def test_token_chunking_has_zero_exchanges(spark, sf_dir):
+    # the docstring claims ZERO shuffles of any kind — stronger than
+    # the SinglePartition budget above, so pin it explicitly
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        chunk_documents_token_windows,
+    )
+
+    df = chunk_documents_token_windows(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    assert "Exchange" not in plan, plan
