@@ -2699,6 +2699,117 @@ GROUP BY node
 """
 
 
+def _leakage_safe_split_oracle() -> str:
+    """Cluster closure (the semantic-dedup recursive CTE, at the
+    STRICTER 0.5 cosine so the corpus yields many small cliques
+    rather than one giant component — the split audit is about
+    cluster-grain assignment, and a single-cluster corpus would
+    degenerate to one output row) + the hash_split u01 on the
+    CLUSTER id + the spans-splits leak check."""
+    cte = _embedding_pairs_cte(threshold=0.5)
+    return f"""
+WITH RECURSIVE {cte},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT vec_id AS node, vec_id AS m FROM embeddings
+    UNION
+    SELECT e.src AS node, r.m
+    FROM reach r JOIN edges e ON e.dst = r.node
+),
+cl AS (
+    SELECT node AS vec_id, min(m) AS cluster_id FROM reach GROUP BY node
+),
+s AS (
+    SELECT vec_id, cluster_id,
+           CASE
+             WHEN CAST('0x' || substr(md5('split:' ||
+                       CAST(cluster_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) / 1152921504606846976.0 < 0.8 THEN 'train'
+             WHEN CAST('0x' || substr(md5('split:' ||
+                       CAST(cluster_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) / 1152921504606846976.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM cl
+),
+leak AS (
+    SELECT max(cnt) AS mx FROM (
+        SELECT cluster_id, count(DISTINCT split) AS cnt FROM s GROUP BY 1
+    )
+),
+agg AS (
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM s GROUP BY 1
+)
+SELECT split,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS pct_docs,
+       CAST(leak.mx AS INTEGER) AS max_splits_per_cluster
+FROM agg CROSS JOIN leak
+"""
+
+
+@query("leakage_safe_split_audit", _leakage_safe_split_oracle())
+def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation × dedup composition, beyond-ref §2.13 — the split
+    rule that actually prevents eval contamination] Train/val/test
+    assignment keyed on the NEAR-DUP CLUSTER id, not the document id:
+    ``train_val_test_split``'s per-doc hash is stable, but two
+    near-duplicates hash independently — one lands in train, its twin
+    in test, and the eval is contaminated anyway. Splitting by the
+    connected-component id (SemDeDup graph: banded hyperplane-LSH +
+    exact cosine verification → min-label closure) puts every
+    near-dup clique wholly inside ONE split by construction, and the
+    audit PROVES it: ``max_splits_per_cluster`` counts the worst
+    cluster's distinct splits (must be 1 — the leak check a release
+    gate asserts). Same md5-u01 split rule as hash_split, so the
+    assignment is reproducible and grow-stable at the cluster grain.
+
+    Scale shape: the pair graph + closure is the semantic-dedup
+    machinery (banded candidates, pointer-jumping CC, snapshot-
+    rooted); after closure everything is (vec, cluster)-grain — one
+    split projection, two small rollups, a 1-row leak broadcast.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.5, n_planes=12, dim=64, n_bands=3
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    s = sampling.hash_split(
+        cc, "cluster_id", boundaries={"train": 0.8, "val": 0.9},
+        default_label="test",
+    )
+    leak = (
+        s.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("_c"))
+        .agg(F.max("_c").cast("int").alias("max_splits_per_cluster"))
+    )
+    agg = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wall).cast("double"),
+            6,
+        ).alias("pct_docs"),
+    ).crossJoin(F.broadcast(leak))
+
+
 @query("semantic_dedup_clusters", _semantic_dedup_oracle())
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[dedup-embedding decision] SemDeDup-style semantic dedup

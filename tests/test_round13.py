@@ -226,3 +226,46 @@ def test_knn_shapley_matches_bruteforce_shapley(spark):
     assert len(set(round(v, 6) for v in expected.values())) > 1
     full = sum(utility(train, v) for v in val) / len(val)
     assert abs(sum(got.values()) - full) < 5e-6
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    # the property the cluster-keyed split exists for: two near-dup
+    # docs whose PER-DOC hashes land in different splits must land in
+    # the SAME split under the cluster rule
+    import hashlib
+
+    from module8_movies_etl_spark.operators.dedup import (
+        connected_components,
+    )
+    from module8_movies_etl_spark.operators.sampling import hash_split
+
+    def u01(key):
+        return int(
+            hashlib.md5(f"split:{key}".encode()).hexdigest()[:15], 16
+        ) / float(1 << 60)
+
+    # find a near-dup pair whose per-doc assignments DIFFER
+    def label(u):
+        return "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+
+    a, b = next(
+        (i, j)
+        for i in range(100)
+        for j in range(i + 1, 100)
+        if label(u01(i)) != label(u01(j))
+    )
+    nodes = spark.createDataFrame(
+        [(a,), (b,), (7777,)], "vec_id long"
+    )
+    pairs = spark.createDataFrame([(a, b)], "id_a long, id_b long")
+    cc = connected_components(pairs, nodes, id_col="vec_id")
+    s = hash_split(
+        cc, "cluster_id", boundaries={"train": 0.8, "val": 0.9},
+        default_label="test",
+    )
+    rows = {r.vec_id: r.split for r in s.collect()}
+    # per-doc rule would separate a and b; cluster rule must not
+    assert label(u01(a)) != label(u01(b))
+    assert rows[a] == rows[b] == label(u01(min(a, b)))
+    # and the isolated doc keeps its own (cluster-of-one) assignment
+    assert rows[7777] == label(u01(7777))
