@@ -157,6 +157,9 @@ HEADLINE = [
     "knn_shapley_values",
     # nDCG@10: same panel x corpus shape as retrieval_mrr_audit
     "retrieval_ndcg_audit",
+    # cluster-keyed split: the semantic-dedup closure machinery at
+    # the stricter 0.5 cosine + cluster-grain rollups
+    "leakage_safe_split_audit",
 ]
 
 SF_DIRS = {
