@@ -12827,6 +12827,125 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KRIPP_ORACLE = """
+WITH r AS (
+    SELECT o_custkey AS item, o_orderpriority AS label FROM orders
+),
+cnt AS (
+    SELECT item, label, count(*) AS nuc FROM r GROUP BY 1, 2
+),
+it AS (
+    SELECT item, sum(nuc) AS nu, sum(nuc * nuc) AS squc
+    FROM cnt GROUP BY 1
+),
+it2 AS (SELECT * FROM it WHERE nu >= 2),
+kb AS (
+    SELECT nu, sum(nu * nu - squc) AS sd FROM it2 GROUP BY 1
+),
+do_num AS (
+    SELECT sum(CAST(sd AS DOUBLE) / (nu - 1)) AS dn FROM kb
+),
+nc AS (
+    SELECT c.label, sum(c.nuc) AS nc
+    FROM cnt c JOIN it2 USING (item) GROUP BY 1
+),
+tot AS (
+    SELECT sum(nc) AS n, sum(CAST(nc AS HUGEINT) * nc) AS sq,
+           count(*) AS n_categories
+    FROM nc
+),
+base AS (
+    SELECT (SELECT count(*) FROM it2) AS n_items,
+           tot.n, tot.sq, tot.n_categories, do_num.dn
+    FROM tot CROSS JOIN do_num
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n AS BIGINT) AS n_ratings,
+       CAST(n_categories AS INTEGER) AS n_categories,
+       round(dn / n, 6) AS do_rate,
+       round(CAST(CAST(n AS HUGEINT) * n - sq AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1)), 6) AS de_rate,
+       round(1.0 - dn * CAST(n - 1 AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * n - sq AS DOUBLE),
+             6) AS alpha
+FROM base
+"""
+
+
+@query("annotator_agreement_alpha", _KRIPP_ORACLE)
+def annotator_agreement_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[annotation QA, beyond-ref §2.13 — the inter-annotator
+    reliability readout beside Bradley-Terry's preference fitting]
+    Krippendorff's alpha (nominal) over a ratings table: every RLHF
+    labeling pipeline gates on rater reliability before trusting the
+    labels, and alpha is the standard coefficient (handles variable
+    raters per item, unlike Cohen/Fleiss kappa). Items = customers,
+    ratings = their orders' priority labels — the (item, rater,
+    category) shape of a real annotation log.
+
+    Math, exactly as Krippendorff's coincidence formulation: per item
+    u with n_u ≥ 2 ratings and per-category counts n_uc, the
+    within-item disagreement is (n_u² − Σ_c n_uc²)/(n_u − 1); the
+    expected disagreement comes from the category marginals over the
+    same items, D_e = (n² − Σ_c n_c²)/(n·(n−1)); alpha = 1 − D_o/D_e.
+    Every numerator is an exact integer aggregate (DECIMAL-widened);
+    the ONLY floats are the per-n_u-bucket division (each term an
+    exact ratio, ≤ ~20 bucket terms summed — pinned against a
+    plain-Python coincidence-matrix replay in tests/test_round13.py)
+    and the two final display divisions; round(6), the PageRank
+    tolerance pattern.
+
+    Scale shape: one fact shuffle on (item, label), item-grain after,
+    then a ≤|n_u-values|-row bucket rollup and a ≤|categories|-row
+    marginal — two tiny broadcasts into a 1-row readout.
+    """
+    r = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("item"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    cnt = r.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("nuc")
+    )
+    it = cnt.groupBy("item").agg(
+        F.sum("nuc").alias("nu"),
+        F.sum(F.col("nuc") * F.col("nuc")).alias("squc"),
+    )
+    it2 = it.filter(F.col("nu") >= 2)
+    kb = it2.groupBy("nu").agg(
+        F.sum(F.col("nu") * F.col("nu") - F.col("squc")).alias("sd")
+    )
+    do_num = kb.agg(
+        F.sum(F.col("sd").cast("double") / (F.col("nu") - 1)).alias("dn")
+    )
+    ncs = (
+        cnt.join(it2.select("item"), "item")
+        .groupBy("label")
+        .agg(F.sum("nuc").alias("nc"))
+    )
+    tot = ncs.agg(
+        F.sum("nc").alias("n"),
+        F.sum(_dec(F.col("nc")) * F.col("nc")).alias("sq"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    n_items = it2.agg(F.count(F.lit(1)).alias("n_items"))
+    base = (
+        tot.crossJoin(F.broadcast(do_num))
+        .crossJoin(F.broadcast(n_items))
+    )
+    n = F.col("n")
+    de_num = (_dec(n) * n - F.col("sq")).cast("double")
+    return base.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        n.cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("int").alias("n_categories"),
+        F.round(F.col("dn") / n, 6).alias("do_rate"),
+        F.round(de_num / (n.cast("double") * (n - 1)), 6).alias("de_rate"),
+        F.round(
+            1.0 - F.col("dn") * (n - 1).cast("double") / de_num, 6
+        ).alias("alpha"),
+    )
+
+
 _TCLOSE_ORACLE = f"""
 WITH cs AS (
     SELECT c_nationkey, c_mktsegment, yr, mo, o_orderpriority,

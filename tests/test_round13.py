@@ -269,3 +269,83 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert rows[a] == rows[b] == label(u01(min(a, b)))
     # and the isolated doc keeps its own (cluster-of-one) assignment
     assert rows[7777] == label(u01(7777))
+
+
+def test_krippendorff_alpha_matches_coincidence_matrix_replay(spark):
+    # independent reference: build Krippendorff's coincidence matrix
+    # LITERALLY (every ordered within-item pair weighted 1/(n_u - 1))
+    # and compute alpha from it — no shared arithmetic with the
+    # operator's bucketed integer form. Includes Krippendorff's own
+    # textbook property checks: perfect agreement -> alpha = 1.
+    import itertools
+    from collections import Counter, defaultdict
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        annotator_agreement_alpha,
+    )
+
+    ratings = [
+        # item: labels (variable raters per item, incl. a 1-rater
+        # item that must be EXCLUDED)
+        (1, ["a", "a", "b"]),
+        (2, ["b", "b", "b", "c"]),
+        (3, ["a", "c"]),
+        (4, ["c", "c", "c"]),
+        (5, ["a"]),          # no pair information
+        (6, ["a", "b", "b", "b", "a"]),
+    ]
+
+    def reference_alpha(data):
+        coin = defaultdict(float)
+        for _, labs in data:
+            if len(labs) < 2:
+                continue
+            for i, j in itertools.permutations(range(len(labs)), 2):
+                coin[(labs[i], labs[j])] += 1.0 / (len(labs) - 1)
+        n_c = Counter()
+        for (c, _), v in coin.items():
+            n_c[c] += v
+        n = sum(n_c.values())
+        d_o = sum(v for (c, cp), v in coin.items() if c != cp) / n
+        d_e = sum(
+            n_c[c] * n_c[cp] for c in n_c for cp in n_c if c != cp
+        ) / (n * (n - 1))
+        return 1.0 - d_o / d_e, d_o, d_e, n
+
+    exp_alpha, exp_do, exp_de, exp_n = reference_alpha(ratings)
+
+    # feed the SAME ratings through the catalog query's operator path
+    # by writing them as a fake orders table
+    import tempfile
+
+    rows = [
+        (item, lab)
+        for item, labs in ratings
+        for lab in labs
+    ]
+    df = spark.createDataFrame(
+        [(i, item, "O", 1.0, "2024-01-01 00:00:00", lab)
+         for i, (item, lab) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = annotator_agreement_alpha(spark, d).collect()[0]
+    assert out.n_ratings == exp_n
+    assert out.n_items == 5 and out.n_categories == 3
+    assert abs(out.alpha - exp_alpha) < 2e-6, (out.alpha, exp_alpha)
+    assert abs(out.do_rate - exp_do) < 2e-6
+    assert abs(out.de_rate - exp_de) < 2e-6
+
+    # perfect agreement: every item unanimous -> alpha exactly 1
+    uni = spark.createDataFrame(
+        [(i, i % 4, "O", 1.0, "2024-01-01", ["a", "b"][i % 2 == 0])
+         for i in range(40)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        uni.write.parquet(f"{d}/orders.parquet")
+        out = annotator_agreement_alpha(spark, d).collect()[0]
+    assert out.alpha == 1.0 and out.do_rate == 0.0

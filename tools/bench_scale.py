@@ -160,6 +160,9 @@ HEADLINE = [
     # cluster-keyed split: the semantic-dedup closure machinery at
     # the stricter 0.5 cosine + cluster-grain rollups
     "leakage_safe_split_audit",
+    # Krippendorff alpha: one (item,label) fact shuffle, item-grain
+    # after — a 1-row readout, should hug the scan ratio
+    "annotator_agreement_alpha",
 ]
 
 SF_DIRS = {
