@@ -12827,6 +12827,113 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+    FROM documents
+),
+src AS (SELECT w, count(*) AS ns FROM toks GROUP BY 1),
+tgt AS (SELECT w, count(*) AS nt FROM toks WHERE lang = 'en' GROUP BY 1),
+tot AS (
+    SELECT (SELECT sum(ns) FROM src) AS n_s,
+           (SELECT coalesce(sum(nt), 0) FROM tgt) AS n_t,
+           (SELECT count(*) FROM src) AS v
+),
+lam AS (
+    SELECT s.w,
+           ln(CAST((coalesce(t.nt, 0) + 1) * (tot.n_s + tot.v) AS DOUBLE)
+              / CAST((s.ns + 1) * (tot.n_t + tot.v) AS DOUBLE)) AS lam
+    FROM src s LEFT JOIN tgt t USING (w) CROSS JOIN tot
+),
+sc AS (
+    SELECT k.doc_id, k.lang, count(*) AS n_tokens,
+           round(sum(l.lam), 6) AS dsir_score
+    FROM toks k JOIN lam l USING (w)
+    GROUP BY 1, 2
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, dsir_score
+FROM sc
+ORDER BY dsir_score DESC, doc_id
+LIMIT 100
+"""
+
+
+@query("dsir_importance_select", _DSIR_ORACLE)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data selection, beyond-ref §2.13 — DSIR, Xie et al. 2023
+    "Data selection for language models via importance resampling"]
+    Select the corpus documents most target-like under an n-gram
+    likelihood ratio: per-word importance log-weight
+    λ_w = ln(p̂_target(w)/p̂_source(w)) from Laplace-smoothed unigram
+    counts (target = the 'en' slice, source = the whole corpus), a
+    document's score is Σ λ_w over its tokens, and the top-100 by
+    (score, id) are the selected training candidates — the famous
+    cheap stand-in for classifier-based domain filtering.
+
+    Cross-engine exactness: each λ_w is ln of ONE double that both
+    engines build identically from exact integer counts (products ≤
+    2^53, one division), so the engines' ln inputs are bit-equal and
+    their outputs differ by ≤1 ulp of libm; per-doc sums carry
+    ~1e-14 of that noise into a round(6) score — the mixture-
+    temperature pow() precedent. Ranking uses the ROUNDED score with
+    an id tiebreak, so the top-100 cut is deterministic.
+
+    Scale shape: token grain exists only inside two word-keyed
+    aggregates and one broadcast join (the λ table is |vocab| rows);
+    doc-grain after; the top-100 is a distributed
+    TakeOrderedAndProject, no global sort."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(text.ws_trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    src = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    )
+    tot = src.agg(
+        F.sum("ns").alias("n_s"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("n_t"))
+        )
+    )
+    lam = (
+        src.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.log(
+                (
+                    (F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                    * (F.col("n_s") + F.col("v"))
+                ).cast("double")
+                / ((F.col("ns") + 1) * (F.col("n_t") + F.col("v"))).cast(
+                    "double"
+                )
+            ).alias("lam"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(lam), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lam"), 6).alias("dsir_score"),
+        )
+    )
+    return (
+        scores.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "n_tokens", "dsir_score")
+    )
+
+
 _KRIPP_ORACLE = """
 WITH r AS (
     SELECT o_custkey AS item, o_orderpriority AS label FROM orders

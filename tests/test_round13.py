@@ -349,3 +349,53 @@ def test_krippendorff_alpha_matches_coincidence_matrix_replay(spark):
         uni.write.parquet(f"{d}/orders.parquet")
         out = annotator_agreement_alpha(spark, d).collect()[0]
     assert out.alpha == 1.0 and out.do_rate == 0.0
+
+
+def test_dsir_matches_pure_python_replay(spark, sf_dir):
+    # independent reference: recompute the Laplace-smoothed unigram
+    # log-ratios and every doc score with plain Python math.log over
+    # the same sf0.001 corpus, then check the engine's top-100 set,
+    # order, and scores
+    import math
+    from collections import Counter
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        dsir_importance_select,
+    )
+    from module8_movies_etl_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    src, tgt = Counter(), Counter()
+    toks = {}
+    for r in docs:
+        ws = r.text.strip().split()
+        toks[r.doc_id] = (r.lang, ws)
+        src.update(ws)
+        if r.lang == "en":
+            tgt.update(ws)
+    n_s, n_t, v = sum(src.values()), sum(tgt.values()), len(src)
+    lam = {
+        w: math.log(((tgt.get(w, 0) + 1) * (n_s + v))
+                    / ((src[w] + 1) * (n_t + v)))
+        for w in src
+    }
+    scored = sorted(
+        (
+            (round(sum(lam[w] for w in ws), 6), did, lang, len(ws))
+            for did, (lang, ws) in toks.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+
+    got = dsir_importance_select(spark, sf_dir).collect()
+    assert [(r.doc_id, r.lang, r.n_tokens) for r in got] == [
+        (d, lang, n) for _, d, lang, n in scored
+    ]
+    for row, (score, *_rest) in zip(got, scored):
+        assert abs(row.dsir_score - score) < 2e-6
+    # the selection must actually skew toward the target slice
+    en_share_all = sum(1 for r in docs if r.lang == "en") / len(docs)
+    en_share_sel = sum(1 for r in got if r.lang == "en") / len(got)
+    assert en_share_sel > en_share_all

@@ -163,6 +163,9 @@ HEADLINE = [
     # Krippendorff alpha: one (item,label) fact shuffle, item-grain
     # after — a 1-row readout, should hug the scan ratio
     "annotator_agreement_alpha",
+    # DSIR selection: two word-keyed aggregates + a broadcast lambda
+    # join + distributed top-100 — token-grain only inside aggregates
+    "dsir_importance_select",
 ]
 
 SF_DIRS = {
