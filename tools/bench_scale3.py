@@ -97,6 +97,11 @@ TARGETS = {
     # from fact rows).
     "lpa_communities": "embedding_edges",
     "bradley_terry_suppliers": "bt_comparison_cells",
+    # round-10: the cluster-keyed split iterates the STRICTER 0.5
+    # near-dup graph (many small cliques); its closure work scales
+    # with those verified edges, the post-closure split/rollup with
+    # cluster rows — edges are the driving volume, the CC convention
+    "leakage_safe_split_audit": "embedding_edges_05",
 }
 
 
@@ -198,6 +203,11 @@ def main() -> None:
             return new.join(idx, ["_bi", "_bv"]).count()
         if kind == "orders_rows":
             return read_table(spark, sf_dir, "orders").count()
+        if kind == "embedding_edges_05":
+            emb = read_table(spark, sf_dir, "embeddings")
+            return similarity.embedding_near_dups(
+                emb, threshold=0.5, n_planes=12, dim=64, n_bands=3
+            ).count()
         if kind == "bt_comparison_cells":
             from pyspark.sql import functions as F
 
