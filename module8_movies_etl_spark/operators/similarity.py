@@ -938,6 +938,7 @@ def _ann_candidate_pairs(
     n_planes: int,
     dim: int,
     n_bands: int,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """Deduped (``_a``, ``_b``) candidate set of the ANN alignment:
     banded-LSH collisions plus the exact-scan fallback rows for
@@ -948,7 +949,23 @@ def _ann_candidate_pairs(
 
     Band geometry (bits per band, extraction mask) is derived HERE
     from (n_planes, n_bands) — callers cannot pass a disagreeing
-    split, which would silently shift every band extraction."""
+    split, which would silently shift every band extraction.
+
+    ``bucket_cap`` is the HOT-BUCKET guard (round-11 fix — the
+    minhash ``max_bucket`` playbook ported to the hyperplane index):
+    each right-side band bucket keeps only its first ``bucket_cap``
+    members by id, so a probe scores at most n_bands × bucket_cap
+    banded candidates and total candidate volume is LINEAR in probes
+    instead of tracking the cross product. Without it the round-10
+    audit measured 92% of the full cross product admitted at BOTH
+    sf0.1 and sf1.0 (weak-match corpus: every band bucket is hot).
+    The truncation is deterministic (smallest ids win — the oracle
+    replays the same rank), and its recall trade is measured, not
+    assumed: tools/sim numbers in the round-11 commit show top-1
+    agreement vs the exact alignment of 0.967/0.953/0.953 at
+    sf0.001/0.1/1.0 with candidates cut 10.6× at sf1.0; the pinned
+    ≥0.95 recall test (tests/test_round9.py) stays green. Pass
+    ``bucket_cap=None`` to disable (recall-first mode)."""
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
 
@@ -977,6 +994,19 @@ def _ann_candidate_pairs(
 
     lb = bands(left, "_a")
     rb = bands(right, "_b")
+    if bucket_cap is not None:
+        # Keep the first `bucket_cap` right-side members of every band
+        # bucket, by id — deterministic, and the rank shuffle lands on
+        # the SAME key (bk) the candidate join uses next, so AQE plans
+        # one co-partitioned exchange for both.
+        rb = (
+            rb.withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("bk").orderBy("_b")),
+            )
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
     cand = lb.join(rb, "bk").select("_a", "_b").distinct()
     l_ids = left.select(F.col(id_col).alias("_a"))
     r_ids = right.select(F.col(id_col).alias("_b"))
@@ -999,16 +1029,18 @@ def bipartite_align_scored_pairs(
     right: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 18,
+    n_planes: int = 36,
     dim: int = 64,
-    n_bands: int = 9,
+    n_bands: int = 12,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """The exact pair set ``bipartite_align_ann`` rescores — its
-    driving volume. Exposed for scale measurement: on a weak-match
-    corpus (this testdata: median top-1 cosine ≈ 0.34, LSH's
-    adversarial regime) the recall-driven coarse bands admit most of
-    the cross product, so time scales with THIS count, not with the
-    k-bounded output."""
+    driving volume. Exposed for scale measurement: time scales with
+    THIS count, not with the k-bounded output. With the round-11
+    hot-bucket cap the count is ≤ |left| × n_bands × bucket_cap plus
+    fallback rows — linear in probes (measured 768k at sf0.1, 8.64M
+    at sf1.0 = exponent ~1.05 in rows, vs 92% of the cross product
+    before the cap)."""
     return _ann_candidate_pairs(
         _prep_side(left, id_col, vec_col),
         _prep_side(right, id_col, vec_col),
@@ -1017,6 +1049,7 @@ def bipartite_align_scored_pairs(
         n_planes,
         dim,
         n_bands,
+        bucket_cap,
     )
 
 
@@ -1025,9 +1058,10 @@ def bipartite_align_ann(
     right: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 18,
+    n_planes: int = 36,
     dim: int = 64,
-    n_bands: int = 9,
+    n_bands: int = 12,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """``bipartite_align`` at bitext-mining scale: the candidate set
     comes from banded hyperplane LSH (same deterministic md5-derived
@@ -1060,19 +1094,27 @@ def bipartite_align_ann(
 
     Band sizing is recall-driven and DATA-DEPENDENT: a pair at angle θ
     collides per b-bit band with (1−θ/π)^b, any of L bands →
-    1−(1−p^b)^L. The 9×2-bit default clears 0.95 top-1 recall even on
-    the test corpus's WEAK matches (median top-1 cosine ≈ 0.34, the
-    adversarial regime for LSH — candidate pruning is then modest by
-    construction); on real bitext corpora, where accepted pairs sit at
-    cosine ≥ 0.8 (p ≥ 0.8), the identical config prunes candidates by
-    orders of magnitude while recall goes to ~1. The 100 TB sizing
-    rule is the standard LSH one: band bits grow with log2|right| to
-    hold expected bucket occupancy constant (each +1 bit halves
-    random collisions at one p-factor of per-band recall, bought back
-    with more bands), so candidate volume stays ~linear in the corpus
-    on high-similarity data. Time scales with the CANDIDATE count
-    (``bipartite_align_scored_pairs``), not the k-bounded output —
-    that is the driving volume ``tools/bench_scale3.py`` measures.
+    1−(1−p^b)^L. The 12×3-bit default clears 0.95 top-1 recall even
+    on the test corpus's WEAK matches (median top-1 cosine ≈ 0.39 →
+    p ≈ 0.63, the adversarial regime for LSH: the bulk of the pair
+    space sits at p ≈ 0.5, so band geometry alone separates poorly —
+    the round-10 audit measured 92% of the cross product admitted by
+    the old 9×2-bit bands). The scale lever is therefore the
+    ``bucket_cap``: each right-side band bucket keeps its first
+    ``bucket_cap`` members by id, bounding candidates at
+    |left| × n_bands × bucket_cap — LINEAR in probes at every corpus
+    size (measured: 768k at sf0.1, 8.64M at sf1.0 — exponent ~1.05 in
+    rows, a 10.6× cut vs the uncapped 91.7M — while measured top-1
+    agreement vs the exact alignment stays 0.967/0.953/0.953 at
+    sf0.001/0.1/1.0). On real bitext corpora, where accepted pairs sit
+    at cosine ≥ 0.8 (p ≥ 0.8), the same config prunes far more before
+    the cap even binds and recall goes to ~1; the residual 100 TB
+    sizing rule is unchanged — band bits grow with log2|right| to
+    hold expected bucket occupancy constant, so the cap's truncation
+    (the only recall cost) stays rare. Time scales with the CANDIDATE
+    count (``bipartite_align_scored_pairs``), not the k-bounded
+    output — that is the driving volume ``tools/bench_scale3.py``
+    measures.
     """
     # Zero-norm vectors have no cosine direction: they can neither be
     # aligned nor serve as a match. Drop them BEFORE banding so they
@@ -1086,7 +1128,7 @@ def bipartite_align_ann(
     left = _prep_side(left, id_col, vec_col)
     right = _prep_side(right, id_col, vec_col)
     all_cand = _ann_candidate_pairs(
-        left, right, id_col, vec_col, n_planes, dim, n_bands
+        left, right, id_col, vec_col, n_planes, dim, n_bands, bucket_cap
     )
     # _prep already projected the norm and dropped zero-norm rows
     lv = left.select(
