@@ -17907,21 +17907,21 @@ _PRIORITY = [
     # ips_policy_value — the experimentation/counterfactual family
     # previously had NO driver-verified row.
     "kmeans_diversity_sample",
-    # ips_policy_value moved to local verification in round 10 (the
-    # causal family keeps dr_policy_value's round-9 driver row); its
-    # slot carries diff-in-differences — the causal family's panel
-    # estimator, never driver-verified (VERDICT r9 task #4).
-    "diff_in_diff_spend",
+    # ips_policy_value moved to local verification in round 10; DiD
+    # got its driver row in round 10; round 11 rotates the causal
+    # slot to quantile treatment effects — never driver-verified
+    # (VERDICT r10 task #2: 203/284 entries had no driver row ever;
+    # this round doubles the rotation rate to 12 slots).
+    "qte_deciles",
     # random_sample_orders emits a distribution-bounded audit (the
     # sampled ROWS stay engine-RNG); it lives AFTER the driver's
     # 50-entry verified prefix; its deterministic md5 twin
     # hash_sample_orders holds the L2 slot here and rollup_revenue
     # (fully oracled) takes the freed slot.
-    # rollup_revenue moved to local verification in round 10 (TPC-H
-    # keeps pricing_summary, star_join_revenue, and Q21 driver rows);
-    # its slot carries the PHYSICAL-LAYOUT family's first-ever driver
-    # row — bucketed co-located joins (VERDICT r9 task #4).
-    "bucketed_join_revenue",
+    # bucketed_join_revenue got its driver row in round 10; round 11
+    # rotates the physical-layout slot to the Z-order rung — Morton
+    # interleave clustering, never driver-verified (r10 task #2).
+    "morton_cluster_orders",
     "hash_sample_orders",
     "set_ops_custkeys",
     "topk_orders_per_customer",
@@ -17931,6 +17931,9 @@ _PRIORITY = [
     # per major family.
     "k_anonymity_audit",
     "mann_kendall_daily",
+    # round 11: the robust-regression rung of the time-series family
+    # (Theil-Sen median slope) — never driver-verified (r10 task #2).
+    "theil_sen_daily_slope",
     "tumbling_window_counts",
     # sessionize_events and udtf_chunk_profile moved to local
     # verification in round 9 (streaming keeps tumbling +
@@ -17941,17 +17944,21 @@ _PRIORITY = [
     # warehouse-CDC families — 217/267 entries had only self-run
     # verification and these families never appeared in any
     # CORRECTNESS_r*.json (VERDICT r8 task #5).
-    "cms_token_counts",
-    # multimodal_features moved to local verification in round 10:
-    # the mapInPandas surface keeps a driver row via the new
-    # video_frames_features below, and this slot gives the STATEFUL
-    # streaming family (applyInPandasWithState) its first-ever
-    # driver row (VERDICT r9 task #4).
-    "sessionize_stateful",
-    # upsert_orders_cdc got its driver row in round 9; round 10
-    # rotates the warehouse slot to the TEMPORAL side of the family —
-    # SCD2 history build, never driver-verified (VERDICT r9 task #4).
-    "scd2_user_event_history",
+    # cms_token_counts (r9) and kmv (r6-9) both hold driver rows for
+    # sketches; round 11 rotates the slot to the UDAF surface —
+    # weighted-median via Aggregator, never driver-verified.
+    "weighted_median_udaf",
+    # sessionize_stateful got its driver row in round 10; round 11
+    # rotates the streaming slot to the stream-stream INTERVAL JOIN —
+    # never driver-verified (r10 task #2).
+    "stream_interval_join_left",
+    # scd2_user_event_history got its driver row in round 10; round 11
+    # rotates the warehouse-temporal slot to the point-in-time join —
+    # SCD2 x as-of composed, never driver-verified (r10 task #2).
+    "pit_join_purchase_state",
+    # round 11: the as-of join family's own flagship (backward as-of
+    # attribution) had never appeared in a driver artifact.
+    "asof_purchase_attribution",
     "trend_slope_grouped_map",
     # §2.13 family flagships. simhash/containment moved to local
     # verification in round 7 (the dedup family keeps four driver
@@ -17972,38 +17979,36 @@ _PRIORITY = [
     # the codec-ladder slot belongs to its newest, hardest rung —
     # the round-9 pure-stdlib baseline JPEG (Huffman/DPCM/RLE +
     # dequant + IDCT + YCbCr), VERDICT r8 task #1.
-    # jpeg_decode_features got its driver row in round 9; the codec-
-    # ladder slot again belongs to its newest, hardest rung — the
-    # round-10 AVI/MJPEG demux + per-frame JPEG decode (VERDICT r9
-    # task #1).
-    "video_frames_features",
+    # video_frames_features got its driver row in round 10; round 11
+    # rotates the codec-ladder slot to the AUDIO rung — WAV decode +
+    # integer-exact FFT spectral features, never driver-verified.
+    "wav_spectral_features",
     "fuzzy_dedup_clusters",
-    "hybrid_search_rrf",
-    # cosine_topk_bruteforce is verified locally; its slot carries the
-    # round-6 ML-evaluation family flagship (AUC)
-    "roc_auc_purchase_score",
-    "cosine_topk_lsh",
+    # hybrid_search_rrf held a driver row since round 7; round 11
+    # gives the slot to the round-11-fixed ANN ALIGNMENT path (the
+    # hot-bucket-capped bipartite align — VERDICT r10 task #1 pairs
+    # with task #2's rotation).
+    "align_embeddings_bipartite",
+    # roc_auc_purchase_score (r6-10) hands the slot to the
+    # data-valuation family — exact KNN-Shapley, never
+    # driver-verified.
+    "knn_shapley_values",
+    # cosine_topk_lsh (r6-10) hands the ANN-search slot to the PQ
+    # rung — product-quantization top-k, never driver-verified.
+    "cosine_topk_pq",
     "text_stats",
     # lang_id_predict is verified locally; its slot carries the
     # tokenizer-training flagship
     "bpe_learn_merges",
-    # tokenize_documents moved to local verification in round 8 (the
-    # tokenizer family keeps its training flagship above); its slot
-    # carries the round-8 connector flagship — the Python DataSource
-    # STREAMING writer's end-to-end manifest-commit replay, giving
-    # the §2.12 connector matrix's fourth quadrant a driver row.
-    "pyds_stream_sink",
-    # kmv_distinct_users got driver rows in rounds 6-9; its slot
-    # carries governance rung #2 — l-diversity, never
-    # driver-verified (VERDICT r9 task #4).
-    "l_diversity_audit",
+    # pyds_stream_sink got its driver row in round 8; round 11
+    # rotates the connector slot to the READER quadrant — the Python
+    # DataSource batch scan, never driver-verified (r10 task #2).
+    "pyds_graftgen_scan",
+    # l_diversity_audit got its driver row in round 10 (governance
+    # keeps k_anonymity_audit's row above); dr_policy_value got its
+    # in round 9 (causal keeps qte_deciles above). Their slots are
+    # absorbed by the round-11 rotation set.
     "training_data_pipeline",
-    # curation_pipeline_v2 moved to local verification in round 9
-    # (the capstone family keeps training_data_pipeline's driver
-    # row); its slot carries the causal family's doubly-robust
-    # estimator — ips_policy_value covers IPS, but the DR entry had
-    # never appeared in a driver artifact (VERDICT r8 task #5).
-    "dr_policy_value",
 ]
 
 
