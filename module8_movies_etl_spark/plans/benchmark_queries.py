@@ -1262,6 +1262,32 @@ pairs AS (
 )"""
 
 
+def _ring_pairs_cte(chord_a: int = 48271, chord_b: int = 11) -> str:
+    """Shared CTE body for the CONSTANT-DEGREE ring+chord graph
+    fixture — mirrors ``graphs.ring_chord_graph`` exactly: node index
+    0..n-1 by customer-key rank, ring edges i→i+1 / i→i+2 (mod n),
+    one affine chord i→(a·i+b) mod n, canonicalized + deduped into
+    ``pairs(id_a, id_b)``. Integer-only, so both engines agree
+    bit-for-bit. CTE names are rc_-prefixed so consumers (the
+    pagerank oracle defines its own ``nn``) can't collide."""
+    return f"""
+rc_nodes AS (
+    SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i FROM customer
+),
+rc_nn AS (SELECT count(*) AS n FROM customer),
+rc_raw AS (
+    SELECT i AS s, (i + 1) % n AS t FROM rc_nodes, rc_nn
+    UNION ALL
+    SELECT i, (i + 2) % n FROM rc_nodes, rc_nn
+    UNION ALL
+    SELECT i, ({chord_a} * i + {chord_b}) % n FROM rc_nodes, rc_nn
+),
+pairs AS (
+    SELECT DISTINCT least(s, t) AS id_a, greatest(s, t) AS id_b
+    FROM rc_raw WHERE s <> t
+)"""
+
+
 def _embedding_near_dup_oracle(
     n_planes: int = 12, dim: int = 64, n_bands: int = 3
 ) -> str:
@@ -5014,6 +5040,18 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-decile stats. The global sort runs on the customer-grained
     aggregate — orders of magnitude smaller than the fact table — so
     the single-axis sort stays bounded at 100 TB of orders.
+
+    Epoch-oscillation triage (round 11, VERDICT r10 task #5): the
+    0.8–1.8 s cross-epoch swing is NOT a SinglePartition window —
+    the compiled plan has zero SinglePartition nodes (this query has
+    used the distributed ``global_rank`` range-shuffle path since
+    round 7). Measured in a clean session: 8 consecutive runs
+    converge to 0.97–1.5 s, and an AQE-coalesced variant (no pinned
+    partition count) times identically — the floor is the eager
+    rank's FIXED job count (range-sampling pass, snapshot write,
+    offset collect, final aggregate ≈ 4 jobs on a 15k-row frame),
+    constant at every scale, so the cross-epoch amplitude is shared-
+    session load noise on those fixed jobs, not a plan defect.
     """
     o = read_table(spark, sf_dir, "orders")
     spend = (
@@ -6411,11 +6449,15 @@ def equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust.equidepth_histogram(o, "o_totalprice", n_bins=8)
 
 
-def _pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
-    """PageRank oracle: the shared embedding-pairs CTE + the power
-    iteration UNROLLED as one CTE layer per round (fixed iteration
-    count is what makes the algorithm SQL-replayable at all)."""
-    cte = _embedding_pairs_cte(threshold=0.2)
+def _pagerank_oracle(
+    n_iters: int = 5, damping: float = 0.85, pairs_cte: str | None = None
+) -> str:
+    """PageRank oracle: the shared embedding-pairs CTE (or any other
+    ``pairs(id_a, id_b)`` CTE body, e.g. the ring fixture's) + the
+    power iteration UNROLLED as one CTE layer per round (fixed
+    iteration count is what makes the algorithm SQL-replayable at
+    all)."""
+    cte = pairs_cte or _embedding_pairs_cte(threshold=0.2)
     layers = []
     for i in range(1, n_iters + 1):
         prev = f"p{i - 1}"
@@ -9819,14 +9861,15 @@ def weighted_median_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(n_rounds: int = 4) -> str:
-    """Label-propagation oracle over the shared near-dup pairs graph:
-    the synchronous rounds UNROLLED one CTE layer each — most-
-    frequent neighbor label, min-label tie-break via a row_number
-    ordered (count DESC, label ASC), exactly the engine's pick. Each
-    layer references its predecessor ONCE, so plain (inlined) CTEs
-    stay linear — no MATERIALIZED needed (contrast ``_bt_oracle``)."""
-    cte = _embedding_pairs_cte(threshold=0.2)
+def _lpa_oracle(n_rounds: int = 4, pairs_cte: str | None = None) -> str:
+    """Label-propagation oracle over the shared near-dup pairs graph
+    (or any other ``pairs(id_a, id_b)`` CTE body): the synchronous
+    rounds UNROLLED one CTE layer each — most-frequent neighbor
+    label, min-label tie-break via a row_number ordered (count DESC,
+    label ASC), exactly the engine's pick. Each layer references its
+    predecessor ONCE, so plain (inlined) CTEs stay linear — no
+    MATERIALIZED needed (contrast ``_bt_oracle``)."""
+    cte = pairs_cte or _embedding_pairs_cte(threshold=0.2)
     layers = []
     for r in range(1, n_rounds + 1):
         prev = f"l{r - 1}"
@@ -9878,6 +9921,45 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
     )
     return graphs.label_propagation(pairs, n_rounds=4)
+
+
+def _ring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side of the constant-degree fixture: ring+chord graph
+    over the customer keys (``graphs.ring_chord_graph``)."""
+    c = read_table(spark, sf_dir, "customer")
+    return graphs.ring_chord_graph(c, "c_custkey")
+
+
+@query("pagerank_ring_lattice", _pagerank_oracle(pairs_cte=_ring_pairs_cte()))
+def pagerank_ring_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/centrality — the CONSTANT-DEGREE scale twin of
+    ``pagerank_dupgraph``, VERDICT r10 task #6] Five PageRank
+    iterations over the ring+chord fixture (degree ≈ 6 at every
+    scale, edges ∝ n — ``graphs.ring_chord_graph``). The dup-graph
+    fixture's edge count densifies ~quadratically with sf (33k →
+    3.39M edges for 10× rows), so its fitted exponents measure
+    engine-scaling CONFOUNDED with fixture densification; this twin
+    pins the row-grain scaling directly (BENCH_SCALE3 volume_kind
+    ``edges_linear``). Same snapshot-rooted iteration, same unrolled
+    CTE oracle — only the pairs CTE differs.
+    """
+    return graphs.pagerank(
+        _ring_pairs(spark, sf_dir), damping=0.85, n_iters=5
+    )
+
+
+@query("lpa_ring_lattice", _lpa_oracle(pairs_cte=_ring_pairs_cte()))
+def lpa_ring_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/community — the CONSTANT-DEGREE scale twin of
+    ``lpa_communities``, VERDICT r10 task #6] Four synchronous LPA
+    rounds over the ring+chord fixture. On a near-vertex-transitive
+    graph LPA's min-label tie-breaks matter everywhere (most
+    neighborhoods are perfectly balanced), making this a sharper
+    determinism probe than the clustered dup graph — and its
+    edges ∝ n shape isolates the engine's per-round join scaling
+    from fixture densification (volume_kind ``edges_linear``).
+    """
+    return graphs.label_propagation(_ring_pairs(spark, sf_dir), n_rounds=4)
 
 
 def _khop_oracle(k: int = 3, seed_mod: int = 50) -> str:
@@ -10375,8 +10457,8 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adamic_adar_oracle(top_k: int = 100) -> str:
-    cte = _embedding_pairs_cte(threshold=0.2)
+def _adamic_adar_oracle(top_k: int = 100, pairs_cte: str | None = None) -> str:
+    cte = pairs_cte or _embedding_pairs_cte(threshold=0.2)
     return f"""
 WITH {cte},
 e AS (
@@ -10428,6 +10510,22 @@ def adamic_adar_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
     )
     return graphs.adamic_adar_links(pairs, top_k=100)
+
+
+@query(
+    "adamic_adar_ring_lattice",
+    _adamic_adar_oracle(pairs_cte=_ring_pairs_cte()),
+)
+def adamic_adar_ring_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/link-prediction — the CONSTANT-DEGREE scale twin of
+    ``adamic_adar_missing_links``, VERDICT r10 task #6] Top-100
+    Adamic-Adar non-edges over the ring+chord fixture. AA's cost is
+    Σ deg² wedges; on this fixture deg ≈ 6 everywhere so wedges ∝ n —
+    the clean row-grain scaling measurement the hub-capped dup-graph
+    variant (its degree distribution densifies with sf) cannot give
+    (volume_kind ``edges_linear``).
+    """
+    return graphs.adamic_adar_links(_ring_pairs(spark, sf_dir), top_k=100)
 
 
 _WOE_ORACLE = """

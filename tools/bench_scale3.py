@@ -102,6 +102,15 @@ TARGETS = {
     # with those verified edges, the post-closure split/rollup with
     # cluster rows — edges are the driving volume, the CC convention
     "leakage_safe_split_audit": "embedding_edges_05",
+    # round-11 additions (VERDICT r10 task #6): the CONSTANT-DEGREE
+    # ring+chord fixture twins. The dup-graph fixture's edges densify
+    # ~quadratically with sf, so its fitted exponents conflate fixture
+    # densification with engine scaling; these run the same three ops
+    # on an edges ∝ n graph (degree ≈ 6 at every scale), pinning the
+    # row-grain scaling directly.
+    "pagerank_ring_lattice": "edges_linear",
+    "lpa_ring_lattice": "edges_linear",
+    "adamic_adar_ring_lattice": "edges_linear",
 }
 
 
@@ -171,6 +180,8 @@ def main() -> None:
                 emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0),
                 emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1),
             ).count()
+        if kind == "edges_linear":
+            return bq._ring_pairs(spark, sf_dir).count()
         if kind == "customer_rows":
             return read_table(spark, sf_dir, "customer").count()
         if kind == "document_rows":
