@@ -939,10 +939,14 @@ def _ann_candidate_pairs(
     dim: int,
     n_bands: int,
     bucket_cap: int | None = 128,
+    coverage_min: int = 2,
 ) -> DataFrame:
     """Deduped (``_a``, ``_b``) candidate set of the ANN alignment:
     banded-LSH collisions plus the exact-scan fallback rows for
-    probes whose bands caught fewer than two right-side vectors.
+    probes whose bands caught fewer than ``coverage_min`` right-side
+    vectors (2 for alignment — the margin needs a runner-up;
+    0 disables the fallback entirely for consumers like
+    decontamination where an uncovered probe simply has no hit).
     Inputs must already be ``_prep_side``-projected. This set is the
     alignment's DRIVING VOLUME — every pair here is exact-rescored —
     so ``tools/bench_scale3.py`` counts it directly.
@@ -1008,12 +1012,14 @@ def _ann_candidate_pairs(
             .drop("_rk")
         )
     cand = lb.join(rb, "bk").select("_a", "_b").distinct()
+    if coverage_min <= 0:
+        return cand
     l_ids = left.select(F.col(id_col).alias("_a"))
     r_ids = right.select(F.col(id_col).alias("_b"))
     covered = (
         cand.groupBy("_a")
         .agg(F.count(F.lit(1)).alias("_nc"))
-        .filter(F.col("_nc") >= 2)
+        .filter(F.col("_nc") >= coverage_min)
         .select("_a")
     )
     missed = l_ids.join(covered, "_a", "left_anti")
@@ -1167,6 +1173,84 @@ def bipartite_align_ann(
             - F.max(F.when(F.col("_r") == 2, F.col("_sim"))),
             6,
         ).alias("margin"),
+    )
+
+
+def semantic_decontaminate(
+    benchmark: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_planes: int = 36,
+    dim: int = 64,
+    n_bands: int = 12,
+    bucket_cap: int | None = 128,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination (round 11): flag every
+    training-corpus vector whose cosine to ANY benchmark vector is
+    ≥ ``threshold`` — the embedding-level complement of the n-gram
+    ``decontaminate_ngram`` (paraphrased eval leakage has no shared
+    n-grams but lands at high cosine; GPT-3 appendix C / Gopher §A.3
+    both had to do this pass). Returns the DROP MANIFEST: one row per
+    contaminated corpus vector with its best-matching benchmark id
+    and rounded cosine — what an audited pipeline stores alongside
+    the cleaned corpus.
+
+    Scale shape: the benchmark side is SMALL by nature (an eval
+    suite), but the corpus side is the full training set, so this
+    reuses the capped banded-hyperplane candidate generator
+    (``_ann_candidate_pairs`` with ``coverage_min=0`` — no exact-scan
+    fallback: decontamination needs no runner-up, an uncovered probe
+    simply has no hit ≥ the LSH's designed recall). Candidates are
+    bounded at |benchmark| × n_bands × bucket_cap — linear, never the
+    cross product. Recall at the 0.5 threshold with 12 × 3-bit bands:
+    a true pair at cos 0.5 collides per band with (2/3)³ ≈ 0.296, any
+    of 12 bands → ~0.985 — and rises toward 1 for the closer pairs
+    that matter most.
+
+    Determinism: best match per corpus vector = max cosine, ties by
+    min benchmark id (a row_number window on the bounded candidate
+    set); cosine rounded to 6 dp for the cross-engine hash.
+    """
+    b = _prep_side(benchmark, id_col, vec_col)
+    c = _prep_side(corpus, id_col, vec_col)
+    cand = _ann_candidate_pairs(
+        b, c, id_col, vec_col, n_planes, dim, n_bands, bucket_cap,
+        coverage_min=0,
+    )
+    bv = b.select(
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    cv = c.select(
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    scored = (
+        cand.join(bv, "_a")
+        .join(cv, "_b")
+        .select(
+            "_a",
+            "_b",
+            (
+                dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn"))
+            ).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+    )
+    w = Window.partitionBy("_b").orderBy(F.desc("_sim"), F.col("_a"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_b").alias(id_col),
+            F.col("_a").alias("benchmark_id"),
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
     )
 
 

@@ -8563,6 +8563,77 @@ def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_decon_oracle(
+    n_planes: int = 36, dim: int = 64, n_bands: int = 12,
+    bucket_cap: int = 128, threshold: float = 0.4,
+) -> str:
+    """DuckDB replay of the SEMANTIC decontamination pass: same plane
+    literals, band split, and right-side hot-bucket cap as
+    ``similarity.semantic_decontaminate`` (no coverage fallback —
+    decontamination needs no runner-up), then exact rescoring at the
+    threshold and a per-corpus-vector best-match pick (max cosine,
+    min benchmark id)."""
+    bits = _hyperplane_bucket_sql(n_planes, dim, table=0)
+    band_keys = _band_keys_sql(n_planes, n_bands, bucket="b")
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+cb AS (SELECT vec_id, v, ({bits}) AS b FROM v),
+l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE vec_id % 97 = 0),
+r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE vec_id % 97 <> 0),
+lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
+rbk0 AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
+rbk AS (SELECT bid, bk FROM rbk0
+        QUALIFY row_number() OVER (PARTITION BY bk ORDER BY bid)
+                <= {bucket_cap}),
+cand AS (SELECT DISTINCT a, bid FROM lbk JOIN rbk USING (bk)),
+scored AS (
+    SELECT cand.a, cand.bid,
+           list_dot_product(lv.av, rv.bv)
+             / (sqrt(list_dot_product(lv.av, lv.av))
+                * sqrt(list_dot_product(rv.bv, rv.bv))) AS sim
+    FROM cand
+    JOIN l lv ON lv.a = cand.a
+    JOIN r rv ON rv.bid = cand.bid
+),
+hits AS (
+    SELECT a, bid, sim,
+           row_number() OVER (PARTITION BY bid
+                              ORDER BY sim DESC, a) AS rn
+    FROM scored WHERE sim >= {threshold}
+)
+SELECT bid AS vec_id, a AS benchmark_id, round(sim, 6) AS cosine_sim
+FROM hits WHERE rn = 1
+"""
+
+
+@query("semantic_decontaminate_corpus", _semantic_decon_oracle())
+def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation/decontamination, beyond-ref §2.13 — the EMBEDDING
+    rung of the decontamination ladder beside ``decontaminate_ngram``]
+    Drop manifest of training vectors within cosine 0.4 of any
+    benchmark vector (benchmark = the deterministic vec_id % 97 == 0
+    panel standing in for an eval suite; 0.4 is where this synthetic
+    corpus has real cross-panel neighbors — brute-force checked: 4
+    flagged at sf0.01, 25 at sf0.1): paraphrased eval leakage
+    shares no n-grams but lands at high cosine, so LLM pipelines run
+    both passes. Candidates come from the round-11 capped banded
+    hyperplane LSH (12 × 3 bit, right-side hot-bucket cap 128 —
+    |benchmark| × bands × cap, linear in corpus rows, no coverage
+    fallback since no runner-up is needed); the oracle replays bands
+    + cap + rescore + best-match pick, so the manifest hash-verifies
+    (``similarity.semantic_decontaminate``).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) != 0),
+        threshold=0.4,
+    )
+
+
 
 _PIT_ORACLE = """
 WITH base AS (

@@ -59,3 +59,65 @@ def test_ring_chord_graph_edges_scale_linearly(spark):
     # doubling nodes doubles edges within the dedup slack of the
     # chord overlaps (exact counts already pinned above)
     assert 1.5 <= counts[40] / counts[20] <= 2.5
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector that IS a benchmark vector (cosine 1.0) must be
+    flagged with that benchmark as best match; an orthogonal vector
+    must survive. Brute-force check on a fixture small enough that
+    the 128-cap never binds."""
+    from module8_movies_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    dim = 64
+
+    def unit(axis: int) -> list[float]:
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    bench = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(1))], "vec_id long, embedding array<double>"
+    )
+    leak = [0.0] * dim
+    leak[0] = 3.0  # same direction as benchmark 1, different norm
+    corpus = spark.createDataFrame(
+        [(10, leak), (11, unit(5)), (12, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            semantic_decontaminate(bench, corpus, threshold=0.5).collect()}
+    assert set(rows) == {10}
+    assert rows[10]["benchmark_id"] == 1
+    assert abs(rows[10]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_adamic_adar_hub_cap_changes_the_question(spark):
+    """The hub-cap trade, pinned on a hand-traceable fixture
+    (BENCH_AA_CAP.json measured it at sf1.0: sub-hub caps zero the
+    top-k): a star hub is the ONLY common neighbor of its leaves, so
+    capping below the hub degree removes every wedge — the capped
+    result is empty, not merely reweighted. AA hot centers carry the
+    signal mass, unlike minhash hot buckets."""
+    from module8_movies_etl_spark.operators.graphs import adamic_adar_links
+
+    # star: hub 0 with leaves 1..5 (hub degree 5), plus one ring edge
+    # 1-2 so the graph has a non-edge with a LOW-degree common
+    # neighbor too (wedge 1-0-2 is suppressed; wedge via nothing else)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)],
+        "id_a long, id_b long",
+    )
+    uncapped = adamic_adar_links(pairs, top_k=100, max_hub_degree=10)
+    capped = adamic_adar_links(pairs, top_k=100, max_hub_degree=4)
+    n_un = uncapped.count()
+    # every leaf pair has the hub as common neighbor: C(5,2) = 10
+    # non-edges minus the real edge (1,2) = 9 scored non-edges, plus
+    # wedges through leaves 1 and 2 (degree 2) score (0,?) pairs: the
+    # (1-0, 1-2) and (2-0, 2-1) wedges rediscover existing edges only.
+    assert n_un == 9
+    # cap 4 < hub degree 5: the hub's wedges vanish; leaves 1,2 have
+    # degree 2 <= 4 but their wedges only connect existing edges —
+    # nothing survives
+    assert capped.count() == 0
