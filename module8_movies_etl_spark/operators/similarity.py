@@ -1176,16 +1176,28 @@ def bipartite_align_ann(
     )
 
 
+def _decon_pick_best(scored: DataFrame, id_col: str) -> DataFrame:
+    """(corpus ``_b``, benchmark ``_a``, ``_sim``) hits → the drop
+    manifest: best match per corpus vector (max cosine, ties by min
+    benchmark id), cosine rounded to 6 dp for the cross-engine hash."""
+    w = Window.partitionBy("_b").orderBy(F.desc("_sim"), F.col("_a"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_b").alias(id_col),
+            F.col("_a").alias("benchmark_id"),
+            F.round("_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def semantic_decontaminate(
     benchmark: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
-    n_planes: int = 36,
-    dim: int = 64,
-    n_bands: int = 12,
-    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """SEMANTIC benchmark decontamination (round 11): flag every
     training-corpus vector whose cosine to ANY benchmark vector is
@@ -1197,22 +1209,68 @@ def semantic_decontaminate(
     and rounded cosine — what an audited pipeline stores alongside
     the cleaned corpus.
 
-    Scale shape: the benchmark side is SMALL by nature (an eval
-    suite), but the corpus side is the full training set, so this
-    reuses the capped banded-hyperplane candidate generator
-    (``_ann_candidate_pairs`` with ``coverage_min=0`` — no exact-scan
-    fallback: decontamination needs no runner-up, an uncovered probe
-    simply has no hit ≥ the LSH's designed recall). Candidates are
-    bounded at |benchmark| × n_bands × bucket_cap — linear, never the
-    cross product. Recall at the 0.5 threshold with 12 × 3-bit bands:
-    a true pair at cos 0.5 collides per band with (2/3)³ ≈ 0.296, any
-    of 12 bands → ~0.985 — and rises toward 1 for the closer pairs
-    that matter most.
-
-    Determinism: best match per corpus vector = max cosine, ties by
-    min benchmark id (a row_number window on the bounded candidate
-    set); cosine rounded to 6 dp for the cross-engine hash.
+    This is the EXACT broadcast form and the production default:
+    decontamination is recall-critical (a missed hit silently
+    inflates eval numbers) and the benchmark side is BOUNDED by
+    nature (an eval suite), so broadcasting it over one corpus scan
+    is linear in corpus rows with recall 1.0 by construction. The
+    capped-LSH variant (``semantic_decontaminate_lsh``) exists for
+    the two-unbounded-sides case (corpus-vs-corpus contamination) —
+    and the round-11 recall audit is WHY exact is the default here:
+    the alignment-tuned 12 × 3-bit + cap-128 geometry measured only
+    0.40 recall at sf0.1 on this corpus (the cap truncates buckets
+    whose width exceeds it), which an alignment can absorb but a
+    decontamination pass cannot
+    (``decontamination_recall_audit``).
     """
+    b = _prep_side(benchmark, id_col, vec_col)
+    c = _prep_side(corpus, id_col, vec_col)
+    bv = b.select(
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    cv = c.select(
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    scored = (
+        cv.crossJoin(F.broadcast(bv))
+        .select(
+            "_a",
+            "_b",
+            (
+                dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn"))
+            ).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+    )
+    return _decon_pick_best(scored, id_col)
+
+
+def semantic_decontaminate_lsh(
+    benchmark: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_planes: int = 36,
+    dim: int = 64,
+    n_bands: int = 12,
+    bucket_cap: int | None = 128,
+) -> DataFrame:
+    """The capped-LSH variant of ``semantic_decontaminate`` for the
+    case where BOTH sides are unbounded (corpus-vs-corpus
+    contamination, where no side broadcasts): candidates from the
+    capped banded-hyperplane generator (``_ann_candidate_pairs`` with
+    ``coverage_min=0`` — no runner-up fallback needed), bounded at
+    |probe side| × n_bands × bucket_cap, then exact rescoring at the
+    threshold. Approximate by design; its measured recall against the
+    exact form is the catalog's ``decontamination_recall_audit``
+    (0.40 at sf0.1 with the default geometry — raise bits/cap, or use
+    the exact broadcast form whenever one side is bounded)."""
     b = _prep_side(benchmark, id_col, vec_col)
     c = _prep_side(corpus, id_col, vec_col)
     cand = _ann_candidate_pairs(
@@ -1242,15 +1300,74 @@ def semantic_decontaminate(
         )
         .filter(F.col("_sim") >= threshold)
     )
-    w = Window.partitionBy("_b").orderBy(F.desc("_sim"), F.col("_a"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+    return _decon_pick_best(scored, id_col)
+
+
+def semantic_decontaminate_recall(
+    benchmark: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 36,
+    dim: int = 64,
+    n_bands: int = 12,
+    bucket_cap: int | None = 128,
+) -> DataFrame:
+    """RECALL AUDIT for ``semantic_decontaminate`` — the
+    lsh_recall_audit pattern applied to the decontamination pass: the
+    capped-LSH flag set is a SUBSET of the brute-force flag set (same
+    threshold, exact rescoring — only candidate GENERATION is
+    approximate), so recall = |lsh| / |brute| exactly, reported as
+    one scalar row (n_brute, n_lsh, recall).
+
+    The brute leg is |benchmark| × |corpus| dot products with the
+    benchmark side broadcast — LINEAR in corpus rows because an eval
+    suite is bounded by nature (this is the audit you can afford
+    corpus-wide; the LSH pass is what you ship). NULL-safe: recall is
+    NULL when brute finds nothing to flag.
+    """
+    b = _prep_side(benchmark, id_col, vec_col)
+    c = _prep_side(corpus, id_col, vec_col)
+    bv = b.select(
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    cv = c.select(
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    brute = (
+        cv.crossJoin(F.broadcast(bv))
         .select(
-            F.col("_b").alias(id_col),
-            F.col("_a").alias("benchmark_id"),
-            F.round("_sim", 6).alias("cosine_sim"),
+            "_b",
+            (
+                dot(F.col("_av"), F.col("_bv"))
+                / (F.col("_an") * F.col("_bn"))
+            ).alias("_sim"),
         )
+        .filter(F.col("_sim") >= threshold)
+        .select("_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_brute"))
+    )
+    lsh = semantic_decontaminate_lsh(
+        benchmark, corpus, id_col, vec_col, threshold,
+        n_planes, dim, n_bands, bucket_cap,
+    ).agg(F.count(F.lit(1)).alias("n_lsh"))
+    return brute.crossJoin(lsh).select(
+        "n_brute",
+        "n_lsh",
+        F.when(
+            F.col("n_brute") > 0,
+            F.round(
+                F.col("n_lsh").cast("double")
+                / F.col("n_brute").cast("double"),
+                4,
+            ),
+        ).alias("recall"),
     )
 
 

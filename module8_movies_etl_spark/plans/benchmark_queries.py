@@ -8567,12 +8567,12 @@ def _semantic_decon_oracle(
     n_planes: int = 36, dim: int = 64, n_bands: int = 12,
     bucket_cap: int = 128, threshold: float = 0.4,
 ) -> str:
-    """DuckDB replay of the SEMANTIC decontamination pass: same plane
-    literals, band split, and right-side hot-bucket cap as
-    ``similarity.semantic_decontaminate`` (no coverage fallback —
+    """DuckDB replay of the capped-LSH decontamination variant: same
+    plane literals, band split, and right-side hot-bucket cap as
+    ``similarity.semantic_decontaminate_lsh`` (no coverage fallback —
     decontamination needs no runner-up), then exact rescoring at the
     threshold and a per-corpus-vector best-match pick (max cosine,
-    min benchmark id)."""
+    min benchmark id). Consumed by the recall audit's lsh leg."""
     bits = _hyperplane_bucket_sql(n_planes, dim, table=0)
     band_keys = _band_keys_sql(n_planes, n_bands, bucket="b")
     return f"""
@@ -8609,7 +8609,35 @@ FROM hits WHERE rn = 1
 """
 
 
-@query("semantic_decontaminate_corpus", _semantic_decon_oracle())
+_DECON_EXACT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+l AS (SELECT vec_id AS a, v AS av FROM v WHERE vec_id % 97 = 0),
+r AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 97 <> 0),
+hits AS (
+    SELECT l.a, r.bid,
+           list_dot_product(l.av, r.bv)
+             / (sqrt(list_dot_product(l.av, l.av))
+                * sqrt(list_dot_product(r.bv, r.bv))) AS sim
+    FROM l, r
+    WHERE list_dot_product(l.av, r.bv)
+          / (sqrt(list_dot_product(l.av, l.av))
+             * sqrt(list_dot_product(r.bv, r.bv))) >= 0.4
+),
+best AS (
+    SELECT a, bid, sim,
+           row_number() OVER (PARTITION BY bid
+                              ORDER BY sim DESC, a) AS rn
+    FROM hits
+)
+SELECT bid AS vec_id, a AS benchmark_id, round(sim, 6) AS cosine_sim
+FROM best WHERE rn = 1
+"""
+
+
+@query("semantic_decontaminate_corpus", _DECON_EXACT_ORACLE)
 def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation/decontamination, beyond-ref §2.13 — the EMBEDDING
     rung of the decontamination ladder beside ``decontaminate_ngram``]
@@ -8617,17 +8645,72 @@ def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     benchmark vector (benchmark = the deterministic vec_id % 97 == 0
     panel standing in for an eval suite; 0.4 is where this synthetic
     corpus has real cross-panel neighbors — brute-force checked: 4
-    flagged at sf0.01, 25 at sf0.1): paraphrased eval leakage
-    shares no n-grams but lands at high cosine, so LLM pipelines run
-    both passes. Candidates come from the round-11 capped banded
-    hyperplane LSH (12 × 3 bit, right-side hot-bucket cap 128 —
-    |benchmark| × bands × cap, linear in corpus rows, no coverage
-    fallback since no runner-up is needed); the oracle replays bands
-    + cap + rescore + best-match pick, so the manifest hash-verifies
-    (``similarity.semantic_decontaminate``).
+    flagged at sf0.01, 25 at sf0.1): paraphrased eval leakage shares
+    no n-grams but lands at high cosine, so LLM pipelines run both
+    passes. This is the EXACT broadcast form — decontamination is
+    recall-critical and the benchmark side is bounded by nature, so
+    one corpus scan with the panel broadcast is linear in corpus rows
+    with recall 1.0 by construction
+    (``similarity.semantic_decontaminate``); the capped-LSH variant
+    for two unbounded sides is measured by
+    ``decontamination_recall_audit``, whose 0.40-at-sf0.1 finding is
+    exactly why exact is the default here.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.semantic_decontaminate(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) != 0),
+        threshold=0.4,
+    )
+
+
+def _decon_recall_oracle(threshold: float = 0.4) -> str:
+    """Brute-force flag count (panel × corpus — the benchmark side is
+    bounded by nature) joined with the capped-LSH replay's count;
+    recall = lsh/brute exactly (the LSH set is a subset: same
+    threshold, exact rescoring)."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+l AS (SELECT vec_id AS a, v AS av FROM v WHERE vec_id % 97 = 0),
+r AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 97 <> 0),
+brute AS (
+    SELECT count(DISTINCT r.bid) AS n_brute
+    FROM l, r
+    WHERE list_dot_product(l.av, r.bv)
+          / (sqrt(list_dot_product(l.av, l.av))
+             * sqrt(list_dot_product(r.bv, r.bv))) >= {threshold}
+),
+lsh AS (
+    SELECT count(*) AS n_lsh FROM ({_semantic_decon_oracle()}) t
+)
+SELECT CAST(brute.n_brute AS BIGINT) AS n_brute,
+       CAST(lsh.n_lsh AS BIGINT) AS n_lsh,
+       CASE WHEN brute.n_brute > 0
+            THEN round(CAST(lsh.n_lsh AS DOUBLE)
+                       / CAST(brute.n_brute AS DOUBLE), 4)
+       END AS recall
+FROM brute, lsh
+"""
+
+
+@query("decontamination_recall_audit", _decon_recall_oracle())
+def decontamination_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation QA, beyond-ref §2.13 — the lsh_recall_audit pattern
+    applied to the round-11 semantic decontamination] One scalar row
+    (n_brute, n_lsh, recall): the capped-LSH flag set over the exact
+    brute-force flag set at the same threshold — the number a
+    decontamination deployment must monitor, since missed
+    contamination is silent eval inflation. The LSH set is a SUBSET
+    of the brute set (only candidate generation is approximate), so
+    the ratio is true recall; the brute leg broadcasts the
+    benchmark panel (bounded by nature) over one corpus scan
+    (``similarity.semantic_decontaminate_recall``).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate_recall(
         emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
         emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) != 0),
         threshold=0.4,

@@ -67,6 +67,7 @@ SINGLE_PARTITION_BUDGET = {
     "calibration_bins_purchase": (1, "group"),
     "chi2_status_priority": (2, "scalar"),
     "corpus_topics_capstone": (1, "report"),
+    "decontamination_recall_audit": (2, "scalar"),
     "cuped_adjusted_ab": (3, "scalar"),
     "diff_in_diff_spend": (2, "scalar"),
     "distinct_counts_orders": (1, "scalar"),

@@ -64,10 +64,12 @@ def test_ring_chord_graph_edges_scale_linearly(spark):
 def test_semantic_decontaminate_flags_planted_leak(spark):
     """A corpus vector that IS a benchmark vector (cosine 1.0) must be
     flagged with that benchmark as best match; an orthogonal vector
-    must survive. Brute-force check on a fixture small enough that
-    the 128-cap never binds."""
+    must survive — on BOTH the exact broadcast form (the production
+    default) and the capped-LSH variant (whose bands trivially catch
+    a same-direction pair)."""
     from module8_movies_etl_spark.operators.similarity import (
         semantic_decontaminate,
+        semantic_decontaminate_lsh,
     )
 
     dim = 64
@@ -86,11 +88,12 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
         [(10, leak), (11, unit(5)), (12, [0.0] * dim)],
         "vec_id long, embedding array<double>",
     )
-    rows = {r["vec_id"]: r for r in
-            semantic_decontaminate(bench, corpus, threshold=0.5).collect()}
-    assert set(rows) == {10}
-    assert rows[10]["benchmark_id"] == 1
-    assert abs(rows[10]["cosine_sim"] - 1.0) < 1e-9
+    for fn in (semantic_decontaminate, semantic_decontaminate_lsh):
+        rows = {r["vec_id"]: r for r in
+                fn(bench, corpus, threshold=0.5).collect()}
+        assert set(rows) == {10}, fn.__name__
+        assert rows[10]["benchmark_id"] == 1
+        assert abs(rows[10]["cosine_sim"] - 1.0) < 1e-9
 
 
 def test_adamic_adar_hub_cap_changes_the_question(spark):
