@@ -8468,7 +8468,7 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _align_ann_oracle(
     n_planes: int = 36, dim: int = 64, n_bands: int = 12,
-    bucket_cap: int = 128,
+    bucket_cap: int = 128, probe_where: str = "",
 ) -> str:
     """DuckDB oracle replaying the ANN-shortlisted bipartite alignment
     end to end: the same md5-derived ±1 plane literals build every
@@ -8491,7 +8491,7 @@ WITH v AS (
 -- Spark's pmod is always non-negative — normalize so negative labels
 -- land on the same side in both engines
 cb AS (SELECT vec_id, ((label % 2) + 2) % 2 AS lp, v, ({bits}) AS b FROM v),
-l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE lp = 0),
+l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE lp = 0{probe_where}),
 r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE lp = 1),
 lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
 rbk0 AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
@@ -8560,6 +8560,81 @@ def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bipartite_align_ann(
         emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0),
         emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1),
+    )
+
+
+_ALIGN_RECALL_ORACLE = f"""
+WITH ann AS (
+    SELECT vec_id, match_id
+    FROM ({_align_ann_oracle(probe_where=" AND vec_id % 31 = 0")}) t
+),
+v2 AS (
+    SELECT vec_id, ((label % 2) + 2) % 2 AS lp, embedding::DOUBLE[] AS v
+    FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+pl AS (SELECT vec_id AS a, v AS av FROM v2
+       WHERE lp = 0 AND vec_id % 31 = 0),
+rr AS (SELECT vec_id AS bid, v AS bv FROM v2 WHERE lp = 1),
+ex_scored AS (
+    SELECT pl.a, rr.bid,
+           list_dot_product(pl.av, rr.bv)
+             / (sqrt(list_dot_product(pl.av, pl.av))
+                * sqrt(list_dot_product(rr.bv, rr.bv))) AS sim
+    FROM pl, rr
+),
+ex AS (
+    SELECT a AS vec_id, bid AS exact_match
+    FROM (SELECT a, bid,
+                 row_number() OVER (PARTITION BY a
+                                    ORDER BY sim DESC, bid) AS rn
+          FROM ex_scored)
+    WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_panel,
+       CAST(sum(CASE WHEN ann.match_id = ex.exact_match
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(CAST(sum(CASE WHEN ann.match_id = ex.exact_match
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS agreement
+FROM ex JOIN ann USING (vec_id)
+"""
+
+
+@query("align_recall_audit", _ALIGN_RECALL_ORACLE)
+def align_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity QA, beyond-ref §2.13 — the lsh_recall_audit
+    pattern applied to the round-11 hot-bucket-capped alignment] One
+    scalar row (n_panel, n_agree, agreement): the capped-LSH
+    alignment's top-1 match vs the exact cross-product alignment on
+    a deterministic probe panel (even-label vec_id % 31 == 0 —
+    bounded, so the exact leg is |panel| × |right|, linear in
+    corpus). This turns the round-11 sim-measured 0.95-agreement
+    claim into a per-scale catalog artifact: the cap's recall trade
+    is MONITORED, not assumed. Per-probe independence (the cap is
+    right-side only; fallback coverage is per-probe) means the
+    panel-restricted ANN equals the full ANN restricted to the
+    panel.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0)
+    right = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1)
+    panel = left.filter(F.pmod(F.col("vec_id"), F.lit(31)) == 0)
+    ex = similarity.bipartite_align(panel, right).select(
+        "vec_id", F.col("match_id").alias("_exact")
+    )
+    ann = similarity.bipartite_align_ann(panel, right).select(
+        "vec_id", F.col("match_id").alias("_ann")
+    )
+    agree = F.sum(
+        F.when(F.col("_ann") == F.col("_exact"), 1).otherwise(0)
+    )
+    return ex.join(ann, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_panel"),
+        agree.cast("long").alias("n_agree"),
+        F.round(
+            agree.cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("agreement"),
     )
 
 

@@ -57,6 +57,7 @@ UDTF_SURFACE = {
 SINGLE_PARTITION_BUDGET = {
     "ab_power_mde": (1, "scalar"),
     "abtest_conversion_z": (2, "scalar"),
+    "align_recall_audit": (1, "scalar"),
     "annotator_agreement_alpha": (3, "scalar"),
     "average_precision_purchase": (1, "scalar"),
     "basket_pairs_lift": (1, "scalar"),

@@ -111,6 +111,14 @@ TARGETS = {
     "pagerank_ring_lattice": "edges_linear",
     "lpa_ring_lattice": "edges_linear",
     "adamic_adar_ring_lattice": "edges_linear",
+    # round-11 wave 2: the remaining >5x-at-sf1.0 movers from the
+    # BENCH_SF1 cohort sweep. Triangle census and k-hop BFS iterate
+    # the dup graph (edges = driving volume, the graph-op
+    # convention); the two pair emitters' own output is their cost.
+    "triangle_count_dupgraph": "embedding_edges",
+    "khop_reach_dupgraph": "embedding_edges",
+    "embedding_near_dups": "output",
+    "minhash_ngram_candidates": "output",
 }
 
 
