@@ -8566,7 +8566,7 @@ def align_embeddings_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALIGN_RECALL_ORACLE = f"""
 WITH ann AS (
     SELECT vec_id, match_id
-    FROM ({_align_ann_oracle(probe_where=" AND vec_id % 31 = 0")}) t
+    FROM ({_align_ann_oracle(probe_where=" AND vec_id % 31 = 0 AND vec_id < 10000000")}) t
 ),
 v2 AS (
     SELECT vec_id, ((label % 2) + 2) % 2 AS lp, embedding::DOUBLE[] AS v
@@ -8574,7 +8574,7 @@ v2 AS (
     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 pl AS (SELECT vec_id AS a, v AS av FROM v2
-       WHERE lp = 0 AND vec_id % 31 = 0),
+       WHERE lp = 0 AND vec_id % 31 = 0 AND vec_id < 10000000),
 rr AS (SELECT vec_id AS bid, v AS bv FROM v2 WHERE lp = 1),
 ex_scored AS (
     SELECT pl.a, rr.bid,
@@ -8607,9 +8607,10 @@ def align_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applied to the round-11 hot-bucket-capped alignment] One
     scalar row (n_panel, n_agree, agreement): the capped-LSH
     alignment's top-1 match vs the exact cross-product alignment on
-    a deterministic probe panel (even-label vec_id % 31 == 0 —
-    bounded, so the exact leg is |panel| × |right|, linear in
-    corpus). This turns the round-11 sim-measured 0.95-agreement
+    a deterministic probe panel (even-label vec_id % 31 == 0,
+    pinned to base-replica ids < 10^7 — bounded even under the
+    synthetic replication, so the exact leg is |panel| × |right|,
+    linear in corpus). This turns the round-11 sim-measured 0.95-agreement
     claim into a per-scale catalog artifact: the cap's recall trade
     is MONITORED, not assumed. Per-probe independence (the cap is
     right-side only; fallback coverage is per-probe) means the
@@ -8619,7 +8620,10 @@ def align_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     left = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 0)
     right = emb.filter(F.pmod(F.col("label"), F.lit(2)) == 1)
-    panel = left.filter(F.pmod(F.col("vec_id"), F.lit(31)) == 0)
+    panel = left.filter(
+        (F.pmod(F.col("vec_id"), F.lit(31)) == 0)
+        & (F.col("vec_id") < 10_000_000)
+    )
     ex = similarity.bipartite_align(panel, right).select(
         "vec_id", F.col("match_id").alias("_exact")
     )
@@ -8656,7 +8660,8 @@ WITH v AS (
     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 cb AS (SELECT vec_id, v, ({bits}) AS b FROM v),
-l AS (SELECT vec_id AS a, v AS av, b FROM cb WHERE vec_id % 97 = 0),
+l AS (SELECT vec_id AS a, v AS av, b FROM cb
+      WHERE vec_id % 97 = 0 AND vec_id < 10000000),
 r AS (SELECT vec_id AS bid, v AS bv, b FROM cb WHERE vec_id % 97 <> 0),
 lbk AS (SELECT a, unnest([{band_keys}]) AS bk FROM l),
 rbk0 AS (SELECT bid, unnest([{band_keys}]) AS bk FROM r),
@@ -8689,7 +8694,8 @@ WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-l AS (SELECT vec_id AS a, v AS av FROM v WHERE vec_id % 97 = 0),
+l AS (SELECT vec_id AS a, v AS av FROM v
+      WHERE vec_id % 97 = 0 AND vec_id < 10000000),
 r AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 97 <> 0),
 hits AS (
     SELECT l.a, r.bid,
@@ -8723,7 +8729,10 @@ def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     flagged at sf0.01, 25 at sf0.1): paraphrased eval leakage shares
     no n-grams but lands at high cosine, so LLM pipelines run both
     passes. This is the EXACT broadcast form — decontamination is
-    recall-critical and the benchmark side is bounded by nature, so
+    recall-critical and the benchmark side is bounded by nature (the
+    panel is additionally pinned to base-replica ids < 10^7 so the
+    synthetic corpus replication cannot grow it — a real deployment
+    joins a fixed eval table), so
     one corpus scan with the panel broadcast is linear in corpus rows
     with recall 1.0 by construction
     (``similarity.semantic_decontaminate``); the capped-LSH variant
@@ -8733,7 +8742,10 @@ def semantic_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.semantic_decontaminate(
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
+        emb.filter(
+            (F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+            & (F.col("vec_id") < 10_000_000)
+        ),
         emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) != 0),
         threshold=0.4,
     )
@@ -8749,7 +8761,8 @@ WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-l AS (SELECT vec_id AS a, v AS av FROM v WHERE vec_id % 97 = 0),
+l AS (SELECT vec_id AS a, v AS av FROM v
+      WHERE vec_id % 97 = 0 AND vec_id < 10000000),
 r AS (SELECT vec_id AS bid, v AS bv FROM v WHERE vec_id % 97 <> 0),
 brute AS (
     SELECT count(DISTINCT r.bid) AS n_brute
@@ -8778,7 +8791,9 @@ def decontamination_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_brute, n_lsh, recall): the capped-LSH flag set over the exact
     brute-force flag set at the same threshold — the number a
     decontamination deployment must monitor, since missed
-    contamination is silent eval inflation. The LSH set is a SUBSET
+    contamination is silent eval inflation. The panel is pinned to
+    base-replica ids < 10^7, so both legs stay corpus-linear under
+    the synthetic replication. The LSH set is a SUBSET
     of the brute set (only candidate generation is approximate), so
     the ratio is true recall; the brute leg broadcasts the
     benchmark panel (bounded by nature) over one corpus scan
@@ -8786,7 +8801,10 @@ def decontamination_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.semantic_decontaminate_recall(
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
+        emb.filter(
+            (F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+            & (F.col("vec_id") < 10_000_000)
+        ),
         emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) != 0),
         threshold=0.4,
     )

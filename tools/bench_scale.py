@@ -188,6 +188,13 @@ HEADLINE = [
     "pagerank_ring_lattice",
     "lpa_ring_lattice",
     "adamic_adar_ring_lattice",
+    # round-11: semantic decontamination (exact broadcast form — the
+    # panel side is bounded, so the scan is corpus-linear) and the
+    # two recall audits (bounded panels; the align audit's exact leg
+    # is |panel| x |right|)
+    "semantic_decontaminate_corpus",
+    "decontamination_recall_audit",
+    "align_recall_audit",
 ]
 
 SF_DIRS = {
