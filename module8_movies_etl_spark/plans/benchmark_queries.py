@@ -18216,6 +18216,226 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round 11 (cont.): probabilistic record linkage and the IV rung of
+# the causal ladder.
+# --------------------------------------------------------------------------
+
+# Fellegi-Sunter field weights, scaled log2(m/u) x 1000 — embedded
+# constants in the nDCG-integer-log2 style (offline-EM estimates are
+# model inputs, not data-dependent math, so both engines share the
+# exact integers):  segment  m=.95 u=.20 -> agree +2248 / disagree
+# round(1000*log2(.05/.80)) = -4000;  balance-within-$2  m=.90 u=.05
+# -> +4170 / round(1000*log2(.10/.95)) = -3248;  activity  m=.80
+# u=.50 -> +678 / -1322.
+_FS_W = {
+    "seg": (2248, -4000),
+    "bal": (4170, -3248),
+    "act": (678, -1322),
+}
+_FS_MATCH, _FS_POSSIBLE = 5000, 0
+
+_FS_ORACLE = f"""
+WITH active AS (SELECT DISTINCT o_custkey FROM orders),
+c AS (
+    SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+           CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS act
+    FROM customer LEFT JOIN active ON c_custkey = o_custkey
+),
+pairs AS (
+    SELECT a.k AS a_key, b.k AS b_key,
+           CASE WHEN a.seg = b.seg THEN {_FS_W['seg'][0]}
+                ELSE {_FS_W['seg'][1]} END
+         + CASE WHEN abs(a.bal - b.bal) <= 200 THEN {_FS_W['bal'][0]}
+                ELSE {_FS_W['bal'][1]} END
+         + CASE WHEN a.act = b.act THEN {_FS_W['act'][0]}
+                ELSE {_FS_W['act'][1]} END AS score
+    FROM c a JOIN c b
+      ON a.nat = b.nat
+     AND (a.bal + 100000) // 1000 = (b.bal + 100000) // 1000
+     AND a.k < b.k
+)
+SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= {_FS_MATCH} THEN 'match'
+            ELSE 'possible' END AS tier
+FROM pairs WHERE score >= {_FS_POSSIBLE}
+"""
+
+
+@query("fellegi_sunter_linkage", _FS_ORACLE)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[entity resolution, beyond-ref §2.13 — the PROBABILISTIC rung
+    of the record-linkage ladder, beside edit-distance
+    (``part_name_matches``), sorted-neighborhood
+    (``snm_part_name_pairs``) and set-similarity
+    (``jaccard_near_dup_pairs``)] Classic Fellegi-Sunter decision
+    model: blocked candidate pairs scored by a per-field agreement
+    vector with log-likelihood-ratio weights (embedded integers, see
+    ``_FS_W`` — estimated offline, exactly like real EM-trained
+    linkage deployments ship frozen weights), thresholded into
+    match / possible tiers. Fields: market segment, balance within
+    $2 (cents-exact), and order-activity parity (an orders semi-join
+    feeds the activity field — linkage on BEHAVIOR, not just
+    attributes).
+
+    Scale shape: one customer scan + one DISTINCT custkey pass over
+    orders, then a self-equi-join on the blocking key
+    ``(nation, $10-balance-bucket)`` whose cardinality scales with
+    the VALUE DOMAIN (25 nations x 1000 buckets at this balance
+    range) — candidate volume is sum-of-squares over block
+    occupancy, the standard blocking trade: cross-bucket $2
+    agreements are forgone (recall cost measured in the round-11
+    test's planted-duplicate panel) in exchange for never scoring
+    the n^2 cross product. All comparator arithmetic is exact
+    integers; zero UDFs.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    active = o.select(F.col("o_custkey").alias("k")).distinct()
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        )
+        .join(active.withColumn("act", F.lit(1)), "k", "left")
+        .fillna(0, ["act"])
+        # +100000 cents shifts TPC-H's negative balances positive so
+        # integer bucketing is floor==trunc in BOTH engines (DuckDB
+        # // truncates toward zero; Spark floor() floors — they
+        # disagree on negatives)
+        .withColumn("blk", F.floor((F.col("bal") + 100000) / 1000))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    w = _FS_W
+    score = (
+        F.when(F.col("a.seg") == F.col("b.seg"), w["seg"][0]).otherwise(w["seg"][1])
+        + F.when(
+            F.abs(F.col("a.bal") - F.col("b.bal")) <= 200, w["bal"][0]
+        ).otherwise(w["bal"][1])
+        + F.when(F.col("a.act") == F.col("b.act"), w["act"][0]).otherwise(
+            w["act"][1]
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a_key"),
+            F.col("b.k").alias("b_key"),
+            score.cast("long").alias("score"),
+        )
+        .filter(F.col("score") >= _FS_POSSIBLE)
+        .withColumn(
+            "tier",
+            F.when(F.col("score") >= _FS_MATCH, "match").otherwise("possible"),
+        )
+    )
+
+
+_IV_WALD_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           user_id % 2 AS z,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+           CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                     + 3 * (user_id % 2) >= 15
+                THEN 1 ELSE 0 END AS t
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT
+        CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        CAST(sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS BIGINT) AS st1,
+        CAST(sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS BIGINT) AS st0
+    FROM per_user
+)
+SELECT n1, n0,
+       CAST(sy1 * n0 - sy0 * n1 AS BIGINT) AS itt_y_num,
+       CAST(st1 * n0 - st0 * n1 AS BIGINT) AS itt_t_num,
+       CASE WHEN st1 * n0 - st0 * n1 = 0 THEN NULL
+            ELSE round(CAST(sy1 * n0 - sy0 * n1 AS DOUBLE)
+                       / CAST(st1 * n0 - st0 * n1 AS DOUBLE), 6)
+       END AS wald_cents
+FROM arms
+"""
+
+
+@query("iv_wald_estimate", _IV_WALD_ORACLE)
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[causal, beyond-ref §2.13 — the INSTRUMENTAL-VARIABLES rung
+    beside DiD (parallel trends), PSM/IPS (no unobserved
+    confounding) and CUPED (variance only)] Wald/2SLS estimator with
+    a binary instrument: Z = user parity (the synthetic stand-in for
+    an encouragement arm), T = heavy-purchaser under a SYNTHETIC
+    compliance rule (purchase count + 3·Z >= 15 — parity genuinely
+    shifts treatment take-up ~30% -> ~70%, giving the estimator a
+    real first stage to divide by; a measured-data instrument would
+    carry its strength in the data, here it is planted), Y = total
+    event value (cents-exact).
+    LATE = (E[Y|Z=1]-E[Y|Z=0]) / (E[T|Z=1]-E[T|Z=0]);
+    the shared n1*n0 denominators cancel, so both ITT numerators are
+    EXACT BIGINT cross-products (sy1*n0 - sy0*n1, st1*n0 - st0*n1 —
+    magnitudes bounded by arm-sums x arm-counts, far inside int64 at
+    any plausible sf) and only the final ratio is a rounded double
+    (integer inputs <= ~1e15 divide with ~1e-16 relative error —
+    six-decimal rounding is orders coarser).
+
+    Scale shape: one events scan -> user-grain aggregate (one
+    shuffle) -> one scalar reduce (the whitelisted SinglePartition
+    exchange); the estimator itself is O(1) arithmetic on six
+    integers.
+    """
+    e = read_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("_np"),
+        )
+        .withColumn("z", F.pmod(F.col("user_id"), F.lit(2)))
+        .withColumn(
+            "t",
+            F.when(
+                F.col("_np") + 3 * F.col("z") >= 15, 1
+            ).otherwise(0),
+        )
+    )
+    z1 = F.col("z") == 1
+    arms = per_user.agg(
+        F.sum(F.when(z1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~z1, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(z1, F.col("y")).otherwise(0)).alias("sy1"),
+        F.sum(F.when(~z1, F.col("y")).otherwise(0)).alias("sy0"),
+        F.sum(F.when(z1, F.col("t")).otherwise(0)).alias("st1"),
+        F.sum(F.when(~z1, F.col("t")).otherwise(0)).alias("st0"),
+    )
+    y_num = F.col("sy1") * F.col("n0") - F.col("sy0") * F.col("n1")
+    t_num = F.col("st1") * F.col("n0") - F.col("st0") * F.col("n1")
+    return arms.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        y_num.cast("long").alias("itt_y_num"),
+        t_num.cast("long").alias("itt_t_num"),
+        F.when(
+            t_num == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(y_num.cast("double") / t_num.cast("double"), 6)
+        ).alias("wald_cents"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

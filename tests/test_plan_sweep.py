@@ -85,6 +85,7 @@ SINGLE_PARTITION_BUDGET = {
     "hybrid_search_rrf": (2, "scalar"),
     "ips_policy_value": (1, "scalar"),
     "isotonic_calibration_score": (2, "scalar"),
+    "iv_wald_estimate": (1, "scalar"),
     "ivf_recall_audit": (3, "scalar"),
     "jackknife_ratio_variance": (4, "scalar"),
     "join_skew_advisor": (1, "report"),

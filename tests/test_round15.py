@@ -1,0 +1,108 @@
+"""Round-11 continuation: planted-data goldens for the new
+probabilistic-record-linkage and instrumental-variables queries.
+Each test writes a constructed micro-corpus as parquet and runs the
+FULL catalog query on it — the independence layer beside the DuckDB
+oracle that driver_sim replays at sf0.01."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from module8_movies_etl_spark.plans.benchmark_queries import (
+    fellegi_sunter_linkage,
+    iv_wald_estimate,
+)
+
+
+def test_fellegi_sunter_planted_duplicates(spark):
+    """Three planted customer profiles: a true duplicate pair (same
+    nation, same segment, balances $1 apart, both active -> all three
+    fields agree, score 2248+4170+678=7096 'match'), a same-block
+    near-miss with a different segment and far balance, and an
+    out-of-block customer that must never be paired."""
+    customers = spark.createDataFrame(
+        [
+            # true duplicate pair: block (7, bal//$10 bucket equal)
+            (1, "Ann Smith", 7, 105.00, "BUILDING"),
+            (2, "Ann Smyth", 7, 104.00, "BUILDING"),
+            # same block as the pair (bal 101.00 -> same $10 bucket),
+            # different segment, >$2 away from both, inactive
+            (3, "Bob Jones", 7, 101.00, "MACHINERY"),
+            # different nation: out of every block
+            (4, "Ann Smith", 8, 105.00, "BUILDING"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    # customers 1, 2 active; 3 inactive; 4 active
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+         (11, 2, "O", 6.0, datetime.datetime(2024, 1, 2), "1-URGENT"),
+         (12, 4, "O", 7.0, datetime.datetime(2024, 1, 3), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        customers.write.parquet(f"{d}/customer.parquet")
+        orders.write.parquet(f"{d}/orders.parquet")
+        rows = {
+            (r.a_key, r.b_key): (r.score, r.tier)
+            for r in fellegi_sunter_linkage(spark, d).collect()
+        }
+    # the planted duplicate: all three agreements
+    assert rows[(1, 2)] == (2248 + 4170 + 678, "match")
+    # (1,3)/(2,3): same block, segment disagrees, balance >$2 apart,
+    # activity disagrees -> score -4000-3248-1322 < 0 -> filtered
+    assert (1, 3) not in rows and (2, 3) not in rows
+    # nation 8 never enters nation-7 blocks
+    assert not any(4 in k for k in rows)
+    assert set(rows) == {(1, 2)}
+
+
+def test_iv_wald_hand_golden(spark):
+    """Four users, hand-computed Wald. Parity instrument Z, synthetic
+    compliance T = (purchases + 3Z >= 15), Y = total value cents.
+
+    u0 (z0): 20 purchases @ $1    -> T=1, Y=2000
+    u2 (z0): 12 purchases @ $2    -> T=0, Y=2400
+    u1 (z1): 12 purchases @ $4    -> T=1 (12+3=15), Y=4800
+    u3 (z1): 10 purchases @ $3    -> T=0, Y=3000
+
+    n1=n0=2; sy1=7800, sy0=4400, st1=1, st0=1
+    itt_y_num = 7800*2 - 4400*2 = 6800
+    itt_t_num = 1*2 - 1*2 = 0   -> wald NULL (guarded division)
+    Then flip u3 to 13 purchases @ $3 (T=1, Y=3900):
+    sy1=8700, st1=2 -> itt_y_num=8600, itt_t_num=2, wald=4300.0
+    """
+    def events_for(counts_values):
+        rows = []
+        eid = 0
+        for uid, (n_purch, dollars) in counts_values.items():
+            for _ in range(n_purch):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 1), uid,
+                     "purchase", float(dollars), "{}")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        events_for({0: (20, 1), 2: (12, 2), 1: (12, 4), 3: (10, 3)}) \
+            .write.parquet(f"{d}/events.parquet")
+        r = iv_wald_estimate(spark, d).collect()[0]
+    assert (r.n1, r.n0) == (2, 2)
+    assert r.itt_y_num == 6800 and r.itt_t_num == 0
+    assert r.wald_cents is None
+
+    with tempfile.TemporaryDirectory() as d:
+        events_for({0: (20, 1), 2: (12, 2), 1: (12, 4), 3: (13, 3)}) \
+            .write.parquet(f"{d}/events.parquet")
+        r = iv_wald_estimate(spark, d).collect()[0]
+    assert r.itt_y_num == 8600 and r.itt_t_num == 2
+    assert r.wald_cents == 4300.0
