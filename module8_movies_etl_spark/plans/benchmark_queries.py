@@ -18436,6 +18436,129 @@ def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TextRank: PageRank over the word co-occurrence graph — the
+# graph-based keyword extractor beside the frequency-based TF-IDF one.
+_TEXTRANK_PAIRS_CTE = r"""
+pairs AS (
+    SELECT p[1] AS id_a, p[2] AS id_b
+    FROM (
+        SELECT unnest([ [least(ws[i], ws[i+1]), greatest(ws[i], ws[i+1])]
+                        for i in range(1, greatest(len(ws), 1)) ]) AS p
+        FROM (SELECT regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
+              FROM documents)
+    )
+    WHERE p[1] <> p[2]
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+)"""
+
+_TEXTRANK_ORACLE = f"""
+SELECT node AS word, rank FROM (
+{_pagerank_oracle(pairs_cte=_TEXTRANK_PAIRS_CTE)}
+) ORDER BY rank DESC, node LIMIT 15
+"""
+
+
+@query("textrank_keywords", _TEXTRANK_ORACLE)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text analysis, beyond-ref §2.13 — the GRAPH-based keyword
+    extractor (Mihalcea & Tarau's TextRank) beside the
+    frequency-based ``tfidf_top_terms``] Adjacent-token co-occurrence
+    pairs (canonical least/greatest order, self-loops dropped, global
+    count >= 5 to prune noise edges) feed the SAME fixed-5-round
+    ``graphs.pagerank`` the dup-graph centrality query uses — one
+    iterative core, two domains — and the top-15 words by (rank desc,
+    word) come back via TakeOrderedAndProject, no global window. The
+    oracle swaps the pairs CTE under the shared unrolled-PageRank SQL
+    (``_pagerank_oracle(pairs_cte=...)``) and applies the same
+    ordered cut; ties in the 6-decimal-rounded rank are broken by
+    word in BOTH engines, so the boundary is deterministic.
+
+    Scale shape: one documents scan -> explode to bigram grain -> one
+    count shuffle on the word pair; the co-occurrence graph is
+    VOCABULARY-grain (edges bounded by distinct adjacent-word pairs,
+    not corpus rows), so the PageRank stage runs on a table that
+    grows with the lexicon, not the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(text.bigrams_array(F.col("text"))).alias("bg"))
+    w = F.split(F.col("bg"), " ")
+    pairs = (
+        bg.select(
+            F.least(w[0], w[1]).alias("id_a"),
+            F.greatest(w[0], w[1]).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("id_a", "id_b")
+    )
+    pr = graphs.pagerank(pairs, damping=0.85, n_iters=5)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(15)
+        .select(F.col("node").alias("word"), "rank")
+    )
+
+
+def _kcore_oracle(
+    k: int = 3, n_rounds: int = 8, pairs_cte: str | None = None
+) -> str:
+    """k-core oracle: the shared embedding-pairs CTE + the peel
+    UNROLLED one CTE layer per round (the ``_pagerank_oracle``
+    contract). Every surviving edge list is MATERIALIZED — each is
+    referenced twice (degree + endpoint filter), the
+    twice-referenced-iterative-state trap on the DuckDB side too."""
+    cte = pairs_cte or _embedding_pairs_cte(threshold=0.2)
+    layers = []
+    for i in range(1, n_rounds + 1):
+        p = f"e{i - 1}"
+        layers.append(
+            f"k{i} AS (SELECT s FROM (SELECT s, count(*) AS c\n"
+            f"    FROM {p} GROUP BY s) WHERE c >= {k}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.s, e.t FROM {p} e\n"
+            f"    JOIN k{i} a ON e.s = a.s JOIN k{i} b ON e.t = b.s)"
+        )
+    body = ",\n".join(layers)
+    return f"""
+WITH {cte},
+e0 AS MATERIALIZED (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+{body}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{n_rounds} GROUP BY s
+"""
+
+
+@query("kcore_dupgraph", _kcore_oracle())
+def kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph, beyond-ref §2.13 — the DENSE-KERNEL rung of the
+    dup-graph toolbox: triangles measure local density, PageRank
+    ranks canonicals, k-core finds the globally cross-linked
+    template clusters that survive iterated peeling] Eight fixed
+    rounds of 3-core peeling over the embedding near-dup graph (same
+    pair generator as ``pagerank_dupgraph``); chains and stars —
+    where single-linkage CC over-merges borderline pairs — peel
+    away, so (node, within-core degree) is the "this cluster is a
+    real template farm" signal a dedup-decision pass can trust.
+    Fixed rounds keep it SQL-replayable (one unrolled CTE layer per
+    round); the result is a monotone-shrinking superset of the true
+    3-core. Per-round edge snapshots break the twice-referenced
+    lineage (degree + filter) that would otherwise re-execute the
+    prefix 2^8 times — both engines: the oracle MATERIALIZEs each
+    layer for the same reason.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    return graphs.kcore(pairs, k=3, n_rounds=8)
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

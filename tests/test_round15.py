@@ -106,3 +106,79 @@ def test_iv_wald_hand_golden(spark):
         r = iv_wald_estimate(spark, d).collect()[0]
     assert r.itt_y_num == 8600 and r.itt_t_num == 2
     assert r.wald_cents == 4300.0
+
+
+def test_kcore_peels_cascade_to_hand_computed_core(spark):
+    """K4 {1,2,3,4} + node 5 tied into {2,3,4}, then a tail 6-7-8
+    engineered to peel over THREE cascading rounds (8 deg-1, then 7,
+    then 6): the 3-core is exactly {1,2,3,4,5} with degrees
+    3,4,4,4,3. One round only must return the documented monotone
+    SUPERSET (6 survives round one at degree 3, reported at its
+    post-filter degree 2)."""
+    from module8_movies_etl_spark.operators.graphs import kcore
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (2, 5), (3, 5), (4, 5),                            # 5 in core
+        (5, 6), (3, 6), (6, 7), (7, 8),                    # peeling tail
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.degree for r in kcore(pairs, k=3, n_rounds=8).collect()}
+    assert got == {1: 3, 2: 4, 3: 4, 4: 4, 5: 3}
+    sup = {r.node: r.degree for r in kcore(pairs, k=3, n_rounds=1).collect()}
+    assert set(sup) == {1, 2, 3, 4, 5, 6}
+    assert sup[6] == 2  # post-filter degree: 7 already peeled away
+
+
+def test_textrank_matches_pure_python_pagerank_replay(spark):
+    """Constructed six-doc corpus -> pure-Python co-occurrence graph
+    (adjacent canonical pairs, count >= 5, self-loops dropped) ->
+    5-round float PageRank replay; the engine's top-15 words and
+    6-decimal ranks must agree."""
+    import tempfile
+    from collections import Counter
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        textrank_keywords,
+    )
+
+    texts = [
+        "spark query plan query spark plan cost",
+        "query plan cost plan query cost spark",
+        "cost model join cost model join query",
+        "join order join order cost join order",
+        "plan cost plan cost plan cost plan",
+        "spark join spark join spark join spark",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # pure-Python replay
+    cnt = Counter()
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                cnt[(min(a, b), max(a, b))] += 1
+    pairs = [p for p, c in cnt.items() if c >= 5]
+    adj: dict[str, list[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    p = {v: 1.0 / n for v in adj}
+    for _ in range(5):
+        p = {
+            v: 0.15 / n
+            + 0.85 * sum(p[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    exp = sorted(
+        ((w, round(r, 6)) for w, r in p.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = [(r.word, r.rank) for r in textrank_keywords(spark, d).collect()]
+    assert got == exp, (got, exp)
