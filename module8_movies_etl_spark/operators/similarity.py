@@ -1479,3 +1479,131 @@ def knn_shapley_values(
         .agg((F.round(F.avg("_s"), 6) + F.lit(0.0)).alias("knn_shapley"))
         .select(F.col("_id").alias(id_col), "knn_shapley")
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    probe_id: int = 0,
+    pool: int = 30,
+    k: int = 10,
+    lam_num: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    greedy top-``k`` selection from a ``pool``-sized relevance
+    shortlist, trading query similarity against redundancy with the
+    already-selected set — the DIVERSIFICATION rung of the retrieval
+    ladder beside fusion (``hybrid_search_rrf``) and pure relevance
+    (``cosine_topk``). mmr(c) = λ·sim(q,c) − (1−λ)·max_{s∈S}
+    sim(c,s), λ = ``lam_num``/10.
+
+    Exactness contract: every similarity is quantized ONCE to an e6
+    integer (round(1e6·cosine) — the same single-rounding boundary
+    the rest of the catalog uses for cross-engine doubles), and the
+    greedy itself is pure integer arithmetic (mmr_e7 = lam·sim_e6 −
+    (10−lam)·max_pair_e6), so selection order is bit-reproducible
+    and SQL-replayable by unrolling one CTE layer per pick. Ties:
+    max score, then min id — both engines.
+
+    Scale shape: one corpus scan scores the broadcast probe
+    (linear), the pool cut is TakeOrderedAndProject, and everything
+    after runs on a SNAPSHOTTED ``pool``-row panel: the pool×pool
+    pair matrix is a broadcast self-join (bounded, stated here: at
+    most ``pool²`` = O(10³) rows at any corpus size) and the greedy
+    is one Arrow grouped-map over that panel — corpus size never
+    enters the post-cut stages. The greedy is inherently sequential
+    (each pick conditions the next), so panel-grain Python is the
+    right tool, not a distributed window.
+    """
+    import pandas as pd
+
+    from ..sources.scratch import snapshot
+
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        l2_norm(_as_double(F.col(vec_col))).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    q = v.filter(F.col("_id") == probe_id).select(
+        F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
+    )
+    cand = snapshot(
+        v.filter(F.col("_id") != probe_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            F.round(
+                F.lit(1_000_000.0)
+                * dot(F.col("_v"), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn"))
+            )
+            .cast("long")
+            .alias("_simq"),
+        )
+        .orderBy(F.desc("_simq"), F.col("_id"))
+        .limit(pool),
+        prefix="mmr_pool_",
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    psim = (
+        a.join(F.broadcast(b), F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_a"),
+            F.col("b._id").alias("_b"),
+            F.round(
+                F.lit(1_000_000.0)
+                * dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n"))
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+    )
+    tagged = cand.select(
+        F.lit("q").alias("_kind"),
+        F.col("_id").alias("_a"),
+        F.lit(None).cast("long").alias("_b"),
+        F.col("_simq").alias("_s"),
+    ).unionByName(
+        psim.select(F.lit("p").alias("_kind"), "_a", "_b", "_s")
+    )
+
+    lam_rest = 10 - lam_num
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # (column names start with "_", which itertuples would mangle)
+        qq = pdf[pdf["_kind"] == "q"]
+        simq = {int(a): int(s) for a, s in zip(qq["_a"], qq["_s"])}
+        pp = pdf[pdf["_kind"] == "p"]
+        pair = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pp["_a"], pp["_b"], pp["_s"])
+        }
+        sel: list[int] = []
+        out = []
+        remaining = dict(simq)
+        for pos in range(1, k + 1):
+            if not remaining:
+                break
+            best_id, best_m = None, None
+            for cid, sq in remaining.items():
+                m = lam_num * sq
+                if sel:
+                    m -= lam_rest * max(pair[(cid, s)] for s in sel)
+                if best_m is None or m > best_m or (
+                    m == best_m and cid < best_id
+                ):
+                    best_id, best_m = cid, m
+            out.append((pos, best_id, best_m))
+            sel.append(best_id)
+            del remaining[best_id]
+        return pd.DataFrame(out, columns=["pos", "vec_id", "mmr_e7"])
+
+    return (
+        tagged.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_greedy, schema="pos long, vec_id long, mmr_e7 long")
+        .select("pos", "vec_id", "mmr_e7")
+    )

@@ -18559,6 +18559,202 @@ def kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphs.kcore(pairs, k=3, n_rounds=8)
 
 
+def _mmr_oracle(
+    probe_id: int = 0, pool: int = 30, k: int = 10, lam_num: int = 7
+) -> str:
+    """MMR oracle: e6-quantized similarities, then the greedy
+    UNROLLED one CTE layer per pick (the ``_pagerank_oracle``
+    contract — greedy selection is sequential, so each layer's
+    argmax conditions on the union of all previous picks)."""
+    lam_rest = 10 - lam_num
+    cos = (
+        "CAST(round(1000000.0 * list_dot_product({x}.v, {y}.v)"
+        " / (sqrt(list_dot_product({x}.v, {x}.v))"
+        " * sqrt(list_dot_product({y}.v, {y}.v)))) AS BIGINT)"
+    )
+    # every pick layer is MATERIALIZED: s{i} references sel{i-1}
+    # TWICE (the NOT IN and the diversity max), so inlined CTEs
+    # re-evaluate the whole prefix 2^k times — the twice-referenced
+    # iterative-state trap, here on the DuckDB side (measured: the
+    # inlined form never finishes at k=10)
+    layers = [
+        f"s1 AS MATERIALIZED (SELECT 1 AS pos, vec_id,\n"
+        f"    {lam_num} * simq AS mmr\n"
+        f"    FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),\n"
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"
+    ]
+    for i in range(2, k + 1):
+        layers.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS pos, c.vec_id,\n"
+            f"    {lam_num} * c.simq - {lam_rest} * (\n"
+            f"        SELECT max(p.s) FROM psim p\n"
+            f"        WHERE p.a = c.vec_id\n"
+            f"          AND p.b IN (SELECT vec_id FROM sel{i - 1})) AS mmr\n"
+            f"    FROM cand c\n"
+            f"    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})\n"
+            f"    ORDER BY mmr DESC, c.vec_id LIMIT 1),\n"
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}\n"
+            f"    UNION ALL SELECT vec_id FROM s{i})"
+        )
+    body = ",\n".join(layers)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT pos, vec_id, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS (SELECT v FROM v WHERE vec_id = {probe_id}),
+cand AS MATERIALIZED (
+    SELECT c.vec_id, {cos.format(x='c', y='q')} AS simq
+    FROM v c, q
+    WHERE c.vec_id <> {probe_id}
+    ORDER BY simq DESC, c.vec_id LIMIT {pool}
+),
+psim AS MATERIALIZED (
+    SELECT a.vec_id AS a, b.vec_id AS b, {cos.format(x='va', y='vb')} AS s
+    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    JOIN v va ON va.vec_id = a.vec_id
+    JOIN v vb ON vb.vec_id = b.vec_id
+),
+{body}
+SELECT pos, vec_id, mmr AS mmr_e7 FROM ({picks})
+"""
+
+
+@query("mmr_diversified_topk", _mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[retrieval, beyond-ref §2.13 — the DIVERSIFICATION rung beside
+    relevance (``cosine_topk_bruteforce``), fusion
+    (``hybrid_search_rrf``) and ranking quality
+    (``retrieval_ndcg_audit``)] Maximal Marginal Relevance: greedy
+    top-10 from a 30-candidate relevance shortlist for probe vector
+    0, λ=0.7 — each pick maximizes λ·sim(query,c) − (1−λ)·max
+    sim(c, selected), so near-duplicate hits that pure cosine top-k
+    would stack are pushed out by novel ones. All similarities are
+    e6-quantized once, the greedy is pure integer arithmetic
+    (``similarity.mmr_topk``), and the oracle unrolls the ten picks
+    as CTE layers with identical (score desc, id) tie-breaks.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(emb, probe_id=0, pool=30, k=10, lam_num=7)
+
+
+_GEO_ORACLE = """
+WITH m AS (
+    SELECT c_custkey AS key, c_custkey % 1000003 AS m FROM customer
+),
+pts AS (
+    SELECT key,
+           (m * m * 90017 + m * 48271 + 11) % 1000001 AS lat,
+           (m * m * 77023 + m * 69621 + 7)  % 2000001 AS lon
+    FROM m
+),
+cells AS (
+    SELECT key, lat, lon, lat // 100000 AS cx, lon // 100000 AS cy
+    FROM pts
+),
+offsets AS (
+    SELECT dx, dy
+    FROM (VALUES (-1), (0), (1)) AS ox(dx), (VALUES (-1), (0), (1)) AS oy(dy)
+),
+hits AS (
+    SELECT a.cx AS cell_x, a.cy AS cell_y
+    FROM cells a JOIN offsets o ON TRUE
+    JOIN cells b
+      ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+     AND a.key < b.key
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= 2500000000
+)
+SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_pairs
+FROM hits GROUP BY 1, 2
+"""
+
+
+@query("geo_cell_pairs", _GEO_ORACLE)
+def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[geospatial, beyond-ref §2.13 — a NEW family: the cell-blocked
+    radius self-join, the spatial analogue of the LSH-banded
+    near-dup join] Each customer gets a deterministic synthetic
+    position on a bounded 1°×2° micro-degree grid (QUADRATIC hashes
+    of the mod-reduced key — a pure-affine hash of contiguous keys
+    forms a regular lattice whose 55185 μ° spacing beats the radius),
+    points are bucketed into 0.1° cells, and the radius join
+    (distance ≤ 0.05°) only compares each point against its own and
+    its EIGHT NEIGHBOR cells — the 3×3 stencil explode on the
+    smaller-key side guarantees every qualifying pair is seen
+    exactly once (the pair is counted in the smaller-key point's
+    probe, never twice, because (dx,dy) is unique per cell pair).
+    Distance test is exact integer arithmetic on micro-degree
+    deltas; output is per-cell pair counts (bounded by the fixed
+    cell grid, ≤ 231 rows).
+
+    Scale shape: one scan, one equi-join on the cell key (the
+    stencil is a 9× row explode on ONE side, not a cross product).
+    Pair volume is density-driven — n²·(πr²/area) like any radius
+    join in a fixed region; the blocking bounds the COMPARED volume
+    to the same order as the OUTPUT volume, which is the best any
+    spatial join can do, and the cell key count is what a real
+    deployment scales with the region (finer cells for denser
+    data — the block-key-cardinality contract shared with
+    ``fellegi_sunter_linkage``).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    # quadratic position hash: the pure-affine form puts contiguous
+    # keys on a regular lattice whose minimum spacing (55185 μ°)
+    # exceeds the radius — zero pairs everywhere. The key is reduced
+    # mod 1000003 FIRST so m²·90017 stays far inside int64 even for
+    # the ~9e7 scaled-replica keys (ANSI mode would raise on
+    # overflow; DuckDB BIGINT likewise).
+    m = F.pmod(key, F.lit(1000003))
+    pts = c.select(
+        key.alias("key"),
+        F.pmod(m * m * 90017 + m * 48271 + 11, F.lit(1000001)).alias("lat"),
+        F.pmod(m * m * 77023 + m * 69621 + 7, F.lit(2000001)).alias("lon"),
+    ).select(
+        "key",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 100000).alias("cx"),
+        F.floor(F.col("lon") / 100000).alias("cy"),
+    )
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        pts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            F.col("key").alias("a_key"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    build = pts.select(
+        F.col("key").alias("b_key"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dlat = F.col("a_lat") - F.col("b_lat")
+    dlon = F.col("a_lon") - F.col("b_lon")
+    return (
+        probe.join(build, ["jx", "jy"])
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (dlat * dlat + dlon * dlon <= 2_500_000_000)
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

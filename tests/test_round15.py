@@ -182,3 +182,91 @@ def test_textrank_matches_pure_python_pagerank_replay(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         got = [(r.word, r.rank) for r in textrank_keywords(spark, d).collect()]
     assert got == exp, (got, exp)
+
+
+def test_mmr_hand_traced_greedy(spark):
+    """Five constructed vectors with analytically-known cosines;
+    the three picks and their integer mmr_e7 scores are hand-traced:
+    pick1 = the duplicate of the probe (pure relevance), pick2 = the
+    45-degree vector (beats the 0.6-cosine one), pick3 = the
+    0.6-cosine vector WINS over rank order because the diversity
+    penalty against pick2 is small vs pick2's near-duplicate."""
+    from module8_movies_etl_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # probe
+        (1, [2.0, 0.0, 0.0, 0.0], 0),   # cos(q)=1.0
+        (2, [1.0, 1.0, 0.0, 0.0], 0),   # cos(q)=0.707107
+        (3, [3.0, 4.0, 0.0, 0.0], 0),   # cos(q)=0.6
+        (4, [0.0, 1.0, 0.0, 0.0], 0),   # cos(q)=0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(f"{d}/embeddings.parquet")
+        from module8_movies_etl_spark.sources import read_table
+
+        got = [
+            (r.pos, r.vec_id, r.mmr_e7)
+            for r in mmr_topk(
+                read_table(spark, d, "embeddings"),
+                probe_id=0, pool=30, k=3,
+            ).orderBy("pos").collect()
+        ]
+    # pick1: 7 * 1_000_000
+    # pick2 (id 2): 7*707107 - 3*707107           = 2_828_428
+    # pick3 (id 3): 7*600000 - 3*round(1e6*7/(5*sqrt(2)))
+    #             = 4_200_000 - 3*989_949         = 1_230_153
+    assert got == [
+        (1, 1, 7_000_000),
+        (2, 2, 2_828_428),
+        (3, 3, 1_230_153),
+    ], got
+
+
+def test_geo_cell_pairs_matches_bruteforce_replay(spark, sf_dir):
+    """Pure-Python O(n^2) replay over the sf0.001 customer keys: same
+    affine position hashes, exact integer radius test, pair
+    attributed to the smaller-key point's cell — the engine's
+    stencil join must produce identical per-cell counts (in
+    particular, cross-cell-boundary pairs must be found exactly
+    once)."""
+    from collections import Counter
+
+    import duckdb
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        geo_cell_pairs,
+    )
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    ]
+    def _pos(k):
+        m = k % 1000003
+        return (
+            (m * m * 90017 + m * 48271 + 11) % 1000001,
+            (m * m * 77023 + m * 69621 + 7) % 2000001,
+        )
+
+    pos = {k: _pos(k) for k in keys}
+    exp: Counter = Counter()
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        la, na = pos[a]
+        for b in ks[i + 1:]:
+            lb, nb = pos[b]
+            if (la - lb) ** 2 + (na - nb) ** 2 <= 2_500_000_000:
+                exp[(la // 100000, na // 100000)] += 1
+    got = {
+        (r.cell_x, r.cell_y): r.n_pairs
+        for r in geo_cell_pairs(spark, sf_dir).collect()
+    }
+    assert got == dict(exp), (len(got), len(exp))
+    assert sum(got.values()) > 0  # the fixture actually exercises it
