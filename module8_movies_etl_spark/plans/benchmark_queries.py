@@ -18541,7 +18541,16 @@ def kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks canonicals, k-core finds the globally cross-linked
     template clusters that survive iterated peeling] Eight fixed
     rounds of 3-core peeling over the embedding near-dup graph (same
-    pair generator as ``pagerank_dupgraph``); chains and stars —
+    pair generator as ``pagerank_dupgraph``; measured regimes: the
+    0.2 graph's 3-core peels 4 of 500 nodes at sf0.01 — the synthetic
+    corpus is a union of dense template cliques, so peeling bites
+    lightly there and not at all at sf0.1 where quadratic fixture
+    densification pushes mean degree past 3000; sparser thresholds
+    flip to a TOTAL cascade (0.3/k=3 empties the banded graph), the
+    sharp phase transition clique unions produce. The hand-built
+    cascade golden in tests is what pins the peel semantics; this
+    entry pins the at-scale plumbing + oracle parity); chains and
+    stars —
     where single-linkage CC over-merges borderline pairs — peel
     away, so (node, within-core degree) is the "this cluster is a
     real template farm" signal a dedup-decision pass can trust.
