@@ -248,11 +248,15 @@ def test_geo_cell_pairs_matches_bruteforce_replay(spark, sf_dir):
             f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'"
         ).fetchall()
     ]
+    import math
+
+    s = math.isqrt(max(len(keys) - 1, 0) // 1500) + 1
+
     def _pos(k):
         m = k % 1000003
         return (
-            (m * m * 90017 + m * 48271 + 11) % 1000001,
-            (m * m * 77023 + m * 69621 + 7) % 2000001,
+            (m * m * 90017 + m * 48271 + 11) % (1000001 * s),
+            (m * m * 77023 + m * 69621 + 7) % (2000001 * s),
         )
 
     pos = {k: _pos(k) for k in keys}
