@@ -36,6 +36,11 @@ COLLECT_WHITELIST = {
         "vocabulary-size dispatch probe: distinct tokens LIMITed to "
         "cap+1 rows before the fetch",
     ),
+    "operators/graphs.py": (
+        1,
+        "k-core fixpoint early-exit: one 2-long row per peel round "
+        "(result-identical break when a round removes no node)",
+    ),
     "operators/robust.py": (
         1,
         "distributed rank: 1-row-per-partition offset table",
