@@ -18789,6 +18789,286 @@ def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_K = 24
+
+
+def _markov_oracle(k_iters: int = _MARKOV_K) -> str:
+    """Markov removal-effect oracle: first-order transition counts
+    from per-user paths-to-first-purchase, floor-quantized e12
+    probabilities, then the absorption fixed-point UNROLLED
+    ``k_iters`` layers per variant (base + one per removed channel).
+    Every layer is MATERIALIZED (v{i} feeds one join but the CTE
+    chain depth makes inlining re-evaluate the prefix — the
+    twice-referenced-iterative-state discipline)."""
+    variants = "(VALUES ('base'), " + ", ".join(
+        f"('{c}')" for c in _MARKOV_CHANNELS
+    ) + ") AS vs(variant)"
+    layers = []
+    for i in range(1, k_iters + 1):
+        p = f"v{i - 1}"
+        layers.append(
+            f"v{i} AS MATERIALIZED (\n"
+            f"    SELECT a.variant, a.state, a.v FROM absorbing a\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.variant, e.src AS state,\n"
+            f"           CAST(sum(e.p_e12 * coalesce({p}.v, 0))\n"
+            f"                // 1000000000000 AS HUGEINT) AS v\n"
+            f"    FROM vedges e LEFT JOIN {p}\n"
+            f"      ON {p}.variant = e.variant AND {p}.state = e.dst\n"
+            f"    GROUP BY e.variant, e.src\n)"
+        )
+    body = ",\n".join(layers)
+    return f"""
+WITH conv AS (
+    SELECT user_id, min(ts) AS cts FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+path AS (
+    SELECT e.user_id, e.ts, e.event_id, e.event_type, c.cts
+    FROM events e LEFT JOIN conv c USING (user_id)
+    WHERE e.event_type <> 'purchase' AND (c.cts IS NULL OR e.ts < c.cts)
+),
+steps AS (
+    SELECT user_id, event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           cts
+    FROM path
+),
+trans AS (
+    SELECT 'start' AS src, src AS dst FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT src, nxt AS dst FROM steps WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT src, CASE WHEN cts IS NULL THEN 'null' ELSE 'conv' END AS dst
+    FROM steps WHERE nxt IS NULL
+    UNION ALL
+    SELECT 'start' AS src, 'conv' AS dst
+    FROM conv c
+    WHERE NOT EXISTS (SELECT 1 FROM path p WHERE p.user_id = c.user_id)
+),
+cnt AS (
+    SELECT src, dst, CAST(count(*) AS HUGEINT) AS n FROM trans
+    GROUP BY src, dst
+),
+tot AS (SELECT src, sum(n) AS n_src FROM cnt GROUP BY src),
+edges AS (
+    SELECT c.src, c.dst,
+           CAST((1000000000000 * c.n) // t.n_src AS HUGEINT) AS p_e12
+    FROM cnt c JOIN tot t USING (src)
+),
+vedges AS MATERIALIZED (
+    SELECT vs.variant, e.src,
+           CASE WHEN vs.variant <> 'base' AND e.dst = vs.variant
+                THEN 'null' ELSE e.dst END AS dst,
+           CAST(sum(e.p_e12) AS HUGEINT) AS p_e12
+    FROM edges e CROSS JOIN {variants}
+    WHERE vs.variant = 'base' OR e.src <> vs.variant
+    GROUP BY 1, 2, 3
+),
+absorbing AS (
+    SELECT vs.variant, s.state, s.v
+    FROM {variants}
+    CROSS JOIN (VALUES ('conv', CAST(1000000000000 AS HUGEINT)),
+                       ('null', CAST(0 AS HUGEINT))) AS s(state, v)
+),
+v0 AS MATERIALIZED (SELECT variant, state, v FROM absorbing),
+{body}
+SELECT b.channel,
+       CAST(bb.v AS BIGINT) AS p_base_e12,
+       CAST(rr.v AS BIGINT) AS p_removed_e12,
+       CAST(CASE WHEN bb.v = 0 THEN 0
+                 ELSE (1000000 * greatest(bb.v - rr.v, 0)) // bb.v
+            END AS BIGINT) AS removal_ppm
+FROM (VALUES {", ".join(f"('{c}')" for c in _MARKOV_CHANNELS)}) AS b(channel)
+JOIN v{k_iters} bb ON bb.variant = 'base' AND bb.state = 'start'
+JOIN v{k_iters} rr ON rr.variant = b.channel AND rr.state = 'start'
+"""
+
+
+@query("markov_attribution_removal", _markov_oracle())
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[attribution, beyond-ref §2.13 — the DATA-DRIVEN attribution
+    model (Anderl et al.'s Markov removal effect) beside the
+    heuristic position/decay ``multitouch_attribution``] First-order
+    Markov chain over per-user event paths truncated at first
+    purchase (absorbing states conv/null), transition probabilities
+    floor-quantized to e12 integers, and the chain's conversion
+    probability computed as a FIXED-24-round absorption fixed-point
+    — v(s) <- floor(Σ p(s→j)·v(j) / 1e12) — for the base chain and
+    one variant per channel with that channel removed (its outgoing
+    edges dropped, inbound edges redirected to null: paths through
+    the channel fail). removal_ppm = floor(1e6·(P_base −
+    P_removed)/P_base) is the channel's share of conversions that
+    die without it. Fixed rounds + single-floor-per-state keep every
+    number an exact integer and the whole computation SQL-replayable
+    by unrolling (the ``pagerank`` contract); the geometric
+    contraction makes 24 rounds overkill by orders of magnitude at
+    e12 quantization.
+
+    Scale shape: transitions are one window over (user, ts) + one
+    count shuffle — corpus-linear; everything after runs on the
+    STATE-GRAIN table (≤ (channels+2)² edges × 5 variants — dozens
+    of rows at ANY corpus size), so the 24-round fixed-point runs as
+    ONE Arrow grouped-map per variant with Python-int arithmetic
+    (the ``mmr_topk`` panel pattern — sequential math on a bounded
+    panel does not belong in a 24-join lazy plan; the DataFrame-loop
+    draft stacked 1024-partition unions and took minutes at sf0.1).
+    The oracle replays the identical floors as unrolled MATERIALIZED
+    CTE layers.
+    """
+    e = read_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    path = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id", "left")
+        .filter(F.col("cts").isNull() | (F.col("ts") < F.col("cts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = path.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+        "cts",
+    )
+    trans = (
+        steps.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("src"), F.col("src").alias("dst"))
+        .unionByName(
+            steps.filter(F.col("nxt").isNotNull()).select(
+                "src", F.col("nxt").alias("dst")
+            )
+        )
+        .unionByName(
+            steps.filter(F.col("nxt").isNull()).select(
+                "src",
+                F.when(F.col("cts").isNull(), "null")
+                .otherwise("conv")
+                .alias("dst"),
+            )
+        )
+        .unionByName(
+            conv.join(
+                path.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(
+                F.lit("start").alias("src"), F.lit("conv").alias("dst")
+            )
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("n_src"))
+    # decimal BEFORE the scale-up: 1e12·n in long overflows past
+    # n ≈ 9.2e6 transitions (sf1.0 has 15M events)
+    num = F.lit(1_000_000_000_000).cast("decimal(38,0)") * _dec(F.col("n"))
+    edges = cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        ((num - num % F.col("n_src")) / F.col("n_src"))
+        .cast("decimal(38,0)")
+        .alias("p_e12"),
+    )
+    sess = spark
+    variants = sess.createDataFrame(
+        [("base",)] + [(c,) for c in _MARKOV_CHANNELS], "variant string"
+    )
+    vedges = (
+        edges.crossJoin(F.broadcast(variants))
+        .filter(
+            (F.col("variant") == "base") | (F.col("src") != F.col("variant"))
+        )
+        .select(
+            "variant",
+            "src",
+            F.when(
+                (F.col("variant") != "base")
+                & (F.col("dst") == F.col("variant")),
+                "null",
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p_e12",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("p_e12").cast("decimal(38,0)").alias("p_e12"))
+    )
+    def _absorb(pdf):
+        import pandas as pd
+
+        scale = 10**12
+        edges = {
+            (s_, d_): int(p_)
+            for s_, d_, p_ in zip(pdf["src"], pdf["dst"], pdf["p_e12"])
+        }
+        states = {s_ for s_, _ in edges}
+        v = {"conv": scale, "null": 0}
+        for s_ in states:
+            v.setdefault(s_, 0)
+        for _ in range(_MARKOV_K):
+            nv = {"conv": scale, "null": 0}
+            for s_ in states:
+                nv[s_] = (
+                    sum(
+                        p_ * v.get(d_, 0)
+                        for (ss, d_), p_ in edges.items()
+                        if ss == s_
+                    )
+                    // scale
+                )
+            v = nv
+        return pd.DataFrame(
+            [(pdf["variant"].iloc[0], v.get("start", 0))],
+            columns=["variant", "p"],
+        )
+
+    # per-variant Arrow grouped-map (the mmr_topk panel pattern):
+    # the edge table is STATE-grain (<= (channels+2)^2 rows per
+    # variant at ANY corpus size), and the absorption is a
+    # sequential fixed-point, so panel-grain Python ints are both
+    # exact and fast. The first draft iterated 24 lazy DataFrame
+    # rounds instead — each round's absorbing-union stacked
+    # partitions (1024-way unions by round 24) and the query took
+    # minutes at sf0.1 for what is arithmetic on dozens of rows.
+    start = vedges.groupBy("variant").applyInPandas(
+        _absorb, schema="variant string, p long"
+    )
+    base = start.filter(F.col("variant") == "base").select(
+        F.col("p").alias("p_base")
+    )
+    removed = start.filter(F.col("variant") != "base").select(
+        F.col("variant").alias("channel"), F.col("p").alias("p_removed")
+    )
+    # greatest(..., 0): exact-chain P_removed <= P_base, but each is
+    # independently floor-quantized, so a quantum-level inversion
+    # would put a NEGATIVE numerator under the floor division — where
+    # Spark floors and DuckDB truncates toward zero. Clamping keeps
+    # the division non-negative (and 0 is also the honest answer).
+    eff = F.when(F.col("p_base") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (
+                F.lit(1_000_000)
+                * F.greatest(
+                    F.col("p_base") - F.col("p_removed"), F.lit(0)
+                )
+            )
+            / F.col("p_base")
+        )
+    )
+    return removed.crossJoin(F.broadcast(base)).select(
+        "channel",
+        F.col("p_base").cast("long").alias("p_base_e12"),
+        F.col("p_removed").cast("long").alias("p_removed_e12"),
+        eff.cast("long").alias("removal_ppm"),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

@@ -274,3 +274,122 @@ def test_geo_cell_pairs_matches_bruteforce_replay(spark, sf_dir):
     }
     assert got == dict(exp), (len(got), len(exp))
     assert sum(got.values()) > 0  # the fixture actually exercises it
+
+
+def _markov_replay(rows, k=24):
+    """Pure-Python integer replay of markov_attribution_removal:
+    rows = (event_id, user_id, event_type, ts) tuples."""
+    from collections import Counter, defaultdict
+
+    SCALE = 10**12
+    conv = {}
+    for eid, uid, et, ts in rows:
+        if et == "purchase" and (uid not in conv or ts < conv[uid]):
+            conv[uid] = ts
+    paths = defaultdict(list)
+    for eid, uid, et, ts in rows:
+        if et != "purchase" and (uid not in conv or ts < conv[uid]):
+            paths[uid].append((ts, eid, et))
+    cnt = Counter()
+    for uid, evs in paths.items():
+        evs.sort()
+        cnt[("start", evs[0][2])] += 1
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] += 1
+        cnt[(evs[-1][2], "conv" if uid in conv else "null")] += 1
+    for uid in conv:
+        if uid not in paths:
+            cnt[("start", "conv")] += 1
+    tot = Counter()
+    for (s, d), n in cnt.items():
+        tot[s] += n
+    edges = {(s, d): (SCALE * n) // tot[s] for (s, d), n in cnt.items()}
+
+    def absorb(variant):
+        ve = Counter()
+        for (s, d), p in edges.items():
+            if variant != "base" and s == variant:
+                continue
+            dd = "null" if (variant != "base" and d == variant) else d
+            ve[(s, dd)] += p
+        v = {"conv": SCALE, "null": 0}
+        states = {s for s, _ in ve}
+        for s in states:
+            v.setdefault(s, 0)
+        for _ in range(k):
+            nv = {"conv": SCALE, "null": 0}
+            for s in states:
+                nv[s] = sum(
+                    p * v.get(d, 0) for (ss, d), p in ve.items() if ss == s
+                ) // SCALE
+            v = nv
+        return v.get("start", 0)
+
+    base = absorb("base")
+    out = {}
+    for c in ("click", "error", "signup", "view"):
+        r = absorb(c)
+        ppm = 0 if base == 0 else (10**6 * max(base - r, 0)) // base
+        out[c] = (base, r, ppm)
+    return out
+
+
+def test_markov_removal_hand_golden(spark):
+    """Two users: u1 view->purchase, u2 view->click (no purchase).
+    Hand trace: P_base = 0.5 (start->view 1.0, view splits 50/50 to
+    conv/click, click->null). Removing 'view' kills every converting
+    path (removal 1.0); removing 'click' changes nothing (its mass
+    was already dying at null); signup/error never appear."""
+    import tempfile
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        markov_attribution_removal,
+    )
+
+    t = datetime.datetime
+    rows = [
+        (0, t(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+        (1, t(2024, 1, 1, 0, 5), 1, "purchase", 2.0, "{}"),
+        (2, t(2024, 1, 1, 0, 0), 2, "view", 1.0, "{}"),
+        (3, t(2024, 1, 1, 0, 5), 2, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {
+            r.channel: (r.p_base_e12, r.p_removed_e12, r.removal_ppm)
+            for r in markov_attribution_removal(spark, d).collect()
+        }
+    half = 500_000_000_000
+    assert got["view"] == (half, 0, 1_000_000)
+    assert got["click"] == (half, half, 0)
+    assert got["error"] == (half, half, 0)
+    assert got["signup"] == (half, half, 0)
+
+
+def test_markov_removal_matches_pure_python_replay(spark, sf_dir):
+    """Full-pipeline replay at sf0.001: transitions, e12 floor
+    quantization, 24 absorption rounds, removal ppm — all in pure
+    Python ints from the same parquet."""
+    import duckdb
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        markov_attribution_removal,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, ts "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    exp = _markov_replay(rows)
+    got = {
+        r.channel: (r.p_base_e12, r.p_removed_e12, r.removal_ppm)
+        for r in markov_attribution_removal(spark, sf_dir).collect()
+    }
+    assert got == exp, (got, exp)
+    # the fixture must actually convert somewhere
+    assert any(v[0] > 0 for v in got.values())
