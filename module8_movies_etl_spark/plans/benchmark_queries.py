@@ -19069,6 +19069,84 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(
+    n_iters: int = 5, damping: float = 0.85, seed_mod: int = 41,
+    pairs_cte: str | None = None,
+) -> str:
+    """Personalized-PageRank oracle: the shared pairs CTE + NODE-grain
+    unrolled rounds — each layer left-joins the in-mass onto the full
+    (node, teleport) base so zero-in-mass nodes keep their teleport
+    term (the difference from ``_pagerank_oracle``'s contrib-only
+    layers)."""
+    cte = pairs_cte or _embedding_pairs_cte(threshold=0.2)
+    d = damping
+    layers = []
+    for i in range(1, n_iters + 1):
+        prev = f"p{i - 1}"
+        layers.append(
+            f"p{i} AS (\n"
+            f"    SELECT b.node,\n"
+            f"           {1.0 - d} * b.t + {d} * coalesce(c.m, 0) AS p\n"
+            f"    FROM base b LEFT JOIN (\n"
+            f"        SELECT ed.t AS node, sum({prev}.p / ed.d) AS m\n"
+            f"        FROM ed JOIN {prev} ON {prev}.node = ed.s\n"
+            f"        GROUP BY ed.t\n"
+            f"    ) c ON c.node = b.node\n)"
+        )
+    body = ",\n".join(layers)
+    return f"""
+WITH {cte},
+e AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+ed AS (SELECT e.s, e.t, deg.d FROM e JOIN deg USING (s)),
+nodes AS (SELECT s AS node FROM deg),
+sn AS (SELECT node FROM nodes WHERE node % {seed_mod} = 0),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM sn),
+base AS (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN 0.0
+                ELSE 1.0 / (SELECT c FROM ns) END AS t
+    FROM nodes n LEFT JOIN sn s ON n.node = s.node
+),
+p0 AS (SELECT node, t AS p FROM base),
+{body}
+SELECT node, round(p, 6) AS trust FROM p{n_iters}
+"""
+
+
+@query("trustrank_quality", _ppr_oracle())
+def trustrank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph/curation, beyond-ref §2.13 — the PERSONALIZED rung of
+    the PageRank pair: TrustRank (Gyongyi et al.)] Five fixed rounds
+    of the personalized power iteration over the embedding near-dup
+    graph, teleport mass restricted to a deterministic trusted seed
+    panel (vec_id % 41 == 0 — a fraction-of-corpus verified-clean
+    sample, so the panel scales with the graph). Where
+    ``pagerank_dupgraph`` ranks global connectivity, this scores
+    every document by PROXIMITY TO THE TRUSTED SET — the curation
+    primitive for propagating a small audited panel's quality label
+    through near-duplicate structure to the unlabeled mass (and,
+    with a spam seed set, the inverse). Node-grain rank table every
+    round (seed base + left-joined in-mass) so zero-in-mass nodes
+    keep their teleport term; the oracle unrolls the same five
+    node-grain layers.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, n_planes=12, dim=64, n_bands=3
+    )
+    seeds = emb.filter(F.pmod(F.col("vec_id"), F.lit(41)) == 0).select(
+        "vec_id"
+    )
+    return graphs.personalized_pagerank(
+        pairs, seeds, damping=0.85, n_iters=5
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

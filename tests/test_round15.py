@@ -393,3 +393,42 @@ def test_markov_removal_matches_pure_python_replay(spark, sf_dir):
     assert got == exp, (got, exp)
     # the fixture must actually convert somewhere
     assert any(v[0] > 0 for v in got.values())
+
+
+def test_trustrank_matches_pure_python_replay(spark):
+    """Constructed graph: a trusted triangle {0,41,82} (all % 41 == 0
+    ... only 0 and 82 are seeds; 41 is a seed too — pick ids so seeds
+    are known), plus a chain into untrusted territory. Pure-Python
+    5-round personalized power iteration must match node-for-node."""
+    from module8_movies_etl_spark.operators.graphs import (
+        personalized_pagerank,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 41), (41, 2), (5, 6)]
+    seeds = [0, 41, 99]  # 99 not in graph -> ignored
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    sdf = spark.createDataFrame([(x,) for x in seeds], "vec_id long")
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    eff = [x for x in seeds if x in adj]
+    t = {v: (1.0 / len(eff) if v in eff else 0.0) for v in adj}
+    p = dict(t)
+    for _ in range(5):
+        p = {
+            v: 0.15 * t[v]
+            + 0.85 * sum(p[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    exp = {v: round(x, 6) for v, x in p.items()}
+    got = {
+        r.node: r.trust
+        for r in personalized_pagerank(pairs, sdf, 0.85, 5).collect()
+    }
+    assert got == exp, (got, exp)
+    # the isolated untrusted component {5,6} must hold zero mass
+    assert got[5] == 0.0 and got[6] == 0.0
+    # seeds hold the most mass
+    assert max(got, key=lambda v: (got[v], -v)) in (0, 41)

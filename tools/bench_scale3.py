@@ -119,6 +119,11 @@ TARGETS = {
     "khop_reach_dupgraph": "embedding_edges",
     "embedding_near_dups": "output",
     "minhash_ngram_candidates": "output",
+    # round-11 continuation: k-core peels the same dup graph (edges =
+    # driving volume, the graph-op convention; the fixpoint
+    # early-exit makes dense-regime rounds cheap, but the edge scan +
+    # first-round degree aggregate still scale in edges).
+    "kcore_dupgraph": "embedding_edges",
 }
 
 
