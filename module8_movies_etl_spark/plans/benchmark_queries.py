@@ -18263,33 +18263,11 @@ FROM pairs WHERE score >= {_FS_POSSIBLE}
 """
 
 
-@query("fellegi_sunter_linkage", _FS_ORACLE)
-def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[entity resolution, beyond-ref §2.13 — the PROBABILISTIC rung
-    of the record-linkage ladder, beside edit-distance
-    (``part_name_matches``), sorted-neighborhood
-    (``snm_part_name_pairs``) and set-similarity
-    (``jaccard_near_dup_pairs``)] Classic Fellegi-Sunter decision
-    model: blocked candidate pairs scored by a per-field agreement
-    vector with log-likelihood-ratio weights (embedded integers, see
-    ``_FS_W`` — estimated offline, exactly like real EM-trained
-    linkage deployments ship frozen weights), thresholded into
-    match / possible tiers. Fields: market segment, balance within
-    $2 (cents-exact), and order-activity parity (an orders semi-join
-    feeds the activity field — linkage on BEHAVIOR, not just
-    attributes).
-
-    Scale shape: one customer scan + one DISTINCT custkey pass over
-    orders, then a self-equi-join on the blocking key
-    ``(nation, $10-balance-bucket)`` whose cardinality scales with
-    the VALUE DOMAIN (25 nations x 1000 buckets at this balance
-    range) — candidate volume is sum-of-squares over block
-    occupancy, the standard blocking trade: cross-bucket $2
-    agreements are forgone (recall cost measured in the round-11
-    test's planted-duplicate panel) in exchange for never scoring
-    the n^2 cross product. All comparator arithmetic is exact
-    integers; zero UDFs.
-    """
+def _fs_base_and_pairs(spark: SparkSession, sf_dir: str):
+    """Shared Fellegi-Sunter assembly: the per-customer comparison
+    frame (key, nation, segment, balance cents, activity, block) and
+    the blocked scored pair frame — consumed by the linkage query and
+    the entity-resolution golden-record capstone."""
     o = read_table(spark, sf_dir, "orders")
     active = o.select(F.col("o_custkey").alias("k")).distinct()
     c = (
@@ -18319,23 +18297,50 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             w["act"][1]
         )
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.nat") == F.col("b.nat"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.k") < F.col("b.k")),
-        )
-        .select(
-            F.col("a.k").alias("a_key"),
-            F.col("b.k").alias("b_key"),
-            score.cast("long").alias("score"),
-        )
-        .filter(F.col("score") >= _FS_POSSIBLE)
-        .withColumn(
-            "tier",
-            F.when(F.col("score") >= _FS_MATCH, "match").otherwise("possible"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.k").alias("a_key"),
+        F.col("b.k").alias("b_key"),
+        score.cast("long").alias("score"),
+    )
+    return c, pairs
+
+
+@query("fellegi_sunter_linkage", _FS_ORACLE)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[entity resolution, beyond-ref §2.13 — the PROBABILISTIC rung
+    of the record-linkage ladder, beside edit-distance
+    (``part_name_matches``), sorted-neighborhood
+    (``snm_part_name_pairs``) and set-similarity
+    (``jaccard_near_dup_pairs``)] Classic Fellegi-Sunter decision
+    model: blocked candidate pairs scored by a per-field agreement
+    vector with log-likelihood-ratio weights (embedded integers, see
+    ``_FS_W`` — estimated offline, exactly like real EM-trained
+    linkage deployments ship frozen weights), thresholded into
+    match / possible tiers. Fields: market segment, balance within
+    $2 (cents-exact), and order-activity parity (an orders semi-join
+    feeds the activity field — linkage on BEHAVIOR, not just
+    attributes).
+
+    Scale shape: one customer scan + one DISTINCT custkey pass over
+    orders, then a self-equi-join on the blocking key
+    ``(nation, $10-balance-bucket)`` whose cardinality scales with
+    the VALUE DOMAIN (25 nations x 1000 buckets at this balance
+    range) — candidate volume is sum-of-squares over block
+    occupancy, the standard blocking trade: cross-bucket $2
+    agreements are forgone (recall cost measured in the round-11
+    test's planted-duplicate panel) in exchange for never scoring
+    the n^2 cross product. All comparator arithmetic is exact
+    integers; zero UDFs.
+    """
+    _, pairs = _fs_base_and_pairs(spark, sf_dir)
+    return pairs.filter(F.col("score") >= _FS_POSSIBLE).withColumn(
+        "tier",
+        F.when(F.col("score") >= _FS_MATCH, "match").otherwise("possible"),
     )
 
 
@@ -19144,6 +19149,108 @@ def trustrank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return graphs.personalized_pagerank(
         pairs, seeds, damping=0.85, n_iters=5
+    )
+
+
+_ER_GOLDEN_ORACLE = f"""
+WITH RECURSIVE
+active AS (SELECT DISTINCT o_custkey FROM orders),
+c AS (
+    SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+           CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS act
+    FROM customer LEFT JOIN active ON c_custkey = o_custkey
+),
+p AS (
+    SELECT a.k AS a_key, b.k AS b_key,
+           CASE WHEN a.seg = b.seg THEN {_FS_W['seg'][0]}
+                ELSE {_FS_W['seg'][1]} END
+         + CASE WHEN abs(a.bal - b.bal) <= 200 THEN {_FS_W['bal'][0]}
+                ELSE {_FS_W['bal'][1]} END
+         + CASE WHEN a.act = b.act THEN {_FS_W['act'][0]}
+                ELSE {_FS_W['act'][1]} END AS score
+    FROM c a JOIN c b
+      ON a.nat = b.nat
+     AND (a.bal + 100000) // 1000 = (b.bal + 100000) // 1000
+     AND a.k < b.k
+),
+m AS (SELECT a_key, b_key FROM p WHERE score >= {_FS_MATCH}),
+edges AS (
+    SELECT a_key AS src, b_key AS dst FROM m
+    UNION ALL
+    SELECT b_key AS src, a_key AS dst FROM m
+),
+reach AS (
+    SELECT k AS node, k AS lbl FROM c
+    UNION
+    SELECT e.src AS node, r.lbl
+    FROM reach r JOIN edges e ON e.dst = r.node
+),
+cl AS (SELECT node AS k, min(lbl) AS cluster_id FROM reach GROUP BY node),
+gold AS (
+    SELECT cl.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(c.bal) AS BIGINT) AS max_bal_cents,
+           CAST(sum(c.act) AS BIGINT) AS n_active
+    FROM cl JOIN c ON c.k = cl.k
+    GROUP BY cl.cluster_id
+    HAVING count(*) >= 2
+)
+SELECT g.cluster_id, g.n_members, g.max_bal_cents, g.n_active,
+       cc.seg AS canonical_segment
+FROM gold g JOIN c cc ON cc.k = g.cluster_id
+"""
+
+
+@query("entity_resolution_golden", _ER_GOLDEN_ORACLE)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[entity resolution CAPSTONE, beyond-ref §2.13 — the full MDM
+    pipeline in one lazy DAG: blocking → Fellegi-Sunter scoring →
+    match-tier edges → connected-components cluster decision →
+    golden-record survivorship] Match-tier pairs from the SHARED
+    ``_fs_base_and_pairs`` assembly become an identity graph; the
+    SAME pointer-jumping ``dedup.connected_components`` that decides
+    text near-dup clusters resolves entity clusters (min-key label =
+    the canonical record); survivorship then rolls each multi-member
+    cluster into one golden row — member count, best (max) balance,
+    activity tally, and the canonical member's segment. One operator
+    stack, two domains: documents and customer identities.
+
+    Scale shape: the FS stage is the blocked self-join (block-key
+    cardinality scales with the balance domain), CC is the
+    snapshot-per-round label propagation whose rounds scale with
+    log(component diameter) — match cliques here are tiny, so it
+    converges in 2-3 rounds — and survivorship is one cluster-keyed
+    aggregate plus a broadcast-sized canonical-member join. The
+    oracle replays the closure with a recursive CTE over the same
+    match edges.
+    """
+    base, pairs = _fs_base_and_pairs(spark, sf_dir)
+    matches = pairs.filter(F.col("score") >= _FS_MATCH).select(
+        F.col("a_key").alias("id_a"), F.col("b_key").alias("id_b")
+    )
+    cl = dedup.connected_components(
+        matches, base.select("k"), id_col="k"
+    )
+    gold = (
+        cl.join(base, "k")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("bal").alias("max_bal_cents"),
+            F.sum("act").cast("long").alias("n_active"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    canon = base.select(
+        F.col("k").alias("cluster_id"), F.col("seg").alias("canonical_segment")
+    )
+    return gold.join(canon, "cluster_id").select(
+        "cluster_id",
+        F.col("n_members").cast("long"),
+        "max_bal_cents",
+        "n_active",
+        "canonical_segment",
     )
 
 

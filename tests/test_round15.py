@@ -432,3 +432,41 @@ def test_trustrank_matches_pure_python_replay(spark):
     assert got[5] == 0.0 and got[6] == 0.0
     # seeds hold the most mass
     assert max(got, key=lambda v: (got[v], -v)) in (0, 41)
+
+
+def test_entity_resolution_golden_planted(spark):
+    """Same planted corpus as the FS test: the (1,2) match pair must
+    roll into ONE golden record — cluster 1, two members, best
+    balance $105, both active, canonical segment from member 1 —
+    and nobody else reaches the match tier."""
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        entity_resolution_golden,
+    )
+
+    customers = spark.createDataFrame(
+        [
+            (1, "Ann Smith", 7, 105.00, "BUILDING"),
+            (2, "Ann Smyth", 7, 104.00, "BUILDING"),
+            (3, "Bob Jones", 7, 101.00, "MACHINERY"),
+            (4, "Ann Smith", 8, 105.00, "BUILDING"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+         (11, 2, "O", 6.0, datetime.datetime(2024, 1, 2), "1-URGENT"),
+         (12, 4, "O", 7.0, datetime.datetime(2024, 1, 3), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        customers.write.parquet(f"{d}/customer.parquet")
+        orders.write.parquet(f"{d}/orders.parquet")
+        rows = [
+            (r.cluster_id, r.n_members, r.max_bal_cents, r.n_active,
+             r.canonical_segment)
+            for r in entity_resolution_golden(spark, d).collect()
+        ]
+    assert rows == [(1, 2, 10500, 2, "BUILDING")], rows

@@ -124,6 +124,9 @@ TARGETS = {
     # early-exit makes dense-regime rounds cheap, but the edge scan +
     # first-round degree aggregate still scale in edges).
     "kcore_dupgraph": "embedding_edges",
+    # trustrank iterates the same dup graph as pagerank — identical
+    # per-round join shape, so edges are the driving volume.
+    "trustrank_quality": "embedding_edges",
 }
 
 
