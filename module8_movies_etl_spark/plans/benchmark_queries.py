@@ -19254,6 +19254,119 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_fdiv(expr: str, n: int) -> str:
+    """Python-floor integer division in DuckDB SQL: ``//`` truncates
+    toward zero, so negative operands (a falling Holt trend) disagree
+    with the engine's Python ``//`` — subtract the POSITIVE mod
+    first, then the division is exact."""
+    return f"(({expr}) - ((({expr}) % {n}) + {n}) % {n}) // {n}"
+
+
+def _holt_oracle() -> str:
+    l_new = _sql_fdiv("h.x + hl.l + hl.tr", 2)
+    tr_new = (
+        f"{_sql_fdiv(f'({l_new}) - hl.l', 4)} + {_sql_fdiv('3 * hl.tr', 4)}"
+    )
+    return f"""
+WITH RECURSIVE h AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS b,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+hi AS (
+    SELECT event_type, b, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY b) AS i
+    FROM h
+),
+hl AS (
+    SELECT event_type, i, b, x, x AS l, CAST(0 AS BIGINT) AS tr
+    FROM hi WHERE i = 1
+    UNION ALL
+    SELECT h.event_type, h.i, h.b, h.x,
+           CAST({l_new} AS BIGINT) AS l,
+           CAST({tr_new} AS BIGINT) AS tr
+    FROM hl JOIN hi h
+      ON h.event_type = hl.event_type AND h.i = hl.i + 1
+)
+SELECT event_type, b AS bucket_start, x AS x_cents,
+       l AS level_cents, tr AS trend_cents,
+       CAST(l + tr AS BIGINT) AS forecast_next_cents
+FROM hl
+"""
+
+
+@query("holt_linear_hourly", _holt_oracle())
+def holt_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series/forecasting, beyond-ref §2.13 — the TREND rung of
+    the smoothing ladder: EWMA tracks level, Holt's linear method
+    tracks level AND slope, giving a one-step-ahead forecast that
+    does not lag ramps] Per-type Holt double exponential smoothing
+    over hourly value sums, α=1/2 β=1/4, in EXACT fixed-point cents:
+    l_t = ⌊(x_t + l + b)/2⌋, b_t = ⌊(l_t − l)/4⌋ + ⌊3b/4⌋ (two
+    separate floors — that IS the spec, so both engines replay it
+    digit-for-digit; the closed-form trick EWMA uses is unavailable
+    here because the coupled recursion's matrix powers are not
+    powers of two). Seeding l₀ = x₀, b₀ = 0. The oracle replays the
+    identical floors in a recursive CTE, with Python-floor division
+    spelled explicitly (DuckDB ``//`` truncates toward zero, which
+    diverges on a FALLING trend's negative operands).
+
+    Scale shape: one key-bucket aggregate (map-side combined), then
+    the inherently sequential recursion runs as one Arrow
+    grouped-map per key over the BUCKET-grain series (a year of
+    hourly buckets is 8,760 rows per key regardless of corpus rows —
+    the ``markov_attribution_removal`` panel argument).
+    """
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "events")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("long")
+        * 3600
+    )
+    hourly = (
+        e.select(
+            F.col("event_type"),
+            bucket.alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("v").alias("x"))
+    )
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("b")
+        key = pdf["event_type"].iloc[0]
+        l = None
+        tr = 0
+        out = []
+        for b_, x_ in zip(pdf["b"], pdf["x"]):
+            x_ = int(x_)
+            if l is None:
+                l, tr = x_, 0
+            else:
+                l_new = (x_ + l + tr) // 2
+                tr = (l_new - l) // 4 + (3 * tr) // 4
+                l = l_new
+            out.append((key, int(b_), x_, l, tr, l + tr))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "bucket_start", "x_cents",
+                "level_cents", "trend_cents", "forecast_next_cents",
+            ],
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _holt,
+        schema=(
+            "event_type string, bucket_start long, x_cents long, "
+            "level_cents long, trend_cents long, forecast_next_cents long"
+        ),
+    )
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

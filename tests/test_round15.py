@@ -470,3 +470,46 @@ def test_entity_resolution_golden_planted(spark):
             for r in entity_resolution_golden(spark, d).collect()
         ]
     assert rows == [(1, 2, 10500, 2, "BUILDING")], rows
+
+
+def test_holt_linear_hand_golden(spark):
+    """Hand-traced fixed-point Holt: series [100, 200, 400] cents ->
+    (l, tr) = (100,0), (150,12), (281,41); and a FALLING series
+    [100, 0] -> tr = (50-100)//4 = -13 (floor, NOT the -12 a
+    truncating division would give — the cross-engine hazard the
+    oracle's explicit positive-mod floor exists for)."""
+    import tempfile
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        holt_linear_hourly,
+    )
+
+    t = datetime.datetime
+    rows = [
+        (0, t(2024, 1, 1, 0, 30), 1, "view", 1.00, "{}"),
+        (1, t(2024, 1, 1, 1, 30), 1, "view", 2.00, "{}"),
+        (2, t(2024, 1, 1, 2, 30), 1, "view", 4.00, "{}"),
+        (3, t(2024, 1, 1, 0, 15), 2, "click", 1.00, "{}"),
+        (4, t(2024, 1, 1, 1, 15), 2, "click", 0.00, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.event_type, r.bucket_start): (
+                r.x_cents, r.level_cents, r.trend_cents,
+                r.forecast_next_cents,
+            )
+            for r in holt_linear_hourly(spark, d).collect()
+        }
+    h0 = 1704067200  # 2024-01-01 00:00 UTC
+    assert got[("view", h0)] == (100, 100, 0, 100)
+    assert got[("view", h0 + 3600)] == (200, 150, 12, 162)
+    assert got[("view", h0 + 7200)] == (400, 281, 41, 322)
+    # falling series: floor division on a negative delta
+    assert got[("click", h0)] == (100, 100, 0, 100)
+    assert got[("click", h0 + 3600)] == (0, 50, -13, 37)
