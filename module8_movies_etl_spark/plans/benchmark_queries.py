@@ -19367,6 +19367,38 @@ def holt_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.total_price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) l
+"""
+
+
+@query("lateral_topn_per_customer", _LATERAL_TOPN_SQL)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Spark-4 SQL surface, beyond-ref — LATERAL correlated
+    subquery, beside the native ``WITH RECURSIVE`` of
+    ``recursive_tree_rollup`` and the VARIANT/UDTF/grouped-map
+    surfaces] Per-customer top-3 orders expressed the way SQL users
+    write it — a correlated LATERAL derived table with ORDER BY +
+    LIMIT — executed natively: Catalyst DE-CORRELATES the lateral
+    into a ranked window + broadcast hash join (verified in the
+    compiled plan: Window + BroadcastHashJoin, no
+    CartesianProduct, zero SinglePartition exchanges), i.e. the SAME
+    physical shape the DataFrame window formulation
+    (``topk_orders_per_customer``) compiles to. The IDENTICAL SQL
+    string is the DuckDB oracle — zero translation, the
+    ``recursive_tree_rollup`` contract.
+    """
+    from .sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _LATERAL_TOPN_SQL)
+
+
 _PRIORITY = [
     # §2 core — scans/filters/projections (P), joins (J), aggs (A),
     # pivot (V), scalar functions (F), casts (C), limits/samples (L),

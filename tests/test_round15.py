@@ -513,3 +513,44 @@ def test_holt_linear_hand_golden(spark):
     # falling series: floor division on a negative delta
     assert got[("click", h0)] == (100, 100, 0, 100)
     assert got[("click", h0 + 3600)] == (0, 50, -13, 37)
+
+
+def test_lateral_topn_decorrelates_and_matches_window_twin(spark, sf_dir):
+    """The LATERAL-with-LIMIT formulation must (a) de-correlate —
+    compiled plan has a Window and a hash join, no CartesianProduct,
+    no SinglePartition exchange — and (b) agree row-for-row with the
+    window-function formulation of the same top-3."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from module8_movies_etl_spark.plans.benchmark_queries import (
+        lateral_topn_per_customer,
+    )
+    from module8_movies_etl_spark.sources import read_table
+
+    df = lateral_topn_per_customer(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "Window" in plan or "WindowGroupLimit" in plan
+
+    got = {(r.c_custkey, r.o_orderkey, r.total_price) for r in df.collect()}
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    twin = (
+        o.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+    exp = {(r.c_custkey, r.o_orderkey, r.total_price) for r in twin.collect()}
+    assert got == exp and len(got) > 0
