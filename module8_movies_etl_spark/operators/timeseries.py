@@ -983,14 +983,13 @@ def linear_gap_fill(
     straight line between the nearest observed neighbors (flat
     extension at the edges, where only one neighbor exists).
 
-    Shape: one fact aggregate to bucket grain, a per-key
-    ``sequence()`` spine (bucket-grain, never fact-grain), and TWO
-    ordered windows per key — last-observed-before via
-    ``last(ignorenulls)`` over the preceding frame and
-    first-observed-after over the following frame, each carrying
-    (value, bucket) so the interpolation weight (h−h₀)/(h₁−h₀) is
-    available in one projection. All windows are partitioned by key —
-    no global order anywhere.
+    Shape: one fact aggregate to bucket grain, ONE ``lead()`` window
+    over the observed buckets per key (observed-grain, never spine-
+    grain), then each observed→next-observed segment explodes into
+    its gap buckets already carrying both interpolation endpoints —
+    the spine is generated, never joined or window-scanned (see the
+    r11 note in the body). All windows are partitioned by key — no
+    global order anywhere.
 
     Exactness: observed sums are exact cents BIGINTs; the
     interpolation v₀ + (v₁−v₀)·(h−h₀)/(h₁−h₀) is a single double
@@ -1018,58 +1017,67 @@ def linear_gap_fill(
     actual = base.groupBy("_k", "_b").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_vc").alias("_v")
     )
-    spine = (
-        actual.groupBy("_k")
-        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
-        .select(
-            "_k",
-            F.explode(
-                F.sequence("_lo", "_hi", F.lit(int(bucket_s)))
-            ).alias("_b"),
-        )
-    )
-    j = spine.join(actual, ["_k", "_b"], "left")
-    wp = (
-        Window.partitionBy("_k")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("_k")
-        .orderBy("_b")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_b = F.when(F.col("_v").isNotNull(), F.col("_b"))
-    staged = j.select(
+    # SEGMENT form (r11): one lead() window over the OBSERVED bucket
+    # rows gives each observed bucket its next observed neighbor; the
+    # bucket spine is then an explode of each segment's sequence —
+    # the observed bucket itself plus its trailing gap buckets. The
+    # former full-spine shape (per-key min..max sequence, left join,
+    # two unbounded-frame windows over EVERY spine bucket) sorted and
+    # window-scanned the FILLED series per key — on sparse series the
+    # spine is orders of magnitude larger than the observed set (the
+    # sf0.1 events table interpolates ~4.2 s of which the fact
+    # aggregate is 0.17 s; the segment form runs the same query in
+    # ~0.6 s warm), and the per-key windows serialize each key's
+    # millions of spine rows through one task. Here the window
+    # touches only observed rows; gap rows are GENERATED map-side
+    # already carrying both interpolation endpoints. The spine spans
+    # min..max observed per key, so every gap bucket has both
+    # neighbors (the flat-edge branch only ever fired for
+    # single-observation keys, where the observed row IS the output —
+    # pinned by test_linear_gap_fill_edge_extension).
+    wnext = Window.partitionBy("_k").orderBy("_b")
+    seg = actual.select(
         "_k",
         "_b",
         "_n",
         "_v",
-        F.last("_v", ignorenulls=True).over(wp).alias("_vp"),
-        F.last(obs_b, ignorenulls=True).over(wp).alias("_bp"),
-        F.first("_v", ignorenulls=True).over(wn).alias("_vn"),
-        F.first(obs_b, ignorenulls=True).over(wn).alias("_bn"),
+        F.lead("_b").over(wnext).alias("_bn"),
+        F.lead("_v").over(wnext).alias("_vn"),
     )
-    interp = (
-        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
-        .when(
-            F.col("_vp").isNotNull() & F.col("_vn").isNotNull(),
-            F.col("_vp").cast("double")
-            + (F.col("_vn") - F.col("_vp")).cast("double")
-            * (F.col("_b") - F.col("_bp")).cast("double")
-            / (F.col("_bn") - F.col("_bp")).cast("double"),
-        )
-        .otherwise(
-            F.coalesce(F.col("_vp"), F.col("_vn")).cast("double")
-        )
+    step = F.lit(int(bucket_s)).cast("long")
+    rows = seg.select(
+        "_k",
+        "_b",
+        "_n",
+        "_v",
+        "_bn",
+        "_vn",
+        F.explode(
+            F.sequence(
+                F.col("_b"),
+                F.coalesce(F.col("_bn") - step, F.col("_b")),
+                step,
+            )
+        ).alias("_gb"),
     )
-    return staged.select(
+    observed = F.col("_gb") == F.col("_b")
+    # identical double arithmetic to the pre-r11 window form: every
+    # operand long-cast-to-double in the same order
+    interp = F.when(observed, F.col("_v").cast("double")).otherwise(
+        F.col("_v").cast("double")
+        + (F.col("_vn") - F.col("_v")).cast("double")
+        * (F.col("_gb") - F.col("_b")).cast("double")
+        / (F.col("_bn") - F.col("_b")).cast("double")
+    )
+    return rows.select(
         F.col("_k").alias(key_col),
-        F.col("_b").alias("bucket_s"),
-        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("_gb").alias("bucket_s"),
+        F.when(observed, F.col("_n")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
         (
             F.floor(interp / F.lit(100.0) * F.lit(1000000.0))
             / F.lit(1000000.0)
         ).alias("value_filled"),
-        F.col("_v").isNotNull().alias("is_observed"),
+        observed.alias("is_observed"),
     )

@@ -64,7 +64,10 @@ SINGLE_PARTITION_BUDGET = {
     "benford_first_digit": (1, "group"),
     "bloom_filter_vip_orders": (2, "scalar"),
     "bm25_keyword_search": (2, "scalar"),
-    "bradley_terry_suppliers": (2, "scalar"),
+    # final MM round's mean-1 renormalization window (item-grain —
+    # suppliers/annotators, thousands of rows; replaced the two 1-row
+    # broadcast cross-joins that re-executed the round subtree, r11)
+    "bradley_terry_suppliers": (1, "group"),
     "calibration_bins_purchase": (1, "group"),
     "chi2_status_priority": (2, "scalar"),
     "corpus_topics_capstone": (1, "report"),
