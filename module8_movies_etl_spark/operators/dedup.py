@@ -911,42 +911,26 @@ def connected_components(
     # split (32 near-empty files at bench scale), same rationale as
     # sources.scratch.snapshot. The per-round label writes below skip
     # the hint — their inputs are AQE-coalesced shuffle tails.
+    # Both endpoints are restricted to the caller's node universe AT
+    # WRITE TIME: an edge endpoint absent from ``nodes`` neither
+    # receives nor forwards labels in the pre-r11 form either (it
+    # never had a label row to join), so its edge rows were dead
+    # weight in every round — two semi-joins on the one-time write
+    # delete them for good (broadcast at bench scale, node-hash joins
+    # at 100 TB).
+    node_ids = nodes.select(F.col(id_col).alias("_nid"))
     (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .join(node_ids, F.col("src") == F.col("_nid"), "left_semi")
+        .join(node_ids, F.col("dst") == F.col("_nid"), "left_semi")
         .hint("rebalance")
         .write.mode("overwrite")
         .parquet(f"{scratch}/edges")
     )
     edges = spark.read.parquet(f"{scratch}/edges")
-    # Iterate ONLY over nodes that touch an edge (∩ the caller's node
-    # universe — an edge endpoint absent from ``nodes`` neither
-    # receives nor forwards labels in the pre-r11 form either, since
-    # it never had a label row). Isolated nodes are singletons by
-    # definition: their label is provably fixed at their own id, so
-    # carrying them through every round is pure per-round state —
-    # measured r11 on the sf0.1 ER graph (2,040 edges, 150k
-    # customers): the label table shrinks 150k → ~3.3k rows and the
-    # whole CC stage drops ~5.0 → ~1.7 s warm (5 rounds either way).
-    # At 100 TB the same cut applies: round state scales with the
-    # CONNECTED subgraph, not the corpus. Written to scratch (iter0)
-    # because the distinct-over-edges lineage would otherwise
-    # re-execute for each of the four label references in round 1.
-    (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .join(
-            nodes.select(F.col(id_col).alias("node")),
-            "node",
-            "left_semi",
-        )
-        .select("node", F.col("node").alias("label"))
-        .write.mode("overwrite")
-        .parquet(f"{scratch}/iter0")
-    )
-    labels = spark.read.parquet(f"{scratch}/iter0")
     # Per-round label writes get NO explicit REBALANCE (unlike the
     # edges write above): every round's output is the tail of a
     # groupBy/join shuffle that AQE has already coalesced to
@@ -956,14 +940,47 @@ def connected_components(
     # the CC stage measured 3.34 → 2.73 s median (5-rep alternating
     # A/B, sf0.1 ER graph, r11). The same holds at 100 TB: the write
     # inherits AQE's size-targeted partitions either way.
-    label_schema = labels.schema
     import shutil
 
     from pyspark.sql import Observation
 
     converged_at = None
     try:
-        for i in range(1, max_iters + 1):
+        # Round 1 computed DIRECTLY from the edge aggregate (r11):
+        # round-0 labels are the identity map over the edge-endpoint
+        # nodes, so round 1's neighbor-min is just min(dst) per src
+        # and both pointer jumps are identities — the first label
+        # table is least(src, min(dst)) in ONE aggregation. This
+        # replaces both a materialized identity round-0 table (whose
+        # distinct-over-edges pass measured ~1 s on the 4.6M-edge
+        # sf0.1 doc dup graph) and round 1's four-way join. The
+        # iteration state covers ONLY edge-endpoint nodes: isolated
+        # nodes are singletons by definition — their label is
+        # provably fixed at their own id — and rejoin at consumption
+        # time below, so round state scales with the CONNECTED
+        # subgraph, not the corpus (label table 150k → ~3.3k rows on
+        # the sf0.1 ER graph).
+        obs1 = Observation("cc_round_1")
+        l1 = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("_nbr"))
+            .select(
+                F.col("src").alias("node"),
+                F.least("src", "_nbr").alias("label"),
+                (F.col("_nbr") < F.col("src")).alias("_changed"),
+            )
+        )
+        l1.observe(
+            obs1, F.sum(F.col("_changed").cast("long")).alias("n_changed")
+        ).drop("_changed").write.mode("overwrite").parquet(
+            f"{scratch}/iter1"
+        )
+        labels = spark.read.parquet(f"{scratch}/iter1")
+        label_schema = labels.schema
+        if (obs1.get["n_changed"] or 0) == 0:
+            converged_at = 1
+        later_rounds = range(2, max_iters + 1) if converged_at is None else ()
+        for i in later_rounds:
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
@@ -1022,7 +1039,7 @@ def connected_components(
             if n_changed == 0:
                 converged_at = i
                 break
-        else:
+        if converged_at is None:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds"
             )
