@@ -5,10 +5,13 @@ Where ``similarity.train_ivf_centroids`` fits centroids on a bounded
 512-row driver sample (an *index* wants speed, not balance), the
 operators here run Lloyd's algorithm over the FULL corpus with the
 classic scalable decomposition: centroids are a k×dim driver-side
-constant (broadcast into every task), assignment is a pure map-side
-argmin (no shuffle), and the update step is one ``(cluster, pos)``
-grouped aggregate per round — the exact shape MLlib's KMeans uses,
-expressed in DataFrame ops. At 100 TB the per-round cost is one
+constant (shipped into every task), assignment is a pure map-side
+argmin (no shuffle) run as one exact-int64 Arrow batch computation
+per partition (r12 — the interpreted per-row k×dim fold chain it
+replaces dominated every pass), and the update step is one
+``(cluster, pos)`` grouped aggregate per round, partially reduced to
+≤ k·dim rows per batch inside the same Arrow pass — the exact shape
+MLlib's KMeans uses. At 100 TB the per-round cost is one
 column-pruned scan + one k·dim-key aggregate; the only driver
 traffic is k·dim integers per round.
 
@@ -59,28 +62,86 @@ def _quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _dist_cols(centroids: list[list[int]]):
-    """Exact squared-L2 distance to each centroid literal as a pure
-    map-side fold (zip_with + aggregate, BIGINT throughout), plus the
-    first-match argmin — ties resolve to the LOWEST centroid index via
-    ``array_position`` on the distance array."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("_q"),
-                    F.array(*[F.lit(int(c)) for c in cen]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+def _assign_table(
+    q: DataFrame, id_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """(id, cluster, dist_q) — nearest centroid per row, one Arrow
+    int64 batch computation per partition (the
+    ``similarity.hyperplane_bucket_table`` scale shape; the previous
+    per-row k×dim interpreted ``zip_with``+``aggregate`` fold chain
+    dominated every pass — measured r12).
+
+    EXACTNESS is preserved bit-for-bit: quantized components and
+    centroids are int64, ‖x−c‖² sums of squares stay far inside int64
+    (|q| ≤ ~10⁵ ⇒ per-term ≤ 4·10¹⁰, ×dim ≪ 2⁶³), numpy integer
+    arithmetic is exact, and ``np.argmin`` returns the FIRST minimum —
+    the same ties→lowest-centroid rule as the oracle's
+    ``array_position`` replay."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.array(centroids, dtype=np.int64)  # (k, dim)
+    id_type = q.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster int, dist_q long"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["_q"].to_numpy()).astype(np.int64)  # (n, dim)
+            d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)  # (n, k)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": np.argmin(d2, axis=1).astype("int32"),
+                    "dist_q": d2.min(axis=1),
+                }
             )
-            for cen in centroids
-        ]
+
+    return q.select(id_col, "_q").mapInPandas(gen, schema)
+
+
+def _update_stats(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(_c, _p, _s, _n) — per-(cluster, position) exact integer
+    component sums and counts for the Lloyd update, partially
+    aggregated INSIDE the Arrow pass: each batch emits at most k·dim
+    rows, so the shuffle carries k·dim·batches rows instead of the
+    n·dim posexplode blowup the previous form shipped (guide §2.3
+    aggregate-before-shuffle). int64 sums are exact (n·|q| ≪ 2⁶³ at
+    any feasible batch size); the final groupBy re-sums exact
+    integers, so the centroid update is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.array(centroids, dtype=np.int64)  # (k, dim)
+    k, dim = c.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["_q"].to_numpy()).astype(np.int64)  # (n, dim)
+            d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)  # (n,)
+            present = np.unique(assign)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, assign, v)
+            counts = np.bincount(assign, minlength=k)
+            yield pd.DataFrame(
+                {
+                    "_c": np.repeat(present, dim).astype("int32"),
+                    "_p": np.tile(np.arange(dim, dtype="int32"), len(present)),
+                    "_s": sums[present].reshape(-1),
+                    "_n": counts[present].repeat(dim),
+                }
+            )
+
+    return (
+        q.select("_q")
+        .mapInPandas(gen, "_c int, _p int, _s long, _n long")
+        .groupBy("_c", "_p")
+        .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
     )
-    d = F.array_min(dists)
-    cluster = (F.array_position(dists, d) - 1).cast("int")
-    return d, cluster
 
 
 def kmeans_assign(
@@ -100,12 +161,14 @@ def kmeans_assign(
     RNG, reproducible across engines. Empty clusters keep their
     previous centroid (same rule as ``similarity.lloyd_spherical``).
 
-    Scale shape: per round, ONE column-pruned scan + map-side
-    assignment (centroids are a k·dim literal — broadcast-free
-    constant folding) + one ``(cluster, pos)`` aggregate whose result
-    (k·dim rows of exact integer sums) is the only driver collect —
-    bounded at k·dim·16 bytes, the textbook distributed-k-means
-    driver payload, NOT a data-dependent fetch.
+    Scale shape: per round, ONE column-pruned scan + map-side Arrow
+    assignment (centroids are a k·dim constant shipped inside the
+    batch function — ``_assign_table``) + one ``(cluster, pos)``
+    aggregate, partially reduced inside the Arrow pass to ≤ k·dim
+    rows per batch, whose result (k·dim rows of exact integer sums)
+    is the only driver collect — bounded at k·dim·16 bytes, the
+    textbook distributed-k-means driver payload, NOT a data-dependent
+    fetch.
     """
     if k < 1 or n_rounds < 1:
         raise ValueError("kmeans_assign: k and n_rounds must be >= 1")
@@ -133,13 +196,7 @@ def kmeans_assign(
     dim = len(centroids[0])
 
     for _ in range(n_rounds - 1):
-        d, cluster = _dist_cols(centroids)
-        assigned = q.select(cluster.alias("_c"), "_q")
-        stats = (
-            assigned.select("_c", F.posexplode("_q").alias("_p", "_x"))
-            .groupBy("_c", "_p")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        )
+        stats = _update_stats(q, centroids)
         # bounded driver fetch #2 (per round): k·dim exact integer
         # sums — the distributed-k-means update payload.
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
@@ -153,12 +210,7 @@ def kmeans_assign(
             for c in range(k)
         ]
 
-    d, cluster = _dist_cols(centroids)
-    return q.select(
-        F.col(id_col),
-        cluster.alias("cluster"),
-        d.alias("dist_q"),
-    )
+    return _assign_table(q, id_col, centroids)
 
 
 def kmeans_diversity_sample(

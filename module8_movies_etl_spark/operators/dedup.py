@@ -228,6 +228,19 @@ def jaccard_similar_pairs(
     if strategy == "bitset":
         return _jaccard_bitset_pairs(postings, block_cols, threshold, vocab)
     if strategy == "prefix":
+        if ngram == 1:
+            # Snapshot the WORD postings too (r12 — the r11 shingle
+            # rationale, closing the ADVICE gap): the prefix path
+            # consumes the postings five ways (document frequencies,
+            # the prefix index, both sides of the counting verify,
+            # sizes), and each lazy consumer re-ran the
+            # split/array_distinct/explode from the scan. One narrow
+            # (id, block, sz, token) parquet feeds all five. The
+            # bitset path keeps the lazy form — it consumes postings
+            # once (mask aggregate).
+            from ..sources.scratch import snapshot
+
+            postings = snapshot(postings, prefix="word_postings_")
         return _jaccard_prefix_pairs(postings, block_cols, threshold)
     raise ValueError(f"unknown jaccard strategy: {strategy!r}")
 
@@ -890,6 +903,15 @@ def connected_components(
     ``pairs`` needs columns (id_a, id_b); ``nodes`` supplies every id
     (isolated docs keep themselves as cluster_id). Returns
     (id_col, cluster_id).
+
+    CONTRACT NOTE (r12, closing the r11 ADVICE item): ``nodes`` is
+    consumed up to three times lazily — two endpoint semi-joins on
+    the one-time edges write plus the final singles anti-join. Every
+    in-repo caller passes a parquet-backed table (documents,
+    customer, the ER snapshot), for which three column-pruned id
+    scans are cheaper than an extra materialization; a caller whose
+    node set is itself an expensive pipeline should ``snapshot()`` it
+    first.
     """
     from ..sources.scratch import mkscratch, register
 
@@ -1280,6 +1302,17 @@ def containment_pairs(
     elif strategy == "postings":
         from pyspark.sql import Window
 
+        # NB (r12): a postings snapshot + Vernica counting verify
+        # (the r11 jaccard treatment) was prototyped here and measured
+        # ~5% SLOWER in a same-session alternating A/B on the forced
+        # postings path (med 22.96 → 24.15 s, sf0.1 documents corpus,
+        # 1.80M identical pairs): this corpus's ≤64-token docs make
+        # array_intersect cheap per pair while the counting re-join's
+        # Σ_cand |A| intermediate (~70M narrow rows) dominates — the
+        # trade that paid on the 52-shingle jaccard_ngram docs
+        # reverses when token sets are tiny and candidates huge.
+        # Reverted; re-probe on a large-vocabulary corpus before
+        # re-trying.
         # Rank every posting by ascending global DF (rarest first, ties
         # by token) — shared by both sides of the asymmetric join.
         dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))

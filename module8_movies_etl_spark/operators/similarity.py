@@ -1011,23 +1011,35 @@ def _ann_candidate_pairs(
             .filter(F.col("_rk") <= bucket_cap)
             .drop("_rk")
         )
-    cand = lb.join(rb, "bk").select("_a", "_b").distinct()
+    raw = lb.join(rb, "bk").select("_a", "_b")
     if coverage_min <= 0:
-        return cand
+        return raw.distinct()
+    # Dedup + coverage on ONE probe-keyed exchange (r12): hash-
+    # partitioning by _a alone satisfies the (_a, _b) dedup aggregate
+    # (same _a ⟹ same partition ⟹ same pair colocated) AND the
+    # per-probe coverage count window, so the repartition exchange
+    # feeds both — the pre-r12 shape paid a (_a, _b) distinct
+    # exchange, a separate groupBy(_a) coverage exchange, and then a
+    # FULL re-distinct of the fallback union. Skew is bounded by
+    # construction: a probe carries at most n_bands × bucket_cap
+    # banded candidates. The explicit repartition-before-distinct is
+    # the _dedup_pairs rationale (near-zero per-mapper reduction makes
+    # the partial-agg hash maps spill).
+    cand = raw.repartition("_a").dropDuplicates(["_a", "_b"]).withColumn(
+        "_nc", F.count(F.lit(1)).over(Window.partitionBy("_a"))
+    )
+    # Disjoint split instead of union-then-distinct: a missed probe's
+    # banded candidates (0 or coverage_min-1 pairs) are a SUBSET of
+    # its exact-scan fallback rows, so dropping them here and emitting
+    # the full right side for those probes yields the identical pair
+    # set with no dedup pass over the union — kept and fallback rows
+    # can never share a probe id. (A duplicate pair would occupy both
+    # top-2 window slots and zero the margin, hence the care.)
+    kept = cand.filter(F.col("_nc") >= coverage_min).drop("_nc")
     l_ids = left.select(F.col(id_col).alias("_a"))
     r_ids = right.select(F.col(id_col).alias("_b"))
-    covered = (
-        cand.groupBy("_a")
-        .agg(F.count(F.lit(1)).alias("_nc"))
-        .filter(F.col("_nc") >= coverage_min)
-        .select("_a")
-    )
-    missed = l_ids.join(covered, "_a", "left_anti")
-    # a fallback probe's band candidates are a subset of its full
-    # right-side scan — distinct the union so no pair scores twice
-    # (a duplicate would occupy both top-2 window slots and zero the
-    # margin)
-    return cand.unionByName(missed.crossJoin(r_ids)).distinct()
+    missed = l_ids.join(kept.select("_a"), "_a", "left_anti")
+    return kept.unionByName(missed.crossJoin(r_ids)).distinct()
 
 
 def bipartite_align_scored_pairs(

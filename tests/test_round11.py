@@ -403,18 +403,22 @@ def _plan(df) -> str:
 
 
 def test_kmeans_assignment_is_map_side(spark, sf_dir):
-    """The assignment projection must carry the centroid literals —
-    no join, no shuffle between the scan and the argmin: the only
-    exchanges in the final assignment plan are for the output windows
-    (cluster-partitioned), never keyed by vector id."""
+    """The assignment must stay map-side — no join, no shuffle
+    between the scan and the argmin (centroids ship inside the Arrow
+    batch function, not as a table): the only exchanges in the final
+    assignment plan are for the output windows (cluster-partitioned),
+    never keyed by vector id. Since r12 the argmin is one int64
+    Arrow batch computation per partition (``_assign_table``), so the
+    plan carries a MapInPandas node instead of the old
+    array_position expression — still zero joins."""
     from module8_movies_etl_spark.operators import clustering
     from module8_movies_etl_spark.sources.readers import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
     out = clustering.kmeans_assign(emb, k=4, n_rounds=2)
     plan = _plan(out)
-    assert "Join" not in plan  # centroids are literals, not a table
-    assert "array_position" in plan or "ARRAY_POSITION" in plan.upper()
+    assert "Join" not in plan  # centroids ride in the task, not a table
+    assert "MapInPandas" in plan
 
 
 def test_adamic_adar_topk_is_distributed(spark, sf_dir):
