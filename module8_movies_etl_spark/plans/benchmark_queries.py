@@ -19426,134 +19426,65 @@ _PRIORITY = [
     "fill_zero_conflict",
     "coalesce_variants",
     "order_limit_top5",
-    # L1's slice/tail variants are verified locally; their two prefix
-    # slots go to the round-5/6 flagship families (clustering,
-    # counterfactual evaluation) so the DRIVER artifact carries one
-    # green row per major family. hll_distinct_users moved to local
-    # verification in round 6 (its sketch sibling kmv_distinct_users
-    # keeps the family's driver row) to free the slot for
-    # ips_policy_value — the experimentation/counterfactual family
-    # previously had NO driver-verified row.
-    # kmeans_diversity_sample got its driver row in round 10; the
-    # round-11 continuation hands the slot to the retrieval-
-    # diversification rung — greedy MMR, brand new this round.
-    "mmr_diversified_topk",
-    # ips_policy_value moved to local verification in round 10; DiD
-    # got its driver row in round 10; round 11 rotates the causal
-    # slot to quantile treatment effects — never driver-verified
-    # (VERDICT r10 task #2: 203/284 entries had no driver row ever;
-    # this round doubles the rotation rate to 12 slots).
-    "qte_deciles",
-    # random_sample_orders emits a distribution-bounded audit (the
-    # sampled ROWS stay engine-RNG); it lives AFTER the driver's
-    # 50-entry verified prefix; its deterministic md5 twin
-    # hash_sample_orders holds the L2 slot here and rollup_revenue
-    # (fully oracled) takes the freed slot.
-    # bucketed_join_revenue got its driver row in round 10; round 11
-    # rotates the physical-layout slot to the Z-order rung — Morton
-    # interleave clustering, never driver-verified (r10 task #2).
-    "morton_cluster_orders",
+    # ------------------------------------------------------------------
+    # Round-12 rotation (VERDICT r11 task #2): the driver verified only
+    # ONE of the 13 query paths whose plans changed in r11
+    # (bpe_learn_merges); the other 12 passed only builder-side checks.
+    # This round's prefix therefore hands every slot whose query earned
+    # a fresh driver row in CORRECTNESS_r11 (mmr_diversified_topk,
+    # qte_deciles, morton_cluster_orders, fellegi_sunter_linkage,
+    # iv_wald_estimate, theil_sen_daily_slope, geo_cell_pairs,
+    # weighted_median_udaf, stream_interval_join_left,
+    # pit_join_purchase_state, asof_purchase_attribution,
+    # wav_spectral_features, knn_shapley_values, cosine_topk_pq) to the
+    # r11-touched paths plus every path the r12 optimizations touched:
+    #   r11-touched: bradley_terry_suppliers, interpolate_gaps_linear,
+    #     jaccard_near_dup_pairs, jaccard_ngram_pairs,
+    #     fuzzy_dedup_clusters, customer360_golden,
+    #     entity_resolution_golden, leakage_safe_split_audit,
+    #     semantic_dedup_clusters, bpe_compression_by_lang
+    #     (10 of the 13; pagerank consumers + bpe_learn keep rows below)
+    #   r12-touched: lpa_communities (LPA round-1 fold),
+    #     trustrank_quality (PPR — fold probed and reverted, the path
+    #     still deserves a driver row), kmeans_diversity_sample (Arrow
+    #     assignment), part_name_matches (threshold-Levenshtein), plus
+    #     pagerank_dupgraph / align_embeddings_bipartite /
+    #     textrank_keywords / kcore_dupgraph already holding slots.
+    # ------------------------------------------------------------------
+    "bradley_terry_suppliers",
+    "interpolate_gaps_linear",
+    "jaccard_near_dup_pairs",
+    "jaccard_ngram_pairs",
+    "fuzzy_dedup_clusters",
+    "customer360_golden",
+    "entity_resolution_golden",
+    "leakage_safe_split_audit",
+    "semantic_dedup_clusters",
+    "bpe_compression_by_lang",
+    "lpa_communities",
+    "trustrank_quality",
+    "kmeans_diversity_sample",
+    "part_name_matches",
     "hash_sample_orders",
     "set_ops_custkeys",
     "topk_orders_per_customer",
-    # §2.10's running-total/deciles variants are verified locally;
-    # their slots carry the round-5 governance and time-series
-    # diagnostics flagships so the DRIVER artifact has one green row
-    # per major family.
-    # k_anonymity_audit carried governance rows in rounds 9-10;
-    # its slot now carries the brand-new probabilistic record
-    # linkage family (Fellegi-Sunter).
-    "fellegi_sunter_linkage",
-    # mann_kendall_daily was driver-verified earlier; timeseries
-    # keeps theil_sen_daily_slope below. The slot goes to the new
-    # causal IV/Wald rung.
-    "iv_wald_estimate",
-    # round 11: the robust-regression rung of the time-series family
-    # (Theil-Sen median slope) — never driver-verified (r10 task #2).
-    "theil_sen_daily_slope",
-    # tumbling_window_counts held a streaming row since round 1;
-    # §2.11 stays covered by stream_interval_join_left below, so
-    # the slot carries the brand-new geospatial cell-join family.
-    "geo_cell_pairs",
-    # sessionize_events and udtf_chunk_profile moved to local
-    # verification in round 9 (streaming keeps tumbling +
-    # pyds_stream_sink driver rows; the UDF surface keeps
-    # multimodal_features (mapInPandas), trend_slope_grouped_map
-    # (grouped map), and pyds_stream_sink (DataSource)): their slots
-    # carry the first-ever driver rows for the sketch-CMS and
-    # warehouse-CDC families — 217/267 entries had only self-run
-    # verification and these families never appeared in any
-    # CORRECTNESS_r*.json (VERDICT r8 task #5).
-    # cms_token_counts (r9) and kmv (r6-9) both hold driver rows for
-    # sketches; round 11 rotates the slot to the UDAF surface —
-    # weighted-median via Aggregator, never driver-verified.
-    "weighted_median_udaf",
-    # sessionize_stateful got its driver row in round 10; round 11
-    # rotates the streaming slot to the stream-stream INTERVAL JOIN —
-    # never driver-verified (r10 task #2).
-    "stream_interval_join_left",
-    # scd2_user_event_history got its driver row in round 10; round 11
-    # rotates the warehouse-temporal slot to the point-in-time join —
-    # SCD2 x as-of composed, never driver-verified (r10 task #2).
-    "pit_join_purchase_state",
-    # round 11: the as-of join family's own flagship (backward as-of
-    # attribution) had never appeared in a driver artifact.
-    "asof_purchase_attribution",
     "trend_slope_grouped_map",
-    # §2.13 family flagships. simhash/containment moved to local
-    # verification in round 7 (the dedup family keeps four driver
-    # rows: exact, jaccard, minhash, fuzzy-CC) to free slots for the
-    # real-codec multimodal decode and the hybrid-retrieval fusion
-    # flagships — families that previously had no driver row.
+    # §2.13 family flagships (rotation history: see git log of this
+    # block; simhash/containment/minhash verified locally since r7-9).
     "exact_dedup_survivors",
-    # jaccard_near_dup_pairs moved to local verification in round 8
-    # (dedup keeps three driver rows: exact, minhash, fuzzy-CC) to
-    # give the TPC-H plan-shape family its first driver row — Q21 is
-    # the round-8 flagship (dual correlated EXISTS in one fact scan).
     "tpch_q21_waiting_supplier",
-    # minhash_lsh_candidates moved to local verification in round 9
-    # (dedup keeps exact + fuzzy-CC driver rows); its slot carries
-    # the GRAPH family's first-ever driver row (VERDICT r8 task #5).
+    # GRAPH family driver rows — all four are r12-touched paths
+    # (pagerank round-1 fold; kcore shares the dup-graph pair
+    # machinery; align = the r12 candidate-chain restructure).
     "pagerank_dupgraph",
-    # bmp_decode_features moved to local verification in round 9:
-    # the codec-ladder slot belongs to its newest, hardest rung —
-    # the round-9 pure-stdlib baseline JPEG (Huffman/DPCM/RLE +
-    # dequant + IDCT + YCbCr), VERDICT r8 task #1.
-    # video_frames_features got its driver row in round 10; round 11
-    # rotates the codec-ladder slot to the AUDIO rung — WAV decode +
-    # integer-exact FFT spectral features, never driver-verified.
-    "wav_spectral_features",
-    # fuzzy_dedup_clusters was driver-verified rounds 6-10 (dedup
-    # keeps exact_dedup_survivors above); the slot goes to the new
-    # k-core peeling rung of the graph family.
     "kcore_dupgraph",
-    # hybrid_search_rrf held a driver row since round 7; round 11
-    # gives the slot to the round-11-fixed ANN ALIGNMENT path (the
-    # hot-bucket-capped bipartite align — VERDICT r10 task #1 pairs
-    # with task #2's rotation).
     "align_embeddings_bipartite",
-    # roc_auc_purchase_score (r6-10) hands the slot to the
-    # data-valuation family — exact KNN-Shapley, never
-    # driver-verified.
-    "knn_shapley_values",
-    # cosine_topk_lsh (r6-10) hands the ANN-search slot to the PQ
-    # rung — product-quantization top-k, never driver-verified.
-    "cosine_topk_pq",
-    # text_stats was driver-verified from round 1 (text keeps
-    # bpe_learn_merges below); the slot carries the new graph-based
-    # TextRank keyword extractor.
     "textrank_keywords",
-    # lang_id_predict is verified locally; its slot carries the
-    # tokenizer-training flagship
+    # tokenizer-training flagship (r11-touched family; its sibling
+    # bpe_compression_by_lang rotates in above)
     "bpe_learn_merges",
-    # pyds_stream_sink got its driver row in round 8; round 11
-    # rotates the connector slot to the READER quadrant — the Python
-    # DataSource batch scan, never driver-verified (r10 task #2).
+    # connector READER quadrant (round-11 rotation)
     "pyds_graftgen_scan",
-    # l_diversity_audit got its driver row in round 10 (governance
-    # keeps k_anonymity_audit's row above); dr_policy_value got its
-    # in round 9 (causal keeps qte_deciles above). Their slots are
-    # absorbed by the round-11 rotation set.
     "training_data_pipeline",
 ]
 
